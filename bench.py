@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect cost, no result materialization skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rag_application_with_vectordb_spark.plans.registry import load_all
+from rag_application_with_vectordb_spark.session import get_spark
+
+#: Headline set: the reference's core query path (knn/chunk/context) plus
+#: the heavyweight relational / dedup / streaming-twin representatives.
+HEADLINE = [
+    "knn_topk",
+    "knn_batch",
+    "chunk_sliding_window",
+    "embed_hash_components",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_regional_revenue",
+    "window_running_spend",
+    "topk_parts_per_brand",
+    "dedup_exact",
+    "dedup_minhash_lsh_pairs",
+    "dedup_embedding_topk_pairs",
+    "text_quality_scores",
+    "events_tumbling_hourly",
+    "events_sessionized",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    specs = load_all()
+    spark = get_spark("bench")
+
+    # Warm the JVM/codegen paths once so per-query times measure the plan,
+    # not first-run classloading.
+    specs["knn_topk"].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Text-analysis Column expressions for the LLM-data-pipeline surface.
+
+The reference's scalar string surface is tiny (substring/trim/length/
+lower/endsWith/concat — SURVEY.md §2.6); these extensions add what a
+training-data pipeline needs: tokenization, shingling, fingerprinting,
+quality scoring, language ID. Everything here is a pure Catalyst
+expression — codegen'd, shuffle-free, and mirrored 1:1 in DuckDB oracle
+SQL (see ``plans.textops`` / ``plans.dedup_queries``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "word_shingles",
+    "fingerprint",
+    "hex13_to_long",
+    "STOPWORDS_EN",
+]
+
+#: English stopword sample used by the language-ID heuristic and the
+#: quality score's stopword-ratio feature.
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization — ``split(trim(text), '\\s+')``."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (set semantics, for Jaccard/MinHash).
+
+    Documents with fewer than ``n`` tokens yield an empty set.
+    """
+    w = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+    )
+    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    Identical hex in DuckDB → exact-dedup keys are oracle-checkable."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+def hex13_to_long(hex_col: Column) -> Column:
+    """First 13 hex chars → integer < 2^52 (fp64-exact, so the DuckDB
+    oracle can reproduce it without a conv() builtin)."""
+    return F.conv(F.substring(hex_col, 1, 13), 16, 10).cast("long")

@@ -1,0 +1,108 @@
+"""Vector math as Catalyst Column expressions.
+
+Re-expresses the reference's scalar-JS vector kernel
+(``services/vectorDb.ts:26-52``) as Spark SQL higher-order functions:
+``zip_with`` + ``aggregate`` compile into whole-stage-codegen'd JVM
+loops — no Python in the scoring hot path, no UDF serialization, and
+the expressions are portable to the DuckDB oracle (verified bitwise
+fp64-identical for the fixture vectors).
+
+Reference semantics reproduced exactly (they are observable behavior):
+
+- dimension mismatch       → similarity = **-1.0** (``vectorDb.ts:27-32``)
+- either vector zero-norm  → similarity = **0.0**  (``vectorDb.ts:47-49``)
+- otherwise dot/(|a|·|b|)  (``vectorDb.ts:34-51``)
+
+All math is done in float64 (the reference computes over JS ``number``)
+even though fixture embeddings are ``array<float>`` — cast first, or the
+oracle value-hash flaps (SURVEY.md §7.3.1).
+
+Scale notes (100 TB posture):
+- These are pure expressions: they parallelize with the scan, never
+  shuffle, and vectorize under codegen.
+- For repeated querying, precompute ``l2_norm`` once at ingest and use
+  :func:`cosine_sim_prenormed` — halves per-query FLOPs (the reference
+  recomputes every corpus norm on every query, ``vectorDb.ts:40-45``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "vec_lit",
+    "as_double",
+    "dot",
+    "l2_norm",
+    "l2_dist",
+    "cosine_sim",
+    "cosine_sim_prenormed",
+]
+
+
+def vec_lit(values: Iterable[float]) -> Column:
+    """A literal query vector as an ``array<double>`` Column.
+
+    Catalyst constant-folds this, so the per-row cost is identical to a
+    broadcast scalar. (Reference: one query vector at a time,
+    ``App.tsx:190``.)
+    """
+    return F.array(*[F.lit(float(v)).cast("double") for v in values])
+
+
+def as_double(vec: Column | str) -> Column:
+    """Cast ``array<float>`` → ``array<double>`` element-wise."""
+    return F.transform(F.col(vec) if isinstance(vec, str) else vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product — same accumulation order as the
+    reference's loop (``vectorDb.ts:38-42``) and DuckDB's
+    ``list_dot_product``, so fp64 results agree bitwise."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    """``sqrt(Σ aᵢ²)`` (``vectorDb.ts:44-45``)."""
+    return F.sqrt(dot(a, a))
+
+
+def l2_dist(a: Column, b: Column) -> Column:
+    """Euclidean distance (not in the reference; used by the ANN layer)."""
+    diff = F.zip_with(a, b, lambda x, y: x - y)
+    return F.sqrt(dot(diff, diff))
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity with the reference's exact edge semantics.
+
+    ``vectorDb.ts:26-52``: length mismatch → -1.0 (an error *value*, not
+    an exception); zero magnitude on either side → 0.0.
+    """
+    ad, bd = as_double(a), as_double(b)
+    na, nb = l2_norm(ad), l2_norm(bd)
+    return (
+        F.when(F.size(a) != F.size(b), F.lit(-1.0))
+        .when((na == 0.0) | (nb == 0.0), F.lit(0.0))
+        .otherwise(dot(ad, bd) / (na * nb))
+    )
+
+
+def cosine_sim_prenormed(a: Column, a_norm: Column, b: Column, b_norm: Column) -> Column:
+    """Cosine with ingest-time precomputed norms (SURVEY.md §4.2).
+
+    Same result as :func:`cosine_sim` for well-formed inputs; callers
+    guarantee dims match (the ingest path enforces it), so only the
+    zero-norm edge is kept.
+    """
+    return (
+        F.when((a_norm == 0.0) | (b_norm == 0.0), F.lit(0.0))
+        .otherwise(dot(as_double(a), as_double(b)) / (a_norm * b_norm))
+    )

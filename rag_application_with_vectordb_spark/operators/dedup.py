@@ -1,0 +1,257 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Not in the reference (its store is append-only with no dedup), but a
+core requirement of the engine's north star. Five strategies, each
+Spark-first and (except where noted) DuckDB-oracle-checkable:
+
+- :func:`exact_dup_groups` — md5-fingerprint hash-groupBy. One shuffle
+  on a 32-byte key; the canonical-row choice (min doc_id) is
+  deterministic.
+- :func:`ngram_jaccard_pairs` — exact set-similarity self-join:
+  explode distinct shingles → equi-join on shingle → count — the
+  classic "inverted index" join. Scales as Σ posting-list², so the
+  scale path is MinHash-LSH below; kept exact here as the oracle
+  anchor.
+- :func:`minhash_signatures` / :func:`minhash_lsh_pairs` — MinHash via
+  per-hash-index min over md5 hex strings (lexicographic min ≙ uniform
+  min-hash; md5 is identical in DuckDB so signatures are
+  value-checkable), banded into LSH buckets; candidate pairs verified
+  with true Jaccard. At 100 TB this is the dedup workhorse: cost is
+  O(docs × hashes) + a shuffle on (band, key) — never all-pairs.
+- :func:`simhash_signatures` / :func:`simhash_pairs` — 32-bit SimHash
+  from token-frequency-weighted md5 bits; near-dup = small Hamming
+  distance (bit_count(xor)).
+- :func:`embedding_neardup_pairs` — cosine over an embedding column;
+  exact all-pairs here (oracle anchor), LSH/IVF in operators.ann for
+  the sub-quadratic path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, hex13_to_long, tokens, word_shingles
+from ..functions.vector import cosine_sim
+
+__all__ = [
+    "exact_dup_groups",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash_signatures",
+    "simhash_pairs",
+    "embedding_neardup_pairs",
+]
+
+
+def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: fingerprint → group stats + canonical flag.
+
+    Output: ``doc_id, fingerprint, group_size, is_canonical`` (canonical =
+    min id in its group — the row a dedup pass would keep).
+    """
+    fp = docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+    groups = fp.groupBy("fingerprint").agg(
+        F.count("*").alias("group_size"), F.min(id_col).alias("canonical_id")
+    )
+    # fingerprint is high-cardinality → this join shuffles both sides on
+    # the hash key; AQE handles any freak-skew bucket.
+    return fp.join(groups, "fingerprint").select(
+        id_col,
+        "fingerprint",
+        "group_size",
+        (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+    )
+
+
+def _shingle_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
+    return docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
+
+    Inverted-index join: only documents sharing a shingle ever meet —
+    no all-pairs cross join. Output: ``doc_a, doc_b, intersection,
+    size_a, size_b, jaccard`` with ``doc_a < doc_b``.
+    """
+    sets = _shingle_sets(docs, text_col, id_col, n)
+    sizes = sets.select(F.col(id_col), F.size("shingles").alias("set_size"))
+    posting = sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .agg(F.count("*").alias("intersection"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("intersection").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection")).cast("double"),
+        )
+    )
+    return out.filter(F.col("jaccard") >= float(min_jaccard)).select(
+        "doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard"
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+) -> DataFrame:
+    """MinHash signature per document: element j = min over shingles of
+    ``md5(j || '|' || shingle)`` (lexicographic min over hex — a uniform
+    permutation family; identical text in DuckDB).
+
+    Output: ``doc_id, signature array<string>[num_hashes]``.
+    """
+    sets = _shingle_sets(docs, text_col, id_col, n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(int(num_hashes) - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+    return sets.select(F.col(id_col), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs: band signatures → bucket join →
+    verify candidates with exact Jaccard.
+
+    ``bands`` bands of ``num_hashes/bands`` rows; two docs become
+    candidates iff some band signature matches exactly. The bucket join
+    shuffles (band_idx, band_key) — at 100 TB this is the only exchange,
+    and bucket sizes are bounded by collision probability, not corpus
+    size. Output schema matches :func:`ngram_jaccard_pairs`.
+    """
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes)
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(F.array_join(F.slice(F.col("signature"), b * rows + 1, rows), ",")),
+    )
+    buckets = sigs.select(
+        F.col(id_col), F.posexplode(band_arr).alias("band_idx", "band_key")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, text_col, id_col, n, min_jaccard=0.0)
+    return exact.join(cand, ["doc_a", "doc_b"]).filter(F.col("jaccard") >= float(min_jaccard))
+
+
+#: SimHash width — 32 bits keeps the per-bit aggregate fan-out small and
+#: fits the fp64-exact 52-bit hash fold used by the oracle.
+SIMHASH_BITS = 32
+
+
+def simhash_signatures(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Token-frequency-weighted SimHash.
+
+    Each token hashes to ``bits`` bits (md5 fold); bit j of the signature
+    is the sign of Σ_tokens (±1). Exact integer aggregation → engine- and
+    partitioning-independent. Output: ``doc_id, simhash`` (bigint).
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
+    h = hex13_to_long(F.md5(F.col("word")))
+    per_bit = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*per_bit)
+    sim = None
+    for j in range(bits):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(int(1 << j)).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bits: int = SIMHASH_BITS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    All-pairs here (oracle anchor); the scale path blocks on bit-chunks
+    (any pair within Hamming ≤ k shares one of k+1 chunks exactly —
+    pigeonhole) before comparing.
+    """
+    sigs = simhash_signatures(docs, text_col, id_col, bits)
+    a = sigs.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = sigs.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("sim_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= int(max_hamming)
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    top_pairs: int | None = None,
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs).
+
+    Output: ``id_a, id_b, cosine``. Use ``top_pairs`` (deterministic
+    tiebreak) or ``min_cosine``. The sub-quadratic path for real corpora
+    is ``operators.ann`` (LSH bucketing) — this exact form is the oracle.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", cosine_sim(F.col("vec_a"), F.col("vec_b")).alias("cosine")
+    )
+    if min_cosine is not None:
+        pairs = pairs.filter(F.col("cosine") >= float(min_cosine))
+    if top_pairs is not None:
+        pairs = pairs.orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b")).limit(int(top_pairs))
+    return pairs

@@ -1,0 +1,90 @@
+"""Exact KNN — the reference's entire query engine, distributed.
+
+Reference (``services/vectorDb.ts:11-24``): full scan → cosine map →
+full O(n log n) sort → slice(0, k), single-threaded on the browser main
+thread. Spark-first translation:
+
+- single query  → scan + codegen'd cosine expression +
+  ``orderBy(...).limit(k)``, which Catalyst compiles to
+  ``TakeOrderedAndProject``: per-partition O(n log k) heaps merged once —
+  strictly better than the reference's full sort, and the *only* data
+  movement is k rows per partition. No shuffle of the corpus, ever.
+- query batch   → ``crossJoin(broadcast(queries))`` (Spark's
+  BroadcastNestedLoopJoin — the reference's nested loop, parallelized over
+  corpus partitions) + per-query top-k via a ``row_number`` window
+  partitioned by query id. The shuffle moves only (query_id, id, sim)
+  triples, never embeddings; at 1000 executors the corpus stays put and
+  each task scores its local partition against every broadcast query.
+
+Determinism: JS ``Array.sort`` is stable, so reference ties keep
+insertion (id) order; Spark sort is not stable across partitions, so we
+make the tiebreak explicit: ``ORDER BY similarity DESC, id ASC``
+(SURVEY.md §2.3 K3).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_sim, vec_lit
+
+__all__ = ["knn", "knn_join"]
+
+
+def knn(
+    corpus: DataFrame,
+    query_vec: Iterable[float] | Column,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_cols: Iterable[str] = (),
+) -> DataFrame:
+    """Top-k rows of ``corpus`` by cosine similarity to one query vector.
+
+    Mirrors ``vectorDb.search(queryEmbedding, topK)``
+    (``vectorDb.ts:11-24``); k defaults to the reference call-site value 5
+    (``App.tsx:191``). Empty corpus → empty result (``vectorDb.ts:12-14``
+    falls out naturally).
+    """
+    q = query_vec if isinstance(query_vec, Column) else vec_lit(query_vec)
+    cols = [F.col(id_col), *[F.col(c) for c in keep_cols]]
+    scored = corpus.select(*cols, cosine_sim(F.col(vec_col), q).alias("similarity"))
+    # Catalyst → TakeOrderedAndProject (verified via explain): per-partition
+    # top-k heap + single merge. Never a full sort of the corpus.
+    return scored.orderBy(F.desc("similarity"), F.asc(id_col)).limit(int(k))
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """Batch KNN: top-k corpus neighbors for every row of ``queries``.
+
+    Generalizes the reference's one-query-at-a-time loop to a set-oriented
+    broadcast nested-loop join. The query side is broadcast (it is the
+    small side by construction — the corpus is the 100 TB side); the
+    per-query top-k shuffles only scored id-triples, hash-partitioned by
+    query id, so skew is bounded by k·|queries|.
+    """
+    scored = (
+        corpus.crossJoin(F.broadcast(queries))
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(k))
+        .drop("rank")
+    )

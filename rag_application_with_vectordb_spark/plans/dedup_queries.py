@@ -1,0 +1,266 @@
+r"""Deduplication query catalog.
+
+The fixture corpus is 500 distinct word-salad documents, so the dedup
+demos run over an *augmented* corpus — the originals plus, for
+``doc_id < 20``, an exact copy (id + 10000) and a suffixed near-copy
+(id + 20000). The augmentation is plain relational algebra, expressed
+identically on the Spark and DuckDB sides, so results stay
+hash-checkable while actually exercising the duplicate-detection paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+    simhash_pairs,
+)
+from ..session import tune
+from ..sources.catalog import load_table
+from .oracle_dialect import duck_cosine, duck_hex13_to_long
+from .registry import register
+
+_NEAR_SUFFIX = " spark engine near duplicate suffix"
+
+_AUG_SQL = f"""
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20
+      UNION ALL SELECT doc_id + 20000 AS doc_id, text || '{_NEAR_SUFFIX}' AS text
+                FROM documents WHERE doc_id < 20
+"""
+
+_SETS_SQL = rf"""
+    aug AS ({_AUG_SQL}),
+    sets AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM aug)
+      WHERE len(w) >= 3
+    )
+"""
+
+_JACCARD_SQL = rf"""
+    WITH {_SETS_SQL},
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sets),
+    sizes AS (SELECT doc_id, len(shingles) AS set_size FROM sets),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS intersection
+      FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, intersection,
+             CAST(sa.set_size AS BIGINT) AS size_a, CAST(sb.set_size AS BIGINT) AS size_b,
+             CAST(intersection AS DOUBLE)
+               / CAST(sa.set_size + sb.set_size - intersection AS DOUBLE) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+"""
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    head = docs.filter(F.col("doc_id") < 20)
+    exact = head.select((F.col("doc_id") + 10000).alias("doc_id"), F.col("text"))
+    near = head.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_NEAR_SUFFIX)).alias("text"),
+    )
+    return docs.unionByName(exact).unionByName(near)
+
+
+@register(
+    "dedup_exact",
+    oracle=rf"""
+    WITH aug AS ({_AUG_SQL}),
+    fp AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint FROM aug),
+    g AS (SELECT fingerprint, count(*) AS group_size, min(doc_id) AS canonical_id FROM fp GROUP BY fingerprint)
+    SELECT doc_id, fp.fingerprint, group_size, doc_id = canonical_id AS is_canonical
+    FROM fp JOIN g USING (fingerprint)
+    """,
+    doc="Exact dedup: md5 fingerprint hash-groupBy; canonical = min id. "
+    "One shuffle on a 32-byte key — the cheapest possible dedup at scale.",
+    tags=("dedup",),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return exact_dup_groups(_augmented_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    {_JACCARD_SQL}
+    SELECT * FROM pairs
+    WHERE jaccard >= 0.4
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs via inverted-index join "
+    "(shared-shingle candidates only — never an all-pairs cross join).",
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    pairs = ngram_jaccard_pairs(_augmented_docs(spark, sf_dir), min_jaccard=0.4)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "intersection",
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        "jaccard",
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH {_SETS_SQL}
+    SELECT doc_id, CAST(j AS INTEGER) AS hash_idx, min(md5(j || '|' || s)) AS minhash
+    FROM sets,
+         LATERAL (SELECT unnest(shingles)) u(s),
+         LATERAL (SELECT unnest(range(0, 12))) t(j)
+    GROUP BY doc_id, j
+    """,
+    doc="MinHash signatures (12 hashes) via min-over-md5 — the permutation "
+    "family is plain md5('j|shingle'), identical in DuckDB, so signature "
+    "values themselves are hash-checked.",
+    tags=("dedup",),
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    sigs = minhash_signatures(_augmented_docs(spark, sf_dir), num_hashes=12)
+    return sigs.select(
+        "doc_id", F.posexplode("signature").alias("hash_idx", "minhash")
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    {_JACCARD_SQL},
+    sig AS (
+      SELECT doc_id, j, min(md5(j || '|' || s)) AS minhash
+      FROM sets,
+           LATERAL (SELECT unnest(shingles)) u(s),
+           LATERAL (SELECT unnest(range(0, 12))) t(j)
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, CAST(j // 3 AS INTEGER) AS band_idx,
+             md5(string_agg(minhash, ',' ORDER BY j)) AS band_key
+      FROM sig GROUP BY doc_id, j // 3
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT p.* FROM pairs p JOIN cand USING (doc_a, doc_b)
+    WHERE p.jaccard >= 0.2
+    """,
+    doc="MinHash-LSH: 4 bands × 3 rows → bucket join for candidates → "
+    "exact-Jaccard verification. The 100 TB dedup workhorse: cost is "
+    "O(docs × hashes) plus a bounded bucket shuffle.",
+    tags=("dedup",),
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    pairs = minhash_lsh_pairs(
+        _augmented_docs(spark, sf_dir), num_hashes=12, bands=4, min_jaccard=0.2
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "intersection",
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        "jaccard",
+    )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    h = duck_hex13_to_long("md5(word)")
+    bit_sums = ",\n      ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}" for j in range(bits)
+    )
+    recompose = " + ".join(f"(CASE WHEN b{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)" for j in range(bits))
+    return rf"""
+    WITH aug AS ({_AUG_SQL}),
+    toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM aug
+    ),
+    hashed AS (SELECT doc_id, {h} AS h FROM toks),
+    bitsum AS (
+      SELECT doc_id,
+      {bit_sums}
+      FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, {recompose} AS simhash FROM bitsum
+    """
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle=_simhash_oracle(32),
+    doc="32-bit SimHash signatures: token md5 bits, ±1 vote per bit, sign "
+    "→ bit. Integer votes → partitioning-independent, fully "
+    "oracle-checkable.",
+    tags=("dedup",),
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return simhash_signatures(_augmented_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sigs_all AS ({_simhash_oracle(32)}),
+    sigs AS (SELECT * FROM sigs_all WHERE doc_id % 10000 < 100)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    doc="SimHash near-dup pairs: Hamming distance ≤ 6 over the 32-bit "
+    "signatures (bit_count(xor)), restricted to a bounded sub-corpus — "
+    "the synthetic word-salad corpus shares one small vocabulary, so "
+    "all-pairs output would explode quadratically with sf. The scale "
+    "path blocks on bit-chunks (pigeonhole) instead of all-pairs.",
+    tags=("dedup",),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = _augmented_docs(spark, sf_dir).filter(F.col("doc_id") % 10000 < 100)
+    pairs = simhash_pairs(docs, max_hamming=6)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+@register(
+    "dedup_embedding_topk_pairs",
+    oracle=f"""
+    WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {duck_cosine('a.embedding', 'b.embedding')} AS cosine
+    FROM sub a JOIN sub b ON a.vec_id < b.vec_id
+    ORDER BY cosine DESC, id_a ASC, id_b ASC
+    LIMIT 50
+    """,
+    doc="Embedding-cosine near-dup: exact all-pairs top-50 (oracle anchor; "
+    "the sub-quadratic path is LSH bucketing in operators.ann).",
+    tags=("dedup", "ann"),
+)
+def dedup_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    return embedding_neardup_pairs(emb, top_pairs=50)

@@ -1,0 +1,232 @@
+"""RAG-core query catalog: the reference's entire query surface
+(SURVEY.md §2.2-2.3) as driver-checkable (spark, sf_dir) → DataFrame
+callables with DuckDB oracle twins.
+
+Every query here exercises a cited reference behavior:
+- knn_topk / knn_batch          → vectorDb.ts:11-24 (K1-K4)
+- knn_zero_query                → vectorDb.ts:47-49 (zero-norm → 0.0)
+- knn_dim_mismatch              → vectorDb.ts:27-32 (mismatch → -1.0)
+- chunk_sliding_window          → App.tsx:57-61 (P2+P3)
+- chunk_global_ids              → App.tsx:72-76 (P4)
+- embed_hash_components         → geminiService.ts:27-77 (U1/U2, test mode)
+- context_assembly              → App.tsx:192 (P6)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..embedder import hash_embedding_expr, hash_embedding_oracle_sql
+from ..functions.vector import cosine_sim, vec_lit
+from ..operators.chunker import chunk_documents, global_chunk_index
+from ..operators.knn import knn, knn_join
+from ..sources.catalog import load_table
+from .oracle_dialect import duck_cosine
+from .registry import register
+
+K = 5  # reference call-site top-k, App.tsx:191
+
+
+@register(
+    "knn_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {duck_cosine('e.embedding', 'q.qvec')} AS similarity
+    FROM embeddings e, q
+    ORDER BY similarity DESC, e.vec_id ASC
+    LIMIT {K}
+    """,
+    doc="Flagship: exact brute-force cosine top-5 (vectorDb.ts:11-24).",
+    tags=("rag", "flagship"),
+)
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", cosine_sim(F.col("embedding"), F.col("qvec")).alias("similarity")
+    )
+    # sort+limit → TakeOrderedAndProject: per-partition top-k heap, one merge.
+    return scored.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(K)
+
+
+@register(
+    "knn_batch",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id, {duck_cosine('e.embedding', 'q.qvec')} AS similarity
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, similarity FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    doc="Batched KNN: broadcast nested-loop join + per-query top-k window.",
+    tags=("rag",),
+)
+def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return knn_join(emb, queries, k=3)
+
+
+@register(
+    "knn_zero_query",
+    oracle=f"""
+    WITH q AS (SELECT list_transform(range(0, 64), x -> 0.0) AS qvec)
+    SELECT e.vec_id, {duck_cosine('e.embedding', 'q.qvec')} AS similarity
+    FROM embeddings e, q
+    ORDER BY similarity DESC, e.vec_id ASC
+    LIMIT {K}
+    """,
+    doc="Zero-magnitude query → similarity 0.0 for all rows (vectorDb.ts:47-49); "
+    "top-k then resolves purely by the id-asc tiebreak.",
+    tags=("rag", "edge"),
+)
+def knn_zero_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn(emb, vec_lit([0.0] * 64), k=K)
+
+
+@register(
+    "knn_dim_mismatch",
+    oracle=f"""
+    WITH q AS (SELECT (embedding::DOUBLE[])[1:32] AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {duck_cosine('e.embedding', 'q.qvec')} AS similarity
+    FROM embeddings e, q
+    ORDER BY similarity DESC, e.vec_id ASC
+    LIMIT {K}
+    """,
+    doc="Dimension-mismatched query → similarity -1.0 for all rows "
+    "(vectorDb.ts:27-32 returns -1, not an error).",
+    tags=("rag", "edge"),
+)
+def knn_dim_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.slice(F.col("embedding").cast("array<double>"), 1, 32).alias("qvec")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", cosine_sim(F.col("embedding"), F.col("qvec")).alias("similarity")
+    )
+    return scored.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(K)
+
+
+# Fixture docs are ≤ ~600 chars, so the catalog chunker uses a scaled-down
+# window (200/40) to exercise multi-window overlap semantics; unit tests
+# also cover the reference's exact 1000/200 (constants.ts:9-10).
+_CHUNK, _OVERLAP = 200, 40
+_STRIDE = _CHUNK - _OVERLAP
+
+_CHUNK_ORACLE_BODY = f"""
+      SELECT d.doc_id,
+             CAST(s.pos // {_STRIDE} AS BIGINT) AS chunk_id,
+             CAST(s.pos AS BIGINT) AS chunk_pos,
+             substr(d.text, CAST(s.pos AS INTEGER) + 1, {_CHUNK}) AS chunk_text
+      FROM documents d,
+           LATERAL (SELECT unnest(generate_series(0, greatest(length(d.text) - 1, 0), {_STRIDE}))) AS s(pos)
+"""
+
+
+@register(
+    "chunk_sliding_window",
+    oracle=f"""
+    SELECT * FROM ({_CHUNK_ORACLE_BODY})
+    WHERE length(trim(chunk_text)) > 0
+    """,
+    doc="Sliding-window chunker (App.tsx:57-59) + empty filter (App.tsx:61): "
+    "posexplode(sequence) + 1-based substring.",
+    tags=("rag", "chunker"),
+)
+def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_size=_CHUNK, overlap=_OVERLAP)
+
+
+@register(
+    "chunk_global_ids",
+    oracle=f"""
+    SELECT doc_id, chunk_id, CAST(row_number() OVER (ORDER BY doc_id, chunk_id) - 1 AS BIGINT) AS global_id
+    FROM ({_CHUNK_ORACLE_BODY})
+    WHERE length(trim(chunk_text)) > 0
+    """,
+    doc="Reference-parity globally-dense chunk ids (App.tsx:72-76); "
+    "single-partition window — small-scale parity mode only.",
+    tags=("rag", "chunker"),
+)
+def chunk_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_size=_CHUNK, overlap=_OVERLAP)
+    return global_chunk_index(chunks).select("doc_id", "chunk_id", "global_id")
+
+
+_EMB_DIM = 8
+
+
+@register(
+    "embed_hash_components",
+    oracle=f"""
+    SELECT d.doc_id, CAST(t.j AS INTEGER) AS component,
+           list_sum(list_transform(range(1, 14), i ->
+             (strpos('0123456789abcdef',
+                     substr(md5('s42|' || t.j || '|' || d.text), CAST(i AS INTEGER), 1)) - 1)
+             * 2.0 ** (4 * (13 - i))
+           )) / 4503599627370496.0 * 2.0 - 1.0 AS value
+    FROM documents d, LATERAL (SELECT unnest(range(0, {_EMB_DIM}))) AS t(j)
+    """,
+    doc="Deterministic HashEmbedder (test-mode U1/U2, geminiService.ts:27-77) "
+    "exploded to scalar components so the value hash covers every element.",
+    tags=("rag", "embed"),
+)
+def embed_hash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    emb = docs.select(
+        "doc_id", hash_embedding_expr(F.col("text"), dim=_EMB_DIM).alias("embedding")
+    )
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("component", "value")
+    )
+
+
+@register(
+    "context_assembly",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    top AS (
+      SELECT e.vec_id, d.text, {duck_cosine('e.embedding', 'q.qvec')} AS similarity
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id, q
+      ORDER BY similarity DESC, e.vec_id ASC
+      LIMIT {K}
+    )
+    SELECT string_agg(text, E'\\n---\\n' ORDER BY similarity DESC, vec_id ASC) AS context
+    FROM top
+    """,
+    doc="P6 context assembly (App.tsx:192): top-k texts joined with the "
+    "reference separator; order made explicit (Spark collect order is not "
+    "guaranteed after a shuffle — SURVEY.md §7.3.2).",
+    tags=("rag",),
+)
+def context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    corpus = emb.join(docs, emb.vec_id == docs.doc_id).select("vec_id", "text", "embedding")
+    top = (
+        corpus.crossJoin(F.broadcast(q))
+        .select("vec_id", "text", cosine_sim(F.col("embedding"), F.col("qvec")).alias("similarity"))
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(K)
+    )
+    packed = top.select(
+        F.struct((F.col("similarity") * -1).alias("neg"), F.col("vec_id"), F.col("text")).alias("s")
+    )
+    return packed.agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("s")), lambda s: s.getField("text")),
+            "\n---\n",
+        ).alias("context")
+    )

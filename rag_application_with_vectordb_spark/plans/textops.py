@@ -1,0 +1,178 @@
+"""Text-analysis + multimodal query catalog (LLM-data-pipeline surface).
+
+Every heuristic here is a pure deterministic function of the text, so
+the DuckDB oracle reproduces it exactly — including fp64 arithmetic
+(same operations in the same order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import STOPWORDS_EN, fingerprint, token_count, tokens
+from ..operators.multimodal import decode_media_stub, with_binary_payload
+from ..session import tune
+from ..sources.catalog import load_table
+from .registry import register
+
+_STOPS_SQL = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+
+@register(
+    "text_token_stats",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+    SELECT doc_id,
+      CAST(len(w) AS BIGINT) AS n_tokens,
+      CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_nonspace_chars,
+      CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS avg_token_len
+    FROM t
+    """,
+    doc="Whitespace token counting + average token length.",
+    tags=("text",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    nonspace = F.length(F.regexp_replace(text, r"\s+", ""))
+    n_tok = token_count(text)
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        nonspace.cast("bigint").alias("n_nonspace_chars"),
+        (nonspace.cast("double") / n_tok.cast("double")).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+    doc="BPE-ish tokenizer: word pieces / digit runs / single punctuation "
+    "via regexp_extract_all (identical RE semantics both engines).",
+    tags=("text",),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return docs.select("doc_id", F.size(toks).cast("bigint").alias("n_bpe_tokens"))
+
+
+@register(
+    "text_quality_scores",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             w -> w IN ({_STOPS_SQL}))) AS BIGINT) AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens, n_stopwords,
+      CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+      least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.5
+        + least(CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 4.0, 1.0) * 0.5 AS quality_score
+    FROM t
+    """,
+    doc="Document quality scoring: length + stopword-ratio features "
+    "combined into a [0,1] score (the C4/Gopher-style rule shape).",
+    tags=("text",),
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_chars = F.length(text).cast("bigint")
+    n_tokens = token_count(text).cast("bigint")
+    stops = F.size(
+        F.filter(tokens(F.lower(text)), lambda w: w.isin(*STOPWORDS_EN))
+    ).cast("bigint")
+    ratio = stops.cast("double") / n_tokens.cast("double")
+    score = (
+        F.least(n_chars.cast("double") / F.lit(500.0), F.lit(1.0)) * 0.5
+        + F.least(ratio * 4.0, F.lit(1.0)) * 0.5
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        stops.alias("n_stopwords"),
+        ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, lang,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                             w -> w IN ({_STOPS_SQL}))) AS BIGINT) AS en_votes
+      FROM documents
+    )
+    SELECT doc_id, lang, en_votes,
+      CASE WHEN CAST(en_votes AS DOUBLE) / CAST(n_tokens AS DOUBLE) >= 0.05
+           THEN 'en' ELSE 'und' END AS pred_lang
+    FROM t
+    """,
+    doc="N-gram/stopword language-ID heuristic (the fixture corpus is "
+    "synthetic word salad, so the heuristic's value is its determinism, "
+    "not its accuracy).",
+    tags=("text",),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    n_tokens = token_count(text).cast("bigint")
+    votes = F.size(F.filter(tokens(F.lower(text)), lambda w: w.isin(*STOPWORDS_EN))).cast("bigint")
+    pred = F.when(votes.cast("double") / n_tokens.cast("double") >= 0.05, F.lit("en")).otherwise(
+        F.lit("und")
+    )
+    return docs.select("doc_id", "lang", votes.alias("en_votes"), pred.alias("pred_lang"))
+
+
+@register(
+    "text_fingerprints",
+    oracle=r"""
+    SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 over whitespace-normalized lowercase "
+    "text (DuckDB needs the 'g' flag to match Spark's replace-all).",
+    tags=("text",),
+)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "multimodal_decode_meta",
+    oracle="""
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+      CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS height,
+      CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+    doc="Multimodal plumbing: binary payload column → Arrow-batched "
+    "mapInPandas decode stage (decoder stubbed deterministically — no "
+    "codec libs in this container; see operators.multimodal).",
+    tags=("multimodal",),
+)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_media_stub(with_binary_payload(docs))

@@ -1,0 +1,73 @@
+"""SparkSession construction / tuning.
+
+Two entry points:
+
+- :func:`get_spark` — build a local session with scale-appropriate defaults
+  (used by tests and ``bench.py``).
+- :func:`tune` — apply the *runtime-settable* subset of those defaults to a
+  session we did not create (the driver hands us its own session in
+  ``__spark_entry__.py``); never restarts or reconfigures static conf.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Runtime-settable confs every query in this engine assumes.
+#: - UTC session time zone: parquet timestamps are naive; DuckDB (the
+#:   correctness oracle) treats them as UTC — Spark must agree or every
+#:   date boundary comparison flaps (see pitfalls in the PySpark docs).
+#: - AQE: runtime coalesce + skew-join handling; at 100 TB the static
+#:   shuffle-partition guess is always wrong somewhere.
+RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an existing session."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some confs may be locked by the hosting driver; queries
+            # remain correct, only determinism-vs-oracle may be weaker.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "rag_application_with_vectordb_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a local SparkSession with engine defaults.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` or all cores. Shuffle
+    partitions default to the core count — the local-mode sweet spot
+    (the 200 default over-parallelizes small scans; a real cluster
+    deployment would size this to ~2-3x total executor cores and lean
+    on AQE coalescing).
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 4)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return tune(spark)

@@ -1,0 +1,118 @@
+"""Structured Streaming window operators over the events stream.
+
+The reference's only "stream" is an LLM token iterator (``App.tsx:199``,
+a consumption loop, not a dataflow) — this module is the engine's §2.6
+streaming extension: event-time tumbling/sliding windows, session
+windows, and watermark-based late-data handling.
+
+Each aggregate has a batch twin in ``plans.streaming_twins`` with
+identical window semantics; the pytest suite replays the events parquet
+through these streaming queries and asserts equality with the twins —
+that, plus the driver's DuckDB check of the twins, transitively
+oracle-checks the streaming semantics.
+
+Scale: state is keyed by (window, event_type) / (user, session); the
+watermark bounds state size — without it a 100 TB stream accretes
+unbounded window state. Sinks should be ``foreachBatch`` upserts in
+production; tests use the memory sink.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "read_events_stream",
+    "tumbling_counts_stream",
+    "sliding_counts_stream",
+    "session_counts_stream",
+    "run_to_completion",
+]
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events fixture file (TIMESTAMP(NANOS) parquet → read as
+    long, floor-divide to µs — same conversion as the batch catalog)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source wants a directory; glob-filter to the events
+    # file so the other tables in the fixture dir are not picked up.
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``events_tumbling_hourly``: 1-hour event-time
+    windows with late-data tolerance = ``watermark``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of ``events_sliding_halfhour`` (1 h / 30 min hop)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+def session_counts_stream(events: DataFrame, gap: str = "4 hours", watermark: str = "1 hour") -> DataFrame:
+    """Per-user session windows (``F.session_window`` merges events whose
+    gaps are < ``gap`` — the stateful twin of the lag+cumsum batch
+    sessionization)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregate over a finite file source to completion
+    via the memory sink; returns the final result as a batch DataFrame."""
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")

@@ -1,0 +1,105 @@
+"""Dedup + text-analysis operator tests (LLM-data-pipeline surface)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_application_with_vectordb_spark.functions.text import word_shingles
+from rag_application_with_vectordb_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_signatures,
+)
+from rag_application_with_vectordb_spark.operators.multimodal import (
+    decode_media_stub,
+    with_binary_payload,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (3, "completely different content about spark engines"),
+        (4, "  THE  quick   brown fox jumps over the lazy dog "),  # ws/case dup of 0
+        (5, "tiny"),  # < 3 tokens → no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r["doc_id"]: r for r in exact_dup_groups(docs).collect()}
+    # 0, 1, 4 normalize to the same fingerprint; 0 is canonical
+    assert out[0]["group_size"] == 3 and out[0]["is_canonical"]
+    assert out[1]["group_size"] == 3 and not out[1]["is_canonical"]
+    assert out[4]["group_size"] == 3 and not out[4]["is_canonical"]
+    assert out[3]["group_size"] == 1 and out[3]["is_canonical"]
+
+
+def test_shingles_set_semantics(spark):
+    df = spark.createDataFrame([("a b a b a b",)], "text string")
+    out = df.select(word_shingles(F.col("text"), 3).alias("s")).first()["s"]
+    assert sorted(out) == ["a b a", "b a b"]  # distinct
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r for r in ngram_jaccard_pairs(docs).collect()
+    }
+    assert pairs[(0, 1)]["jaccard"] == 1.0
+    near = pairs[(0, 2)]
+    # "lazy"→"sleepy" changes 2 of 7 shingles: |∩|=5, |∪|=9
+    assert near["intersection"] == 5
+    assert near["jaccard"] == pytest.approx(5 / 9)
+    assert (0, 3) not in pairs  # nothing shared
+    assert not any(5 in p for p in pairs)  # shingle-less doc never appears
+
+
+def test_minhash_signature_shape_and_dup_equality(docs):
+    sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(docs, num_hashes=12).collect()}
+    assert len(sigs[0]) == 12
+    assert sigs[0] == sigs[1]  # identical text → identical signature
+    assert sigs[0] != sigs[3]
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in minhash_lsh_pairs(docs).collect()}
+    assert pairs[(0, 1)] == 1.0  # exact dup always collides in every band
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_for_near_dups(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(docs, max_hamming=32).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(0, 2)] < pairs[(0, 3)]  # near-dup closer than unrelated
+
+
+def test_embedding_neardup(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = embedding_neardup_pairs(emb, min_cosine=0.95).collect()
+    assert [(r["id_a"], r["id_b"]) for r in out] == [(0, 1)]
+
+
+def test_multimodal_stub_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello"), (2, "x" * 700)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in decode_media_stub(with_binary_payload(df)).collect()}
+    assert out[1]["n_bytes"] == 5 and out[1]["width"] == 5
+    assert out[2]["n_bytes"] == 700 and out[2]["width"] == 700 % 640
+    assert out[2]["height"] == (700 * 7) % 480
+    assert out[2]["n_frames"] == 700 % 30 + 1

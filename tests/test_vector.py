@@ -1,0 +1,96 @@
+"""Unit tests for the vector kernel — reference semantics from
+``services/vectorDb.ts:26-52`` (see SURVEY.md §2.3 K2)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rag_application_with_vectordb_spark.functions.vector import (
+    cosine_sim,
+    dot,
+    l2_norm,
+    vec_lit,
+)
+
+
+def sim(spark, a, b) -> float:
+    return (
+        spark.range(1)
+        .select(cosine_sim(vec_lit(a), vec_lit(b)).alias("s"))
+        .first()["s"]
+    )
+
+
+def test_identical_vectors_sim_one(spark):
+    assert sim(spark, [1.0, 2.0, 3.0], [1.0, 2.0, 3.0]) == pytest.approx(1.0, abs=1e-12)
+
+
+def test_antiparallel_sim_minus_one(spark):
+    assert sim(spark, [1.0, 2.0], [-1.0, -2.0]) == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_orthogonal_sim_zero(spark):
+    assert sim(spark, [1.0, 0.0], [0.0, 1.0]) == 0.0
+
+
+def test_dim_mismatch_returns_minus_one(spark):
+    # vectorDb.ts:27-32 — an error *value*, not an exception.
+    assert sim(spark, [1.0, 2.0, 3.0], [1.0, 2.0]) == -1.0
+
+
+def test_zero_vector_returns_zero(spark):
+    # vectorDb.ts:47-49
+    assert sim(spark, [0.0, 0.0], [1.0, 2.0]) == 0.0
+    assert sim(spark, [1.0, 2.0], [0.0, 0.0]) == 0.0
+    assert sim(spark, [0.0, 0.0], [0.0, 0.0]) == 0.0
+
+
+def test_dot_and_norm(spark):
+    row = (
+        spark.range(1)
+        .select(
+            dot(vec_lit([1.0, 2.0, 3.0]), vec_lit([4.0, 5.0, 6.0])).alias("d"),
+            l2_norm(vec_lit([3.0, 4.0])).alias("n"),
+        )
+        .first()
+    )
+    assert row["d"] == 32.0
+    assert row["n"] == 5.0
+
+
+def test_fp32_inputs_upcast_to_fp64(spark):
+    # Fixture embeddings are array<float>; math must run in double
+    # (reference computes over JS float64 — SURVEY.md §7.3.1).
+    df = spark.createDataFrame([([0.1, 0.2, 0.3],)], "v array<float>")
+    out = df.select(cosine_sim(F.col("v"), F.col("v")).alias("s")).first()["s"]
+    assert out == pytest.approx(1.0, abs=1e-9)
+
+
+finite = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(finite, min_size=2, max_size=8), st.lists(finite, min_size=2, max_size=8))
+def test_cosine_properties(spark_session_holder, a, b):
+    spark = spark_session_holder
+    if len(a) != len(b):
+        assert sim(spark, a, b) == -1.0
+        return
+    s_ab = sim(spark, a, b)
+    s_ba = sim(spark, b, a)
+    assert s_ab == pytest.approx(s_ba, abs=1e-9)  # symmetry
+    assert -1.0 - 1e-9 <= s_ab <= 1.0 + 1e-9  # bounded
+    # scale invariance for positive scaling
+    s_scaled = sim(spark, a, [x * 2.0 for x in b])
+    if not (math.sqrt(sum(x * x for x in a)) == 0 or math.sqrt(sum(x * x for x in b)) == 0):
+        assert s_scaled == pytest.approx(s_ab, abs=1e-6)
+
+
+@pytest.fixture(scope="session")
+def spark_session_holder(spark):
+    return spark

@@ -1,0 +1,121 @@
+"""Local mirror of the driver's correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle at the given
+sf dir, then compares row count, sorted-column-name schema, and an
+order-insensitive value hash (values canonicalized: floats via repr,
+timestamps via isoformat). Exit code 1 if anything mismatches.
+
+Usage: python tools/check_oracle.py [sf_dir] [name_filter...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from rag_application_with_vectordb_spark.plans.registry import load_all  # noqa: E402
+from rag_application_with_vectordb_spark.session import get_spark  # noqa: E402
+from rag_application_with_vectordb_spark.sources.catalog import TABLES  # noqa: E402
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2:]
+    specs = load_all()
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = []
+    for name, spec in sorted(specs.items()):
+        if name_filter and not any(f in name for f in name_filter):
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as exc:
+            print(f"FAIL  {name}: spark error: {exc}")
+            failures.append(name)
+            continue
+        if not spec.oracle:
+            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            cur = con.execute(spec.oracle)
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as exc:
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount {len(srows)} vs {len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"schema {sorted(scols)} vs {sorted(dcols)}")
+        if not problems:
+            sh, dh = value_hash(srows, scols), value_hash(drows, dcols)
+            if sh != dh:
+                problems.append("value-hash mismatch")
+                srt = sorted(
+                    "|".join(canon(r[i]) for i in sorted(range(len(scols)), key=lambda i: scols[i]))
+                    for r in srows
+                )
+                drt = sorted(
+                    "|".join(canon(r[i]) for i in sorted(range(len(dcols)), key=lambda i: dcols[i]))
+                    for r in drows
+                )
+                diffs = [(a, b) for a, b in zip(srt, drt) if a != b][:3]
+                for a, b in diffs:
+                    print(f"        spark: {a}\n        duck : {b}")
+        if problems:
+            print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
+            failures.append(name)
+        else:
+            print(f"ok    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
