@@ -65,8 +65,21 @@ def exact_dup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
+def _spread(docs: DataFrame, id_col: str) -> DataFrame:
+    """Repartition to the session's default parallelism before CPU-heavy
+    per-row work (hashing/shingling).
+
+    The fixture tables arrive as a single small parquet file → 1 input
+    partition, which would serialize all hashing onto one core; at real
+    scale the same operator keeps whatever parallelism the scan has, and
+    the hash repartition is a no-op cost next to the hashing itself.
+    """
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(parallelism, id_col)
+
+
 def _shingle_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFrame:
-    return docs.select(
+    return _spread(docs, id_col).select(
         F.col(id_col), word_shingles(F.col(text_col), n).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
@@ -123,16 +136,30 @@ def minhash_signatures(
     Output: ``doc_id, signature array<string>[num_hashes]``.
     """
     sets = _shingle_sets(docs, text_col, id_col, n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(int(num_hashes) - 1)),
-        lambda j: F.array_min(
-            F.transform(
-                F.col("shingles"),
-                lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
-            )
-        ),
+    # Explode + hash-aggregate instead of nested array lambdas: the doubly
+    # nested HOF (min over per-shingle md5 per hash index) falls out of
+    # whole-stage codegen into interpreted per-element eval (~2× slower
+    # measured), while explode→groupBy is two codegen'd stages with
+    # map-side partial min and shuffles only (id, j, 32-byte hex) rows.
+    hashed = (
+        sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(int(num_hashes) - 1))).alias("j"),
+            "shingle",
+        )
+        .select(
+            F.col(id_col),
+            "j",
+            F.md5(F.concat(F.col("j").cast("string"), F.lit("|"), F.col("shingle"))).alias("mh"),
+        )
     )
-    return sets.select(F.col(id_col), sig.alias("signature"))
+    per_hash = hashed.groupBy(id_col, "j").agg(F.min("mh").alias("mh"))
+    return per_hash.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("j", "mh"))), lambda s: s.getField("mh")
+        ).alias("signature")
+    )
 
 
 def minhash_lsh_pairs(
@@ -175,8 +202,30 @@ def minhash_lsh_pairs(
         .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, text_col, id_col, n, min_jaccard=0.0)
-    return exact.join(cand, ["doc_a", "doc_b"]).filter(F.col("jaccard") >= float(min_jaccard))
+    # Verify ONLY the LSH candidates (attach both shingle sets, set-intersect
+    # in place) — never the full inverted-index pair join: candidate count is
+    # bounded by band collisions, so verification cost is O(candidates),
+    # independent of corpus size.
+    sets = _shingle_sets(docs, text_col, id_col, n)
+    sa = sets.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("intersection"),
+            F.size("sh_a").alias("size_a"),
+            F.size("sh_b").alias("size_b"),
+        )
+        .withColumn(
+            "jaccard",
+            F.col("intersection").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("intersection")).cast("double"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= float(min_jaccard))
 
 
 #: SimHash width — 32 bits keeps the per-bit aggregate fan-out small and
@@ -193,7 +242,9 @@ def simhash_signatures(
     is the sign of Σ_tokens (±1). Exact integer aggregation → engine- and
     partitioning-independent. Output: ``doc_id, simhash`` (bigint).
     """
-    toks = docs.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word"))
+    toks = _spread(docs, id_col).select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("word")
+    )
     h = hex13_to_long(F.md5(F.col("word")))
     per_bit = [
         F.sum(
