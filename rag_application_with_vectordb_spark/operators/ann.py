@@ -1,0 +1,173 @@
+"""Approximate nearest-neighbor search — the sub-linear scale path.
+
+The reference searches by exhaustive scan (``services/vectorDb.ts:16-19``,
+O(n·d) per query). That stays the engine's exact/default path
+(``operators.knn`` — reference semantics, oracle anchor); this module
+adds the two classic sub-linear strategies for 100 TB corpora:
+
+- **Random-hyperplane LSH** (:func:`hyperplane_buckets`,
+  :func:`ann_lsh_topk`): bucket = sign bits of ⟨v, p⟩ over P
+  deterministic hyperplanes. Hyperplane components derive from the same
+  md5-fold used by the HashEmbedder, so bucketing is a pure function of
+  (plane, dim index) — reproducible in DuckDB, which makes even the
+  *approximate* path value-checkable, not just rows-only. Search cost
+  drops to the probed bucket's size; partition the corpus by bucket and
+  queries touch one partition each.
+- **IVF** (:func:`ivf_assign`, :func:`ann_ivf_topk`): coarse quantizer =
+  a deterministic centroid subset (first C corpus vectors — a real
+  deployment would k-means them; determinism is what makes the catalog
+  query checkable), invert the corpus by nearest centroid, probe the
+  ``nprobe`` nearest lists. The inverted lists are exactly a
+  hash-partitioned table keyed by centroid id: at cluster scale each
+  probe is a partition-pruned scan.
+
+Both return exact cosine scores within the probed candidate set and keep
+the (similarity DESC, id ASC) tiebreak of the exact path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_sim, dot, as_double
+
+__all__ = [
+    "hyperplane",
+    "hyperplane_buckets",
+    "ann_lsh_topk",
+    "ivf_assign",
+    "ann_ivf_topk",
+]
+
+
+def _fold_unit(key: Column) -> Column:
+    """md5(key) → [-1, 1), fp64-exact (13 hex chars / 2^52) — the same
+    construction as ``embedder.hash_embedding_expr``."""
+    v = F.conv(F.substring(F.md5(key), 1, 13), 16, 10).cast("double") / F.lit(float(1 << 52))
+    return v * 2.0 - 1.0
+
+
+def hyperplane(p: int | Column, dim: int, seed: str = "plane") -> Column:
+    """Deterministic random hyperplane p as an array<double> literal
+    expression: component j = fold('{seed}|p|j')."""
+    p_col = F.lit(p) if isinstance(p, int) else p
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(int(dim) - 1)),
+        lambda j: _fold_unit(
+            F.concat(F.lit(seed + "|"), p_col.cast("string"), F.lit("|"), j.cast("string"))
+        ),
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: str = "plane",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Attach the LSH bucket id: bit p = [⟨v, plane_p⟩ >= 0].
+
+    Pure per-row expression — embarrassingly parallel, no shuffle. With 8
+    planes the corpus splits into ≤256 buckets; real deployments pick
+    n_planes ≈ log2(corpus/target_bucket_size) and write the table
+    partitioned by bucket so a probe is a partition-pruned scan.
+    """
+    v = as_double(F.col(vec_col))
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(dot(v, hyperplane(p, dim, seed)) >= 0.0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn(out_col, bucket.cast("long"))
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: score only corpus vectors in the query's bucket.
+
+    The bucket equi-join replaces the exact path's cross join — candidate
+    count shrinks by ~2^n_planes. Queries are broadcast; the corpus-side
+    bucket column would be precomputed at ingest in a real deployment.
+    """
+    c = hyperplane_buckets(corpus, corpus_vec, dim, n_planes)
+    q = hyperplane_buckets(queries, query_vec, dim, n_planes)
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "cvec",
+) -> DataFrame:
+    """Invert the corpus by nearest centroid (max cosine, centroid-id-asc
+    tiebreak). Centroids are broadcast; output adds ``centroid_id`` —
+    write partitioned/bucketed by it to make probes partition-pruned."""
+    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
+        "__csim", cosine_sim(F.col(corpus_vec), F.col(centroid_vec))
+    )
+    w = Window.partitionBy(corpus_id).orderBy(F.desc("__csim"), F.asc(centroid_id))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(corpus_id, corpus_vec, centroid_id)
+    )
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "cvec",
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """IVF probe: per query, search the ``nprobe`` nearest inverted lists.
+
+    Join order at scale: (query × centroid) is tiny and broadcast; the
+    corpus side is touched only on the probed centroid ids.
+    """
+    inverted = ivf_assign(corpus, centroids, corpus_id, corpus_vec, centroid_id, centroid_vec)
+    q_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "__qsim", cosine_sim(F.col(query_vec), F.col(centroid_vec))
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.desc("__qsim"), F.asc(centroid_id))
+    probes = (
+        q_scored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select(query_id, query_vec, centroid_id)
+    )
+    scored = inverted.join(F.broadcast(probes), centroid_id).select(
+        F.col(query_id),
+        F.col(corpus_id),
+        cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("similarity"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")

@@ -1,0 +1,212 @@
+"""ANN + end-to-end retrieval query catalog.
+
+The notable property here: even the *approximate* search paths are
+value-checkable against DuckDB, because the "randomness" (hyperplanes,
+centroid choice) is a deterministic md5-fold — the oracle reproduces the
+identical buckets, probes, and scores.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..embedder import hash_embedding_expr
+from ..functions.vector import as_double, cosine_sim_prenormed, dot, l2_norm
+from ..operators.ann import ann_ivf_topk, ann_lsh_topk
+from ..operators.chunker import chunk_documents
+from ..session import tune
+from ..sources.catalog import load_table
+from .oracle_dialect import duck_cosine, duck_fold_unit, duck_hash_embedding
+from .registry import register
+
+_DIM = 64
+_PLANES = 8
+
+_PLANES_SQL = f"""
+    planes AS (
+      SELECT CAST(t.p AS INTEGER) AS p,
+             list_transform(range(0, {_DIM}),
+                            j -> {duck_fold_unit("'plane|' || t.p || '|' || j")}) AS pv
+      FROM (SELECT unnest(range(0, {_PLANES}))) t(p)
+    )
+"""
+
+
+def _bucket_sql(src: str, id_alias: str, vec: str) -> str:
+    return f"""
+      SELECT s.{id_alias}, s.{vec},
+             CAST(SUM(CASE WHEN list_dot_product(s.{vec}::DOUBLE[], pl.pv) >= 0.0
+                           THEN 2.0 ** pl.p ELSE 0.0 END) AS BIGINT) AS bucket
+      FROM ({src}) s CROSS JOIN planes pl
+      GROUP BY s.{id_alias}, s.{vec}
+    """
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH {_PLANES_SQL},
+    b AS ({_bucket_sql('SELECT vec_id, embedding FROM embeddings', 'vec_id', 'embedding')}),
+    q AS ({_bucket_sql('SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3', 'query_id', 'qvec')}),
+    scored AS (
+      SELECT q.query_id, b.vec_id, {duck_cosine('b.embedding', 'q.qvec')} AS similarity
+      FROM b JOIN q USING (bucket)
+    )
+    SELECT query_id, vec_id, similarity FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="Random-hyperplane LSH ANN: bucket = sign bits of 8 deterministic "
+    "hyperplane dots; search only the query's bucket. Approximate — and "
+    "still value-checkable, because the hyperplanes are an md5-fold the "
+    "oracle reproduces.",
+    tags=("ann",),
+)
+def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_lsh_topk(emb, queries, k=5, dim=_DIM, n_planes=_PLANES)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
+    probes AS (
+      SELECT query_id, qvec, centroid_id FROM (
+        SELECT q.query_id, q.qvec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {duck_cosine('q.qvec', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, {duck_cosine('a.embedding', 'p.qvec')} AS similarity
+      FROM assign a JOIN probes p USING (centroid_id)
+    )
+    SELECT query_id, vec_id, similarity FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="IVF ANN: invert the corpus by nearest centroid (deterministic "
+    "centroid subset), probe the 2 nearest lists per query. At scale the "
+    "inverted lists are partition-pruned scans keyed by centroid id.",
+    tags=("ann",),
+)
+def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_ivf_topk(emb, centroids, queries, k=5, nprobe=2)
+
+
+@register(
+    "knn_topk_prenormed",
+    oracle=f"""
+    WITH c AS (
+      SELECT vec_id, embedding,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+      FROM embeddings
+    ),
+    q AS (SELECT embedding AS qvec, norm AS qnorm FROM c WHERE vec_id = 0)
+    SELECT c.vec_id,
+           CASE WHEN c.norm = 0.0 OR q.qnorm = 0.0 THEN 0.0
+                ELSE list_dot_product(c.embedding::DOUBLE[], q.qvec::DOUBLE[]) / (c.norm * q.qnorm)
+           END AS similarity
+    FROM c, q
+    ORDER BY similarity DESC, c.vec_id ASC
+    LIMIT 5
+    """,
+    doc="KNN with ingest-time precomputed norms (SURVEY.md §4.2): halves "
+    "per-query FLOPs vs the reference, which recomputes every corpus norm "
+    "on every query (vectorDb.ts:40-45); identical results.",
+    tags=("rag", "ann"),
+)
+def knn_topk_prenormed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # "ingest": attach the norm column once
+    corpus = emb.withColumn("norm", l2_norm(as_double(F.col("embedding"))))
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), F.col("norm").alias("qnorm")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        cosine_sim_prenormed(
+            F.col("embedding"), F.col("norm"), F.col("qvec"), F.col("qnorm")
+        ).alias("similarity"),
+    )
+    return scored.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(5)
+
+
+_QUESTION = "how does a spark table scan work"
+_CHUNK, _OVERLAP, _EDIM = 200, 40, 8
+_STRIDE = _CHUNK - _OVERLAP
+
+
+@register(
+    "rag_e2e_retrieval",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT * FROM (
+        SELECT d.doc_id,
+               CAST(s.pos // {_STRIDE} AS BIGINT) AS chunk_id,
+               substr(d.text, CAST(s.pos AS INTEGER) + 1, {_CHUNK}) AS chunk_text
+        FROM documents d,
+             LATERAL (SELECT unnest(generate_series(0, greatest(length(d.text) - 1, 0), {_STRIDE}))) AS s(pos)
+      ) WHERE length(trim(chunk_text)) > 0
+    ),
+    emb AS (
+      SELECT doc_id, chunk_id, {duck_hash_embedding('chunk_text', _EDIM)} AS embedding
+      FROM chunks
+    ),
+    q AS (SELECT {duck_hash_embedding(f"'{_QUESTION}'", _EDIM)} AS qvec)
+    SELECT emb.doc_id, emb.chunk_id, {duck_cosine('emb.embedding', 'q.qvec')} AS similarity
+    FROM emb, q
+    ORDER BY similarity DESC, emb.doc_id, emb.chunk_id
+    LIMIT 5
+    """,
+    doc="The COMPLETE reference pipeline, end-to-end and oracle-checked: "
+    "documents → sliding-window chunker (App.tsx:57-61) → deterministic "
+    "embedder (test-mode U1/U2) → brute-force cosine top-5 "
+    "(vectorDb.ts:11-24) for a fixed question string (App.tsx:180-224).",
+    tags=("rag", "flagship"),
+)
+def rag_e2e_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_size=_CHUNK, overlap=_OVERLAP)
+    emb = chunks.select(
+        "doc_id", "chunk_id", hash_embedding_expr(F.col("chunk_text"), _EDIM).alias("embedding")
+    )
+    qvec = hash_embedding_expr(F.lit(_QUESTION), _EDIM)
+    # Literal question → the query embedding constant-folds; per-row work
+    # is one 8-dim dot product.
+    na = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    nb = F.sqrt(dot(qvec, qvec))
+    sim = (
+        F.when((na == 0.0) | (nb == 0.0), F.lit(0.0))
+        .otherwise(dot(F.col("embedding"), qvec) / (na * nb))
+    )
+    scored = emb.select("doc_id", "chunk_id", sim.alias("similarity"))
+    return scored.orderBy(F.desc("similarity"), F.asc("doc_id"), F.asc("chunk_id")).limit(5)

@@ -18,7 +18,7 @@ Cross-engine determinism rules used throughout the catalog:
 
 from __future__ import annotations
 
-__all__ = ["duck_cosine", "duck_hex13_to_long", "DEC", "dec_sum"]
+__all__ = ["duck_cosine", "duck_hex13_to_long", "duck_fold_unit", "duck_hash_embedding", "DEC", "dec_sum"]
 
 
 def duck_cosine(a: str, b: str) -> str:
@@ -43,6 +43,22 @@ def duck_hex13_to_long(hex_expr: str) -> str:
         f"(strpos('0123456789abcdef', substr({hex_expr}, i, 1)) - 1) "
         f"* 2.0 ** (4 * (13 - i)))) AS BIGINT)"
     )
+
+
+def duck_fold_unit(key_expr: str) -> str:
+    """DuckDB twin of the engine's md5-fold → [-1, 1) unit value
+    (``embedder.hash_embedding_expr`` / ``operators.ann._fold_unit``)."""
+    return (
+        f"(list_sum(list_transform(range(1, 14), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({key_expr}), CAST(i AS INTEGER), 1)) - 1) "
+        f"* 2.0 ** (4 * (13 - i)))) / 4503599627370496.0 * 2.0 - 1.0)"
+    )
+
+
+def duck_hash_embedding(text_expr: str, dim: int, seed: str = "s42") -> str:
+    """DuckDB twin of ``embedder.hash_embedding_expr`` (array<double>)."""
+    key = f"'{seed}|' || j || '|' || {text_expr}"
+    return f"list_transform(range(0, {int(dim)}), j -> {duck_fold_unit(key)})"
 
 
 #: Decimal type wide enough for every fixture money column and their

@@ -49,6 +49,7 @@ def load_all() -> dict[str, QuerySpec]:
         from . import textops  # noqa: F401
         from . import dedup_queries  # noqa: F401
         from . import streaming_twins  # noqa: F401
+        from . import ann_queries  # noqa: F401
 
         _loaded = True
     return QUERIES

@@ -1,0 +1,71 @@
+"""ANN operator tests: bucketing determinism, probe behavior, and the
+exactness limit (probe everything → identical to exact KNN)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_application_with_vectordb_spark.operators.ann import (
+    ann_ivf_topk,
+    ann_lsh_topk,
+    hyperplane_buckets,
+    ivf_assign,
+)
+from rag_application_with_vectordb_spark.operators.knn import knn_join
+from rag_application_with_vectordb_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+
+
+def test_buckets_deterministic_and_bounded(emb):
+    b1 = hyperplane_buckets(emb.limit(50), n_planes=6)
+    b2 = hyperplane_buckets(emb.limit(50), n_planes=6)
+    r1 = {r["vec_id"]: r["bucket"] for r in b1.collect()}
+    r2 = {r["vec_id"]: r["bucket"] for r in b2.collect()}
+    assert r1 == r2
+    assert all(0 <= v < 64 for v in r1.values())
+
+
+def test_lsh_self_hit_and_subset_of_exact(emb, queries):
+    approx = ann_lsh_topk(emb, queries, k=5).collect()
+    exact = knn_join(emb, queries, k=500).collect()
+    exact_scores = {(r["query_id"], r["vec_id"]): r["similarity"] for r in exact}
+    for r in approx:
+        # every approximate hit carries its true exact score
+        assert r["similarity"] == pytest.approx(
+            exact_scores[(r["query_id"], r["vec_id"])], abs=1e-12
+        )
+    # the query vector is in the corpus → always lands in its own bucket
+    self_hits = {r["query_id"] for r in approx if r["vec_id"] == r["query_id"]}
+    assert self_hits == {0, 1, 2}
+
+
+def test_ivf_probe_all_equals_exact(emb, queries):
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    approx = ann_ivf_topk(emb, centroids, queries, k=5, nprobe=4)  # probe ALL lists
+    exact = knn_join(emb, queries, k=5)
+    a = {(r["query_id"], r["vec_id"], round(r["similarity"], 12)) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"], round(r["similarity"], 12)) for r in exact.collect()}
+    assert a == e
+
+
+def test_ivf_assignment_partitions_corpus(emb):
+    centroids = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    inverted = ivf_assign(emb, centroids)
+    assert inverted.count() == emb.count()  # every vector lands in exactly one list
+    assert inverted.select("centroid_id").distinct().count() <= 4
