@@ -1,0 +1,249 @@
+"""Relational extension surface, part 2: as-of / range joins, grouping
+sets, unpivot, HAVING subqueries, string/date/array scalar functions,
+and approximate sketches (rows-only checked — sketch algorithms differ
+across engines by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.asof import asof_join_prior
+from ..operators.rangejoin import range_join_within
+from ..session import tune
+from ..sources.catalog import load_table, register_views
+from .registry import register
+
+_D = "DECIMAL(18,2)"
+
+
+def _sql_query(name: str, sql: str, doc: str = "", oracle: str | None = None, tags=("relational",)):
+    @register(name, oracle=oracle or sql, doc=doc, tags=tags)
+    def fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        tune(spark)
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    return fn
+
+
+@register(
+    "asof_purchase_to_click",
+    oracle="""
+    WITH stream AS (
+      SELECT user_id, ts, event_id, event_type,
+        max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+          PARTITION BY user_id ORDER BY ts, CASE WHEN event_type = 'click' THEN 0 ELSE 1 END
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS asof_ts
+      FROM events WHERE event_type IN ('click', 'purchase')
+    )
+    SELECT event_id, user_id, ts, asof_ts
+    FROM stream WHERE event_type = 'purchase'
+    """,
+    doc="As-of join: each purchase matched to the user's latest "
+    "strictly-prior click via the union+window formulation — one shuffle "
+    "on the key, no join, no candidate-pair blowup.",
+    tags=("relational", "asof"),
+)
+def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join_prior(clicks, purchases, on="ts", key="user_id")
+    return out.select("event_id", "user_id", "ts", "asof_ts")
+
+
+@register(
+    "range_join_error_after_purchase",
+    oracle="""
+    SELECT p.event_id AS a_event_id, e.event_id AS b_event_id, p.user_id,
+           p.ts AS a_ts, e.ts AS b_ts
+    FROM events p JOIN events e
+      ON p.user_id = e.user_id
+     AND e.ts > p.ts
+     AND epoch_us(e.ts) - epoch_us(p.ts) <= 600 * 1000000
+    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
+    """,
+    doc="Interval join (errors within 10 min after a purchase, same user) "
+    "via time-bucket blocking: equi-join on (key, floor(ts/W)) with a "
+    "two-bucket probe — candidates bounded by local density, never a "
+    "per-key cartesian product.",
+    tags=("relational", "rangejoin"),
+)
+def range_join_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    out = range_join_within(purchases, errors, on="ts", key="user_id", window_seconds=600)
+    return out.select(
+        F.col("a_event_id"), F.col("b_event_id"), F.col("user_id"), F.col("a_ts"), F.col("b_ts")
+    )
+
+
+_sql_query(
+    "grouping_sets_order_stats",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+      CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+      CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+      COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS {_D})) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="Explicit GROUPING SETS with grouping() markers (Expand operator).",
+    tags=("relational", "rollup"),
+)
+
+
+@register(
+    "unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'retailprice' AS measure, p_retailprice AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+    """,
+    doc="Unpivot via stack() (the oracle spells the UNION ALL form).",
+    tags=("relational", "pivot"),
+)
+def unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    part = load_table(spark, sf_dir, "part")
+    return part.selectExpr(
+        "p_partkey",
+        "stack(2, 'retailprice', p_retailprice, 'size', CAST(p_size AS DOUBLE)) AS (measure, value)",
+    )
+
+
+_sql_query(
+    "having_big_orders",
+    f"""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS {_D})) > 150
+    )
+    """,
+    doc="IN-subquery with HAVING over an exact decimal sum (TPC-H Q18 shape).",
+    tags=("relational", "subquery"),
+)
+
+_sql_query(
+    "scalar_string_parts",
+    """
+    SELECT p_partkey,
+      upper(p_brand) AS brand_upper,
+      length(p_name) AS name_len,
+      substr(p_name, 1, 8) AS name_head,
+      replace(p_type, ' ', '_') AS type_snake,
+      concat_ws('/', p_brand, p_type) AS brand_type,
+      regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num
+    FROM part
+    """,
+    doc="String scalar surface: upper/length/substr/replace/concat_ws/"
+    "regexp_extract — identical semantics in both engines.",
+    tags=("relational", "scalar"),
+)
+
+
+@register(
+    "scalar_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+      o_orderdate + INTERVAL 3 MONTH AS due_ts,
+      CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+      CAST(isodow(o_orderdate) AS BIGINT) AS iso_weekday,
+      CAST(strftime(o_orderdate, '%Y-%m') AS VARCHAR) AS year_month
+    FROM orders
+    """,
+    doc="Date arithmetic: interval add, last_day, ISO weekday (Spark "
+    "weekday()+1 == DuckDB isodow), year-month formatting.",
+    tags=("relational", "scalar"),
+)
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+          o_orderdate + INTERVAL 3 MONTH AS due_ts,
+          last_day(CAST(o_orderdate AS DATE)) AS month_end,
+          CAST(weekday(o_orderdate) + 1 AS BIGINT) AS iso_weekday,
+          date_format(o_orderdate, 'yyyy-MM') AS year_month
+        FROM orders
+        """
+    )
+
+
+@register(
+    "scalar_array_ops",
+    oracle="""
+    SELECT vec_id,
+      CAST(len(embedding) AS INTEGER) AS dim,
+      CAST(embedding[1] AS DOUBLE) AS first_comp,
+      CAST(embedding[64] AS DOUBLE) AS last_comp,
+      CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE)
+        + CAST(embedding[3] AS DOUBLE) + CAST(embedding[4] AS DOUBLE) AS head4_sum,
+      CAST(list_max(embedding) AS DOUBLE) AS max_comp
+    FROM embeddings
+    """,
+    doc="Array scalar surface over the embedding column: size, element_at "
+    "(1-based both engines), explicit head sum (fixed fold order → fp64 "
+    "deterministic), array_max.",
+    tags=("relational", "scalar"),
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    d = lambda i: F.element_at(e, i).cast("double")  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size(e).alias("dim"),
+        d(1).alias("first_comp"),
+        d(64).alias("last_comp"),
+        (d(1) + d(2) + d(3) + d(4)).alias("head4_sum"),
+        F.array_max(e).cast("double").alias("max_comp"),
+    )
+
+
+@register(
+    "approx_distinct_sketch",
+    oracle=None,  # HLL sketches are engine-specific by design → rows-only check
+    doc="approx_count_distinct (HyperLogLog++) per order status — the "
+    "sketch path for 100 TB distinct counts; no oracle (DuckDB's HLL "
+    "differs), driver records the rows-only check.",
+    tags=("relational", "approx"),
+)
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "approx_percentile_sketch",
+    oracle=None,  # t-digest/GK sketches differ across engines → rows-only
+    doc="percentile_approx over lineitem prices — the quantile-sketch path "
+    "(exact percentile at 100 TB needs a full sort); rows-only check.",
+    tags=("relational", "approx"),
+)
+def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
+        F.count("*").alias("n"),
+    )

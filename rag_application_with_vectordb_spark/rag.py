@@ -115,13 +115,15 @@ def ingest_documents(
     """Reference ingest pipeline (``App.tsx:43-95``) over a documents table.
 
     parse → chunk (P2) → empty-filter (P3) → id (P4) → embed (U2) → add (S3).
-    Ids are ``doc_id * 2^20 + chunk_id`` — dense within doc, unique
-    globally, computed without a global window (SURVEY.md §7.3.3).
+    Ids are ``xxhash64(doc_id, chunk_id)`` — stable and computed without
+    a global window (a globally-dense id is a single-partition bottleneck
+    at scale, SURVEY.md §7.3.3; ``operators.chunker.global_chunk_index``
+    provides reference-parity dense ids for small corpora).
     """
     embedder = embedder or HashEmbedder()
     chunks = chunk_documents(docs, chunk_size=chunk_size, overlap=overlap)
     with_id = chunks.select(
-        (F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_id")).alias("id"),
+        F.xxhash64(F.col("doc_id"), F.col("chunk_id")).alias("id"),
         F.col("chunk_text").alias("text"),
     )
     store.add(embedder.embed_df(with_id, text_col="text"))

@@ -1,0 +1,69 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+These are the operators Structured Streaming's built-in window
+aggregates can't express: arbitrary per-key state machines. State lives
+in the state store (checkpointed, partitioned by key) — at scale,
+cardinality of the key domain bounds memory, and timeouts reap idle
+keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql import types as T
+
+__all__ = ["running_user_totals", "foreach_batch_collector"]
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (event_count, value_total) across micro-batches.
+
+    Emits one row per user per batch with the cumulative totals — the
+    streaming analog of a running-total window, but with explicit state
+    so it survives across triggers and restarts (checkpointed).
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def foreach_batch_collector(stream_df: DataFrame, sink: list) -> Any:
+    """Drive a stream through a ``foreachBatch`` sink that appends
+    (batch_id, rows) to ``sink`` — the exactly-once upsert pattern's test
+    double (production would MERGE into a table keyed by batch id)."""
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        sink.append((batch_id, batch_df.collect()))
+
+    q = stream_df.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q

@@ -1,0 +1,63 @@
+"""Document-source tests: binaryFile scan + glob predicate (S2), parse
+stage plumbing (S1), and the full file→store ingest path."""
+
+from __future__ import annotations
+
+import pytest
+
+from rag_application_with_vectordb_spark.rag import RagPipeline, VectorStore, ingest_documents
+from rag_application_with_vectordb_spark.sources.pdf import (
+    parse_documents,
+    pdf_text_parser,
+    read_binary_documents,
+)
+
+
+@pytest.fixture()
+def doc_dir(tmp_path):
+    (tmp_path / "a.pdf").write_bytes(b"alpha document about spark scans " * 40)
+    (tmp_path / "b.pdf").write_bytes(b"beta document about vector search " * 40)
+    (tmp_path / "ignore.txt").write_bytes(b"not a pdf")
+    return str(tmp_path)
+
+
+def test_glob_predicate_rejects_non_pdf(spark, doc_dir):
+    # S2 — App.tsx:28 extension check, pushed to file listing
+    files = read_binary_documents(spark, doc_dir).select("path").collect()
+    names = {r["path"].rsplit("/", 1)[-1] for r in files}
+    assert names == {"a.pdf", "b.pdf"}
+
+
+def test_parse_plumbing_with_injected_parser(spark, doc_dir):
+    binary = read_binary_documents(spark, doc_dir)
+    docs = parse_documents(binary, parser=lambda b: b.decode("utf-8"))
+    rows = docs.collect()
+    assert len(rows) == 2
+    by_name = {r["path"].rsplit("/", 1)[-1]: r for r in rows}
+    assert by_name["a.pdf"]["text"].startswith("alpha document")
+    assert by_name["a.pdf"]["n_chars"] == len(by_name["a.pdf"]["text"])
+    # stable content-independent ids, distinct per path
+    assert len({r["doc_id"] for r in rows}) == 2
+
+
+def test_pdf_parser_stub_raises_without_pypdf():
+    try:
+        import pypdf  # noqa: F401
+
+        pytest.skip("pypdf present in this environment")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        pdf_text_parser(b"%PDF-1.4 fake")
+
+
+def test_file_to_answer_pipeline(spark, doc_dir, tmp_path):
+    # The complete reference ingest flow (App.tsx:26-101) from files:
+    # scan → parse → chunk → embed → store → ask.
+    binary = read_binary_documents(spark, doc_dir)
+    docs = parse_documents(binary, parser=lambda b: b.decode("utf-8"))
+    store = VectorStore(spark, str(tmp_path / "store"))
+    ingest_documents(store, docs, chunk_size=200, overlap=40)
+    assert store.is_ready()
+    answer = RagPipeline(store).ask("vector search", k=2)
+    assert "QUESTION:\nvector search" in answer
