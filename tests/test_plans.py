@@ -1,0 +1,69 @@
+"""Physical-plan assertions — the scale claims, checked in CI.
+
+These tests pin the *plan shapes* the 100 TB posture depends on:
+filters reach the parquet scan, dims broadcast, top-k never global-sorts,
+and per-row operators don't shuffle. A regression here is a performance
+bug even when results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rag_application_with_vectordb_spark.plans.registry import load_all
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir, specs):
+    df = specs["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_q1_column_pruning(spark, sf_dir, specs):
+    df = specs["q1_pricing_summary"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    # the scan must not read join keys / partkeys it doesn't need
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in scan_line
+    assert "l_partkey" not in scan_line
+
+
+def test_q3_broadcasts_dim_side(spark, sf_dir, specs):
+    plan = plan_of(specs["q3_top_orders"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 never global-sorts
+
+
+def test_knn_batch_is_broadcast_nested_loop(spark, sf_dir, specs):
+    plan = plan_of(specs["knn_batch"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # corpus never shuffles
+
+
+def test_chunker_is_shuffle_free(spark, sf_dir, specs):
+    plan = plan_of(specs["chunk_sliding_window"].fn(spark, sf_dir))
+    assert "Exchange" not in plan  # generator + filter only, no shuffle
+    assert "Generate" in plan
+
+
+def test_semi_anti_join_operators(spark, sf_dir, specs):
+    assert "LeftSemi" in plan_of(specs["join_semi_customers_with_urgent"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan_of(specs["join_anti_customers_without_orders"].fn(spark, sf_dir))
+
+
+def test_scoring_path_stays_jvm_side(spark, sf_dir, specs):
+    # No Python evaluation in the KNN hot path: the cosine expression is
+    # whole-stage-codegen'd, never a PythonUDF stage.
+    plan = plan_of(specs["knn_topk"].fn(spark, sf_dir))
+    assert "Python" not in plan  # no BatchEvalPython / ArrowEvalPython stage
+    # (WholeStageCodegen spans only materialize in the AQE final plan, so
+    # absence of Python eval is the checkable invariant here.)
+    assert "TakeOrderedAndProject" in plan
