@@ -217,6 +217,36 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_range_frame_spend",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+      CAST(SUM(CAST(o_totalprice AS {_D})) OVER (
+        PARTITION BY o_custkey ORDER BY CAST(epoch_us(o_orderdate) // 1000000 AS BIGINT)
+        RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+    FROM orders
+    """,
+    doc="RANGE frame (value-based window): per-customer trailing-30-day "
+    "spend; ordered on epoch seconds so the numeric range bound is "
+    "dialect-identical, summed in decimal so peer-group accumulation "
+    "order can't flap the hash.",
+    tags=("relational", "window"),
+)
+def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        f"""
+        SELECT o_orderkey, o_custkey, o_orderdate,
+          CAST(SUM(CAST(o_totalprice AS {_D})) OVER (
+            PARTITION BY o_custkey
+            ORDER BY CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 1000000 AS BIGINT)
+            RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_30d
+        FROM orders
+        """
+    )
+
+
+@register(
     "approx_distinct_sketch",
     oracle=None,  # HLL sketches are engine-specific by design → rows-only check
     doc="approx_count_distinct (HyperLogLog++) per order status — the "
