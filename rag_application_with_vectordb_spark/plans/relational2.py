@@ -216,6 +216,43 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_sql_query(
+    "q7_nation_pair_revenue",
+    f"""
+    SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+      CAST(year(o_orderdate) AS BIGINT) AS order_year,
+      CAST(SUM(CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D}))) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n1.n_regionkey <> n2.n_regionkey
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape: cross-nation trade volume — two aliases of the "
+    "same dim table (self-disambiguated join), 6-way chain, decimal-exact "
+    "revenue.",
+    tags=("relational", "join"),
+)
+
+_sql_query(
+    "q19_disjunctive_predicate",
+    f"""
+    SELECT COUNT(*) AS n_matches,
+      CAST(SUM(CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D}))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 5 AND 30)
+       OR (p_brand = 'Brand#2' AND p_type LIKE 'SMALL%' AND l_quantity >= 10)
+       OR (p_size >= 40 AND l_discount BETWEEN 0.02 AND 0.04)
+    """,
+    doc="TPC-H Q19 shape: disjunctive multi-column predicates spanning "
+    "both join sides (exercises predicate normalization/pushdown limits).",
+    tags=("relational", "join"),
+)
+
+
 @register(
     "window_range_frame_spend",
     oracle=f"""

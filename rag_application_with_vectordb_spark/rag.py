@@ -61,18 +61,31 @@ class VectorStore:
     partitioned by ingest batch.
     """
 
-    def __init__(self, spark: SparkSession, path: str | None = None):
+    def __init__(self, spark: SparkSession, path: str | None = None, normalize: bool = False):
+        """``normalize=True`` unit-normalizes vectors at ingest (SURVEY
+        §4.2's cosine→dot rewrite): cosine similarity against unit vectors
+        needs only the dot product and the query's own norm, so every
+        query saves the corpus-norm math. Search results are identical
+        (cosine is scale-invariant; zero vectors stay zero)."""
         self.spark = spark
         self.path = path  # None → session-local (union of in-memory frames)
+        self.normalize = normalize
         self._mem: DataFrame | None = None
 
     # S3 — add(newChunks), vectorDb.ts:7-9
     def add(self, chunks: DataFrame) -> None:
+        vec = F.col("embedding").cast("array<double>")
+        norm = l2_norm(vec)
+        if self.normalize:
+            vec = F.when(norm == 0.0, vec).otherwise(
+                F.transform(vec, lambda x: x / norm)
+            )
+            norm = F.when(norm == 0.0, F.lit(0.0)).otherwise(F.lit(1.0))
         prepped = chunks.select(
             F.col("id").cast("long"),
             F.col("text"),
-            F.col("embedding").cast("array<double>"),
-            l2_norm(F.col("embedding").cast("array<double>")).alias("norm"),
+            vec.alias("embedding"),
+            norm.alias("norm"),
         )
         if self.path is not None:
             prepped.write.mode("append").parquet(self.path)

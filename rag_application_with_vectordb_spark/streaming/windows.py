@@ -27,6 +27,8 @@ __all__ = [
     "tumbling_counts_stream",
     "sliding_counts_stream",
     "session_counts_stream",
+    "dedup_stream",
+    "enrich_with_static",
     "run_to_completion",
 ]
 
@@ -102,6 +104,19 @@ def session_counts_stream(events: DataFrame, gap: str = "4 hours", watermark: st
             "session_value",
         )
     )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication on event_id: ``dropDuplicates`` with
+    a watermark bounds the dedup state to the watermark horizon — without
+    it, a 100 TB stream accretes every id ever seen."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+def enrich_with_static(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static join: the static side is re-planned per micro-batch
+    (and broadcast when small) — the standard dimension-enrichment shape."""
+    return events.join(dim, key)
 
 
 def run_to_completion(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:

@@ -67,6 +67,31 @@ def test_small_window_params(spark):
         assert got.get(i, []) == reference_chunker(t, 10, 3)
 
 
+def test_reconstruction_property(spark):
+    # SURVEY §5.2 property 3: dropping each window's leading overlap and
+    # concatenating reproduces the source text exactly.
+    import random
+
+    rng = random.Random(42)
+    texts = [
+        "".join(rng.choice("abcdef ghij") for _ in range(rng.randrange(1, 4000)))
+        for _ in range(10)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = (
+        chunk_documents(df, keep_empty=True).orderBy("doc_id", "chunk_id").collect()
+    )
+    by_doc: dict[int, list[str]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    for i, t in enumerate(texts):
+        chunks = by_doc[i]
+        rebuilt = chunks[0] + "".join(c[CHUNK_OVERLAP:] for c in chunks[1:])
+        assert rebuilt == t
+
+
 def test_global_ids_dense(spark):
     df = spark.createDataFrame(
         [(7, "x" * 1500), (3, "y" * 2500)], "doc_id long, text string"

@@ -64,6 +64,28 @@ def test_ingest_and_ask_deterministic(spark, sf_dir, store):
     assert ctx in answer1
 
 
+def test_normalized_store_same_results(spark, sf_dir, tmp_path):
+    # normalize-at-ingest (SURVEY §4.2): identical retrieval, cheaper query
+    from rag_application_with_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id AS id", "CAST(vec_id AS STRING) AS text", "embedding"
+    )
+    plain = VectorStore(spark, str(tmp_path / "plain"))
+    unit = VectorStore(spark, str(tmp_path / "unit"), normalize=True)
+    plain.add(emb)
+    unit.add(emb)
+    q = [float(x) for x in emb.first()["embedding"]]
+    a = plain.search(q, k=10).collect()
+    b = unit.search(q, k=10).collect()
+    assert [r["id"] for r in a] == [r["id"] for r in b]
+    for ra, rb in zip(a, b):
+        assert rb["similarity"] == pytest.approx(ra["similarity"], abs=1e-9)
+    # unit store really holds unit vectors
+    norms = {r["norm"] for r in unit.df().select("norm").collect()}
+    assert norms == {1.0}
+
+
 def test_hash_embedder_expr_matches_python(spark):
     emb = HashEmbedder(dim=16)
     df = spark.createDataFrame([("some text",), ("other",)], "text string")
