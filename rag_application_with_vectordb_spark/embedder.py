@@ -152,13 +152,25 @@ class ApiEmbedder:
                 time.sleep(min(2**attempt * 0.1, 2.0))
         raise last  # type: ignore[misc]
 
-    def embed_df(self, df: DataFrame, text_col: str = "text", out_col: str = "embedding") -> DataFrame:
+    def embed_df(
+        self,
+        df: DataFrame,
+        text_col: str = "text",
+        out_col: str = "embedding",
+        progress=None,
+    ) -> DataFrame:
         """``mapInPandas`` stage: per-partition Arrow batches, sub-batched
-        to the API limit, preserving all input columns."""
+        to the API limit, preserving all input columns. ``progress`` is an
+        optional :class:`~..progress.IngestProgress` whose ``embedded``
+        accumulator advances per API batch (M1, ``App.tsx:82-85``)."""
+        from .session import _ship_package
+
+        _ship_package(df.sparkSession)
         schema = T.StructType(
             df.schema.fields + [T.StructField(out_col, T.ArrayType(T.DoubleType()))]
         )
         call, bs, delay = self._call, self.api_batch_size, self.batch_delay_s
+        acc = progress.embedded if progress is not None else None
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             first = True
@@ -168,7 +180,10 @@ class ApiEmbedder:
                     if not first and delay:
                         time.sleep(delay)  # App.tsx:88-90
                     first = False
-                    vecs.extend(call(list(pdf[text_col].iloc[i : i + bs])))
+                    chunk = list(pdf[text_col].iloc[i : i + bs])
+                    vecs.extend(call(chunk))
+                    if acc is not None:
+                        acc.add(len(chunk))
                 pdf = pdf.copy()
                 pdf[out_col] = vecs
                 yield pdf

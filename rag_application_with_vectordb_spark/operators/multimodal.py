@@ -51,6 +51,9 @@ def decode_media_stub(df: DataFrame, id_col: str = "doc_id", bin_col: str = "pay
     deterministically from the payload so the pipeline is
     oracle-checkable end-to-end.
     """
+    from ..session import _ship_package
+
+    _ship_package(df.sparkSession)
     schema = T.StructType(
         [
             T.StructField(id_col, T.LongType()),

@@ -284,6 +284,51 @@ def window_range_frame_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_map_ops",
+    oracle="""
+    SELECT event_id,
+      CAST(1 AS INTEGER) AS n_keys,
+      'k' AS first_key,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) IS NOT NULL AS has_k
+    FROM events
+    """,
+    doc="MapType surface: props parsed via from_json to map<string,bigint>, "
+    "then map_keys / element_at / containment — the oracle reproduces the "
+    "same scalars through DuckDB's JSON functions.",
+    tags=("relational", "scalar"),
+)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return events.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(F.map_keys(m), 1).alias("first_key"),
+        F.element_at(m, "k").alias("k_value"),
+        F.element_at(m, "k").isNotNull().alias("has_k"),
+    )
+
+
+_sql_query(
+    "window_distribution_funcs",
+    """
+    SELECT c_custkey, c_nationkey,
+      ntile(4)       OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS bal_quartile,
+      CAST(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS DOUBLE) AS bal_pct_rank,
+      CAST(cume_dist()    OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS DOUBLE) AS bal_cume_dist,
+      first_value(c_custkey) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS richest_custkey
+    FROM customer
+    """,
+    doc="Distribution window functions (ntile / percent_rank / cume_dist / "
+    "first_value over a full frame) with fully deterministic tiebreaks.",
+    tags=("relational", "window"),
+)
+
+
+@register(
     "approx_distinct_sketch",
     oracle=None,  # HLL sketches are engine-specific by design → rows-only check
     doc="approx_count_distinct (HyperLogLog++) per order status — the "

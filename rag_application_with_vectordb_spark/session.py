@@ -12,6 +12,8 @@ Two entry points:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -29,6 +31,35 @@ RUNTIME_CONF = {
 }
 
 
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable inside executor Python workers.
+
+    Pandas-UDF closures reference package-level functions, which
+    cloudpickle serializes *by module reference* — so a worker whose
+    PYTHONPATH lacks the repo (e.g. the hosting driver runs from another
+    cwd, or a real cluster's executors) would fail to deserialize them.
+    Shipping a zip via ``addPyFile`` fixes both local and cluster mode;
+    done once per SparkContext.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_rag_pkg_shipped", False):
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zpath = os.path.join(tempfile.gettempdir(), f"{pkg_name}-pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.join(pkg_name, os.path.relpath(full, pkg_dir)))
+    try:
+        sc.addPyFile(zpath)
+    except Exception:
+        pass  # already added with identical contents, or a locked context
+    sc._rag_pkg_shipped = True
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an existing session."""
     for k, v in RUNTIME_CONF.items():
@@ -38,6 +69,7 @@ def tune(spark: SparkSession) -> SparkSession:
             # Some confs may be locked by the hosting driver; queries
             # remain correct, only determinism-vs-oracle may be weaker.
             pass
+    _ship_package(spark)
     return spark
 
 

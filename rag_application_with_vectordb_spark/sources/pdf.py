@@ -72,6 +72,7 @@ def pdf_text_parser(content: bytes) -> str:
 def parse_documents(
     binary_df: DataFrame,
     parser: Callable[[bytes], str] | None = None,
+    progress=None,
 ) -> DataFrame:
     """Binary documents → (doc_id, path, text, n_chars).
 
@@ -79,6 +80,9 @@ def parse_documents(
     cluster layouts (a positional id would depend on partitioning;
     SURVEY.md §7.3.3).
     """
+    from ..session import _ship_package
+
+    _ship_package(binary_df.sparkSession)
     parse = parser or pdf_text_parser
     schema = T.StructType(
         [
@@ -87,8 +91,12 @@ def parse_documents(
         ]
     )
 
+    acc = progress.parsed if progress is not None else None
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if acc is not None:
+                acc.add(len(pdf))  # M1 parse progress (App.tsx:53)
             yield pd.DataFrame(
                 {"path": pdf["path"], "text": [parse(bytes(c)) for c in pdf["content"]]}
             )
