@@ -26,15 +26,23 @@ from rag_application_with_vectordb_spark.session import get_spark
 HEADLINE = [
     "knn_topk",
     "knn_batch",
+    "bench_knn_1m",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "rag_e2e_retrieval",
     "chunk_sliding_window",
     "embed_hash_components",
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_regional_revenue",
+    "q7_nation_pair_revenue",
     "window_running_spend",
     "topk_parts_per_brand",
+    "asof_purchase_to_click",
+    "range_join_error_after_purchase",
     "dedup_exact",
     "dedup_minhash_lsh_pairs",
+    "dedup_simhash_signatures",
     "dedup_embedding_topk_pairs",
     "text_quality_scores",
     "events_tumbling_hourly",

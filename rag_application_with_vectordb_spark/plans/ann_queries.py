@@ -159,6 +159,68 @@ def knn_topk_prenormed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(5)
 
 
+@register(
+    "ann_lsh_recall",
+    oracle=None,  # both sides are deterministic, but the combined SQL would
+    # be unwieldy; the exact/approx constituents are each oracle-checked
+    # separately (knn_batch, ann_lsh_topk), so rows-only suffices here.
+    doc="Recall@5 of the LSH ANN path against the exact scan, per query — "
+    "the quality metric an ANN deployment monitors. Uses 4 planes (16 "
+    "buckets) for the fixture-sized corpus; plane count is the knob that "
+    "trades bucket size (cost) against recall.",
+    tags=("ann",),
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    from ..operators.knn import knn_join
+
+    exact = knn_join(emb, queries, k=5).select("query_id", "vec_id")
+    approx = ann_lsh_topk(emb, queries, k=5, dim=_DIM, n_planes=4).select(
+        "query_id", F.col("vec_id").alias("vec_id_a")
+    )
+    hits = exact.join(
+        approx, (exact.query_id == approx.query_id) & (exact.vec_id == approx.vec_id_a), "left"
+    ).groupBy(exact.query_id.alias("query_id")).agg(
+        (F.count("vec_id_a") / F.count("*")).alias("recall_at_5")
+    )
+    return hits
+
+
+@register(
+    "bench_knn_1m",
+    oracle=None,  # scale demo: the 1M-row corpus is generated in-query;
+    # the same cosine/top-k path is oracle-checked on the fixtures.
+    doc="Scale-posture demo: exact cosine top-10 over a generated "
+    "1M-row×64-dim corpus (deterministic xxhash64 vectors, zero I/O) — "
+    "shows the scoring path's raw throughput and that TakeOrderedAndProject "
+    "holds at 3 orders of magnitude above the fixtures.",
+    tags=("ann", "bench"),
+)
+def bench_knn_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    n, dim = 1_000_000, 64
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(2000)) - 1000).cast("double") / 1000.0,
+    )
+    corpus = spark.range(n).repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    q = corpus.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    from ..functions.vector import dot, l2_norm
+
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        (dot(F.col("embedding"), F.col("qvec"))
+         / (l2_norm(F.col("embedding")) * l2_norm(F.col("qvec")))).alias("similarity"),
+    )
+    return scored.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(10)
+
+
 _QUESTION = "how does a spark table scan work"
 _CHUNK, _OVERLAP, _EDIM = 200, 40, 8
 _STRIDE = _CHUNK - _OVERLAP

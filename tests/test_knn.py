@@ -80,6 +80,25 @@ def test_knn_join_per_query_topk(spark, emb):
         assert top_ids == numpy_topk(rows, q, 4)
 
 
+def test_knn_reference_dimensionality(spark):
+    # Dimension is a parameter, never hard-coded (reference nominal is 768,
+    # constants.ts:6; fixtures use 64) — run the full path at 768.
+    from pyspark.sql import functions as F
+
+    dim = 768
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000))).cast("double") / 1000.0,
+    )
+    corpus = spark.range(2000).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    q = [float((hash((0, j)) % 1000)) / 1000.0 for j in range(dim)]  # any 768-dim probe
+    got = knn(corpus, q, k=5).collect()
+    assert len(got) == 5
+    sims = [r["similarity"] for r in got]
+    assert sims == sorted(sims, reverse=True)
+    assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
 def test_knn_plan_is_take_ordered(spark, emb):
     # The physical plan must be TakeOrderedAndProject (partial per-partition
     # top-k), not a global Sort — this is the scalability claim, verified.
