@@ -1,0 +1,86 @@
+"""Streaming index construction: documents arriving as files → chunk →
+embed → append to the vector store, continuously.
+
+This is the engine's answer to the north-star note that a RAG vector
+database "could use Spark for batch embedding generation and index
+construction": the same chunk/embed/append pipeline as
+:func:`rag.ingest_documents`, but driven by a file-watching stream with
+``foreachBatch`` appends — new documents become searchable one
+micro-batch after they land (the distributed version of the reference's
+incremental ``add`` per batch, ``App.tsx:79``).
+
+Exactly-once: ``foreachBatch`` + append-mode parquet is idempotent per
+batch only if the sink dedups; production would MERGE on chunk id. The
+store's hash chunk ids (xxhash64(doc_id, chunk_id)) make that MERGE key
+stable across retries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..embedder import HashEmbedder
+from ..operators.chunker import CHUNK_OVERLAP, CHUNK_SIZE, chunk_documents
+from ..rag import VectorStore
+
+__all__ = ["stream_ingest_documents"]
+
+
+def stream_ingest_documents(
+    spark: SparkSession,
+    path: str,
+    store: VectorStore,
+    embedder: HashEmbedder | None = None,
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = CHUNK_OVERLAP,
+    text_glob: str = "*.txt",
+    checkpoint: str | None = None,
+):
+    """Watch ``path`` for text files; chunk+embed+append each micro-batch.
+
+    Returns the started StreamingQuery (caller stops it / awaits). Uses
+    the text file source (one row per file via ``wholetext``) so the
+    pipeline stays JVM-side until the embed stage.
+
+    ``checkpoint`` is where the source records which files it has
+    processed — WITHOUT it, every (re)start reprocesses the whole
+    directory and duplicates chunks. Defaults to ``<store.path>/_checkpoint``
+    when the store is file-backed; required otherwise.
+    """
+    if checkpoint is None:
+        if store.path is None:
+            raise ValueError(
+                "checkpoint= is required for in-memory stores; a restarted "
+                "stream would otherwise re-ingest every file"
+            )
+        import os
+
+        checkpoint = os.path.join(store.path + "_checkpoint")
+    embedder = embedder or HashEmbedder()
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("pathGlobFilter", text_glob)
+        .load(path)
+        .select(
+            F.xxhash64(F.input_file_name()).alias("doc_id"),
+            F.col("value").alias("text"),
+        )
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        chunks = chunk_documents(batch_df, chunk_size=chunk_size, overlap=overlap)
+        with_id = chunks.select(
+            F.xxhash64(F.col("doc_id"), F.col("chunk_id")).alias("id"),
+            F.col("chunk_text").alias("text"),
+        )
+        store.add(embedder.embed_df(with_id, text_col="text"))
+
+    return (
+        docs.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
