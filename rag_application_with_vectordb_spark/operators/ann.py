@@ -48,14 +48,31 @@ def _fold_unit(key: Column) -> Column:
     return v * 2.0 - 1.0
 
 
+def _fold_unit_py(key: str) -> float:
+    """Python twin of :func:`_fold_unit` — bit-identical (md5 hex → exact
+    integer < 2^52 → fp64)."""
+    import hashlib
+
+    return int(hashlib.md5(key.encode()).hexdigest()[:13], 16) / float(1 << 52) * 2.0 - 1.0
+
+
 def hyperplane(p: int | Column, dim: int, seed: str = "plane") -> Column:
-    """Deterministic random hyperplane p as an array<double> literal
-    expression: component j = fold('{seed}|p|j')."""
-    p_col = F.lit(p) if isinstance(p, int) else p
+    """Deterministic random hyperplane p as an array<double> Column.
+
+    For a concrete ``p`` the fold is evaluated driver-side (hashlib,
+    bit-identical to the SQL expression) and embedded as a constant array
+    — otherwise every ROW would recompute ``dim`` md5 folds, turning a
+    per-corpus constant into a per-row cost. The Column form is kept for
+    symbolic ``p``.
+    """
+    if isinstance(p, int):
+        return F.array(
+            *[F.lit(_fold_unit_py(f"{seed}|{p}|{j}")) for j in range(int(dim))]
+        )
     return F.transform(
         F.sequence(F.lit(0), F.lit(int(dim) - 1)),
         lambda j: _fold_unit(
-            F.concat(F.lit(seed + "|"), p_col.cast("string"), F.lit("|"), j.cast("string"))
+            F.concat(F.lit(seed + "|"), p.cast("string"), F.lit("|"), j.cast("string"))
         ),
     )
 

@@ -138,6 +138,21 @@ _sql_query(
 )
 
 _sql_query(
+    "q2_cheapest_part_per_brand",
+    """
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p
+    WHERE p_retailprice = (
+      SELECT MIN(p2.p_retailprice) FROM part p2 WHERE p2.p_brand = p.p_brand
+    )
+    """,
+    doc="TPC-H Q2 shape: correlated scalar subquery (Catalyst rewrites it "
+    "to an aggregate + join under RewriteCorrelatedScalarSubquery); exact "
+    "double MIN, so no decimal dance needed.",
+    tags=("relational", "subquery"),
+)
+
+_sql_query(
     "scalar_string_parts",
     """
     SELECT p_partkey,
