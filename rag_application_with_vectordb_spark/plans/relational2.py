@@ -137,6 +137,40 @@ _sql_query(
     tags=("relational", "subquery"),
 )
 
+@register(
+    "calendar_dim_order_counts",
+    oracle="""
+    WITH cal AS (
+      SELECT CAST(unnest(generate_series(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS DATE) AS day
+    ),
+    daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n FROM orders GROUP BY 1
+    )
+    SELECT cal.day, COALESCE(daily.n, 0) AS n_orders
+    FROM cal LEFT JOIN daily USING (day)
+    """,
+    doc="Generated calendar dimension (sequence + explode) LEFT-joined to "
+    "order counts with zero-fill — the gap-free reporting pattern no raw "
+    "GROUP BY gives you.",
+    tags=("relational", "calendar"),
+)
+def calendar_dim_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        """
+        WITH cal AS (
+          SELECT explode(sequence(DATE '1995-01-01', DATE '1995-03-31', INTERVAL 1 DAY)) AS day
+        ),
+        daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n FROM orders GROUP BY 1
+        )
+        SELECT cal.day, COALESCE(daily.n, 0) AS n_orders
+        FROM cal LEFT JOIN daily USING (day)
+        """
+    )
+
+
 _sql_query(
     "q2_cheapest_part_per_brand",
     """

@@ -100,6 +100,24 @@ class VectorStore:
 
             shutil.rmtree(self.path)
 
+    def compact(self, target_partitions: int = 1) -> None:
+        """Compact the store's many small append files (each incremental
+        ``add`` writes its own parquet files — the streaming-ingest path
+        produces one batch's worth per trigger). At scale this is the
+        routine maintenance job that keeps scan task counts sane:
+        rewrite to ``target_partitions`` files and swap atomically-ish.
+        """
+        if self.path is None or not os.path.isdir(self.path):
+            return
+        import shutil
+
+        tmp = self.path + "__compacting"
+        self.df().coalesce(int(target_partitions)).write.mode("overwrite").parquet(tmp)
+        old = self.path + "__old"
+        os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old)
+
     def df(self) -> DataFrame:
         if self.path is not None and os.path.isdir(self.path):
             return self.spark.read.schema(_STORE_SCHEMA).parquet(self.path)

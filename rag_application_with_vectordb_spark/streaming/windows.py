@@ -119,6 +119,39 @@ def enrich_with_static(events: DataFrame, dim: DataFrame, key: str = "user_id") 
     return events.join(dim, key)
 
 
+def stream_stream_range_join(
+    left_stream: DataFrame,
+    right_stream: DataFrame,
+    key: str = "user_id",
+    window_seconds: int = 600,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: right events within ``window_seconds``
+    strictly after a left event with the same key — the streaming twin of
+    ``operators.rangejoin.range_join_within``.
+
+    Both sides carry watermarks and the join condition is time-bounded,
+    so each side's state is reaped once the other side's watermark passes
+    the window — without both, stream-stream join state grows forever.
+    """
+    lt = left_stream.select(
+        F.col(key),
+        F.col("event_id").alias("a_event_id"),
+        F.col("ts").alias("a_ts"),
+    ).withWatermark("a_ts", watermark)
+    rt = right_stream.select(
+        F.col(key).alias("__rk"),
+        F.col("event_id").alias("b_event_id"),
+        F.col("ts").alias("b_ts"),
+    ).withWatermark("b_ts", watermark)
+    cond = (
+        (F.col(key) == F.col("__rk"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {int(window_seconds)} SECONDS"))
+    )
+    return lt.join(rt, cond).select(key, "a_event_id", "b_event_id", "a_ts", "b_ts")
+
+
 def run_to_completion(stream_df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregate over a finite file source to completion
     via the memory sink; returns the final result as a batch DataFrame."""
