@@ -160,6 +160,29 @@ def knn_topk_prenormed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_trained_topk",
+    oracle=None,  # k-means means are fp sums across partitions — not
+    # bit-reproducible in another engine; the untrained IVF query is the
+    # oracle anchor for the probe machinery, and pytest pins determinism
+    # and the probe-all==exact invariant for this trained path.
+    doc="IVF with a TRAINED coarse quantizer: deterministic fixed-iteration "
+    "Lloyd's k-means (operators/kmeans.py, pure DataFrame ops) instead of "
+    "the centroid-subset shortcut; 2 probes over 8 learned lists.",
+    tags=("ann",),
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from ..operators.kmeans import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(emb, k=8, iterations=3)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_ivf_topk(emb, centroids, queries, k=5, nprobe=2)
+
+
+@register(
     "ann_lsh_recall",
     oracle=None,  # both sides are deterministic, but the combined SQL would
     # be unwieldy; the exact/approx constituents are each oracle-checked

@@ -1,0 +1,57 @@
+"""Deterministic k-means tests: convergence, determinism, IVF wiring."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_application_with_vectordb_spark.operators.ann import ann_ivf_topk
+from rag_application_with_vectordb_spark.operators.kmeans import (
+    assign_clusters,
+    inertia,
+    kmeans_fit,
+)
+from rag_application_with_vectordb_spark.operators.knn import knn_join
+from rag_application_with_vectordb_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_inertia_decreases_with_training(spark, emb):
+    init = kmeans_fit(emb, k=8, iterations=0)
+    trained = kmeans_fit(emb, k=8, iterations=4)
+    assert inertia(emb, trained) <= inertia(emb, init)
+
+
+def test_fit_is_deterministic(spark, emb):
+    a = kmeans_fit(emb, k=4, iterations=3).collect()
+    b = kmeans_fit(emb, k=4, iterations=3).collect()
+    assert {(r["centroid_id"], tuple(r["cvec"])) for r in a} == {
+        (r["centroid_id"], tuple(r["cvec"])) for r in b
+    }
+
+
+def test_every_point_assigned_once(spark, emb):
+    cents = kmeans_fit(emb, k=4, iterations=2)
+    assigned = assign_clusters(emb, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+
+
+def test_trained_ivf_probe_all_is_exact(spark, emb):
+    # trained centroids + probe-all == exact KNN (same invariant as the
+    # untrained IVF test, now through the k-means path)
+    cents = kmeans_fit(emb, k=4, iterations=2).select(
+        "centroid_id", F.col("cvec").alias("cvec")
+    )
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    approx = ann_ivf_topk(emb, cents, queries, k=5, nprobe=4)
+    exact = knn_join(emb, queries, k=5)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert a == e
