@@ -65,6 +65,7 @@ def knn_join(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "qvec",
+    two_stage: bool = False,
 ) -> DataFrame:
     """Batch KNN: top-k corpus neighbors for every row of ``queries``.
 
@@ -72,7 +73,14 @@ def knn_join(
     broadcast nested-loop join. The query side is broadcast (it is the
     small side by construction — the corpus is the 100 TB side); the
     per-query top-k shuffles only scored id-triples, hash-partitioned by
-    query id, so skew is bounded by k·|queries|.
+    query id.
+
+    ``two_stage=True`` adds a per-(scan-partition, query) partial top-k
+    before the global one: the first window's shuffle key includes the
+    partition id, spreading each query over all reducers, and the second
+    window only sees ``k × n_partitions`` rows per query. Use it when a
+    single reducer per query is the bottleneck (large corpora and/or
+    large k); results are identical (asserted in tests).
     """
     scored = (
         corpus.crossJoin(F.broadcast(queries))
@@ -82,7 +90,16 @@ def knn_join(
             cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("similarity"),
         )
     )
-    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
+    order = (F.desc("similarity"), F.asc(corpus_id))
+    if two_stage:
+        scored = scored.withColumn("__pid", F.spark_partition_id())
+        w1 = Window.partitionBy(query_id, "__pid").orderBy(*order)
+        scored = (
+            scored.withColumn("__prank", F.row_number().over(w1))
+            .filter(F.col("__prank") <= int(k))
+            .drop("__prank", "__pid")
+        )
+    w = Window.partitionBy(query_id).orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= int(k))

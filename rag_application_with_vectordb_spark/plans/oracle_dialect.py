@@ -18,7 +18,7 @@ Cross-engine determinism rules used throughout the catalog:
 
 from __future__ import annotations
 
-__all__ = ["duck_cosine", "duck_hex13_to_long", "duck_fold_unit", "duck_hash_embedding", "DEC", "dec_sum"]
+__all__ = ["duck_cosine", "duck_hex13_to_long", "duck_fold_unit", "duck_hash_embedding"]
 
 
 def duck_cosine(a: str, b: str) -> str:
@@ -61,12 +61,6 @@ def duck_hash_embedding(text_expr: str, dim: int, seed: str = "s42") -> str:
     return f"list_transform(range(0, {int(dim)}), j -> {duck_fold_unit(key)})"
 
 
-#: Decimal type wide enough for every fixture money column and their
-#: products (price * (1-disc) * (1+tax) → scale 6).
-DEC = "DECIMAL(18,2)"
-
-
-def dec_sum(expr: str, alias: str) -> str:
-    """Exact decimal SUM rendered back to DOUBLE — dialect-shared SQL text
-    (valid in both Spark SQL and DuckDB)."""
-    return f"CAST(SUM({expr}) AS DOUBLE) AS {alias}"
+# (The decimal-SUM pattern itself lives inline in the query modules —
+# each spells CAST(SUM(CAST(x AS DECIMAL(18,2))...) AS DOUBLE) in
+# dialect-shared SQL text.)

@@ -69,6 +69,19 @@ def test_minhash_signature_shape_and_dup_equality(docs):
     assert sigs[0] != sigs[3]
 
 
+def test_minhash_agreement_tracks_jaccard(docs):
+    # MinHash property: P(sig element agrees) = Jaccard. With a fixed
+    # hash family this is deterministic per pair — check the near-dup
+    # pair's agreement lands in a sane band around its true Jaccard (5/9).
+    sigs = {r["doc_id"]: r["signature"] for r in minhash_signatures(docs, num_hashes=12).collect()}
+    agree = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 12
+    true_j = 5 / 9
+    assert abs(agree - true_j) <= 0.35  # 12 hashes → coarse but bounded
+    # and an unrelated pair agrees (much) less than the near-dup pair
+    agree_far = sum(a == b for a, b in zip(sigs[0], sigs[3])) / 12
+    assert agree_far < agree
+
+
 def test_minhash_lsh_finds_dups(docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in minhash_lsh_pairs(docs).collect()}
     assert pairs[(0, 1)] == 1.0  # exact dup always collides in every band

@@ -80,6 +80,17 @@ def test_knn_join_per_query_topk(spark, emb):
         assert top_ids == numpy_topk(rows, q, 4)
 
 
+def test_knn_join_two_stage_identical(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    one = knn_join(emb.repartition(8), queries, k=5)
+    two = knn_join(emb.repartition(8), queries, k=5, two_stage=True)
+    a = {(r["query_id"], r["vec_id"], r["similarity"]) for r in one.collect()}
+    b = {(r["query_id"], r["vec_id"], r["similarity"]) for r in two.collect()}
+    assert a == b
+
+
 def test_knn_reference_dimensionality(spark):
     # Dimension is a parameter, never hard-coded (reference nominal is 768,
     # constants.ts:6; fixtures use 64) — run the full path at 768.
