@@ -36,6 +36,9 @@ HEADLINE = [
     "q3_top_orders",
     "q5_regional_revenue",
     "q7_nation_pair_revenue",
+    "q9_product_profit",
+    "q18_large_volume_customers",
+    "q21_sole_late_supplier",
     "window_running_spend",
     "topk_parts_per_brand",
     "asof_purchase_to_click",

@@ -51,6 +51,7 @@ def load_all() -> dict[str, QuerySpec]:
         from . import streaming_twins  # noqa: F401
         from . import ann_queries  # noqa: F401
         from . import relational2  # noqa: F401
+        from . import relational3  # noqa: F401
 
         _loaded = True
     return QUERIES

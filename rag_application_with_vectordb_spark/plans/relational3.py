@@ -1,0 +1,352 @@
+"""Relational extension surface, part 3: the remaining classic TPC-H
+query *shapes*, adapted to the fixture's slimmed schema (TESTDATA.md —
+no partsupp, no l_commitdate/l_receiptdate/l_shipmode, no c_phone).
+
+Where the original predicate needs a missing column, the adaptation
+keeps the PLAN SHAPE (the thing that matters for engine coverage and
+100 TB posture) and swaps in an available column:
+
+- "late line"   := l_shipdate > o_orderdate + 60/90 days
+                   (for l_receiptdate > l_commitdate)
+- country code  := substring(c_name, 17, 2)  (for substring(c_phone,1,2))
+- supply cost   := p_retailprice             (for ps_supplycost)
+- "complaint" suppliers := s_acctbal < 0     (for comment LIKE ...)
+
+Cross-engine determinism: every money SUM goes through DECIMAL(18,2)
+(exact, associative) and is rendered back to DOUBLE — see
+``oracle_dialect``. All SQL texts here are dialect-shared (valid in
+both Spark SQL and DuckDB) unless a DataFrame-API form is the point.
+
+Scale notes baked into the plans:
+- EXISTS / NOT EXISTS / IN / NOT IN become (null-aware) semi/anti
+  hash joins in Spark — one shuffle on the correlation key, never a
+  per-row subquery re-execution;
+- dims broadcast; the only big exchanges are fact⋈fact on the join key;
+- global scalar subqueries (q14's denominator, q22's avg balance)
+  evaluate once and broadcast as literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..sources.catalog import load_table, register_views
+from .registry import register
+
+_D = "DECIMAL(18,2)"
+
+
+def _sql_query(name: str, sql: str, doc: str = "", oracle: str | None = None, tags=("relational",)):
+    @register(name, oracle=oracle or sql, doc=doc, tags=tags)
+    def fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        tune(spark)
+        register_views(spark, sf_dir)
+        return spark.sql(_sql)
+
+    return fn
+
+
+# --- Q4: priority count over EXISTS (correlated → left-semi join) ------------
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape: correlated EXISTS with a predicate over BOTH "
+    "sides, via the DataFrame API's left-semi join on a compound "
+    "condition — one shuffle on orderkey, no subquery re-execution.",
+    tags=("relational", "join", "subquery"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    )
+    return (
+        orders.join(lineitem, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+# --- Q6: forecasting revenue change (pure scan + filter + agg) ----------------
+
+_sql_query(
+    "q6_forecast_revenue",
+    f"""
+    SELECT CAST(SUM(CAST(l_extendedprice AS {_D}) * CAST(l_discount AS {_D})) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: tight scan + conjunctive filter + single agg — "
+    "the pure predicate-pushdown showcase (all three predicates reach "
+    "the parquet reader; only 4 columns scanned).",
+)
+
+# --- Q8: market share (two-level agg with conditional numerator) --------------
+
+_sql_query(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+      CAST(SUM(CASE WHEN nation = 'CHINA' THEN volume ELSE 0 END) AS DOUBLE) AS nation_volume,
+      CAST(SUM(volume) AS DOUBLE) AS total_volume,
+      CAST(CAST(SUM(CASE WHEN nation = 'CHINA' THEN volume ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT extract(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D})) AS volume,
+             n2.n_name AS nation
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+    ) shipping
+    GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape: 8-table join (nation aliased twice) + conditional "
+    "market-share aggregation; all dims broadcast, decimal-exact volumes.",
+)
+
+# --- Q9: product-type profit (supply cost proxied by retail price) ------------
+
+_sql_query(
+    "q9_product_profit",
+    f"""
+    SELECT nation, o_year,
+      CAST(SUM(CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D}))
+               - CAST(p_retailprice AS {_D}) * CAST(l_quantity AS {_D})) AS DOUBLE) AS profit
+    FROM (
+      SELECT n_name AS nation,
+             extract(year FROM o_orderdate) AS o_year,
+             l_extendedprice, l_discount, p_retailprice, l_quantity
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN orders ON o_orderkey = l_orderkey
+      WHERE p_name LIKE '%red%'
+    ) profit_base
+    GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 shape: LIKE-filtered part dim, profit expression over "
+    "price/discount/cost (retailprice proxies the missing ps_supplycost), "
+    "grouped by nation × year.",
+)
+
+
+# --- Q10: returned-item reporting (top 20 customers by lost revenue) -----------
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+      CAST(SUM(CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D}))) AS DOUBLE) AS revenue,
+      c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape via the DataFrame API: date-filtered orders join "
+    "returned lineitems, broadcast nation dim, top-20 via "
+    "TakeOrderedAndProject (never a global sort).",
+    tags=("relational", "join"),
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    dec = lambda c: F.col(c).cast(_D)  # noqa: E731
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- Q12: shipping-priority buckets (lateness proxies ship mode) ---------------
+
+_sql_query(
+    "q12_late_priority",
+    """
+    SELECT ship_bucket,
+      SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM (
+      SELECT o_orderpriority,
+        CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 'late' ELSE 'ontime' END AS ship_bucket
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+    ) flagged
+    GROUP BY ship_bucket
+    """,
+    doc="TPC-H Q12 shape: computed grouping key (lateness bucket proxies "
+    "the missing l_shipmode) + conditional counts.",
+)
+
+# --- Q14: promotion effect (conditional share of revenue) ----------------------
+
+_sql_query(
+    "q14_promo_revenue",
+    f"""
+    SELECT CAST(
+      100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D}))
+                    ELSE 0 END) AS DOUBLE)
+      / CAST(SUM(CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D}))) AS DOUBLE)
+      AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-09-01' AND l_shipdate < DATE '1997-10-01'
+    """,
+    doc="TPC-H Q14 shape: single-row conditional-share aggregate; the "
+    "month filter prunes the fact scan before the part join.",
+)
+
+
+# --- Q16: supplier counts with NOT IN (null-aware anti join) -------------------
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape: NOT IN subquery (null-aware anti join — "
+    "s_suppkey is non-null so it degenerates to a plain anti hash join) "
+    "+ COUNT(DISTINCT) per brand/type/size; negative-balance suppliers "
+    "proxy the missing comment-LIKE complaint filter.",
+    tags=("relational", "join", "subquery"),
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    excluded = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- Q18: large-volume customers (IN over a HAVING subquery) -------------------
+
+_sql_query(
+    "q18_large_volume_customers",
+    f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS {_D})) > 300
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+    """,
+    doc="TPC-H Q18 shape: IN over an aggregated HAVING subquery — Spark "
+    "plans it as aggregate → left-semi join on orderkey, reusing the "
+    "lineitem shuffle partitioning for both the semi join and the final "
+    "per-order aggregate.",
+)
+
+# --- Q21: suppliers who alone shipped late (EXISTS + NOT EXISTS) ---------------
+
+_sql_query(
+    "q21_sole_late_supplier",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+    doc="TPC-H Q21 shape: EXISTS + correlated NOT EXISTS over the same "
+    "fact (late := shipped >60 days after order date, standing in for "
+    "the missing receipt/commit dates) — both become semi/anti joins "
+    "sharing the orderkey shuffle.",
+    tags=("relational", "join", "subquery"),
+)
+
+# --- Q22: idle high-balance customers (scalar subquery + NOT EXISTS) -----------
+
+_sql_query(
+    "q22_idle_customers",
+    f"""
+    SELECT cntrycode, COUNT(*) AS numcust,
+      CAST(SUM(CAST(c_acctbal AS {_D})) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+      FROM customer
+      WHERE substring(c_name, 17, 2) IN ('01', '12', '23', '34', '45', '56', '67')
+        AND c_acctbal > (
+          SELECT CAST(SUM(CAST(c_acctbal AS {_D})) AS DOUBLE) / COUNT(*)
+          FROM customer WHERE c_acctbal > 0
+        )
+    ) hot
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY cntrycode
+    """,
+    doc="TPC-H Q22 shape: scalar subquery threshold (evaluated once, "
+    "broadcast) + NOT EXISTS anti join; country code proxied by the "
+    "customer-name digits (no c_phone), and 'has never ordered' by "
+    "'has never ordered URGENT' (every fixture customer has orders).",
+)

@@ -67,3 +67,33 @@ def test_scoring_path_stays_jvm_side(spark, sf_dir, specs):
     # (WholeStageCodegen spans only materialize in the AQE final plan, so
     # absence of Python eval is the checkable invariant here.)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q4_exists_is_semi_join_not_subquery(spark, sf_dir, specs):
+    # Correlated EXISTS must plan as ONE semi join on the correlation key,
+    # never a per-row re-execution.
+    plan = plan_of(specs["q4_order_priority"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert plan.count("Scan parquet") == 2  # orders + lineitem, each once
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir, specs):
+    plan = plan_of(specs["q6_forecast_revenue"].fn(spark, sf_dir))
+    pushed = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in scan_line  # only the 4 needed columns
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir, specs):
+    plan = plan_of(specs["q16_supplier_part_counts"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_q18_semi_join_reuses_lineitem_shuffle(spark, sf_dir, specs):
+    # The HAVING-subquery IN becomes a semi join; the orderkey exchange
+    # feeding it must be reused for the final per-order aggregate rather
+    # than shuffled twice (2 fact scans, but <= 3 exchanges total).
+    plan = plan_of(specs["q18_large_volume_customers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
