@@ -7,6 +7,7 @@ from .dedup import (  # noqa: F401
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_blocked_pairs,
     simhash_pairs,
     simhash_signatures,
 )

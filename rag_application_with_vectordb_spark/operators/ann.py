@@ -35,7 +35,9 @@ from ..functions.vector import cosine_sim, dot, as_double
 __all__ = [
     "hyperplane",
     "hyperplane_buckets",
+    "multiprobe_buckets",
     "ann_lsh_topk",
+    "ann_lsh_multiprobe_topk",
     "ivf_assign",
     "ann_ivf_topk",
 ]
@@ -119,6 +121,82 @@ def ann_lsh_topk(
     """
     c = hyperplane_buckets(corpus, corpus_vec, dim, n_planes)
     q = hyperplane_buckets(queries, query_vec, dim, n_planes)
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .select(
+            F.col(query_id),
+            F.col(corpus_id),
+            cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("similarity"), F.asc(corpus_id))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def multiprobe_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_extra_probes: int = 2,
+    seed: str = "plane",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Attach 1 + ``n_extra_probes`` probe buckets per row (exploded).
+
+    Classic multiprobe LSH (Lv et al., VLDB'07): a query near a hyperplane
+    almost landed in the adjacent bucket, so probe the base bucket PLUS the
+    buckets reached by flipping the bits whose margin \\|⟨v, plane_p⟩\\| is
+    smallest — those are the most likely homes of missed neighbors. Recall
+    rises toward exact as probes grow, at (1+P)× probe cost, without
+    re-hashing or extra tables; the probe set is a pure function of the
+    vector, so the approximate result stays oracle-checkable.
+
+    Output: one row per (input row, probe), ``out_col`` = probe bucket id.
+    """
+    v = as_double(F.col(vec_col))
+    dots = [dot(v, hyperplane(p, dim, seed)) for p in range(n_planes)]
+    base = None
+    for p, d in enumerate(dots):
+        bit = F.when(d >= 0.0, F.lit(1 << p)).otherwise(F.lit(0))
+        base = bit if base is None else base + bit
+    # rank planes by |margin| asc, deterministic plane-index tiebreak
+    margins = F.array_sort(
+        F.array(*[F.struct(F.abs(d).alias("m"), F.lit(p).alias("p")) for p, d in enumerate(dots)])
+    )
+    flips = F.transform(
+        F.slice(margins, 1, int(n_extra_probes)),
+        # pow→long is exact for p < 53; shiftleft needs a literal bit count
+        lambda s: base.bitwiseXOR(F.pow(F.lit(2.0), s["p"]).cast("long")).cast("long"),
+    )
+    probes = F.concat(F.array(base.cast("long")), flips)
+    return df.withColumn(out_col, F.explode(probes))
+
+
+def ann_lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_extra_probes: int = 2,
+) -> DataFrame:
+    """LSH top-k with multiprobe: each query scans its own bucket plus the
+    ``n_extra_probes`` lowest-margin neighbor buckets.
+
+    Same join shape as :func:`ann_lsh_topk` — the corpus keeps ONE bucket
+    per vector (the stored layout never changes); only the tiny broadcast
+    query side fans out ×(1+P). No dedup is needed: a query's probe
+    buckets are pairwise distinct (base ⊕ distinct single bits) and each
+    corpus vector lives in exactly one bucket, so a (query, corpus) pair
+    can match at most one probe.
+    """
+    c = hyperplane_buckets(corpus, corpus_vec, dim, n_planes)
+    q = multiprobe_buckets(queries, query_vec, dim, n_planes, n_extra_probes)
     scored = (
         c.join(F.broadcast(q), "bucket")
         .select(

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from ..embedder import hash_embedding_expr
 from ..functions.vector import as_double, cosine_sim_prenormed, dot, l2_norm
-from ..operators.ann import ann_ivf_topk, ann_lsh_topk
+from ..operators.ann import ann_ivf_topk, ann_lsh_multiprobe_topk, ann_lsh_topk
 from ..operators.chunker import chunk_documents
 from ..session import tune
 from ..sources.catalog import load_table
@@ -71,6 +71,58 @@ def ann_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return ann_lsh_topk(emb, queries, k=5, dim=_DIM, n_planes=_PLANES)
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH {_PLANES_SQL},
+    b AS ({_bucket_sql('SELECT vec_id, embedding FROM embeddings', 'vec_id', 'embedding')}),
+    qd AS (
+      SELECT q.query_id, q.qvec, pl.p,
+             list_dot_product(q.qvec::DOUBLE[], pl.pv) AS d
+      FROM (SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < 3) q
+      CROSS JOIN planes pl
+    ),
+    qagg AS (
+      SELECT query_id, qvec,
+        CAST(SUM(CASE WHEN d >= 0.0 THEN 2.0 ** p ELSE 0.0 END) AS BIGINT) AS base,
+        (list(p ORDER BY abs(d) ASC, p ASC))[1:2] AS flip_planes
+      FROM qd GROUP BY query_id, qvec
+    ),
+    probes AS (
+      SELECT query_id, qvec,
+             unnest(list_prepend(base,
+               list_transform(flip_planes,
+                              fp -> xor(base, CAST(2 ** fp AS BIGINT))))) AS bucket
+      FROM qagg
+    ),
+    scored AS (
+      SELECT pr.query_id, b.vec_id, {duck_cosine('b.embedding', 'pr.qvec')} AS similarity
+      FROM b JOIN probes pr USING (bucket)
+    )
+    SELECT query_id, vec_id, similarity FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY similarity DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="Multiprobe LSH ANN (Lv et al., VLDB'07): probe the query's bucket "
+    "plus the 2 lowest-margin bit-flip buckets — recall rises toward exact "
+    "at 3x probe cost, the stored corpus layout unchanged. The probe set "
+    "is a pure function of the query vector, so even this approximate "
+    "path is value-checked against DuckDB.",
+    tags=("ann",),
+)
+def ann_lsh_multiprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_lsh_multiprobe_topk(
+        emb, queries, k=5, dim=_DIM, n_planes=_PLANES, n_extra_probes=2
+    )
 
 
 @register(

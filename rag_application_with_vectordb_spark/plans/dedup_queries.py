@@ -19,6 +19,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    simhash_blocked_pairs,
     simhash_signatures,
     simhash_pairs,
 )
@@ -243,6 +244,28 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = _augmented_docs(spark, sf_dir).filter(F.col("doc_id") % 10000 < 100)
     pairs = simhash_pairs(docs, max_hamming=6)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+@register(
+    "dedup_simhash_blocked_pairs",
+    oracle=f"""
+    WITH sigs AS ({_simhash_oracle(32)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs over the FULL corpus via pigeonhole "
+    "bit-chunk blocking (4 chunks of 8 bits → Hamming ≤ 3 pairs must "
+    "share a chunk): candidates come from an equi-join on (chunk, value), "
+    "never all-pairs. The oracle is the brute-force all-pairs form — "
+    "hash-matching it proves the blocking is lossless.",
+    tags=("dedup",),
+)
+def dedup_simhash_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    pairs = simhash_blocked_pairs(_augmented_docs(spark, sf_dir), max_hamming=3)
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 

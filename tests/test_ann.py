@@ -69,3 +69,45 @@ def test_ivf_assignment_partitions_corpus(emb):
     inverted = ivf_assign(emb, centroids)
     assert inverted.count() == emb.count()  # every vector lands in exactly one list
     assert inverted.select("centroid_id").distinct().count() <= 4
+
+
+def test_multiprobe_zero_extra_equals_single_probe(emb, queries):
+    from rag_application_with_vectordb_spark.operators.ann import ann_lsh_multiprobe_topk
+
+    single = ann_lsh_topk(emb, queries, k=5)
+    multi0 = ann_lsh_multiprobe_topk(emb, queries, k=5, n_extra_probes=0)
+    a = {(r["query_id"], r["vec_id"]) for r in single.collect()}
+    b = {(r["query_id"], r["vec_id"]) for r in multi0.collect()}
+    assert a == b
+
+
+def test_multiprobe_probe_fanout_distinct(emb):
+    from rag_application_with_vectordb_spark.operators.ann import multiprobe_buckets
+
+    q = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    probed = multiprobe_buckets(q, "qvec", n_planes=8, n_extra_probes=3)
+    rows = probed.groupBy("query_id").agg(
+        F.count("*").alias("n"), F.countDistinct("bucket").alias("nd")
+    ).collect()
+    assert all(r["n"] == 4 and r["nd"] == 4 for r in rows)  # 1 base + 3 flips, all distinct
+
+
+def test_multiprobe_recall_never_below_single_probe(emb):
+    from rag_application_with_vectordb_spark.operators.ann import ann_lsh_multiprobe_topk
+
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in knn_join(emb, queries, k=5).collect()}
+
+    def recall(df):
+        hits = {(r["query_id"], r["vec_id"]) for r in df.collect()}
+        return len(hits & exact) / len(exact)
+
+    r1 = recall(ann_lsh_topk(emb, queries, k=5, n_planes=8))
+    r3 = recall(ann_lsh_multiprobe_topk(emb, queries, k=5, n_planes=8, n_extra_probes=2))
+    # more probes can only widen each query's candidate set, and top-k over
+    # a superset can only move hits toward the exact answer
+    assert r3 >= r1

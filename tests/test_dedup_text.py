@@ -116,3 +116,25 @@ def test_multimodal_stub_plumbing(spark):
     assert out[2]["n_bytes"] == 700 and out[2]["width"] == 700 % 640
     assert out[2]["height"] == (700 * 7) % 480
     assert out[2]["n_frames"] == 700 % 30 + 1
+
+
+def test_simhash_blocked_equals_allpairs(spark, sf_dir):
+    # Pigeonhole blocking must be lossless: identical output to the
+    # all-pairs form at the same threshold, on a real corpus slice.
+    from rag_application_with_vectordb_spark.operators.dedup import simhash_blocked_pairs
+    from rag_application_with_vectordb_spark.sources.catalog import load_table
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    brute = {(r["doc_a"], r["doc_b"], r["hamming"])
+             for r in simhash_pairs(corpus, max_hamming=3).collect()}
+    blocked = {(r["doc_a"], r["doc_b"], r["hamming"])
+               for r in simhash_blocked_pairs(corpus, max_hamming=3).collect()}
+    assert blocked == brute
+    assert blocked  # non-vacuous on the fixture corpus
+
+
+def test_simhash_blocked_rejects_uneven_chunks(docs):
+    from rag_application_with_vectordb_spark.operators.dedup import simhash_blocked_pairs
+
+    with pytest.raises(ValueError):
+        simhash_blocked_pairs(docs, max_hamming=4, bits=32)  # 32 % 5 != 0
