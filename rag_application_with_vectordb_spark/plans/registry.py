@@ -52,6 +52,7 @@ def load_all() -> dict[str, QuerySpec]:
         from . import ann_queries  # noqa: F401
         from . import relational2  # noqa: F401
         from . import relational3  # noqa: F401
+        from . import analytics  # noqa: F401
 
         _loaded = True
     return QUERIES
