@@ -138,3 +138,38 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.sum(F.col("value").cast(_D)).cast("double").alias("session_value"),
     )
+
+
+@register(
+    "events_high_water_marks",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, event_id, ts, value,
+             MAX(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_max
+      FROM events
+    )
+    SELECT user_id, event_id, ts, value
+    FROM x
+    WHERE prior_max IS NULL OR value > prior_max
+    """,
+    doc="Per-user new-maximum detector — batch twin of the stateful "
+    "streaming state machine (streaming.stateful.high_water_marks / "
+    "streaming.tws): emit rows whose value exceeds every prior value in "
+    "(ts, event_id) order. The pytest suite asserts stream == this twin.",
+    tags=("streaming",),
+)
+def events_high_water_marks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        events.withColumn("prior_max", F.max("value").over(w))
+        .filter(F.col("prior_max").isNull() | (F.col("value") > F.col("prior_max")))
+        .select("user_id", "event_id", "ts", "value")
+    )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["running_user_totals", "foreach_batch_collector"]
+__all__ = ["running_user_totals", "high_water_marks", "foreach_batch_collector"]
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -53,6 +53,57 @@ def running_user_totals(events: DataFrame) -> DataFrame:
 
     return events.groupBy("user_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def high_water_marks(events: DataFrame) -> DataFrame:
+    """Per-user "new maximum" detector: emit a row whenever an event's
+    ``value`` exceeds every prior value in that user's stream, processing
+    rows in (ts, event_id) order within each micro-batch.
+
+    This is the order-sensitive state-machine class that built-in window
+    aggregates can't express in streaming. Batch twin (asserted in
+    tests): ``value > max(value) OVER (PARTITION BY user_id ORDER BY ts,
+    event_id ROWS UNBOUNDED PRECEDING EXCLUDING CURRENT)``.
+
+    State: one double per user — bounded by user cardinality, not stream
+    length; hash-partitioned across the state store. See
+    :mod:`.tws` for the same operator on Spark 4's typed-state API
+    (``transformWithStateInPandas``), used when protobuf is available.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("hwm", T.DoubleType())])
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (hwm,) = state.get if state.exists else (None,)
+        out: list[dict] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        for row in batch.sort_values(["ts", "event_id"]).itertuples(index=False):
+            v = float(row.value)
+            if hwm is None or v > hwm:
+                hwm = v
+                out.append(
+                    {"user_id": key[0], "event_id": row.event_id, "ts": row.ts, "value": v}
+                )
+        state.update((hwm,))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
     )
 
 

@@ -43,3 +43,50 @@ def test_foreach_batch_sink_sees_all_rows(spark, sf_dir):
     assert total == load_table(spark, sf_dir, "events").count()
     batch_ids = [bid for bid, _ in sink]
     assert batch_ids == sorted(set(batch_ids))  # monotone, no replays
+
+
+def _batch_new_maxima(spark, sf_dir):
+    # Batch twin: value > running max of all PRIOR values in (ts, id) order.
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("prior_max", F.max("value").over(w))
+        .filter(F.col("prior_max").isNull() | (F.col("value") > F.col("prior_max")))
+    )
+    return {(r["user_id"], r["event_id"]) for r in batch.collect()}
+
+
+def test_high_water_marks_match_batch_prefix_max(spark, sf_dir):
+    # applyInPandasWithState state machine: the stream's emitted "new
+    # per-user maximum" rows must equal the batch window twin.
+    from rag_application_with_vectordb_spark.streaming.stateful import high_water_marks
+
+    stream = high_water_marks(read_events_stream(spark, sf_dir))
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in run_to_completion(stream, "hwm", mode="append").collect()
+    }
+    want = _batch_new_maxima(spark, sf_dir)
+    assert got == want
+    assert got  # non-vacuous
+
+
+def test_high_water_marks_typed_state_api(spark, sf_dir):
+    # Same operator on Spark 4's transformWithStateInPandas; its state
+    # server speaks protobuf, absent from some runtimes.
+    from rag_application_with_vectordb_spark.streaming import tws
+
+    if not tws.tws_available():
+        pytest.skip("google.protobuf not installed; typed-state API cannot run")
+    stream = tws.high_water_marks(read_events_stream(spark, sf_dir))
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in run_to_completion(stream, "hwm_tws", mode="append").collect()
+    }
+    assert got == _batch_new_maxima(spark, sf_dir)
