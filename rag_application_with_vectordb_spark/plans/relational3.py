@@ -105,9 +105,9 @@ _sql_query(
     "q8_market_share",
     f"""
     SELECT o_year,
-      CAST(SUM(CASE WHEN nation = 'CHINA' THEN volume ELSE 0 END) AS DOUBLE) AS nation_volume,
+      CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END) AS DOUBLE) AS nation_volume,
       CAST(SUM(volume) AS DOUBLE) AS total_volume,
-      CAST(CAST(SUM(CASE WHEN nation = 'CHINA' THEN volume ELSE 0 END) AS DOUBLE)
+      CAST(CAST(SUM(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END) AS DOUBLE)
            / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
     FROM (
       SELECT extract(year FROM o_orderdate) AS o_year,
@@ -349,4 +349,176 @@ _sql_query(
     "broadcast) + NOT EXISTS anti join; country code proxied by the "
     "customer-name digits (no c_phone), and 'has never ordered' by "
     "'has never ordered URGENT' (every fixture customer has orders).",
+)
+
+# --- Q11: important stock (HAVING > fraction of a global scalar subquery) ------
+# No partsupp table: "stock value" per part := SUM(l_extendedprice ·
+# l_quantity) over the lines shipped by suppliers of one nation, which
+# preserves the shape — join + group + HAVING over a global scalar
+# subquery of the SAME aggregate, computed once and broadcast.
+
+_sql_query(
+    "q11_important_stock",
+    f"""
+    SELECT l_partkey,
+      CAST(SUM(CAST(l_extendedprice AS {_D}) * CAST(l_quantity AS {_D})) AS DOUBLE) AS stock_value
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2'
+    GROUP BY l_partkey
+    HAVING CAST(SUM(CAST(l_extendedprice AS {_D}) * CAST(l_quantity AS {_D})) AS DOUBLE) > (
+      SELECT 0.001 * CAST(SUM(CAST(l_extendedprice AS {_D}) * CAST(l_quantity AS {_D})) AS DOUBLE)
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_2'
+    )
+    """,
+    doc="TPC-H Q11 shape: per-part value vs a fraction of the global total "
+    "— the inner scalar subquery evaluates once (one extra pass) and "
+    "broadcasts as a literal into the HAVING; both passes share the "
+    "broadcast supplier⋈nation dim filter. Decimal-exact sums both sides.",
+    tags=("relational", "subquery"),
+)
+
+
+# --- Q13: customer order-count distribution (outer join + double agg) ----------
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13 shape: left outer join with an extra predicate INSIDE "
+    "the join condition (priority filter proxies the missing o_comment "
+    "NOT LIKE), COUNT of the nullable side, then a histogram re-aggregate. "
+    "The right side is filtered before the shuffle; customers with no "
+    "qualifying orders survive with c_count = 0.",
+    tags=("relational", "join"),
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))  # count() skips NULLs
+        .groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+# --- Q15: top supplier by quarterly revenue (CTE reuse + MAX scalar subquery) --
+
+_sql_query(
+    "q15_top_supplier",
+    f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        CAST(SUM(CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D}))) AS DOUBLE)
+          AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    doc="TPC-H Q15 shape: the revenue CTE is referenced twice (join input "
+    "+ MAX scalar subquery) — Spark evaluates the ~|suppliers|-row "
+    "aggregate twice but both passes share the pruned, predicate-pushed "
+    "scan; fp64 equality is safe because both engines derive the value "
+    "from the same exact DECIMAL sum.",
+    tags=("relational", "subquery"),
+)
+
+
+# --- Q17: small-quantity-order revenue (correlated AVG → pre-agg + join) -------
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS {_D})) AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#2' AND p_size < 15
+      AND l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS {_D})) AS DOUBLE) / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+    """,
+    doc="TPC-H Q17 shape: correlated per-part AVG threshold. The DataFrame "
+    "plan de-correlates explicitly: one per-part aggregate over the "
+    "filtered parts' lines (decimal-exact sum / count, never fp64 AVG), "
+    "broadcast back onto the fact — one shuffle, no per-row subquery.",
+    tags=("relational", "subquery"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#2") & (F.col("p_size") < 15)
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    # Only the qualifying parts' lines feed BOTH the threshold aggregate and
+    # the final sum, so filter once up front (the correlation key is p_partkey).
+    lines = lineitem.join(
+        F.broadcast(part.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey")
+    )
+    thresholds = lines.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(F.col("l_quantity").cast(_D)).cast("double") / F.count("*"))
+        ).alias("qty_threshold")
+    ).withColumnRenamed("l_partkey", "t_partkey")
+    return (
+        lines.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(_D)).cast("double") / F.lit(7.0))
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+# --- Q20: suppliers of heavily-shipped promo parts (nested IN + HAVING) --------
+
+_sql_query(
+    "q20_promotion_suppliers",
+    f"""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        AND l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS {_D})) > 50
+    )
+    """,
+    doc="TPC-H Q20 shape: two nested IN subqueries (part-name LIKE prefix "
+    "filter, then a (supplier, part)-grained HAVING over shipped "
+    "quantity) — Spark collapses them into broadcast-semi-join → "
+    "aggregate → semi-join; the shipped-quantity threshold proxies the "
+    "missing partsupp availability rule.",
+    tags=("relational", "join", "subquery"),
 )
