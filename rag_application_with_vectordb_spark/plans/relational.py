@@ -193,15 +193,21 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
-    doc="Left-anti join (NOT EXISTS): customers with no orders at all.",
+    doc="Left-anti join (NOT EXISTS): customers with no URGENT orders — "
+    "the right side is filtered before the anti join (every fixture "
+    "customer has SOME order, so the unfiltered form would be vacuous).",
     tags=("relational", "join"),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
@@ -282,8 +288,12 @@ _sql_query(
     SELECT n_nationkey FROM nation JOIN customer ON c_nationkey = n_nationkey
     EXCEPT
     SELECT n_nationkey FROM nation JOIN supplier ON s_nationkey = n_nationkey
+                       WHERE s_acctbal < 0
     """,
-    doc="EXCEPT (distinct set semantics).",
+    doc="EXCEPT (distinct set semantics): nations with customers minus "
+    "nations harboring a negative-balance supplier (every nation has both "
+    "customers and suppliers, so the subtrahend must be filtered for the "
+    "result to be non-empty and the subtraction non-trivial).",
     tags=("relational", "setop"),
 )
 
