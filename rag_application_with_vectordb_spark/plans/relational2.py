@@ -265,9 +265,9 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_sql_query(
+@register(
     "q7_nation_pair_revenue",
-    f"""
+    oracle=f"""
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
       CAST(year(o_orderdate) AS BIGINT) AS order_year,
       CAST(SUM(CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D}))) AS DOUBLE) AS revenue
@@ -281,10 +281,69 @@ _sql_query(
     GROUP BY 1, 2, 3
     """,
     doc="TPC-H Q7 shape: cross-nation trade volume — two aliases of the "
-    "same dim table (self-disambiguated join), 6-way chain, decimal-exact "
-    "revenue.",
+    "same dim table, 6-way chain, decimal-exact revenue. Plan is built "
+    "fact-out: customer/supplier/nation broadcast-enrich both facts, "
+    "lineitem streams as the probe side of every join (the naive SQL "
+    "join order made 600k-row lineitem the broadcast BUILD side probed "
+    "by a 1-partition orders scan — single-core). lineitem is "
+    "pre-partitioned on l_orderkey so at real scale the same plan "
+    "degrades gracefully to a co-partitioned shuffle join when orders "
+    "outgrows the broadcast threshold.",
     tags=("relational", "join"),
 )
+def q7_nation_pair_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cust_n = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "c_custkey",
+            F.col("n_name").alias("cust_nation"),
+            F.col("n_regionkey").alias("cust_region"),
+        )
+    )
+    supp_n = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "s_suppkey",
+            F.col("n_name").alias("supp_nation"),
+            F.col("n_regionkey").alias("supp_region"),
+        )
+    )
+    orders_enriched = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "cust_nation", "cust_region")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    # Single-file fixture scan → 1 partition; key the spread by the join key.
+    parallelism = spark.sparkContext.defaultParallelism
+    lineitem = lineitem.repartition(parallelism, "l_orderkey")
+    dec = lambda c: F.col(c).cast(_D)  # noqa: E731
+    return (
+        lineitem.join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders_enriched, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("cust_region") != F.col("supp_region"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("o_orderdate").cast("bigint").alias("order_year"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
 
 _sql_query(
     "q19_disjunctive_predicate",

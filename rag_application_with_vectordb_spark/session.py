@@ -28,6 +28,13 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Auto-broadcast only true dimension tables. The 10 MB default let the
+    # column-pruned lineitem FACT become the broadcast build side of
+    # syntax-ordered SQL joins (a single-threaded hash build probed by a
+    # 1-partition dim scan). Real dims here are <= ~300 KB; facts that
+    # turn out small at runtime are still broadcast by AQE's
+    # shuffle-join -> broadcast conversion, which sees actual sizes.
+    "spark.sql.autoBroadcastJoinThreshold": str(2 * 1024 * 1024),
 }
 
 
