@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["with_binary_payload", "decode_media_stub"]
+__all__ = [
+    "with_binary_payload",
+    "decode_media_stub",
+    "resize_media_stub",
+    "sample_frames_stub",
+]
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text", out_col: str = "payload") -> DataFrame:
@@ -76,5 +81,98 @@ def decode_media_stub(df: DataFrame, id_col: str = "doc_id", bin_col: str = "pay
                     "n_frames": feats.map(lambda f: f[3]),
                 }
             )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
+
+
+def resize_media_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    target_w: int = 64,
+    target_h: int = 48,
+) -> DataFrame:
+    """Resize stage: binary in → binary out, 1:1 rows.
+
+    The deterministic stand-in truncates the payload to the target pixel
+    budget (``target_w·target_h`` bytes); a real implementation would be
+    ``PIL.Image.open(...).resize((w, h)).tobytes()``. Output keeps the
+    payload column binary plus SQL-checkable sizes, so the catalog query
+    can oracle the plumbing while pytest checks the bytes.
+    """
+    from ..session import _ship_package
+
+    _ship_package(df.sparkSession)
+    budget = target_w * target_h
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("orig_bytes", T.LongType()),
+            T.StructField("resized", T.BinaryType()),
+            T.StructField("resized_bytes", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf[bin_col].map(lambda b: bytes(b)[:budget])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].astype("int64"),
+                    "orig_bytes": pdf[bin_col].map(len).astype("int64"),
+                    "resized": resized,
+                    "resized_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
+
+
+def sample_frames_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    stride: int = 5,
+) -> DataFrame:
+    """Frame-sampling stage: one row in → one row per sampled frame.
+
+    Frame count comes from the stubbed decode (``n_bytes % 30 + 1``);
+    every ``stride``-th frame is emitted with its byte window
+    (``frame_off``, ``frame_len``) and the sliced frame payload. A real
+    implementation would seek the container format instead of slicing.
+
+    Scale: the fan-out happens inside ``mapInPandas`` per Arrow batch —
+    no driver round-trip, no explode-shuffle; output partitioning
+    follows the input.
+    """
+    from ..session import _ship_package
+
+    _ship_package(df.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_no", T.LongType()),
+            T.StructField("frame_off", T.LongType()),
+            T.StructField("frame_len", T.LongType()),
+            T.StructField("frame", T.BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c.name: [] for c in schema.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload)
+                n = len(b)
+                n_frames = n % 30 + 1
+                frame_len = max(n // n_frames, 1)
+                for f in range(0, n_frames, stride):
+                    off = f * frame_len
+                    out[id_col].append(int(doc_id))
+                    out["frame_no"].append(f)
+                    out["frame_off"].append(off)
+                    out["frame_len"].append(frame_len)
+                    out["frame"].append(b[off : off + frame_len])
+            yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=schema)

@@ -11,7 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import STOPWORDS_EN, fingerprint, token_count, tokens
-from ..operators.multimodal import decode_media_stub, with_binary_payload
+from ..operators.multimodal import (
+    decode_media_stub,
+    resize_media_stub,
+    sample_frames_stub,
+    with_binary_payload,
+)
 from ..session import tune
 from ..sources.catalog import load_table
 from .registry import register
@@ -176,3 +181,55 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     return decode_media_stub(with_binary_payload(docs))
+
+
+@register(
+    "multimodal_resize_meta",
+    oracle="""
+    SELECT doc_id,
+      CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+      CAST(least(octet_length(encode(text)), 64 * 48) AS BIGINT) AS resized_bytes
+    FROM documents
+    """,
+    doc="Multimodal resize stage (binary → binary, 1:1): mapInPandas "
+    "truncation stub standing in for a real PIL resize; the oracle "
+    "checks the size arithmetic, pytest checks the bytes.",
+    tags=("multimodal",),
+)
+def multimodal_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_media_stub(with_binary_payload(docs)).select(
+        "doc_id", "orig_bytes", "resized_bytes"
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH meta AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             octet_length(encode(text)) % 30 + 1 AS n_frames,
+             greatest(octet_length(encode(text)) // (octet_length(encode(text)) % 30 + 1), 1)
+               AS frame_len
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(f.frame_no AS BIGINT) AS frame_no,
+      CAST(f.frame_no * frame_len AS BIGINT) AS frame_off,
+      CAST(frame_len AS BIGINT) AS frame_len
+    FROM meta, LATERAL (SELECT unnest(range(0, n_frames, 5)) AS frame_no) f
+    """,
+    doc="Multimodal frame sampling (one row → one row per 5th frame): "
+    "the fan-out runs inside the Arrow batch, no explode shuffle; frame "
+    "count/window arithmetic is the deterministic decode stub's, so the "
+    "oracle replays it in SQL (bytes themselves are pytest-checked).",
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames_stub(with_binary_payload(docs)).select(
+        "doc_id", "frame_no", "frame_off", "frame_len"
+    )

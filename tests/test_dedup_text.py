@@ -118,6 +118,34 @@ def test_multimodal_stub_plumbing(spark):
     assert out[2]["n_frames"] == 700 % 30 + 1
 
 
+def test_multimodal_resize_and_frame_sample_bytes(spark):
+    from rag_application_with_vectordb_spark.operators.multimodal import (
+        resize_media_stub,
+        sample_frames_stub,
+    )
+
+    text = "a" * 5000  # > 64*48 budget, 5000 % 30 + 1 = 21 frames
+    df = spark.createDataFrame([(1, text), (2, "tiny")], "doc_id long, text string")
+
+    resized = {r["doc_id"]: r for r in resize_media_stub(with_binary_payload(df)).collect()}
+    assert resized[1]["orig_bytes"] == 5000
+    assert resized[1]["resized_bytes"] == 64 * 48
+    assert bytes(resized[1]["resized"]) == b"a" * (64 * 48)
+    assert resized[2]["resized_bytes"] == 4  # under budget: unchanged
+    assert bytes(resized[2]["resized"]) == b"tiny"
+
+    frames = [
+        r
+        for r in sample_frames_stub(with_binary_payload(df)).collect()
+        if r["doc_id"] == 1
+    ]
+    n_frames, frame_len = 5000 % 30 + 1, 5000 // (5000 % 30 + 1)
+    assert [r["frame_no"] for r in frames] == list(range(0, n_frames, 5))
+    for r in frames:
+        assert r["frame_off"] == r["frame_no"] * frame_len
+        assert bytes(r["frame"]) == b"a" * frame_len
+
+
 def test_simhash_blocked_equals_allpairs(spark, sf_dir):
     # Pigeonhole blocking must be lossless: identical output to the
     # all-pairs form at the same threshold, on a real corpus slice.
