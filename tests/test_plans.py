@@ -97,3 +97,49 @@ def test_q18_semi_join_reuses_lineitem_shuffle(spark, sf_dir, specs):
     # than shuffled twice (2 fact scans, but <= 3 exchanges total).
     plan = plan_of(specs["q18_large_volume_customers"].fn(spark, sf_dir))
     assert "LeftSemi" in plan
+
+
+def _broadcast_subtrees_scanning(df, table: str) -> list[str]:
+    """Names of BroadcastExchange subtrees that feed a RAW scan of
+    ``table`` into the broadcast — an aggregate between the exchange and
+    the scan reduces cardinality, so that broadcast is legitimate."""
+
+    def walk(node, in_broadcast, hits):
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.initialPlan(), in_broadcast, hits)
+            return
+        inb = in_broadcast or "BroadcastExchange" in name
+        if "Aggregate" in name:  # broadcast payload is reduced, not raw
+            inb = False
+        kids = node.children()
+        if kids.size() == 0:
+            if inb and table in node.toString():
+                hits.append(name)
+        for i in range(kids.size()):
+            walk(kids.apply(i), inb, hits)
+
+    hits: list[str] = []
+    walk(df._jdf.queryExecution().executedPlan(), False, hits)
+    return hits
+
+
+def test_lineitem_fact_is_never_a_broadcast_build_side(spark, specs):
+    # Regression guard for the autoBroadcastJoinThreshold pin (session.py):
+    # with the 10 MB default, the column-pruned 600k-row lineitem fact
+    # became the broadcast BUILD side of syntax-ordered SQL joins, probed
+    # by a 1-partition dim scan on one core. Facts must stream; only dims
+    # broadcast. Scale-dependent by design (at sf0.01 lineitem is ~1 MB
+    # and broadcasting it is RIGHT), so this pins the bench scale, where
+    # the fact is 10.8 MB — planning only, nothing executes.
+    sf_dir = "/root/testdata/sf0.1"
+    for name in (
+        "q3_top_orders",
+        "q7_nation_pair_revenue",
+        "q9_product_profit",
+        "q12_late_priority",
+        "q18_large_volume_customers",
+        "q21_sole_late_supplier",
+    ):
+        df = specs[name].fn(spark, sf_dir)
+        assert not _broadcast_subtrees_scanning(df, "lineitem"), name
