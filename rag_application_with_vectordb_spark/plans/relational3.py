@@ -277,9 +277,9 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q18: large-volume customers (IN over a HAVING subquery) -------------------
 
-_sql_query(
+@register(
     "q18_large_volume_customers",
-    f"""
+    oracle=f"""
     SELECT c_custkey, c_name, o_orderkey, o_orderdate,
       CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) AS total_qty
     FROM customer
@@ -292,11 +292,40 @@ _sql_query(
     )
     GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
     """,
-    doc="TPC-H Q18 shape: IN over an aggregated HAVING subquery — Spark "
-    "plans it as aggregate → left-semi join on orderkey, reusing the "
-    "lineitem shuffle partitioning for both the semi join and the final "
-    "per-order aggregate.",
+    doc="TPC-H Q18 shape: IN over an aggregated HAVING subquery. The "
+    "naive SQL plan scans lineitem THREE times (the semi-join list "
+    "twice under AQE plus the fact) and re-aggregates after the join; "
+    "since the final group (customer, order) is 1:1 with the order, the "
+    "per-order sum already computed for the HAVING IS total_qty — so "
+    "the DataFrame plan aggregates lineitem once, filters > 300, and "
+    "joins the survivors to orders (AQE broadcasts the small filtered "
+    "side at runtime) and the broadcast customer dim. One fact scan, "
+    "one shuffle.",
+    tags=("relational", "subquery"),
 )
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    lineitem = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(_D)).alias("total_qty_dec"))
+        .filter(F.col("total_qty_dec") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big_orders.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("total_qty_dec").cast("double").alias("total_qty"),
+        )
+    )
 
 # --- Q21: suppliers who alone shipped late (EXISTS + NOT EXISTS) ---------------
 

@@ -91,12 +91,14 @@ def test_q16_not_in_is_anti_join(spark, sf_dir, specs):
     assert "LeftAnti" in plan
 
 
-def test_q18_semi_join_reuses_lineitem_shuffle(spark, sf_dir, specs):
-    # The HAVING-subquery IN becomes a semi join; the orderkey exchange
-    # feeding it must be reused for the final per-order aggregate rather
-    # than shuffled twice (2 fact scans, but <= 3 exchanges total).
+def test_q18_scans_lineitem_exactly_once(spark, sf_dir, specs):
+    # The HAVING threshold and the output total_qty are the SAME
+    # per-order aggregate, so the plan must aggregate lineitem once and
+    # join the survivors — never the SQL shape's three fact scans with a
+    # redundant re-aggregation after the join.
     plan = plan_of(specs["q18_large_volume_customers"].fn(spark, sf_dir))
-    assert "LeftSemi" in plan
+    assert plan.count("lineitem.parquet") == 1
+    assert plan.count("HashAggregate") == 2  # one partial + one final, only
 
 
 def _broadcast_subtrees_scanning(df, table: str) -> list[str]:
