@@ -329,9 +329,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Q21: suppliers who alone shipped late (EXISTS + NOT EXISTS) ---------------
 
-_sql_query(
+@register(
     "q21_sole_late_supplier",
-    """
+    oracle="""
     SELECT s_name, COUNT(*) AS numwait
     FROM supplier
     JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
@@ -349,10 +349,49 @@ _sql_query(
     """,
     doc="TPC-H Q21 shape: EXISTS + correlated NOT EXISTS over the same "
     "fact (late := shipped >60 days after order date, standing in for "
-    "the missing receipt/commit dates) — both become semi/anti joins "
-    "sharing the orderkey shuffle.",
+    "the missing receipt/commit dates). The correlated pair collapses "
+    "into ONE per-order aggregate: a late line qualifies iff its order "
+    "has >=2 distinct suppliers (the EXISTS) and exactly 1 distinct LATE "
+    "supplier (the NOT EXISTS, given the line itself is late) — so scan "
+    "lineitem once, aggregate per order, and sum the late-line counts "
+    "per surviving supplier. One fact scan and one orderkey shuffle "
+    "replace two semi/anti self-joins.",
     tags=("relational", "join", "subquery"),
 )
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    per_order = (
+        lineitem.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("is_late", late)
+        .groupBy("l_orderkey")
+        .agg(
+            # collect_set, not countDistinct: two distinct-aggregates would
+            # Expand the fact 3x pre-shuffle; supplier sets per order are
+            # tiny and bounded, so set-union partial aggregation is cheaper.
+            F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+            F.size(
+                F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey")))
+            ).alias("n_late_supp"),
+            F.max(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("late_supp"),
+            F.count(F.when(F.col("is_late"), F.lit(1))).alias("n_late_lines"),
+        )
+    )
+    waiters = per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiters.join(F.broadcast(supplier), F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").alias("numwait"))
+    )
 
 # --- Q22: idle high-balance customers (scalar subquery + NOT EXISTS) -----------
 
