@@ -64,16 +64,19 @@ def main() -> None:
         specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         return round(time.time() - t0, 3)
 
-    # Two passes: the first pays one-time JVM/whole-stage-codegen compile
-    # (tens of seconds for the widest generated classes — not a property
-    # of the plan); report steady-state per-query times, and the cold
-    # total separately for honesty.
+    # Three passes: the first pays one-time JVM/whole-stage-codegen
+    # compile (tens of seconds for the widest generated classes — not a
+    # property of the plan) and is reported separately per query; the
+    # headline number is the per-query MEDIAN of the two warm passes —
+    # never mixed with the cold pass, so rounds compare warm-to-warm.
     cold: dict[str, float] = {}
     for name in HEADLINE:
         cold[name] = run(name)
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        times[name] = min(run(name), cold[name])
+    warm1 = {name: run(name) for name in HEADLINE}
+    warm2 = {name: run(name) for name in HEADLINE}
+    times = {
+        name: round((warm1[name] + warm2[name]) / 2, 3) for name in HEADLINE
+    }
 
     total = round(sum(times.values()), 3)
     print(
@@ -83,6 +86,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_cold": cold,
                 "cold_total": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

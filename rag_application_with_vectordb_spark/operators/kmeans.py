@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double
 
-__all__ = ["kmeans_fit", "assign_clusters"]
+__all__ = ["kmeans_fit", "assign_clusters", "kmeans_fit_spherical_fp", "FP_SCALE"]
+
+#: Fixed-point grid for :func:`kmeans_fit_spherical_fp` mean updates.
+#: A power of two, so ``val * FP_SCALE`` is an exact fp64 operation
+#: (exponent shift); floor then yields an exact integer.
+FP_SCALE = 1 << 20
 
 
 def _sq_dist(a, b):
@@ -100,6 +105,93 @@ def kmeans_fit(
                 "centroid_id",
                 F.coalesce(F.col("cvec_new"), F.col("cvec")).alias("cvec"),
             )
+        )
+    return centroids
+
+
+def kmeans_fit_spherical_fp(
+    points: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = FP_SCALE,
+) -> DataFrame:
+    """Spherical k-means whose trained centroids are BIT-REPRODUCIBLE in
+    any engine — the oracle-checkable IVF training step.
+
+    Plain Lloyd's means are fp64 sums whose value depends on partition
+    summation order, so a trained quantizer is normally un-checkable
+    against an independent engine (the round-1 ``ann_ivf_trained_topk``
+    was rows-only for exactly that reason). Two changes close the gap:
+
+    - **assignment by cosine** (max ``cosine_sim``, centroid-id-asc
+      tiebreak) — a fixed-order per-row fold already proven to
+      hash-match DuckDB's ``list_dot_product`` form by every green KNN
+      query; spherical assignment is also what the IVF probe itself
+      uses, so train and serve agree.
+    - **fixed-point mean update**: each component is floored onto a
+      power-of-two grid (``floor(val * scale)`` — exact, since the
+      multiply is an exponent shift), summed as integers (exact and
+      ORDER-INDEPENDENT), and divided back as
+      ``sum / (count * scale)`` — two exactly-representable integers,
+      so the fp64 quotient is correctly rounded and identical
+      everywhere. Cosine ignores magnitude, so the un-normalized mean
+      is a valid spherical centroid.
+
+    Integer headroom: ``|sum| ≤ n_vectors_per_cluster * scale`` must stay
+    under 2^63 (exact bigint) and ``count * scale`` under 2^53 (exact as
+    fp64) — with scale 2^20 that is ~8e12 vectors per cluster; shrink
+    ``scale`` if a cluster could exceed it.
+
+    Per iteration: one broadcast of k×dim centroids, one corpus scan, one
+    (centroid, dim)-keyed aggregation with map-side partial sums — the
+    corpus itself never shuffles. Output: ``(centroid_id, cvec)``.
+    """
+    from ..functions.vector import cosine_sim
+
+    centroids = (
+        points.orderBy(F.asc(id_col))
+        .limit(int(k))
+        .select(
+            F.row_number().over(Window.orderBy(F.asc(id_col))).alias("centroid_id"),
+            as_double(F.col(vec_col)).alias("cvec"),
+        )
+        .withColumn("centroid_id", F.col("centroid_id") - 1)
+    )
+    s = int(scale)
+    for _ in range(int(iterations)):
+        scored = points.crossJoin(F.broadcast(centroids)).withColumn(
+            "__sim", cosine_sim(as_double(F.col(vec_col)), F.col("cvec"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("__sim"), F.asc("centroid_id"))
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(id_col, vec_col, "centroid_id")
+        )
+        comps = assigned.select(
+            "centroid_id", F.posexplode(as_double(F.col(vec_col))).alias("dim", "val")
+        )
+        sums = comps.groupBy("centroid_id", "dim").agg(
+            F.sum(F.floor(F.col("val") * F.lit(float(s))).cast("long")).alias("fp_sum"),
+            F.count("*").alias("n"),
+        )
+        means = (
+            sums.withColumn(
+                "m",
+                F.col("fp_sum").cast("double") / (F.col("n") * F.lit(s)).cast("double"),
+            )
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda st: st.getField("m"),
+                ).alias("cvec_new")
+            )
+        )
+        centroids = centroids.join(means, "centroid_id", "left").select(
+            "centroid_id", F.coalesce(F.col("cvec_new"), F.col("cvec")).alias("cvec")
         )
     return centroids
 

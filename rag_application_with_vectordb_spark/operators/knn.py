@@ -31,7 +31,13 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import cosine_sim, vec_lit
 
-__all__ = ["knn", "knn_join"]
+__all__ = ["knn", "knn_join", "TWO_STAGE_MIN_PARTITIONS"]
+
+#: Corpus-partition count above which :func:`knn_join` defaults to the
+#: two-stage per-partition partial top-k. Below this, the single global
+#: window is cheaper (one shuffle, tiny reducer input); above it, a
+#: single reducer per query becomes the scaling bottleneck.
+TWO_STAGE_MIN_PARTITIONS = 8
 
 
 def knn(
@@ -65,7 +71,7 @@ def knn_join(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "qvec",
-    two_stage: bool = False,
+    two_stage: bool | None = None,
 ) -> DataFrame:
     """Batch KNN: top-k corpus neighbors for every row of ``queries``.
 
@@ -75,13 +81,23 @@ def knn_join(
     per-query top-k shuffles only scored id-triples, hash-partitioned by
     query id.
 
-    ``two_stage=True`` adds a per-(scan-partition, query) partial top-k
+    ``two_stage`` adds a per-(scan-partition, query) partial top-k
     before the global one: the first window's shuffle key includes the
     partition id, spreading each query over all reducers, and the second
-    window only sees ``k × n_partitions`` rows per query. Use it when a
-    single reducer per query is the bottleneck (large corpora and/or
-    large k); results are identical (asserted in tests).
+    window only sees ``k × n_partitions`` rows per query. Results are
+    identical either way (asserted in tests). Default (``None``) is
+    AUTO: two-stage turns on when the corpus scan has more than
+    :data:`TWO_STAGE_MIN_PARTITIONS` partitions — at that point a single
+    reducer per query would funnel the whole scored corpus through one
+    task, which is the 100×-scale bottleneck; below it the extra partial
+    window costs more than it saves.
     """
+    if two_stage is None:
+        try:
+            n_parts = corpus.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover - defensive (plan not RDD-convertible)
+            n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+        two_stage = n_parts > TWO_STAGE_MIN_PARTITIONS
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .select(

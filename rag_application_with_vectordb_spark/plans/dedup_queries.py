@@ -226,6 +226,30 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_simhash_pairs",
     oracle=f"""
+    WITH sigs AS ({_simhash_oracle(32)})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="CANONICAL SimHash near-dup pairs over the FULL corpus via "
+    "pigeonhole bit-chunk blocking (4 chunks of 8 bits → Hamming ≤ 3 "
+    "pairs must share a chunk): candidates come from an equi-join on "
+    "(chunk index, chunk value), never all-pairs. The oracle is the "
+    "brute-force all-pairs form — hash-matching it proves the blocking "
+    "is lossless. (Round 1 shipped this name as a 100-doc all-pairs "
+    "slice; that form survives as dedup_simhash_allpairs_anchor.)",
+    tags=("dedup",),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    pairs = simhash_blocked_pairs(_augmented_docs(spark, sf_dir), max_hamming=3)
+    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+@register(
+    "dedup_simhash_allpairs_anchor",
+    oracle=f"""
     WITH sigs_all AS ({_simhash_oracle(32)}),
     sigs AS (SELECT * FROM sigs_all WHERE doc_id % 10000 < 100)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -233,39 +257,18 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
     """,
-    doc="SimHash near-dup pairs: Hamming distance ≤ 6 over the 32-bit "
-    "signatures (bit_count(xor)), restricted to a bounded sub-corpus — "
-    "the synthetic word-salad corpus shares one small vocabulary, so "
-    "all-pairs output would explode quadratically with sf. The scale "
-    "path blocks on bit-chunks (pigeonhole) instead of all-pairs.",
-    tags=("dedup",),
+    doc="BOUNDED ORACLE ANCHOR, not a scale path: brute-force all-pairs "
+    "SimHash Hamming ≤ 6 over an explicit 100-doc sub-corpus slice "
+    "(doc_id % 10000 < 100). Exists to exercise the quadratic "
+    "simhash_pairs operator against an independent oracle at a size "
+    "where O(n²) is harmless; the full-corpus pairs query is "
+    "dedup_simhash_pairs (pigeonhole-blocked, sub-quadratic).",
+    tags=("dedup", "anchor"),
 )
-def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_simhash_allpairs_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = _augmented_docs(spark, sf_dir).filter(F.col("doc_id") % 10000 < 100)
     pairs = simhash_pairs(docs, max_hamming=6)
-    return pairs.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
-
-
-@register(
-    "dedup_simhash_blocked_pairs",
-    oracle=f"""
-    WITH sigs AS ({_simhash_oracle(32)})
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    """,
-    doc="SimHash near-dup pairs over the FULL corpus via pigeonhole "
-    "bit-chunk blocking (4 chunks of 8 bits → Hamming ≤ 3 pairs must "
-    "share a chunk): candidates come from an equi-join on (chunk, value), "
-    "never all-pairs. The oracle is the brute-force all-pairs form — "
-    "hash-matching it proves the blocking is lossless.",
-    tags=("dedup",),
-)
-def dedup_simhash_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune(spark)
-    pairs = simhash_blocked_pairs(_augmented_docs(spark, sf_dir), max_hamming=3)
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 

@@ -360,7 +360,7 @@ def scalar_datetime_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
       COUNT(*) AS n_events,
-      SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
     GROUP BY event_type
@@ -384,9 +384,9 @@ def scalar_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status_by_priority",
     oracle="""
     SELECT o_orderpriority,
-      SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
     FROM orders GROUP BY o_orderpriority
     """,
     doc="Pivot via the DataFrame pivot() operator (conditional aggregation "

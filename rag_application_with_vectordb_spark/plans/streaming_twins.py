@@ -102,8 +102,8 @@ def events_sliding_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), s AS (
       SELECT user_id, ts, event_id, value,
-        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM x
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -167,6 +167,15 @@ def _echo_answerer(context: str, question: str) -> str:
     return PROMPT_TEMPLATE.format(context=context, question=question)
 
 
+def _echo_stream_answerer(context: str, question: str, chunk_chars: int = 16):
+    """Deterministic token-stream twin of :func:`_echo_answerer` — the
+    shape of ``generateAnswerStream`` (``geminiService.ts:91-97``): an
+    iterator of text chunks whose concatenation is the full answer."""
+    full = _echo_answerer(context, question)
+    for i in range(0, len(full), chunk_chars):
+        yield full[i : i + chunk_chars]
+
+
 class RagPipeline:
     """End-to-end ask() loop (``App.tsx:180-224``)."""
 
@@ -190,6 +199,17 @@ class RagPipeline:
         rows = self.retrieve(question, k=k).collect()
         context = CONTEXT_SEPARATOR.join(r["text"] for r in rows)  # P6
         return self.answerer(context, question)  # P7 + U5
+
+    def ask_stream(self, question: str, k: int = 5, stream_answerer=None):
+        """S6 — the token-stream consumption loop (``App.tsx:199-206``):
+        yields answer chunks as the (pluggable) streaming answerer emits
+        them, so a caller can render incrementally exactly like the
+        reference UI. ``"".join(ask_stream(q))`` equals ``ask(q)`` for
+        the paired default answerers (asserted in tests)."""
+        rows = self.retrieve(question, k=k).collect()
+        context = CONTEXT_SEPARATOR.join(r["text"] for r in rows)  # P6
+        answer = (stream_answerer or _echo_stream_answerer)(context, question)
+        yield from answer
 
 
 def context_for_query(corpus: DataFrame, query_vec: list[float], k: int = 5) -> DataFrame:

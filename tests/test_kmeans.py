@@ -10,6 +10,7 @@ from rag_application_with_vectordb_spark.operators.kmeans import (
     assign_clusters,
     inertia,
     kmeans_fit,
+    kmeans_fit_spherical_fp,
 )
 from rag_application_with_vectordb_spark.operators.knn import knn_join
 from rag_application_with_vectordb_spark.sources.catalog import load_table
@@ -39,6 +40,30 @@ def test_every_point_assigned_once(spark, emb):
     assigned = assign_clusters(emb, cents)
     assert assigned.count() == emb.count()
     assert assigned.select("vec_id").distinct().count() == emb.count()
+
+
+def test_spherical_fp_partitioning_invariant(spark, emb):
+    # THE property that makes the trained IVF oracle-checkable: the
+    # fixed-point mean update sums exact integers, so the trained
+    # centroids are BITWISE identical no matter how the corpus is
+    # partitioned (a plain fp64 mean would differ in the last ulps).
+    wide = kmeans_fit_spherical_fp(emb.repartition(7), k=4, iterations=2).collect()
+    narrow = kmeans_fit_spherical_fp(emb.coalesce(1), k=4, iterations=2).collect()
+    a = {(r["centroid_id"], tuple(r["cvec"])) for r in wide}
+    b = {(r["centroid_id"], tuple(r["cvec"])) for r in narrow}
+    assert a == b
+
+
+def test_spherical_fp_probe_all_is_exact(spark, emb):
+    cents = kmeans_fit_spherical_fp(emb, k=4, iterations=2)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    approx = ann_ivf_topk(emb, cents, queries, k=5, nprobe=4)
+    exact = knn_join(emb, queries, k=5)
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    assert a == e
 
 
 def test_trained_ivf_probe_all_is_exact(spark, emb):

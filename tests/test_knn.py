@@ -84,10 +84,32 @@ def test_knn_join_two_stage_identical(spark, emb):
     queries = emb.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    one = knn_join(emb.repartition(8), queries, k=5)
+    one = knn_join(emb.repartition(8), queries, k=5, two_stage=False)
     two = knn_join(emb.repartition(8), queries, k=5, two_stage=True)
     a = {(r["query_id"], r["vec_id"], r["similarity"]) for r in one.collect()}
     b = {(r["query_id"], r["vec_id"], r["similarity"]) for r in two.collect()}
+    assert a == b
+
+
+def test_knn_join_auto_two_stage(spark, emb):
+    # AUTO: a wide corpus scan (> TWO_STAGE_MIN_PARTITIONS) must get the
+    # per-partition partial rank stage (two Window operators; the partial
+    # one keyed by spark_partition_id), a narrow one must not.
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    wide = knn_join(emb.repartition(16), queries, k=3)
+    plan = wide._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2 and "__pid" in plan
+    narrow = knn_join(emb.coalesce(1), queries, k=3)
+    nplan = narrow._jdf.queryExecution().executedPlan().toString()
+    assert "__pid" not in nplan
+    # auto result identical to the explicit single-stage form
+    a = {(r["query_id"], r["vec_id"], r["similarity"]) for r in wide.collect()}
+    b = {
+        (r["query_id"], r["vec_id"], r["similarity"])
+        for r in knn_join(emb, queries, k=3, two_stage=False).collect()
+    }
     assert a == b
 
 

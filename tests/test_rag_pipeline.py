@@ -64,6 +64,30 @@ def test_ingest_and_ask_deterministic(spark, sf_dir, store):
     assert ctx in answer1
 
 
+def test_ask_stream_accumulates_to_full_answer(spark, sf_dir, store):
+    # S6 — the reference's token consumption loop (App.tsx:199-206):
+    # incremental accumulation over the stream must reproduce the full
+    # answer, chunk by chunk, exactly like the UI's partial renders.
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    ingest_documents(store, docs)
+    pipe = RagPipeline(store)
+    q = "what is a spark table scan?"
+    full = pipe.ask(q, k=3)
+    acc, partials = "", []
+    for token in pipe.ask_stream(q, k=3):
+        acc += token
+        partials.append(acc)
+    assert acc == full  # stream == non-stream answer
+    assert len(partials) > 1  # genuinely incremental
+    assert all(full.startswith(p) for p in partials)  # monotone prefix growth
+    # pluggable streaming answerer (U5 surface): word-at-a-time fake API
+    def word_stream(context, question):
+        for w in ("streamed", " ", "answer"):
+            yield w
+
+    assert "".join(pipe.ask_stream(q, k=3, stream_answerer=word_stream)) == "streamed answer"
+
+
 def test_normalized_store_same_results(spark, sf_dir, tmp_path):
     # normalize-at-ingest (SURVEY §4.2): identical retrieval, cheaper query
     from rag_application_with_vectordb_spark.sources.catalog import load_table

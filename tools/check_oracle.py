@@ -82,6 +82,28 @@ def main() -> int:
             cur = con.execute(spec.oracle)
             dcols = [d[0] for d in cur.description]
             drows = cur.fetchall()
+            # Reproduce the driver's pandas typing: DuckDB HUGEINT (the
+            # result type of integer SUM) and DECIMAL become float64 through
+            # pandas, while Spark emits int64 — fetchall() hides that by
+            # returning Python ints, which is how the r01 HUGEINT bug
+            # shipped locally-green but driver-red. Coerce those columns to
+            # float here so the mismatch reproduces locally.
+            dtypes = [
+                r[1] for r in con.execute(f"DESCRIBE ({spec.oracle})").fetchall()
+            ]
+            floaty = [
+                i
+                for i, t in enumerate(dtypes)
+                if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL")
+            ]
+            if floaty:
+                drows = [
+                    tuple(
+                        float(v) if i in floaty and v is not None else v
+                        for i, v in enumerate(r)
+                    )
+                    for r in drows
+                ]
         except Exception as exc:
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)

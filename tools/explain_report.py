@@ -15,21 +15,73 @@ sys.path.insert(0, "/root/repo")
 from rag_application_with_vectordb_spark.plans.registry import load_all  # noqa: E402
 from rag_application_with_vectordb_spark.session import get_spark  # noqa: E402
 
-#: query → the plan property worth reading the explain for.
+#: query → the plan property worth reading the explain for. Queries not
+#: listed here but in the bench headline set fall back to their registry
+#: doc string — every headline query gets a PLANS.md section either way.
 ANNOTATED = {
     "knn_topk": "TakeOrderedAndProject (per-partition top-k heaps, no global "
     "sort); scan prunes to (vec_id, embedding); no Python stage in scoring.",
     "knn_batch": "BroadcastNestedLoopJoin — the corpus never shuffles; only "
-    "scored (query_id, vec_id, sim) triples move for the per-query window.",
+    "scored (query_id, vec_id, sim) triples move for the per-query window. "
+    "Above TWO_STAGE_MIN_PARTITIONS corpus partitions, knn_join inserts a "
+    "per-partition partial top-k so no single reducer sees a full query "
+    "scan (auto; plan-asserted in tests/test_knn.py).",
+    "bench_knn_1m": "Zero-I/O generated corpus spread across "
+    "defaultParallelism partitions; cosine entirely in whole-stage "
+    "codegen; TakeOrderedAndProject caps movement at 10 rows/partition.",
+    "ann_lsh_topk": "Per-row bucket expression (no shuffle to bucket), "
+    "broadcast query side, bucket equi-join replaces the cross join — "
+    "candidates shrink ~2^n_planes.",
+    "ann_ivf_topk": "Training iterations touch only k×dim broadcast "
+    "centroids + one (centroid,dim) agg each; the probe join hits "
+    "inverted lists keyed by centroid_id (partition-pruned scan at "
+    "scale); final per-query window sees only probed candidates.",
+    "rag_e2e_retrieval": "Chunker Generate + constant-folded query "
+    "embedding (literal question) → per-row dot product; "
+    "TakeOrderedAndProject top-5.",
+    "embed_hash_components": "Pure-expression embedder: md5-fold per "
+    "component inside codegen, no Python stage, no shuffle beyond the "
+    "parallelism spread.",
+    "chunk_sliding_window": "Generate (posexplode) with zero Exchanges — the "
+    "chunker is embarrassingly parallel.",
     "q1_pricing_summary": "Filter pushed to parquet (PushedFilters on "
     "l_shipdate), ReadSchema pruned to 7 of 11 columns, partial aggregate "
     "before the exchange.",
     "q3_top_orders": "BroadcastHashJoin for the filtered customer dim, "
     "TakeOrderedAndProject for the top-10.",
-    "chunk_sliding_window": "Generate (posexplode) with zero Exchanges — the "
-    "chunker is embarrassingly parallel.",
+    "q5_regional_revenue": "All five dims broadcast; the lineitem fact is "
+    "scanned once and exchanged once for the final agg.",
+    "q7_nation_pair_revenue": "Fact-out rewrite: dims broadcast onto the "
+    "fact scan (never lineitem as a broadcast build side — guarded by "
+    "tests/test_plans.py); single fact exchange.",
+    "q9_product_profit": "part filter pushed to its scan; dims broadcast; "
+    "one fact shuffle into the (nation, year) agg.",
+    "q18_large_volume_customers": "Single lineitem scan: per-order "
+    "aggregate once, self-threshold via HAVING, then join orders/customer "
+    "— no second scan, no correlated subquery.",
+    "q21_sole_late_supplier": "EXISTS/NOT-EXISTS pair collapsed into one "
+    "per-order aggregate over a single lineitem scan.",
+    "window_running_spend": "Keyed window (custkey) with a ROWS frame — "
+    "one hash exchange, per-key running sums, no global sort.",
+    "topk_parts_per_brand": "Per-group row_number ≤ k — window keyed by "
+    "brand, so top-k never concentrates on one reducer.",
+    "asof_purchase_to_click": "Union-then-window as-of: one keyed sort "
+    "per user instead of an inequality join explosion.",
+    "range_join_error_after_purchase": "Bounded-interval equi-bucket "
+    "prejoin prunes the inequality predicate's candidate space.",
+    "dedup_exact": "One shuffle on the md5 fingerprint; canonical row via "
+    "min(doc_id) in the same agg.",
     "dedup_minhash_lsh_pairs": "InMemoryTableScan reuse of the persisted "
     "shingle sets; band bucket join instead of all-pairs.",
+    "dedup_simhash_signatures": "32 conditional sums in ONE aggregate — "
+    "wide codegen but a single shuffle keyed by doc_id.",
+    "dedup_embedding_topk_pairs": "Norms computed once per vector before "
+    "the pair join (n norms amortized over n²/2 pairs); "
+    "TakeOrderedAndProject caps the output at top-50.",
+    "text_quality_scores": "Pure built-in string expressions, no UDF, no "
+    "shuffle beyond the parallelism spread.",
+    "events_tumbling_hourly": "F.window bucketing is a per-row projection; "
+    "one exchange for the per-bucket counts.",
     "events_sessionized": "Single keyed window partition (user_id) feeding "
     "both the lag and the cumulative sum; decimal-exact session sums.",
 }
