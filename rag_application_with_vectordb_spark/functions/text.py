@@ -72,3 +72,21 @@ def hex13_to_long(hex_col: Column) -> Column:
     """First 13 hex chars → integer < 2^52 (fp64-exact, so the DuckDB
     oracle can reproduce it without a conv() builtin)."""
     return F.conv(F.substring(hex_col, 1, 13), 16, 10).cast("long")
+
+
+#: PII patterns shared by the Spark and DuckDB sides — kept to syntax
+#: that Java regex and RE2 interpret identically (no lookaround, no
+#: backreferences, explicit character classes only).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def redact_pii(text: Column) -> Column:
+    """Training-data PII scrub: replace emails, dashed phone numbers, and
+    IPv4 literals with typed placeholders. Email first — its domain part
+    could otherwise be chewed up by the IP pattern. Pure per-row
+    expressions (JVM regex, no UDF) — parallelizes with the scan."""
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, IPV4_RE, "<IP>")

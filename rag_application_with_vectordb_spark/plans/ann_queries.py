@@ -495,6 +495,57 @@ def quant_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quant_int8_rerank_topk",
+    oracle=f"""
+    WITH dq AS (
+      SELECT vec_id, embedding, {_DEQ.format(e='embedding')} AS deq FROM embeddings
+    ),
+    q AS (SELECT embedding AS qexact, deq AS qdeq FROM dq WHERE vec_id = 0),
+    shortlist AS (
+      SELECT dq.vec_id, dq.embedding, q.qexact
+      FROM dq, q
+      ORDER BY {duck_cosine('dq.deq', 'q.qdeq')} DESC, dq.vec_id ASC
+      LIMIT 20
+    )
+    SELECT vec_id, {duck_cosine('embedding', 'qexact')} AS similarity
+    FROM shortlist
+    ORDER BY similarity DESC, vec_id ASC
+    LIMIT 5
+    """,
+    doc="TWO-PHASE retrieval — the standard quantized deployment shape: "
+    "phase 1 shortlists top-20 on the int8-quantized corpus (4× cheaper "
+    "scan bytes), phase 2 re-ranks the 20 survivors with exact "
+    "full-precision cosine. Both phases deterministic, so the composed "
+    "pipeline is value-checked end to end.",
+    tags=("ann", "quant"),
+)
+def quant_int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from ..operators.quant import dequantize_vec, quantize_embeddings
+
+    emb = quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    corpus = emb.select(
+        "vec_id", "embedding", dequantize_vec(F.col("qvec")).alias("deq")
+    )
+    q = corpus.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qexact"), F.col("deq").alias("qdeq")
+    )
+    shortlist = (
+        corpus.crossJoin(F.broadcast(q))
+        .orderBy(F.desc(cosine_sim(F.col("deq"), F.col("qdeq"))), F.asc("vec_id"))
+        .limit(20)
+        .select("vec_id", "embedding", "qexact")
+    )
+    return (
+        shortlist.select(
+            "vec_id", cosine_sim(F.col("embedding"), F.col("qexact")).alias("similarity")
+        )
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+@register(
     "quant_int8_roundtrip_error",
     oracle=f"""
     SELECT vec_id,

@@ -233,3 +233,67 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames_stub(with_binary_payload(docs)).select(
         "doc_id", "frame_no", "frame_off", "frame_len"
     )
+
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_PII_IP = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+# The fixture corpus is synthetic word salad with no PII, so the query
+# plants deterministic PII into doc_id < 50 on BOTH engines — otherwise
+# the redaction would be vacuously green (round-1 lesson: a query that
+# matches nothing proves nothing).
+_PII_AUG = """
+      SELECT doc_id,
+             CASE WHEN doc_id < 50
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or 555-123-4567 at 10.0.0.'
+                       || CAST(doc_id % 256 AS VARCHAR)
+                  ELSE text END AS text
+      FROM documents
+"""
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+    WITH aug AS ({_PII_AUG})
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+      CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT) AS n_ips,
+      md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '{_PII_EMAIL}', '<EMAIL>', 'g'),
+            '{_PII_PHONE}', '<PHONE>', 'g'),
+            '{_PII_IP}', '<IP>', 'g')) AS redacted_fp
+    FROM aug
+    """,
+    doc="PII redaction — the training-data scrub stage: emails, dashed "
+    "phone numbers, and IPv4 literals replaced with typed placeholders, "
+    "counts + an md5 fingerprint of the redacted text (hash-checkable "
+    "without shipping the full text through the comparator). Patterns "
+    "are Java-regex/RE2-portable; pure per-row expressions, no UDF.",
+    tags=("text",),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from ..functions.text import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or 555-123-4567 at 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    aug = docs.select(
+        "doc_id", F.when(F.col("doc_id") < 50, planted).otherwise(F.col("text")).alias("text")
+    )
+    return aug.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), F.lit(0))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), F.lit(0))).cast("bigint").alias("n_phones"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_IP), F.lit(0))).cast("bigint").alias("n_ips"),
+        F.md5(redact_pii(F.col("text"))).alias("redacted_fp"),
+    )

@@ -63,3 +63,21 @@ def test_quantized_topk_overlaps_exact(spark, emb):
         for r in knn(deq, [float(x) for x in qdeq_row["embedding"]], k=5).collect()
     }
     assert len(exact & approx) >= 4
+
+
+def test_redact_pii_edges(spark):
+    # (placed here to avoid another module-scoped session fixture file)
+    from rag_application_with_vectordb_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at a.b+c@exa-mple.org today"),
+            (1, "call 555-123-4567 or ping 10.0.0.7"),
+            (2, "no pii here at all"),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["out"] for r in df.select("id", redact_pii(F.col("text")).alias("out")).collect()}
+    assert got[0] == "mail me at <EMAIL> today"
+    assert got[1] == "call <PHONE> or ping <IP>"
+    assert got[2] == "no pii here at all"
