@@ -66,6 +66,19 @@ def test_spherical_fp_probe_all_is_exact(spark, emb):
     assert a == e
 
 
+def test_ivf_literal_assignment_is_shuffle_free(spark, emb):
+    # The literal-centroid fast path's scale claim: corpus inversion is a
+    # pure per-row projection — the plan must contain NO Exchange (the
+    # window-based fallback shuffles the whole corpus by vec_id).
+    from rag_application_with_vectordb_spark.operators.ann import ivf_assign
+
+    cents = kmeans_fit_spherical_fp(emb, k=4, iterations=1)
+    inverted = ivf_assign(emb, cents)
+    plan = inverted._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+
+
 def test_trained_ivf_probe_all_is_exact(spark, emb):
     # trained centroids + probe-all == exact KNN (same invariant as the
     # untrained IVF test, now through the k-means path)

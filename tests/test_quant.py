@@ -81,3 +81,40 @@ def test_redact_pii_edges(spark):
     assert got[0] == "mail me at <EMAIL> today"
     assert got[1] == "call <PHONE> or ping <IP>"
     assert got[2] == "no pii here at all"
+
+
+def test_quantization_properties_hypothesis(spark):
+    from hypothesis import given, settings, strategies as st
+
+    from rag_application_with_vectordb_spark.operators.quant import QUANT_SCALE
+
+    # pure-python twin of the quantize expression, for fast property runs
+    def quant(x: float) -> int:
+        import math
+
+        return int(max(-127, min(127, math.floor(x * QUANT_SCALE))))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.floats(min_value=-1.5, max_value=1.5, allow_nan=False))
+    def prop(x):
+        q = quant(x)
+        assert -127 <= q <= 127
+        if -127 / QUANT_SCALE <= x < 127 / QUANT_SCALE:
+            # inside the representable range the floor-grid error bound
+            # holds; <= because the fp64 SUBTRACTION rounds up to exactly
+            # 1/scale for subnormal x (hypothesis found -1.4e-45)
+            assert 0 <= x - q / QUANT_SCALE <= 1.0 / QUANT_SCALE
+        # idempotence: re-quantizing the dequantized value is a fixed point
+        assert quant(q / QUANT_SCALE) == q
+
+    prop()
+    # the python twin must match the Spark expression bit-for-bit
+    import random
+
+    rng = random.Random(42)
+    vals = [rng.uniform(-1.5, 1.5) for _ in range(200)]
+    df = spark.createDataFrame([(0, vals)], "id long, embedding array<double>")
+    from rag_application_with_vectordb_spark.operators.quant import quantize_embeddings
+
+    got = list(quantize_embeddings(df).first()["qvec"])
+    assert got == [quant(x) for x in vals]
