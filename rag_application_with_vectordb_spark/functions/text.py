@@ -90,3 +90,13 @@ def redact_pii(text: Column) -> Column:
     out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
     return F.regexp_replace(out, IPV4_RE, "<IP>")
+
+
+def hash_split(key: Column, train_permille: int = 900, seed: str = "split42") -> Column:
+    """Deterministic train/held-out assignment by keyed hash — the
+    reproducible-sampling primitive a training pipeline needs (random()
+    splits are neither reproducible nor partitioning-stable). The first
+    13 md5 hex chars give a uniform integer < 2^52; bucket by ‰. Same
+    expression in DuckDB → the split itself is oracle-checkable."""
+    bucket = hex13_to_long(F.md5(F.concat(F.lit(seed + "|"), key.cast("string")))) % 1000
+    return F.when(bucket < int(train_permille), F.lit("train")).otherwise(F.lit("heldout"))

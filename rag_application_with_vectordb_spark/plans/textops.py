@@ -19,6 +19,7 @@ from ..operators.multimodal import (
 )
 from ..session import tune
 from ..sources.catalog import load_table
+from .oracle_dialect import duck_hex13_to_long
 from .registry import register
 
 _STOPS_SQL = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -297,3 +298,29 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.col("text"), F.lit(_PII_IP), F.lit(0))).cast("bigint").alias("n_ips"),
         F.md5(redact_pii(F.col("text"))).alias("redacted_fp"),
     )
+
+
+@register(
+    "text_train_heldout_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             {duck_hex13_to_long("md5('split42|' || CAST(doc_id AS VARCHAR))")} % 1000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN bucket < 900 THEN 'train' ELSE 'heldout' END AS split
+    FROM b
+    """,
+    doc="Deterministic 90/10 train/held-out split by keyed md5 hash "
+    "(functions/text.py: hash_split) — reproducible and "
+    "partitioning-stable, unlike random() sampling; the per-document "
+    "assignment itself is value-checked against DuckDB.",
+    tags=("text", "sampling"),
+)
+def text_train_heldout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    from ..functions.text import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", hash_split(F.col("doc_id")).alias("split"))
