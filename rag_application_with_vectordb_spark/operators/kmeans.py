@@ -116,6 +116,7 @@ def kmeans_fit_spherical_fp(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = FP_SCALE,
+    sample_mod: int | None = None,
 ) -> DataFrame:
     """Spherical k-means whose trained centroids are BIT-REPRODUCIBLE in
     any engine — the oracle-checkable IVF training step.
@@ -147,10 +148,21 @@ def kmeans_fit_spherical_fp(
     Per iteration: one broadcast of k×dim centroids, one corpus scan, one
     (centroid, dim)-keyed aggregation with map-side partial sums — the
     corpus itself never shuffles. Output: ``(centroid_id, cvec)``.
+
+    ``sample_mod``: train on the deterministic ``id % sample_mod == 0``
+    subsample instead of the full corpus — the standard IVF practice
+    (FAISS trains its coarse quantizer on ~hundreds of vectors per
+    centroid, not the corpus): at 100 TB a full-corpus Lloyd's pass per
+    iteration is pure waste, and a uniform sample's centroids are
+    statistically the same quantizer. The modulus filter (not
+    ``DataFrame.sample``) keeps the subsample engine-reproducible, so the
+    trained centroids remain bit-identical in the DuckDB oracle.
     """
     from ..operators.ann import LITERAL_CENTROID_MAX, nearest_centroid_ids
 
     s = int(scale)
+    if sample_mod is not None and int(sample_mod) > 1:
+        points = points.filter(F.col(id_col) % int(sample_mod) == 0)
     if int(k) > LITERAL_CENTROID_MAX:  # pragma: no cover - catalog uses small k
         return _kmeans_fp_joined(points, int(k), int(iterations), id_col, vec_col, s)
 
@@ -165,32 +177,46 @@ def kmeans_fit_spherical_fp(
     cents: list[tuple[int, list[float]]] = [
         (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
     ]
-    for _ in range(int(iterations)):
-        pre = points.select(as_double(F.col(vec_col)).alias("__vd")).withColumn(
-            "__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd")))
-        )
-        nearest = nearest_centroid_ids(F.col("__vd"), F.col("__nv"), cents, nprobe=1)
-        # two selects: a Generate (posexplode) in the same projection as
-        # the struct-array argmax strips the struct field names
-        assigned = pre.select(
-            F.element_at(nearest, 1).alias("centroid_id"), F.col("__vd")
-        )
-        comps = assigned.select(
-            "centroid_id", F.posexplode("__vd").alias("dim", "val")
-        )
-        sums = comps.groupBy("centroid_id", "dim").agg(
-            F.sum(F.floor(F.col("val") * F.lit(float(s))).cast("long")).alias("fp_sum"),
-            F.count("*").alias("n"),
-        ).collect()
-        by_cid: dict[int, dict[int, float]] = {}
-        for r in sums:
-            # exact ints → correctly-rounded fp64 quotient, identical to
-            # the oracle's CAST(fp_sum AS DOUBLE)/CAST(n*scale AS DOUBLE)
-            by_cid.setdefault(int(r["centroid_id"]), {})[r["dim"]] = r["fp_sum"] / (r["n"] * s)
-        cents = [
-            (cid, [by_cid[cid][j] for j in range(len(cvec))]) if cid in by_cid else (cid, cvec)
-            for cid, cvec in cents  # empty cluster keeps its previous centroid
-        ]
+    # The (vector, norm) projection is centroid-independent — compute it
+    # ONCE, spread across the session's cores (the fixture's single-file
+    # scan is 1 partition, which would serialize every iteration's argmax
+    # onto one core), and cache it so each Lloyd iteration re-reads the
+    # in-memory columnar batches instead of re-scanning parquet. The
+    # repartition is result-safe: assignment is per-row and the mean
+    # update sums exact integers (order-independent).
+    parallelism = points.sparkSession.sparkContext.defaultParallelism
+    pre = (
+        points.select(as_double(F.col(vec_col)).alias("__vd"))
+        .repartition(parallelism)
+        .withColumn("__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd"))))
+        .persist()
+    )
+    try:
+        for _ in range(int(iterations)):
+            nearest = nearest_centroid_ids(F.col("__vd"), F.col("__nv"), cents, nprobe=1)
+            # two selects: a Generate (posexplode) in the same projection as
+            # the struct-array argmax strips the struct field names
+            assigned = pre.select(
+                F.element_at(nearest, 1).alias("centroid_id"), F.col("__vd")
+            )
+            comps = assigned.select(
+                "centroid_id", F.posexplode("__vd").alias("dim", "val")
+            )
+            sums = comps.groupBy("centroid_id", "dim").agg(
+                F.sum(F.floor(F.col("val") * F.lit(float(s))).cast("long")).alias("fp_sum"),
+                F.count("*").alias("n"),
+            ).collect()
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in sums:
+                # exact ints → correctly-rounded fp64 quotient, identical to
+                # the oracle's CAST(fp_sum AS DOUBLE)/CAST(n*scale AS DOUBLE)
+                by_cid.setdefault(int(r["centroid_id"]), {})[r["dim"]] = r["fp_sum"] / (r["n"] * s)
+            cents = [
+                (cid, [by_cid[cid][j] for j in range(len(cvec))]) if cid in by_cid else (cid, cvec)
+                for cid, cvec in cents  # empty cluster keeps its previous centroid
+            ]
+    finally:
+        pre.unpersist()
     return points.sparkSession.createDataFrame(
         [(cid, cvec) for cid, cvec in cents], "centroid_id int, cvec array<double>"
     )

@@ -125,18 +125,24 @@ def ann_lsh_multiprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_fp_sql(k: int, iters: int, dim: int, scale: int) -> str:
+def _kmeans_fp_sql(k: int, iters: int, dim: int, scale: int, sample_mod: int | None = None) -> str:
     """Unrolled fixed-iteration spherical k-means as DuckDB CTEs — the
     oracle twin of ``operators.kmeans.kmeans_fit_spherical_fp``. Exact
     cross-engine equality holds because assignment uses the proven
     ``duck_cosine`` fold and the mean update is integer arithmetic
     (``floor(val * 2^s)`` sums) followed by one correctly-rounded fp64
-    division — see the operator docstring."""
+    division — see the operator docstring. ``sample_mod`` mirrors the
+    operator's deterministic ``vec_id % m == 0`` training subsample."""
+    train = (
+        f"(SELECT vec_id, embedding FROM embeddings WHERE vec_id % {int(sample_mod)} = 0)"
+        if sample_mod is not None and int(sample_mod) > 1
+        else "embeddings"
+    )
     parts = [
         f"""cent0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
              embedding::DOUBLE[] AS cvec
-      FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+      FROM (SELECT vec_id, embedding FROM {train} ORDER BY vec_id LIMIT {k})
     )"""
     ]
     for i in range(1, iters + 1):
@@ -146,7 +152,7 @@ def _kmeans_fp_sql(k: int, iters: int, dim: int, scale: int) -> str:
         SELECT e.vec_id, e.embedding, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
-        FROM embeddings e CROSS JOIN {prev} c
+        FROM {train} e CROSS JOIN {prev} c
       ) WHERE rn = 1
     )""")
         parts.append(f"""ksums{i} AS (
@@ -169,12 +175,18 @@ def _kmeans_fp_sql(k: int, iters: int, dim: int, scale: int) -> str:
 
 
 _IVF_K, _IVF_ITERS, _IVF_SCALE = 8, 2, 1 << 20
+#: Train the coarse quantizer on the deterministic ``vec_id % 4 == 0``
+#: subsample — the standard IVF recipe (a quantizer needs O(100)
+#: vectors/centroid, not the corpus); at 100 TB the training scans touch
+#: 1/4 of the data (any fixed modulus works — the catalog keeps 4 so the
+#: sf0.001 fixture still yields >15 vectors per centroid).
+_IVF_SAMPLE_MOD = 4
 
 
 @register(
     "ann_ivf_topk",
     oracle=f"""
-    WITH {_kmeans_fp_sql(_IVF_K, _IVF_ITERS, _DIM, _IVF_SCALE)},
+    WITH {_kmeans_fp_sql(_IVF_K, _IVF_ITERS, _DIM, _IVF_SCALE, _IVF_SAMPLE_MOD)},
     cent AS (SELECT centroid_id, cvec FROM cent{_IVF_ITERS}),
     assign AS (
       SELECT vec_id, embedding, centroid_id FROM (
@@ -217,7 +229,9 @@ def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans_fit_spherical_fp
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit_spherical_fp(emb, k=_IVF_K, iterations=_IVF_ITERS, scale=_IVF_SCALE)
+    centroids = kmeans_fit_spherical_fp(
+        emb, k=_IVF_K, iterations=_IVF_ITERS, scale=_IVF_SCALE, sample_mod=_IVF_SAMPLE_MOD
+    )
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -400,7 +414,9 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kmeans import kmeans_fit_spherical_fp
 
     def approx(emb, queries):
-        cent = kmeans_fit_spherical_fp(emb, k=_IVF_K, iterations=_IVF_ITERS, scale=_IVF_SCALE)
+        cent = kmeans_fit_spherical_fp(
+            emb, k=_IVF_K, iterations=_IVF_ITERS, scale=_IVF_SCALE, sample_mod=_IVF_SAMPLE_MOD
+        )
         return ann_ivf_topk(emb, cent, queries, k=5, nprobe=2)
 
     return _recall_vs_exact(spark, sf_dir, approx)
