@@ -1,0 +1,359 @@
+r"""Training-data pipeline stages: quality-rule filtering, repetition
+analysis, deterministic shuffle + sequence packing, benchmark
+contamination checking, stratified sampling.
+
+These extend the reference's single-document ingest
+(``App.tsx:101-160``) to the corpus-level curation stages an LLM
+training pipeline runs before any model sees the data. Every stage is
+pure deterministic relational algebra / window algebra — no UDFs — so
+each has an exact DuckDB oracle twin.
+
+The fixture corpus is single-line, symbol-free word salad, so the
+rule-based queries plant deterministic pathologies (bullet lists,
+ellipsis lines, symbol runs) on a doc_id-keyed slice — same expression
+on both engines, keeping results hash-checkable while exercising both
+branches of every rule (the ``text_redact_pii`` pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS_EN,
+    hash_split,
+    hex13_to_long,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from ..operators.packing import pack_sequences
+from ..session import tune
+from ..sources.catalog import load_table
+from .oracle_dialect import duck_hex13_to_long
+from .registry import register
+
+_STOPS_SQL = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+# Deterministic pathology plants (doc_id % 10 selects the variant).
+_BULLETS = "- alpha beta\n" * 10  # 10 bullet lines prepended -> bullet_frac 10/11
+_ELLIPSIS_TAIL = "...\nto be continued..."  # both lines end '...' -> frac 1.0
+_SYMBOL_TAIL = " # # # # # # # # # #"  # 10 '#' symbols appended
+
+_GOPHER_AUG_SQL = f"""
+      SELECT doc_id,
+        CASE doc_id % 10
+          WHEN 0 THEN '{_BULLETS}' || text
+          WHEN 1 THEN text || '{_ELLIPSIS_TAIL}'
+          WHEN 2 THEN text || '{_SYMBOL_TAIL}'
+          ELSE text END AS text
+      FROM documents
+"""
+
+
+@register(
+    "text_gopher_rules",
+    oracle=rf"""
+    WITH aug AS ({_GOPHER_AUG_SQL}),
+    t AS (
+      SELECT doc_id, text,
+        regexp_split_to_array(trim(text), '\s+') AS w,
+        regexp_split_to_array(text, '\n') AS lines
+      FROM aug
+    ),
+    m AS (
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_words,
+        CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+          / CAST(len(w) AS DOUBLE) AS mean_word_len,
+        CAST(length(text) - length(replace(text, '#', '')) AS DOUBLE)
+          / CAST(len(w) AS DOUBLE) AS symbol_word_ratio,
+        CAST(len(list_filter(lines, l -> l LIKE '- %')) AS DOUBLE)
+          / CAST(len(lines) AS DOUBLE) AS bullet_line_frac,
+        CAST(len(list_filter(lines, l -> l LIKE '%...')) AS DOUBLE)
+          / CAST(len(lines) AS DOUBLE) AS ellipsis_line_frac,
+        CAST(len(list_distinct(list_filter(w, x -> lower(x) IN ({_STOPS_SQL}))))
+          AS BIGINT) AS n_distinct_stopwords
+      FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+      bullet_line_frac, ellipsis_line_frac, n_distinct_stopwords,
+      CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+                 AND mean_word_len BETWEEN 3.0 AND 10.0
+                 AND symbol_word_ratio < 0.1
+                 AND bullet_line_frac <= 0.9
+                 AND ellipsis_line_frac <= 0.3
+                 AND n_distinct_stopwords >= 2
+            THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM m
+    """,
+    doc="Gopher-style quality-rule filter (Rae et al. 2021, §A1.1): "
+    "word-count bounds, mean-word-length bounds, symbol-to-word ratio, "
+    "bullet-line / ellipsis-line fractions, minimum distinct stopwords; "
+    "per-rule features + the combined keep decision. Pure per-row "
+    "expressions (one narrow scan, no shuffle) — at 100 TB this is a "
+    "map-only stage that fuses with the scan.",
+    tags=("text", "pipeline"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    variant = F.col("doc_id") % 10
+    text = (
+        F.when(variant == 0, F.concat(F.lit(_BULLETS), F.col("text")))
+        .when(variant == 1, F.concat(F.col("text"), F.lit(_ELLIPSIS_TAIL)))
+        .when(variant == 2, F.concat(F.col("text"), F.lit(_SYMBOL_TAIL)))
+        .otherwise(F.col("text"))
+    )
+    aug = docs.select("doc_id", text.alias("text"))
+    w = tokens(F.col("text"))
+    lines = F.split(F.col("text"), r"\n")
+    n_words = F.size(w).cast("bigint")
+    mean_word_len = (
+        F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("double")
+        / n_words.cast("double")
+    )
+    symbol_ratio = (
+        (F.length(F.col("text")) - F.length(F.replace(F.col("text"), F.lit("#"), F.lit("")))).cast("double")
+        / n_words.cast("double")
+    )
+    bullet_frac = (
+        F.size(F.filter(lines, lambda l: l.startswith("- "))).cast("double")
+        / F.size(lines).cast("double")
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda l: l.endswith("..."))).cast("double")
+        / F.size(lines).cast("double")
+    )
+    n_stops = F.size(
+        F.array_distinct(F.filter(w, lambda x: F.lower(x).isin(*STOPWORDS_EN)))
+    ).cast("bigint")
+    m = aug.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        n_stops.alias("n_distinct_stopwords"),
+    )
+    keep = (
+        F.col("n_words").between(50, 100000)
+        & F.col("mean_word_len").between(3.0, 10.0)
+        & (F.col("symbol_word_ratio") < 0.1)
+        & (F.col("bullet_line_frac") <= 0.9)
+        & (F.col("ellipsis_line_frac") <= 0.3)
+        & (F.col("n_distinct_stopwords") >= 2)
+    )
+    return m.withColumn("keep", keep.cast("bigint"))
+
+
+@register(
+    "text_repetition_stats",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+             CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct_words, w
+      FROM t WHERE len(w) >= 2
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bigram
+      FROM base
+    ),
+    cnt AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_count FROM cnt GROUP BY 1)
+    SELECT b.doc_id, b.n_words,
+      CAST(b.n_distinct_words AS DOUBLE) / CAST(b.n_words AS DOUBLE) AS distinct_word_frac,
+      top.top_bigram_count,
+      CAST(top.top_bigram_count AS DOUBLE) / CAST(b.n_words - 1 AS DOUBLE) AS top_bigram_frac
+    FROM base b JOIN top USING (doc_id)
+    """,
+    doc="Gopher-style repetition signals: distinct-word fraction and "
+    "most-frequent-bigram fraction per document (the duplicate-n-gram "
+    "family from Rae et al. 2021 §A1.1). Bigram counting explodes "
+    "positional bigrams and aggregates per (doc, bigram) — partial "
+    "aggregation is map-side, the shuffle key is doc_id, and the "
+    "final join is doc_id-co-partitioned; no all-pairs anything.",
+    tags=("text", "pipeline"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(w)).cast("bigint").alias("n_distinct_words"),
+        w.alias("w"),
+    ).filter(F.size("w") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("w") - 2),
+        lambda i: F.concat(
+            F.element_at("w", i + 1), F.lit(" "), F.element_at("w", i + 2)
+        ),
+    )
+    bg = base.select("doc_id", F.explode(bigrams).alias("bigram"))
+    top = (
+        bg.groupBy("doc_id", "bigram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").cast("bigint").alias("top_bigram_count"))
+    )
+    return base.drop("w").join(top, "doc_id").select(
+        "doc_id",
+        "n_words",
+        (F.col("n_distinct_words").cast("double") / F.col("n_words").cast("double")).alias(
+            "distinct_word_frac"
+        ),
+        "top_bigram_count",
+        (
+            F.col("top_bigram_count").cast("double")
+            / (F.col("n_words") - 1).cast("double")
+        ).alias("top_bigram_frac"),
+    )
+
+
+_PACK_BUDGET = 512
+_PACK_SHARDS = 32
+
+
+@register(
+    "pack_sequences_512",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        {duck_hex13_to_long("md5('pack42|' || CAST(doc_id AS VARCHAR))")} % {_PACK_SHARDS} AS shard,
+        md5('ord42|' || CAST(doc_id AS VARCHAR)) AS okey
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (
+          PARTITION BY shard ORDER BY okey, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens, start_offset,
+      CAST(shard * 1000000 + start_offset // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+      CAST(start_offset % {_PACK_BUDGET} AS BIGINT) AS seq_offset
+    FROM c
+    """,
+    doc="Deterministic shuffle + sequence packing (operators/packing.py): "
+    "hash-sharded corpus, keyed-md5 shuffle order within shard, running "
+    "token cumsum -> start offset -> 512-token training-sequence id and "
+    "in-sequence offset. The running sum is a window PARTITIONED BY "
+    "shard (shards scale with the cluster), never a global single-"
+    "partition window.",
+    tags=("text", "pipeline", "window"),
+)
+def pack_sequences_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    with_tokens = docs.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    return pack_sequences(
+        with_tokens, budget=_PACK_BUDGET, shards=_PACK_SHARDS
+    )
+
+
+@register(
+    "contamination_check",
+    oracle=rf"""
+    WITH s AS (
+      SELECT doc_id,
+        CASE WHEN {duck_hex13_to_long("md5('split42|' || CAST(doc_id AS VARCHAR))")} % 1000 < 900
+             THEN 'train' ELSE 'heldout' END AS split,
+        list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+      WHERE len(w) >= 3
+    ),
+    posting AS (SELECT doc_id, split, unnest(shingles) AS shingle FROM s),
+    hold AS (SELECT DISTINCT shingle FROM posting WHERE split = 'heldout'),
+    hits AS (
+      SELECT p.doc_id, count(*) AS n_shared
+      FROM posting p JOIN hold USING (shingle)
+      WHERE p.split = 'train'
+      GROUP BY 1
+    )
+    SELECT t.doc_id,
+      CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_shingles,
+      CAST(CASE WHEN COALESCE(h.n_shared, 0) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM (SELECT doc_id FROM s WHERE split = 'train') t
+    LEFT JOIN hits h USING (doc_id)
+    """,
+    doc="Benchmark-contamination check: flag training documents sharing "
+    ">= 3 distinct word trigrams with the held-out (benchmark) split "
+    "(hash_split, the same 90/10 keyed-md5 assignment as "
+    "text_train_heldout_split). The held-out shingle set is DISTINCT'd "
+    "and broadcast — benchmark sets are small by nature — so the train "
+    "side streams through a map-side hash join: no shuffle of the "
+    "corpus, no all-pairs comparison, linear in corpus size.",
+    tags=("text", "pipeline", "dedup"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "doc_id",
+        hash_split(F.col("doc_id")).alias("split"),
+        word_shingles(F.col("text"), 3).alias("shingles"),
+    ).filter(F.size(tokens(F.col("text"))) >= 3)
+    posting = s.select("doc_id", "split", F.explode("shingles").alias("shingle"))
+    hold = posting.filter(F.col("split") == "heldout").select("shingle").distinct()
+    hits = (
+        posting.filter(F.col("split") == "train")
+        .join(F.broadcast(hold), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    train = s.filter(F.col("split") == "train").select("doc_id")
+    n_shared = F.coalesce(F.col("n_shared"), F.lit(0))
+    return train.join(hits, "doc_id", "left").select(
+        "doc_id",
+        n_shared.cast("bigint").alias("n_shared_shingles"),
+        (n_shared >= 3).cast("bigint").alias("contaminated"),
+    )
+
+
+@register(
+    "sample_stratified_by_lang",
+    oracle=rf"""
+    WITH b AS (
+      SELECT doc_id, lang,
+        {duck_hex13_to_long("md5('strat42|' || CAST(doc_id AS VARCHAR))")} % 1000 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(bucket AS BIGINT) AS sample_bucket
+    FROM b
+    WHERE bucket < CASE WHEN lang = 'en' THEN 300 ELSE 1000 END
+    """,
+    doc="Stratified deterministic sampling — the domain-mixture stage: "
+    "down-weight the dominant language to 30% while keeping the rest "
+    "at 100%, via keyed-md5 permille buckets (reproducible and "
+    "partitioning-stable, unlike sample()/rand(); re-running on a "
+    "re-partitioned corpus keeps exactly the same rows). Map-only: "
+    "the predicate fuses with the scan.",
+    tags=("text", "pipeline", "sampling"),
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        hex13_to_long(F.md5(F.concat(F.lit("strat42|"), F.col("doc_id").cast("string"))))
+        % 1000
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(300)).otherwise(F.lit(1000))
+    return (
+        docs.select("doc_id", "lang", bucket.alias("sample_bucket"))
+        .filter(F.col("sample_bucket") < rate)
+        .select("doc_id", "lang", F.col("sample_bucket").cast("bigint").alias("sample_bucket"))
+    )
