@@ -335,6 +335,7 @@ def ann_ivf_topk(
     centroid_vec: str = "cvec",
     query_id: str = "query_id",
     query_vec: str = "qvec",
+    inverted: DataFrame | None = None,
 ) -> DataFrame:
     """IVF probe: per query, search the ``nprobe`` nearest inverted lists.
 
@@ -342,9 +343,18 @@ def ann_ivf_topk(
     corpus side is touched only on the probed centroid ids. Small
     centroid tables (the normal case) take the literal-expression path
     for both the corpus inversion and the query probes — see
-    :func:`ivf_assign`."""
+    :func:`ivf_assign`.
+
+    ``inverted``: a prebuilt ``(corpus_id, corpus_vec, centroid_id)``
+    inverted table (from :func:`ivf_assign`, typically persisted or
+    written partitioned by centroid id). Corpus inversion is index
+    BUILD, not query work — serving systems assign each vector to its
+    list once at ingest; pass it here so per-query cost is only the
+    probed lists."""
     cents = _centroids_as_literals(centroids, centroid_id, centroid_vec)
-    if cents is not None:
+    if inverted is not None:
+        pass
+    elif cents is not None:
         cpre = corpus.select(
             corpus_id, corpus_vec, as_double(F.col(corpus_vec)).alias("__vd")
         ).withColumn("__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd"))))

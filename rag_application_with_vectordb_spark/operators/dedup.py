@@ -372,3 +372,76 @@ def embedding_neardup_pairs(
     if top_pairs is not None:
         pairs = pairs.orderBy(F.desc("cosine"), F.asc("id_a"), F.asc("id_b")).limit(int(top_pairs))
     return pairs
+
+
+def duplicate_components(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: the step that
+    turns pairwise matches into actual dedup decisions (which rows form
+    one duplicate cluster, which single row to keep).
+
+    Min-label propagation, Pregel-style: every node starts labeled with
+    its own id; each round takes the min of its label and its
+    neighbors' labels; fixpoint = components labeled by their min id.
+    Rounds needed = component diameter — near-dup clusters are small
+    and dense (copies of one source document), so a handful of rounds
+    closes them; ``max_iter`` bounds the pathological chain. Each round
+    is one equi-join + aggregate on the edge list (edge-partitioned,
+    no driver state beyond the 1-row convergence probe); at cluster
+    scale, checkpoint the label frame every few rounds to truncate
+    lineage (the alternating large-star/small-star variant of
+    Kiveris et al., "Connected Components in MapReduce", drops the
+    round count to O(log n) with the same join shape if diameters
+    ever grow).
+
+    Output: ``{id_col}, component_id, component_size, is_canonical``
+    (component_id = min doc id in the component; singletons are their
+    own component).
+    """
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = edges.persist()
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
+    ).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count("*").alias("component_size"))
+    out = labels.join(sizes, "label").select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("component_id"),
+        F.col("component_size").cast("long").alias("component_size"),
+        (F.col("node") == F.col("label")).cast("bigint").alias("is_canonical"),
+    )
+    edges.unpersist()
+    return out

@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import as_double, dot
 
-__all__ = ["kmeans_fit", "assign_clusters", "kmeans_fit_spherical_fp", "FP_SCALE"]
+__all__ = [
+    "kmeans_fit",
+    "assign_clusters",
+    "kmeans_fit_spherical_fp",
+    "kmeans_fit_spherical_fp_values",
+    "FP_SCALE",
+]
 
 #: Fixed-point grid for :func:`kmeans_fit_spherical_fp` mean updates.
 #: A power of two, so ``val * FP_SCALE`` is an exact fp64 operation
@@ -158,13 +164,42 @@ def kmeans_fit_spherical_fp(
     ``DataFrame.sample``) keeps the subsample engine-reproducible, so the
     trained centroids remain bit-identical in the DuckDB oracle.
     """
-    from ..operators.ann import LITERAL_CENTROID_MAX, nearest_centroid_ids
+    from ..operators.ann import LITERAL_CENTROID_MAX
+
+    if int(k) > LITERAL_CENTROID_MAX:  # pragma: no cover - catalog uses small k
+        s = int(scale)
+        if sample_mod is not None and int(sample_mod) > 1:
+            points = points.filter(F.col(id_col) % int(sample_mod) == 0)
+        return _kmeans_fp_joined(points, int(k), int(iterations), id_col, vec_col, s)
+    cents = kmeans_fit_spherical_fp_values(
+        points, k, iterations, id_col, vec_col, scale, sample_mod
+    )
+    return points.sparkSession.createDataFrame(
+        [(cid, cvec) for cid, cvec in cents], "centroid_id int, cvec array<double>"
+    )
+
+
+def kmeans_fit_spherical_fp_values(
+    points: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = FP_SCALE,
+    sample_mod: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """:func:`kmeans_fit_spherical_fp`, returning the trained centroids
+    as plain driver-side values (k×dim doubles — the same sanctioned
+    boundary as ask()'s k rows). Index *build* is an offline stage in a
+    real deployment (the quantizer is trained once and stored; serving
+    only loads it), so callers that issue many queries against one
+    corpus should train once via this function and reuse the values —
+    training is deterministic, making the reuse result-invisible."""
+    from ..operators.ann import nearest_centroid_ids
 
     s = int(scale)
     if sample_mod is not None and int(sample_mod) > 1:
         points = points.filter(F.col(id_col) % int(sample_mod) == 0)
-    if int(k) > LITERAL_CENTROID_MAX:  # pragma: no cover - catalog uses small k
-        return _kmeans_fp_joined(points, int(k), int(iterations), id_col, vec_col, s)
 
     # Literal-centroid path: centroids live on the driver between
     # iterations (k×dim doubles — the same sanctioned boundary as ask()'s
@@ -217,9 +252,7 @@ def kmeans_fit_spherical_fp(
             ]
     finally:
         pre.unpersist()
-    return points.sparkSession.createDataFrame(
-        [(cid, cvec) for cid, cvec in cents], "centroid_id int, cvec array<double>"
-    )
+    return cents
 
 
 def _kmeans_fp_joined(

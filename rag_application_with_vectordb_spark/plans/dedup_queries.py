@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    duplicate_components,
     embedding_neardup_pairs,
     exact_dup_groups,
     minhash_lsh_pairs,
@@ -290,3 +291,41 @@ def dedup_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     return embedding_neardup_pairs(emb, top_pairs=50)
+
+
+@register(
+    "dedup_components",
+    oracle=_JACCARD_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
+    + r""",
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= 0.4
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jaccard >= 0.4
+    ),
+    nodes AS (SELECT doc_id FROM aug),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a AS doc_id, min(b) AS component_id FROM reach GROUP BY a),
+    csizes AS (SELECT component_id, count(*) AS component_size FROM comp GROUP BY 1)
+    SELECT c.doc_id, CAST(c.component_id AS BIGINT) AS component_id,
+           CAST(s.component_size AS BIGINT) AS component_size,
+           CAST(CASE WHEN c.doc_id = c.component_id THEN 1 ELSE 0 END AS BIGINT) AS is_canonical
+    FROM comp c JOIN csizes s USING (component_id)
+    """,
+    doc="Duplicate-cluster assignment: connected components over the "
+    "exact-Jaccard near-dup pair graph (operators/dedup.py "
+    "duplicate_components — iterative min-label propagation, one "
+    "equi-join + agg per round, rounds = component diameter). Turns "
+    "pairwise matches into the actual dedup decision: cluster id, "
+    "cluster size, and the one canonical row to keep. Oracle is a "
+    "DuckDB recursive-CTE transitive closure over the same pair graph.",
+    tags=("dedup", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(aug, min_jaccard=0.4)
+    return duplicate_components(aug.select("doc_id"), pairs)

@@ -166,3 +166,27 @@ def test_simhash_blocked_rejects_uneven_chunks(docs):
 
     with pytest.raises(ValueError):
         simhash_blocked_pairs(docs, max_hamming=4, bits=32)  # 32 % 5 != 0
+
+
+def test_duplicate_components_merge_planted_triples(spark, sf_dir):
+    from rag_application_with_vectordb_spark.plans.registry import load_all
+
+    rows = {r.doc_id: r for r in load_all()["dedup_components"].fn(spark, sf_dir).collect()}
+    # planted: doc d<20 has an exact copy (d+10000) and a near copy
+    # (d+20000); all three must land in one component whose canonical
+    # (min) id is the original
+    for d in range(20):
+        assert rows[d + 10000].component_id == rows[d].component_id
+        assert rows[d + 20000].component_id == rows[d].component_id
+        assert rows[d].component_id <= d
+        assert rows[d + 10000].is_canonical == 0
+        assert rows[d + 20000].is_canonical == 0
+    # component_size consistent with membership counts
+    from collections import Counter
+
+    sizes = Counter(r.component_id for r in rows.values())
+    for r in rows.values():
+        assert r.component_size == sizes[r.component_id]
+    # exactly one canonical row per component
+    canon = Counter(r.component_id for r in rows.values() if r.is_canonical == 1)
+    assert set(canon) == set(sizes) and all(v == 1 for v in canon.values())
