@@ -1,0 +1,218 @@
+r"""Hybrid retrieval: BM25 lexical scoring + reciprocal-rank fusion
+with the vector path.
+
+The reference retrieves by cosine alone (``vectorDb.ts:11-24``);
+production RAG systems pair that with a lexical ranker and fuse the two
+lists — BM25 handles exact-term queries the embedding misses, the
+embedding handles paraphrases BM25 misses. Both stages here are pure
+relational algebra with exact DuckDB twins.
+
+Determinism notes:
+
+- BM25's ``ln`` is the one transcendental in the catalog; the two
+  engines' libm results can differ in the last ulp, so the score is
+  rounded to 6 decimals on BOTH sides and the ranking key is the
+  ROUNDED score (+ doc_id tiebreak) — order and values then agree
+  bitwise.
+- ``avgdl`` is computed as exact-integer ``SUM(dl)`` divided once, not
+  ``AVG`` (a cross-partition fp64 AVG is summation-order-dependent).
+- RRF adds two correctly-rounded divisions of small integers in fixed
+  order — deterministic without rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..embedder import hash_embedding_expr
+from ..functions.text import tokens
+from ..functions.vector import cosine_sim
+from ..session import tune
+from ..sources.catalog import load_table
+from .oracle_dialect import duck_cosine, duck_hash_embedding
+from .registry import register
+
+#: Fixed lexical query terms (all in the fixture vocabulary).
+_TERMS = ("table", "join", "vector")
+_K1 = 1.2
+_B = 0.75
+#: Vector-side query text for the fusion demo.
+_QTEXT = "table join vector fast"
+_DIM = 8  # matches embed_hash_components' checked dimension
+_RRF_K = 60
+_CAND = 20  # candidates taken from each retriever before fusion
+
+
+def _bm25_base_sql() -> str:
+    tf_cols = ",\n        ".join(
+        f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}" for t in _TERMS
+    )
+    return rf"""
+    base AS (
+      SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        {tf_cols}
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents)
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS BIGINT) AS sum_dl,
+        {", ".join(f"CAST(sum(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}" for t in _TERMS)}
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in _TERMS)},
+        round({" + ".join(
+            f"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5) / (CAST(df_{t} AS DOUBLE) + 0.5))"
+            f" * (CAST(tf_{t} AS DOUBLE) * {_K1 + 1.0}) / (CAST(tf_{t} AS DOUBLE) + {_K1} * ({1.0 - _B} + {_B} * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+            for t in _TERMS
+        )}, 6) AS bm25
+      FROM base, stats
+    )
+"""
+
+
+def _bm25_scores(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_bm25_base_sql``'s ``scored`` CTE — identical
+    expression shape so fp64 results match DuckDB bitwise."""
+    w = tokens(F.col("text"))
+
+    def tf(term: str):
+        # closure, NOT a defaulted second lambda arg: a 2-arg HOF lambda
+        # would be called as (element, index)
+        return F.size(F.filter(w, lambda x: x == term)).cast("bigint")
+
+    base = docs.select(
+        "doc_id",
+        F.size(w).cast("bigint").alias("dl"),
+        *[tf(t).alias(f"tf_{t}") for t in _TERMS],
+    )
+    stats = base.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("bigint").alias(f"df_{t}")
+            for t in _TERMS
+        ],
+    )
+    joined = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    score = None
+    for t in _TERMS:
+        tf = F.col(f"tf_{t}").cast("double")
+        df = F.col(f"df_{t}").cast("double")
+        idf = F.log(
+            1.0 + (F.col("n_docs").cast("double") - df + 0.5) / (df + 0.5)
+        )
+        term = (idf * (tf * (_K1 + 1.0))) / (
+            tf + _K1 * ((1.0 - _B) + _B * F.col("dl").cast("double") / avgdl)
+        )
+        score = term if score is None else score + term
+    return joined.select(
+        "doc_id", "dl", *[f"tf_{t}" for t in _TERMS], F.round(score, 6).alias("bm25")
+    )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_bm25_base_sql()}
+    SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in _TERMS)}, bm25
+    FROM scored
+    ORDER BY bm25 DESC, doc_id ASC
+    LIMIT 10
+    """,
+    doc="BM25 lexical top-10 (Robertson/Sparck Jones k1=1.2 b=0.75) for a "
+    "fixed term query. Corpus stats (N, Σdl, per-term df) are one "
+    "aggregate broadcast back to the scan — per-row scoring then fuses "
+    "with the scan and top-k is TakeOrderedAndProject; nothing shuffles "
+    "the corpus. Scores rounded to 6 decimals on both engines so the "
+    "lone transcendental (ln) can't flap the value hash.",
+    tags=("text", "retrieval"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _bm25_scores(docs)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "hybrid_rrf_topk",
+    oracle=f"""
+    WITH {_bm25_base_sql()},
+    bm AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_bm25
+      FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT {_CAND}
+    ),
+    vec AS (
+      SELECT doc_id,
+             {duck_cosine(duck_hash_embedding("text", _DIM), duck_hash_embedding(f"'{_QTEXT}'", _DIM))} AS cos
+      FROM documents
+    ),
+    vr AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r_vec
+      FROM vec ORDER BY cos DESC, doc_id ASC LIMIT {_CAND}
+    ),
+    fused AS (
+      SELECT COALESCE(bm.doc_id, vr.doc_id) AS doc_id,
+        CAST(COALESCE(vr.r_vec, 0) AS BIGINT) AS vec_rank,
+        CAST(COALESCE(bm.r_bm25, 0) AS BIGINT) AS bm25_rank,
+        COALESCE(1.0 / ({_RRF_K} + vr.r_vec), 0.0)
+          + COALESCE(1.0 / ({_RRF_K} + bm.r_bm25), 0.0) AS rrf_score
+      FROM bm FULL OUTER JOIN vr ON bm.doc_id = vr.doc_id
+    )
+    SELECT doc_id, vec_rank, bm25_rank, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 10
+    """,
+    doc="Hybrid retrieval: reciprocal-rank fusion (Cormack et al. 2009, "
+    "k=60) of the BM25 top-20 and the hash-embedding cosine top-20 — "
+    "the lexical+vector pairing production RAG runs on top of the "
+    "reference's cosine-only search (vectorDb.ts:11-24). Each retriever "
+    "reduces to its own top-20 (TakeOrderedAndProject — the corpus is "
+    "never globally ranked); fusion joins two 20-row lists, so the "
+    "single-partition rank windows touch 20 rows, not the corpus. "
+    "Rank 0 in the output = 'not in that retriever's candidates'.",
+    tags=("text", "retrieval", "flagship"),
+)
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    bm = (
+        _bm25_scores(docs)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_CAND)
+        .withColumn(
+            "r_bm25",
+            F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))),
+        )
+        .select("doc_id", "r_bm25")
+    )
+    vec = docs.select(
+        "doc_id",
+        cosine_sim(
+            hash_embedding_expr(F.col("text"), dim=_DIM),
+            hash_embedding_expr(F.lit(_QTEXT), dim=_DIM),
+        ).alias("cos"),
+    )
+    vr = (
+        vec.orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(_CAND)
+        .withColumn(
+            "r_vec", F.row_number().over(Window.orderBy(F.desc("cos"), F.asc("doc_id")))
+        )
+        .select("doc_id", "r_vec")
+    )
+    fused = bm.join(vr, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("r_vec"), F.lit(0)).cast("bigint").alias("vec_rank"),
+        F.coalesce(F.col("r_bm25"), F.lit(0)).cast("bigint").alias("bm25_rank"),
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("r_vec")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("r_bm25")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(10)

@@ -120,6 +120,7 @@ def load_all() -> dict[str, QuerySpec]:
         from . import relational3  # noqa: F401
         from . import analytics  # noqa: F401
         from . import pipeline_ops  # noqa: F401
+        from . import hybrid_queries  # noqa: F401
 
         ordered = {n: QUERIES[n] for n in DRIVER_WINDOW_PRIORITY if n in QUERIES}
         ordered.update({n: s for n, s in QUERIES.items() if n not in ordered})
