@@ -357,3 +357,41 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_bucket") < rate)
         .select("doc_id", "lang", F.col("sample_bucket").cast("bigint").alias("sample_bucket"))
     )
+
+
+@register(
+    "length_buckets",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+      CAST(ntile(8) OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS eqfreq_bucket,
+      CAST(n_tokens // 16 AS BIGINT) AS range_bucket
+    FROM t
+    """,
+    doc="Length bucketing — the batch-by-length stage that keeps padding "
+    "waste down in training/inference: equal-frequency buckets via "
+    "ntile(8) (exact, needs a global sort — the oracle anchor) plus "
+    "fixed-width range buckets (map-only, the 100 TB path; at scale the "
+    "range boundaries come from approx percentiles so buckets stay "
+    "balanced without the sort).",
+    tags=("text", "pipeline", "window"),
+)
+def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy("n_tokens", "doc_id")
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        F.ntile(8).over(w).cast("bigint").alias("eqfreq_bucket"),
+        F.floor(F.col("n_tokens") / 16).cast("bigint").alias("range_bucket"),
+    )
