@@ -7,6 +7,11 @@
 
 Each query is forced end-to-end with the noop sink (full computation,
 no driver collect cost, no result materialization skew).
+
+Failure-isolated: one red query must never zero out the round's
+performance signal (round 3's bench died on its first query and recorded
+nothing). Per-query exceptions land in an ``errors`` map; the JSON line
+always prints.
 """
 
 from __future__ import annotations
@@ -58,24 +63,35 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     specs = load_all()
     spark = get_spark("bench")
+    errors: dict[str, str] = {}
 
-    def run(name: str) -> float:
+    def run(name: str) -> float | None:
+        if name in errors:  # failed cold — don't re-raise twice more
+            return None
         t0 = time.time()
-        specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        try:
+            specs[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        except Exception as exc:  # noqa: BLE001 — isolation is the point
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            return None
         return round(time.time() - t0, 3)
 
     # Three passes: the first pays one-time JVM/whole-stage-codegen
     # compile (tens of seconds for the widest generated classes — not a
     # property of the plan) and is reported separately per query; the
-    # headline number is the per-query MEDIAN of the two warm passes —
+    # headline number is the per-query MEAN of the two warm passes —
     # never mixed with the cold pass, so rounds compare warm-to-warm.
-    cold: dict[str, float] = {}
-    for name in HEADLINE:
-        cold[name] = run(name)
+    cold = {name: run(name) for name in HEADLINE}
     warm1 = {name: run(name) for name in HEADLINE}
     warm2 = {name: run(name) for name in HEADLINE}
     times = {
-        name: round((warm1[name] + warm2[name]) / 2, 3) for name in HEADLINE
+        name: round((warm1[name] + warm2[name]) / 2, 3)
+        for name in HEADLINE
+        if warm1.get(name) is not None and warm2.get(name) is not None
+    }
+    spread = {
+        name: round(abs(warm1[name] - warm2[name]), 3)
+        for name in times
     }
 
     total = round(sum(times.values()), 3)
@@ -86,8 +102,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
-                "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
+                "queries_warm_spread": spread,
+                "queries_cold": {k: v for k, v in cold.items() if v is not None},
+                "cold_total": round(sum(v for v in cold.values() if v is not None), 3),
+                "errors": errors,
+                "n_ok": len(times),
+                "n_total": len(HEADLINE),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

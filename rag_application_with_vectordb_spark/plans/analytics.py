@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import tune
-from ..sources.catalog import register_views
+from ..sources.catalog import register_views, tables_in_sql
 from .registry import register
 
 
@@ -30,7 +30,7 @@ def _sql_query(name: str, sql: str, doc: str = "", oracle: str | None = None, ta
     @register(name, oracle=oracle or sql, doc=doc, tags=tags)
     def fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
         tune(spark)
-        register_views(spark, sf_dir)
+        register_views(spark, sf_dir, tables_in_sql(_sql))
         return spark.sql(_sql)
 
     return fn

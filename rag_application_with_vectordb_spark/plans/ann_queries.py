@@ -23,13 +23,40 @@ from .registry import register
 _DIM = 64
 _PLANES = 8
 
-_PLANES_SQL = f"""
+def _planes_sql_n(n: int) -> str:
+    return f"""
     planes AS (
       SELECT CAST(t.p AS INTEGER) AS p,
              list_transform(range(0, {_DIM}),
                             j -> {duck_fold_unit("'plane|' || t.p || '|' || j")}) AS pv
-      FROM (SELECT unnest(range(0, {_PLANES}))) t(p)
+      FROM (SELECT unnest(range(0, {n}))) t(p)
     )
+"""
+
+
+_PLANES_SQL = _planes_sql_n(_PLANES)
+
+
+def _exact_top5_sql(query_pred: str) -> str:
+    """Exact cosine top-5 CTE (the ``knn_join`` twin: sim DESC, id ASC)."""
+    return f"""exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {duck_cosine('e.embedding', 'q.qvec')} DESC, e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN
+             (SELECT vec_id AS query_id, embedding AS qvec
+              FROM embeddings WHERE {query_pred}) q
+      ) WHERE rn <= 5
+    )"""
+
+
+_RECALL_TAIL_SQL = """
+    SELECT e.query_id AS query_id,
+           CAST(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS DOUBLE) AS recall_at_5
+    FROM exact e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id
 """
 
 
@@ -397,13 +424,27 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_recall",
-    oracle=None,  # both sides are deterministic, but the combined SQL would
-    # be unwieldy; the exact/approx constituents are each oracle-checked
-    # separately (knn_batch, ann_lsh_topk), so rows-only suffices here.
+    oracle=f"""
+    WITH {_planes_sql_n(4)},
+    b AS ({_bucket_sql('SELECT vec_id, embedding FROM embeddings', 'vec_id', 'embedding')}),
+    qb AS ({_bucket_sql('SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10', 'query_id', 'qvec')}),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, b.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {duck_cosine('b.embedding', 'q.qvec')} DESC, b.vec_id) AS rn
+        FROM b JOIN qb q USING (bucket)
+      ) WHERE rn <= 5
+    ),
+    {_exact_top5_sql('vec_id < 10')}
+    {_RECALL_TAIL_SQL}
+    """,
     doc="Recall@5 of the LSH ANN path against the exact scan, per query — "
     "the quality metric an ANN deployment monitors. Uses 4 planes (16 "
     "buckets) for the fixture-sized corpus; plane count is the knob that "
-    "trades bucket size (cost) against recall.",
+    "trades bucket size (cost) against recall. Both sides are "
+    "deterministic (md5-fold hyperplanes), so even the recall arithmetic "
+    "is value-checked against DuckDB.",
     tags=("ann",),
 )
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,8 +488,37 @@ def _recall_vs_exact(spark, sf_dir: str, approx_fn) -> DataFrame:
 
 @register(
     "ann_ivf_recall",
-    oracle=None,  # constituents are each oracle-checked (knn_batch,
-    # ann_ivf_topk); the combined recall join is rows-only like ann_lsh_recall.
+    oracle=f"""
+    WITH {_kmeans_fp_sql(_IVF_K, _IVF_ITERS, _DIM, _IVF_SCALE, _IVF_SAMPLE_MOD)},
+    cent AS (SELECT centroid_id, cvec FROM cent{_IVF_ITERS}),
+    assign AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qvec, centroid_id FROM (
+        SELECT q.query_id, q.qvec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {duck_cosine('q.qvec', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= 2
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {duck_cosine('a.embedding', 'p.qvec')} DESC, a.vec_id) AS rn
+        FROM assign a JOIN probes p USING (centroid_id)
+      ) WHERE rn <= 5
+    ),
+    {_exact_top5_sql('vec_id < 10')}
+    {_RECALL_TAIL_SQL}
+    """,
     doc="Recall@5 of the TRAINED-IVF path (nprobe=2 over 8 learned lists) "
     "against the exact scan — 0.73 on the sf0.01 fixture vs 0.71 for the "
     "first-C fallback quantizer and 0.2-0.6 for single-probe LSH; the "
@@ -474,7 +544,40 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_multiprobe_recall",
-    oracle=None,  # same rows-only rationale as ann_lsh_recall.
+    oracle=f"""
+    WITH {_planes_sql_n(4)},
+    b AS ({_bucket_sql('SELECT vec_id, embedding FROM embeddings', 'vec_id', 'embedding')}),
+    qd AS (
+      SELECT q.query_id, q.qvec, pl.p,
+             list_dot_product(q.qvec::DOUBLE[], pl.pv) AS d
+      FROM (SELECT vec_id AS query_id, embedding AS qvec
+            FROM embeddings WHERE vec_id < 10) q
+      CROSS JOIN planes pl
+    ),
+    qagg AS (
+      SELECT query_id, qvec,
+        CAST(SUM(CASE WHEN d >= 0.0 THEN 2.0 ** p ELSE 0.0 END) AS BIGINT) AS base,
+        (list(p ORDER BY abs(d) ASC, p ASC))[1:2] AS flip_planes
+      FROM qd GROUP BY query_id, qvec
+    ),
+    probes AS (
+      SELECT query_id, qvec,
+             unnest(list_prepend(base,
+               list_transform(flip_planes,
+                              fp -> xor(base, CAST(2 ** fp AS BIGINT))))) AS bucket
+      FROM qagg
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT pr.query_id, b.vec_id,
+               row_number() OVER (PARTITION BY pr.query_id
+                                  ORDER BY {duck_cosine('b.embedding', 'pr.qvec')} DESC, b.vec_id) AS rn
+        FROM b JOIN probes pr USING (bucket)
+      ) WHERE rn <= 5
+    ),
+    {_exact_top5_sql('vec_id < 10')}
+    {_RECALL_TAIL_SQL}
+    """,
     doc="Recall@5 of multiprobe LSH (4 planes + 2 margin-flip probes) vs "
     "the exact scan — 0.48 on the sf0.01 fixture against 0.32 for "
     "single-probe at the same plane count: the monitor that justifies "

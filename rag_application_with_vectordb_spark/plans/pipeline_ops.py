@@ -395,3 +395,60 @@ def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(8).over(w).cast("bigint").alias("eqfreq_bucket"),
         F.floor(F.col("n_tokens") / 16).cast("bigint").alias("range_bucket"),
     )
+
+
+@register(
+    "length_buckets_approx",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    h AS (
+      SELECT n_tokens, COUNT(*) AS c FROM t GROUP BY n_tokens
+    ),
+    b AS (
+      SELECT n_tokens,
+        CAST((SUM(c) OVER (ORDER BY n_tokens) * 8 + (SELECT COUNT(*) FROM t) - 1)
+             // (SELECT COUNT(*) FROM t) AS BIGINT) AS histq_bucket
+      FROM h
+    )
+    SELECT t.doc_id, t.n_tokens, b.histq_bucket
+    FROM t JOIN b ON t.n_tokens = b.n_tokens
+    """,
+    doc="Equal-frequency length bucketing WITHOUT a global row sort — the "
+    "100 TB path `length_buckets` promises. The distinct token-count "
+    "domain is tiny and bounded (O(max doc length), independent of corpus "
+    "size), so: histogram on n_tokens (one shuffle on a small key), "
+    "cumulative counts over the histogram (a window over thousands of "
+    "rows, not the corpus), integer-exact bucket = ceil(8*cum/n) per "
+    "distinct length, then a broadcast join back onto the docs (map-side, "
+    "no corpus shuffle). Ties share a bucket — the documented semantic "
+    "difference vs ntile; boundaries are exact, not sketched, yet the "
+    "plan scales like the percentile_approx variant.",
+    tags=("text", "pipeline", "sampling"),
+)
+def length_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    hist = t.groupBy("n_tokens").agg(F.count("*").alias("c"))
+    # Cumulative count over the tiny histogram; single-partition window is
+    # fine — its cardinality is distinct lengths, not rows.
+    cum = hist.withColumn(
+        "cum", F.sum("c").over(Window.orderBy("n_tokens"))
+    ).crossJoin(F.broadcast(t.agg(F.count("*").alias("n_total"))))
+    buckets = cum.select(
+        "n_tokens",
+        F.expr("CAST((cum * 8 + n_total - 1) div n_total AS BIGINT)").alias(
+            "histq_bucket"
+        ),
+    )
+    return t.join(F.broadcast(buckets), "n_tokens").select(
+        "doc_id", "n_tokens", "histq_bucket"
+    )

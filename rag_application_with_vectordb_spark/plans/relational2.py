@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from ..operators.asof import asof_join_prior
 from ..operators.rangejoin import range_join_within
 from ..session import tune
-from ..sources.catalog import load_table, register_views
+from ..sources.catalog import load_table, register_views, tables_in_sql
 from .registry import register
 
 _D = "DECIMAL(18,2)"
@@ -22,7 +22,7 @@ def _sql_query(name: str, sql: str, doc: str = "", oracle: str | None = None, ta
     @register(name, oracle=oracle or sql, doc=doc, tags=tags)
     def fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
         tune(spark)
-        register_views(spark, sf_dir)
+        register_views(spark, sf_dir, tables_in_sql(_sql))
         return spark.sql(_sql)
 
     return fn
@@ -463,7 +463,15 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("price_p50_p95"),
+    # Scalar p50/p95 columns, not one array column: the driver's
+    # canonicalizer hashes cell values and can't factorize python lists.
+    agged = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("pcts"),
         F.count("*").alias("n"),
+    )
+    return agged.select(
+        "l_returnflag",
+        F.element_at("pcts", 1).alias("price_p50"),
+        F.element_at("pcts", 2).alias("price_p95"),
+        "n",
     )

@@ -32,23 +32,33 @@ __all__ = [
     "run_to_completion",
 ]
 
-_EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream the events fixture file (TIMESTAMP(NANOS) parquet → read as
-    long, floor-divide to µs — same conversion as the batch catalog)."""
+    """Stream the events fixture file, normalizing ``ts`` to TIMESTAMP the
+    same way the batch catalog does.
+
+    A file stream needs a declared schema, and the fixture's physical
+    encoding of ``ts`` has changed across generations (TIMESTAMP(NANOS)
+    vs ``timestamp[us]``) — so probe the footer with a zero-row batch
+    read first and declare whatever the reader actually observes, then
+    apply the matching normalization. Mirrors ``sources.catalog.load_table``.
+    """
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    observed = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # The file stream source wants a directory; glob-filter to the events
     # file so the other tables in the fixture dir are not picked up.
     raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
+        spark.readStream.schema(observed)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = dict((f.name, f.dataType.simpleString()) for f in observed.fields)["ts"]
+    if ts_type == "bigint":  # TIMESTAMP(NANOS) read as long
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_type != "timestamp":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
