@@ -374,6 +374,65 @@ def embedding_neardup_pairs(
     return pairs
 
 
+def embedding_lsh_neardup_pairs(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    min_cosine: float = 0.2,
+    seed: str = "plane",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-blocked — the
+    sub-quadratic scale path for ``embedding_neardup_pairs``.
+
+    Each vector gets one hyperplane-sign bucket (deterministic md5-fold
+    planes, same family as ``operators.ann``); candidate pairs are only
+    formed WITHIN a bucket, so pair count drops from n²/2 to
+    Σ bucket²/2 — with n_planes ≈ log2(n / target_bucket) the blocking
+    keeps buckets O(target) and the join linear-ish in n. Recall
+    tradeoff: a pair at angle θ collides with probability
+    (1 − θ/π)^n_planes — genuine near-dups (θ→0) almost always land
+    together, weak pairs may be missed; raise recall by unioning a few
+    seed rotations (band analog), each still sub-quadratic.
+
+    One shuffle on the bucket key; skewed buckets are the hazard at
+    100 TB — mitigate by adding planes (splits every bucket in two) or
+    salting the degenerate bucket of all-zero vectors.
+
+    Output: ``id_a, id_b, cosine`` (cosine ≥ ``min_cosine``).
+    """
+    from .ann import hyperplane_buckets
+
+    b = hyperplane_buckets(
+        emb.select(id_col, vec_col), vec_col, dim, n_planes, seed
+    )
+    normed = b.select(
+        F.col(id_col),
+        F.col("bucket"),
+        as_double(F.col(vec_col)).alias("__v"),
+        l2_norm(as_double(F.col(vec_col))).alias("__n"),
+    )
+    a = normed.select(
+        F.col(id_col).alias("id_a"), F.col("bucket"),
+        F.col("__v").alias("vec_a"), F.col("__n").alias("n_a"),
+    )
+    bb = normed.select(
+        F.col(id_col).alias("id_b"), F.col("bucket"),
+        F.col("__v").alias("vec_b"), F.col("__n").alias("n_b"),
+    )
+    sim = (
+        F.when((F.col("n_a") == 0.0) | (F.col("n_b") == 0.0), F.lit(0.0))
+        .otherwise(dot(F.col("vec_a"), F.col("vec_b")) / (F.col("n_a") * F.col("n_b")))
+    )
+    return (
+        a.join(bb, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine"))
+        .filter(F.col("cosine") >= float(min_cosine))
+    )
+
+
 def duplicate_components(
     nodes: DataFrame,
     pairs: DataFrame,

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     duplicate_components,
+    embedding_lsh_neardup_pairs,
     embedding_neardup_pairs,
     exact_dup_groups,
     minhash_lsh_pairs,
@@ -26,7 +27,7 @@ from ..operators.dedup import (
 )
 from ..session import tune
 from ..sources.catalog import load_table
-from .oracle_dialect import duck_cosine, duck_hex13_to_long
+from .oracle_dialect import duck_cosine, duck_fold_unit, duck_hex13_to_long
 from .registry import register
 
 _NEAR_SUFFIX = " spark engine near duplicate suffix"
@@ -291,6 +292,47 @@ def dedup_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
     return embedding_neardup_pairs(emb, top_pairs=50)
+
+
+_NEARDUP_PLANES = 6
+_NEARDUP_MIN_COS = 0.2
+
+
+@register(
+    "dedup_embedding_lsh_pairs",
+    oracle=f"""
+    WITH planes AS (
+      SELECT CAST(t.p AS INTEGER) AS p,
+             list_transform(range(0, 64),
+                            j -> {duck_fold_unit("'plane|' || t.p || '|' || j")}) AS pv
+      FROM (SELECT unnest(range(0, {_NEARDUP_PLANES}))) t(p)
+    ),
+    b AS (
+      SELECT s.vec_id, s.embedding,
+             CAST(SUM(CASE WHEN list_dot_product(s.embedding::DOUBLE[], pl.pv) >= 0.0
+                           THEN 2.0 ** pl.p ELSE 0.0 END) AS BIGINT) AS bucket
+      FROM embeddings s CROSS JOIN planes pl
+      GROUP BY s.vec_id, s.embedding
+    )
+    SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+           {duck_cosine('a.embedding', 'bb.embedding')} AS cosine
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+    WHERE {duck_cosine('a.embedding', 'bb.embedding')} >= {_NEARDUP_MIN_COS}
+    """,
+    doc="Embedding near-dup at scale: hyperplane-LSH blocking (6 planes, "
+    "64 buckets) then within-bucket cosine ≥ 0.2 — the sub-quadratic "
+    "production form of dedup_embedding_topk_pairs (which stays as the "
+    "exact all-pairs oracle anchor). One shuffle on the bucket key; "
+    "deterministic md5-fold planes make even the blocked candidate set "
+    "value-checkable cross-engine.",
+    tags=("dedup", "ann"),
+)
+def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_lsh_neardup_pairs(
+        emb, n_planes=_NEARDUP_PLANES, min_cosine=_NEARDUP_MIN_COS
+    )
 
 
 @register(

@@ -99,11 +99,12 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_forward_fill",
     "text_tfidf_top_terms",
     "approx_percentile_sketch",  # array→scalar projection fix, re-prove
+    # (d) new this round — never checked by construction
+    "approx_distinct_kmv",
+    "dedup_embedding_lsh_pairs",
     # (c) continuity anchors (green r1+r3)
     "knn_topk",
     "knn_batch",
-    "rag_e2e_retrieval",
-    "dedup_minhash_lsh_pairs",
 )
 
 

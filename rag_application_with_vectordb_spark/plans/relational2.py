@@ -13,6 +13,7 @@ from ..operators.asof import asof_join_prior
 from ..operators.rangejoin import range_join_within
 from ..session import tune
 from ..sources.catalog import load_table, register_views, tables_in_sql
+from .oracle_dialect import duck_hex13_to_long
 from .registry import register
 
 _D = "DECIMAL(18,2)"
@@ -450,6 +451,71 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.count("*").alias("n_orders"),
+    )
+
+
+_KMV_K = 64
+
+
+@register(
+    "approx_distinct_kmv",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT o_orderstatus, o_custkey FROM orders),
+    u AS (
+      SELECT o_orderstatus,
+             {duck_hex13_to_long("md5(CAST(o_custkey AS VARCHAR))")} / 4503599627370496.0 AS u
+      FROM d
+    ),
+    r AS (
+      SELECT o_orderstatus, u,
+             row_number() OVER (PARTITION BY o_orderstatus ORDER BY u) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n_d
+      FROM u
+    )
+    SELECT o_orderstatus,
+      CAST(CASE WHEN MAX(n_d) < {_KMV_K} THEN CAST(MAX(n_d) AS DOUBLE)
+           ELSE {_KMV_K - 1}.0 / MAX(CASE WHEN rn = {_KMV_K} THEN u END) END AS DOUBLE)
+        AS approx_customers_kmv,
+      CAST(MAX(n_d) AS BIGINT) AS exact_customers
+    FROM r GROUP BY o_orderstatus
+    """,
+    doc="K-minimum-values distinct sketch (Bar-Yossef et al. 2002): "
+    "estimate = (k-1)/u_k where u_k is the k-th smallest md5-derived "
+    "unit hash of the distinct keys. Unlike HLL (approx_distinct_sketch, "
+    "rows-only — DuckDB's sketch differs), KMV is pure deterministic "
+    "hashing, so the ESTIMATE itself is value-checked cross-engine, "
+    "alongside the exact count for error inspection. At 100 TB the "
+    "k-smallest-per-group selection is a bounded-heap aggregate "
+    "(k·8 bytes of state per group, mergeable map-side); the window "
+    "formulation here is the oracle-exact equivalent on the fixtures.",
+    tags=("relational", "approx"),
+)
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import hex13_to_long
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select("o_orderstatus", "o_custkey").distinct()
+    u = d.select(
+        "o_orderstatus",
+        (hex13_to_long(F.md5(F.col("o_custkey").cast("string"))) / F.lit(4503599627370496.0)).alias("u"),
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("u")
+    wc = Window.partitionBy("o_orderstatus")
+    r = u.select(
+        "o_orderstatus",
+        "u",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_d"),
+    )
+    return r.groupBy("o_orderstatus").agg(
+        F.when(F.max("n_d") < _KMV_K, F.max("n_d").cast("double"))
+        .otherwise(F.lit(float(_KMV_K - 1)) / F.max(F.when(F.col("rn") == _KMV_K, F.col("u"))))
+        .cast("double")
+        .alias("approx_customers_kmv"),
+        F.max("n_d").cast("bigint").alias("exact_customers"),
     )
 
 

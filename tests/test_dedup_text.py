@@ -190,3 +190,53 @@ def test_duplicate_components_merge_planted_triples(spark, sf_dir):
     # exactly one canonical row per component
     canon = Counter(r.component_id for r in rows.values() if r.is_canonical == 1)
     assert set(canon) == set(sizes) and all(v == 1 for v in canon.values())
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark, sf_dir):
+    """LSH blocking must only DROP pairs vs the exact all-pairs form,
+    never invent or rescore one; and same-bucket near-identical vectors
+    must survive."""
+    from rag_application_with_vectordb_spark.operators.dedup import (
+        embedding_lsh_neardup_pairs,
+    )
+    from rag_application_with_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_neardup_pairs(emb, min_cosine=0.15).collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_lsh_neardup_pairs(emb, n_planes=4, min_cosine=0.15).collect()
+    }
+    assert set(blocked) <= set(exact)
+    for k, v in blocked.items():
+        assert abs(v - exact[k]) < 1e-12
+    # a vector paired with its own duplicate always collides (θ = 0)
+    base = emb.select("vec_id", "embedding")
+    dup = base.limit(1).select((F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    aug = base.unionByName(dup)
+    self_pair = (
+        embedding_lsh_neardup_pairs(aug, n_planes=4, min_cosine=0.99)
+        .filter(F.col("id_b") >= 100000)
+        .collect()
+    )
+    assert len(self_pair) == 1 and self_pair[0]["cosine"] > 0.999999
+
+
+def test_kmv_estimate_properties(spark, sf_dir):
+    from rag_application_with_vectordb_spark.plans.registry import load_all
+
+    specs = load_all()
+    rows = {
+        r["o_orderstatus"]: r
+        for r in specs["approx_distinct_kmv"].fn(spark, sf_dir).collect()
+    }
+    for status, r in rows.items():
+        exact = r["exact_customers"]
+        est = r["approx_customers_kmv"]
+        if exact < 64:  # below sketch size the estimate IS the exact count
+            assert est == float(exact)
+        else:  # KMV with k=64 has ~1/sqrt(62) relative error; allow 5 sigma
+            assert abs(est - exact) / exact < 0.65, (status, est, exact)
