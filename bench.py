@@ -76,23 +76,20 @@ def main() -> None:
             return None
         return round(time.time() - t0, 3)
 
-    # Three passes: the first pays one-time JVM/whole-stage-codegen
+    # Four passes: the first pays one-time JVM/whole-stage-codegen
     # compile (tens of seconds for the widest generated classes — not a
     # property of the plan) and is reported separately per query; the
-    # headline number is the per-query MEAN of the two warm passes —
-    # never mixed with the cold pass, so rounds compare warm-to-warm.
+    # headline number is the per-query MEDIAN of three warm passes —
+    # robust to a single GC/scheduler hiccup, and never mixed with the
+    # cold pass, so rounds compare warm-to-warm.
     cold = {name: run(name) for name in HEADLINE}
-    warm1 = {name: run(name) for name in HEADLINE}
-    warm2 = {name: run(name) for name in HEADLINE}
-    times = {
-        name: round((warm1[name] + warm2[name]) / 2, 3)
-        for name in HEADLINE
-        if warm1.get(name) is not None and warm2.get(name) is not None
-    }
-    spread = {
-        name: round(abs(warm1[name] - warm2[name]), 3)
-        for name in times
-    }
+    warm = [{name: run(name) for name in HEADLINE} for _ in range(3)]
+    times, spread = {}, {}
+    for name in HEADLINE:
+        vals = sorted(w[name] for w in warm if w.get(name) is not None)
+        if len(vals) == 3:
+            times[name] = vals[1]
+            spread[name] = round(vals[2] - vals[0], 3)
 
     total = round(sum(times.values()), 3)
     print(

@@ -398,6 +398,53 @@ def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_rebalance_weights",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    s AS (SELECT COUNT(*) AS n_langs FROM c),
+    t AS (SELECT MIN(c.n_docs * s.n_langs) AS t_max FROM c, s)
+    SELECT c.lang, CAST(c.n_docs AS BIGINT) AS n_docs,
+      CAST(1.0 / s.n_langs AS DOUBLE) AS target_share,
+      CAST(CAST(t.t_max AS DOUBLE) / s.n_langs AS DOUBLE) AS expected_docs,
+      CAST(CAST(t.t_max AS DOUBLE) / s.n_langs / c.n_docs AS DOUBLE) AS sample_weight
+    FROM c, s, t
+    """,
+    doc="Domain-mixture rebalancing — the stage that turns a skewed crawl "
+    "into a target training mix: given per-language counts and a uniform "
+    "target share, the largest downsample-only total is "
+    "T = min_l(count_l / share_l); each group's sampling weight is "
+    "share_l * T / count_l (≤ 1 — never upsamples). Two tiny aggregates "
+    "broadcast over a groupBy — the per-doc accept step then reuses the "
+    "keyed-md5 permille predicate of sample_stratified_by_lang, map-only "
+    "at any scale.",
+    tags=("text", "pipeline", "sampling"),
+)
+def mix_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    s = c.agg(F.count("*").alias("n_langs"))
+    t = c.crossJoin(F.broadcast(s)).agg(
+        F.min(F.col("n_docs") * F.col("n_langs")).alias("t_max")
+    )
+    return (
+        c.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            (F.lit(1.0) / F.col("n_langs")).cast("double").alias("target_share"),
+            (F.col("t_max").cast("double") / F.col("n_langs"))
+            .cast("double")
+            .alias("expected_docs"),
+            (F.col("t_max").cast("double") / F.col("n_langs") / F.col("n_docs"))
+            .cast("double")
+            .alias("sample_weight"),
+        )
+    )
+
+
+@register(
     "length_buckets_approx",
     oracle=r"""
     WITH t AS (
