@@ -445,6 +445,59 @@ def mix_rebalance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_apply_rebalance",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    s AS (SELECT COUNT(*) AS n_langs FROM c),
+    t AS (SELECT MIN(c.n_docs * s.n_langs) AS t_max FROM c, s),
+    w AS (
+      SELECT c.lang,
+        CAST(CAST(t.t_max AS DOUBLE) / s.n_langs / c.n_docs AS DOUBLE) AS sample_weight
+      FROM c, s, t
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN w ON d.lang = w.lang
+    WHERE {duck_hex13_to_long("md5('mix42|' || CAST(d.doc_id AS VARCHAR))")} / 4503599627370496.0
+          < w.sample_weight
+    """,
+    doc="The per-doc accept step for mix_rebalance_weights: each document "
+    "keeps iff its keyed md5 unit hash falls under its language's "
+    "sampling weight — deterministic and partitioning-stable (re-running "
+    "on a re-shuffled corpus keeps exactly the same rows, unlike "
+    "sample()/rand()). Broadcast join of the 5-row weight table + a "
+    "map-only predicate: the whole rebalance is one corpus scan at any "
+    "scale.",
+    tags=("text", "pipeline", "sampling"),
+)
+def mix_apply_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    s = c.agg(F.count("*").alias("n_langs"))
+    t = c.crossJoin(F.broadcast(s)).agg(
+        F.min(F.col("n_docs") * F.col("n_langs")).alias("t_max")
+    )
+    w = (
+        c.crossJoin(F.broadcast(s))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "lang",
+            (F.col("t_max").cast("double") / F.col("n_langs") / F.col("n_docs"))
+            .cast("double")
+            .alias("sample_weight"),
+        )
+    )
+    u = hex13_to_long(
+        F.md5(F.concat(F.lit("mix42|"), F.col("doc_id").cast("string")))
+    ) / F.lit(4503599627370496.0)
+    return (
+        docs.join(F.broadcast(w), "lang")
+        .filter(u < F.col("sample_weight"))
+        .select("doc_id", "lang")
+    )
+
+
+@register(
     "length_buckets_approx",
     oracle=r"""
     WITH t AS (

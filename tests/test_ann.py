@@ -111,3 +111,37 @@ def test_multiprobe_recall_never_below_single_probe(emb):
     # more probes can only widen each query's candidate set, and top-k over
     # a superset can only move hits toward the exact answer
     assert r3 >= r1
+
+
+def test_ivf_disk_index_roundtrip_is_bit_identical(spark, sf_dir, tmp_path, monkeypatch):
+    """A quantizer LOADED from the disk store must equal a freshly trained
+    one bitwise (JSON repr round-trips fp64 exactly), and the persisted
+    inverted list must reproduce the in-memory assignment."""
+    import rag_application_with_vectordb_spark.plans.ann_queries as aq
+
+    monkeypatch.setattr(aq, "_IVF_STORE", str(tmp_path / "ivf_index"))
+    aq._QUANTIZER_CACHE.clear()
+    aq._IVF_INDEX_CACHE.clear()
+    trained = sorted(
+        (r["centroid_id"], tuple(r["cvec"]))
+        for r in aq._trained_quantizer(spark, sf_dir).collect()
+    )
+    inv_fresh = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in aq._ivf_inverted(spark, sf_dir).select("vec_id", "centroid_id").collect()
+    )
+    # wipe the memory caches: force the disk path
+    aq._QUANTIZER_CACHE.clear()
+    aq._IVF_INDEX_CACHE.clear()
+    loaded = sorted(
+        (r["centroid_id"], tuple(r["cvec"]))
+        for r in aq._trained_quantizer(spark, sf_dir).collect()
+    )
+    inv_loaded = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in aq._ivf_inverted(spark, sf_dir).select("vec_id", "centroid_id").collect()
+    )
+    assert loaded == trained  # exact, not approx — bitwise fp64 equality
+    assert inv_loaded == inv_fresh
+    aq._QUANTIZER_CACHE.clear()
+    aq._IVF_INDEX_CACHE.clear()
