@@ -1,0 +1,167 @@
+"""Product quantization (PQ) for inner-product ANN search.
+
+Jégou et al., "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011): split each d-dim vector into ``m`` subvectors, quantize
+every subvector against a per-subspace codebook of ``k`` codewords, and
+score a query against the CODES via an asymmetric distance computation
+(ADC) — one ``m``-entry lookup-table sum per corpus vector instead of a
+``d``-term dot product. With m=8, k=16 a 64-dim fp32 vector (256 bytes)
+compresses to 8 half-byte codes: a 32-64× scan-byte reduction, which at
+100 TB is the difference between an in-memory index and a disk-bound
+one.
+
+This implementation quantizes for MAXIMUM INNER PRODUCT (the engine's
+similarity is cosine over pre-scaled embeddings): the per-subspace
+assignment maximizes ``dot(sub, codeword)`` and ADC sums the per-subspace
+dots. Codebooks here are the deterministic "first-C" construction (the
+first ``k`` corpus vectors' subvectors, by id — same recipe as
+``ann_ivf_firstc_topk``), which keeps every stage — codebook, codes, ADC
+scores — bit-reproducible in the DuckDB oracle: every fp64 reduction is
+an ORDERED fold (``F.aggregate`` / ``list_sum(list_transform(...))``),
+never an unordered SUM. A k-means-trained codebook (the quality upgrade)
+drops in by swapping the codebook argument; scoring is unchanged.
+
+Scale posture: encoding is one corpus scan (per-row expressions, no
+shuffle); codes are 8 ints/vector, persistable next to the IVF inverted
+lists; ADC is a broadcast of (query LUT = m·k fp64) × a map-only pass
+over codes + TakeOrderedAndProject. No stage shuffles the corpus.
+
+Reference: the engine's exact scorer is ``functions/vector.py``
+(``services/vectorDb.ts:26-52``); PQ trades its exactness for 32× less
+I/O, with the exact path kept for re-ranking (``operators/quant.py``
+shows the same two-phase pattern at int8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vector import as_double, dot
+
+__all__ = [
+    "pq_codebook_firstc",
+    "pq_encode",
+    "pq_adc_topk",
+    "pq_reconstruct",
+]
+
+
+def pq_codebook_firstc(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic codebooks: ``codebook[s][c]`` = subvector ``s`` of the
+    ``c``-th corpus vector by ascending id. Driver-side k·m·(dim/m)
+    doubles — the same sanctioned literal boundary as IVF centroids."""
+    sub = dim // m
+    rows = emb.orderBy(F.asc(id_col)).limit(int(k)).select(id_col, vec_col).collect()
+    rows.sort(key=lambda r: r[id_col])
+    return [
+        [[float(x) for x in r[vec_col][s * sub : (s + 1) * sub]] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _codebook_lit(codebook: list[list[list[float]]]) -> Column:
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in sub])
+            for sub in codebook
+        ]
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``codes array<int>[m]``: per subspace, the
+    codeword with the LARGEST inner product (ties → lowest code id, via
+    array_position-of-max which returns the first occurrence).
+
+    One corpus scan, per-row expressions only — the index-build pass.
+    """
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    v = as_double(F.col(vec_col))
+    codes = []
+    for s in range(m):
+        sv = F.slice(v, s * sub + 1, sub)
+        dots = F.array(
+            *[dot(sv, F.array(*[F.lit(float(x)) for x in cw])) for cw in codebook[s]]
+        )
+        # 1-based position of the max → 0-based code; array_position takes
+        # the FIRST max, giving the deterministic smallest-code tiebreak
+        codes.append((F.array_position(dots, F.array_max(dots)) - 1).cast("int"))
+    return emb.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """ADC top-k over PQ codes: score = ordered sum over subspaces of
+    ``dot(query_sub_s, codebook[s][code_s])``.
+
+    The codebook rides along as a constant-folded literal (m·k·sub
+    doubles); queries broadcast; the corpus side touches only ``codes``
+    (m ints/vector). The fold over subspaces is ``F.aggregate`` over an
+    ordered sequence — bit-identical to the oracle's
+    ``list_sum(list_transform(range(m), ...))``.
+    """
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    cb = _codebook_lit(codebook)
+    qv = as_double(F.col(query_vec))
+    score = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + dot(
+            F.slice(qv, s * sub + 1, sub),
+            F.element_at(F.element_at(cb, s + 1), F.element_at(F.col("codes"), s + 1) + 1),
+        ),
+    )
+    from pyspark.sql import Window
+
+    scored = codes.crossJoin(F.broadcast(queries)).select(
+        F.col(query_id), F.col(id_col), score.alias("adc_score")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("adc_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .drop("rn")
+    )
+
+
+def pq_reconstruct(
+    codes: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Decode codes back to the quantized vector (codeword concat) —
+    the reconstruction whose error measures codebook quality."""
+    cb = _codebook_lit(codebook)
+    m = len(codebook)
+    recon = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.element_at(
+                F.element_at(cb, s + 1), F.element_at(F.col("codes"), s + 1) + 1
+            ),
+        )
+    )
+    return codes.select(F.col(id_col), recon.alias("recon"))

@@ -655,6 +655,131 @@ def ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(spark, sf_dir, approx)
 
 
+_PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8
+
+#: Shared oracle CTEs: first-C codebooks as a [m][k][sub] nested list,
+#: and the corpus encoded to m codes per vector. Every fp64 reduction is
+#: an explicit left-to-right fold, matching the Spark side's ordered
+#: F.aggregate / sequential dot.
+_PQ_CB_SQL = f"""
+    cb AS (
+      SELECT s.s, r.code,
+             list_slice(r.embedding::DOUBLE[], s.s*{_PQ_SUB}+1, (s.s+1)*{_PQ_SUB}) AS cw
+      FROM (SELECT unnest(range(0, {_PQ_M}))) s(s)
+      CROSS JOIN (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+                         embedding
+                  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})) r
+    ),
+    cb2 AS (SELECT s, list(cw ORDER BY code) AS cws FROM cb GROUP BY s),
+    cbl AS (SELECT list(cws ORDER BY s) AS cb_all FROM cb2),
+    enc AS (
+      SELECT e.vec_id, e.embedding,
+        list_transform(range(0, {_PQ_M}), s ->
+          CAST(list_position(
+            list_transform(range(0, {_PQ_K}), c ->
+              list_dot_product(list_slice(e.embedding::DOUBLE[], s*{_PQ_SUB}+1, (s+1)*{_PQ_SUB}),
+                               cb_all[CAST(s AS INTEGER)+1][CAST(c AS INTEGER)+1])),
+            list_max(list_transform(range(0, {_PQ_K}), c ->
+              list_dot_product(list_slice(e.embedding::DOUBLE[], s*{_PQ_SUB}+1, (s+1)*{_PQ_SUB}),
+                               cb_all[CAST(s AS INTEGER)+1][CAST(c AS INTEGER)+1])))
+          ) - 1 AS INTEGER)) AS codes
+      FROM embeddings e, cbl
+    )
+"""
+
+_PQ_ADC_TERMS = " + ".join(
+    f"list_dot_product(list_slice(q.qvec::DOUBLE[], {s * _PQ_SUB + 1}, {(s + 1) * _PQ_SUB}), "
+    f"cb_all[{s + 1}][enc.codes[{s + 1}]+1])"
+    for s in range(_PQ_M)
+)
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str):
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..operators.pq import pq_codebook_firstc
+
+    return emb, pq_codebook_firstc(emb, m=_PQ_M, k=_PQ_K, dim=_DIM)
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CB_SQL},
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
+    scored AS (
+      SELECT q.query_id, enc.vec_id, {_PQ_ADC_TERMS} AS adc_score
+      FROM enc CROSS JOIN q, cbl
+    )
+    SELECT query_id, vec_id, adc_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_score DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="Product-quantization ANN (Jégou et al. 2011), inner-product "
+    "variant: 8 subspaces × 16 first-C codewords compress each 64-dim "
+    "vector to 8 codes (32× scan bytes); queries score codes via an "
+    "asymmetric-distance lookup sum. Every stage — codebook, argmax "
+    "encoding, the ordered ADC fold — is bit-reproducible in DuckDB, so "
+    "even this doubly-approximate path is value-checked. Scale: encoding "
+    "is one shuffle-free corpus scan (persistable, like the IVF index); "
+    "ADC is a broadcast-LUT map + TakeOrderedAndProject.",
+    tags=("ann",),
+)
+def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_adc_topk, pq_encode
+
+    tune(spark)
+    emb, cb = _pq_codebook(spark, sf_dir)
+    codes = pq_encode(emb, cb)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return pq_adc_topk(codes, queries, cb, k=5)
+
+
+@register(
+    "pq_reconstruction_error",
+    oracle=f"""
+    WITH {_PQ_CB_SQL},
+    rec AS (
+      SELECT enc.vec_id, enc.embedding,
+             flatten(list_transform(range(0, {_PQ_M}),
+                     s -> cb_all[CAST(s AS INTEGER)+1][enc.codes[CAST(s AS INTEGER)+1]+1])) AS recon
+      FROM enc, cbl
+    )
+    SELECT vec_id, {duck_cosine('embedding', 'recon')} AS recon_cosine
+    FROM rec
+    ORDER BY recon_cosine ASC, vec_id ASC
+    LIMIT 20
+    """,
+    doc="PQ codebook-quality monitor: cosine between each vector and its "
+    "codeword reconstruction; returns the 20 WORST reconstructions "
+    "(deterministic order — no fp-order-dependent global mean). On the "
+    "near-uniform fixtures first-C codebooks reconstruct poorly by "
+    "design; the monitor is what a trained-codebook upgrade would move.",
+    tags=("ann", "approx"),
+)
+def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_encode, pq_reconstruct
+    from ..functions.vector import cosine_sim
+
+    tune(spark)
+    emb, cb = _pq_codebook(spark, sf_dir)
+    codes = pq_encode(emb, cb)
+    recon = pq_reconstruct(codes, cb)
+    joined = emb.select("vec_id", "embedding").join(recon, "vec_id")
+    return (
+        joined.select(
+            "vec_id",
+            cosine_sim(F.col("embedding"), F.col("recon")).alias("recon_cosine"),
+        )
+        .orderBy(F.asc("recon_cosine"), F.asc("vec_id"))
+        .limit(20)
+    )
+
+
 @register(
     "bench_knn_1m",
     oracle=None,  # scale demo: the 1M-row corpus is generated in-query;

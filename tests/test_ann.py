@@ -145,3 +145,66 @@ def test_ivf_disk_index_roundtrip_is_bit_identical(spark, sf_dir, tmp_path, monk
     assert inv_loaded == inv_fresh
     aq._QUANTIZER_CACHE.clear()
     aq._IVF_INDEX_CACHE.clear()
+
+
+def test_pq_encode_picks_optimal_codeword_and_is_deterministic(spark, sf_dir):
+    """Per subspace, the assigned code must maximize dot(sub, codeword)
+    (ties → lowest code), and encoding must be partitioning-invariant."""
+    from rag_application_with_vectordb_spark.operators.pq import (
+        pq_codebook_firstc,
+        pq_encode,
+    )
+    from rag_application_with_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    cb = pq_codebook_firstc(emb, m=8, k=16, dim=64)
+    codes = {r["vec_id"]: r["codes"] for r in pq_encode(emb, cb).collect()}
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    for vid, v in list(vecs.items())[:10]:
+        for s in range(8):
+            sub = v[s * 8 : (s + 1) * 8]
+            dots = [sum(a * b for a, b in zip(sub, cw)) for cw in cb[s]]
+            best = max(range(16), key=lambda c: (dots[c], -c))
+            assert codes[vid][s] == best, (vid, s, codes[vid][s], best)
+    codes2 = {
+        r["vec_id"]: r["codes"]
+        for r in pq_encode(emb.repartition(7), cb).collect()
+    }
+    assert codes2 == codes
+
+
+def test_pq_adc_equals_exact_dot_when_reconstruction_is_query(spark, sf_dir):
+    """ADC(q, codes(v)) must equal dot(q, reconstruct(v)) exactly — the
+    LUT sum is just a re-associated ordered fold of the same products."""
+    from rag_application_with_vectordb_spark.operators.pq import (
+        pq_adc_topk,
+        pq_codebook_firstc,
+        pq_encode,
+        pq_reconstruct,
+    )
+    from rag_application_with_vectordb_spark.functions.vector import as_double, dot
+    from rag_application_with_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    cb = pq_codebook_firstc(emb, m=8, k=16, dim=64)
+    codes = pq_encode(emb, cb)
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    adc = {
+        r["vec_id"]: r["adc_score"]
+        for r in pq_adc_topk(codes, q, cb, k=100).collect()
+    }
+    recon = pq_reconstruct(codes, cb)
+    qv = [float(x) for x in q.collect()[0]["qvec"]]
+    from rag_application_with_vectordb_spark.functions.vector import vec_lit
+
+    exact = {
+        r["vec_id"]: r["d"]
+        for r in recon.select(
+            "vec_id", dot(vec_lit(qv), F.col("recon")).alias("d")
+        ).collect()
+    }
+    for vid, s in adc.items():
+        # per-subspace partial sums re-associate, so allow 1-ulp-scale slack
+        assert abs(s - exact[vid]) < 1e-12, (vid, s, exact[vid])
