@@ -43,6 +43,8 @@ __all__ = [
     "pq_codebook_firstc",
     "pq_encode",
     "pq_adc_topk",
+    "adc_score_col",
+    "ann_ivfpq_adc_topk",
     "pq_reconstruct",
 ]
 
@@ -121,23 +123,85 @@ def pq_adc_topk(
     ordered sequence — bit-identical to the oracle's
     ``list_sum(list_transform(range(m), ...))``.
     """
-    m = len(codebook)
-    sub = len(codebook[0][0])
-    cb = _codebook_lit(codebook)
-    qv = as_double(F.col(query_vec))
-    score = F.aggregate(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        F.lit(0.0),
-        lambda acc, s: acc
-        + dot(
-            F.slice(qv, s * sub + 1, sub),
-            F.element_at(F.element_at(cb, s + 1), F.element_at(F.col("codes"), s + 1) + 1),
-        ),
-    )
+    score = adc_score_col(codebook, as_double(F.col(query_vec)), F.col("codes"))
     from pyspark.sql import Window
 
     scored = codes.crossJoin(F.broadcast(queries)).select(
         F.col(query_id), F.col(id_col), score.alias("adc_score")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("adc_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .drop("rn")
+    )
+
+
+def adc_score_col(
+    codebook: list[list[list[float]]], qvec: Column, codes: Column
+) -> Column:
+    """The ADC score expression: ordered fold over subspaces of
+    ``dot(query_sub_s, codebook[s][code_s])``."""
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    cb = _codebook_lit(codebook)
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + dot(
+            F.slice(qvec, s * sub + 1, sub),
+            F.element_at(F.element_at(cb, s + 1), F.element_at(codes, s + 1) + 1),
+        ),
+    )
+
+
+def ann_ivfpq_adc_topk(
+    inverted: DataFrame,
+    codes: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "cvec",
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """IVF-PQ (the FAISS ``IVFx,PQy`` serving pipeline): probe the
+    ``nprobe`` nearest inverted lists, score ONLY those candidates, and
+    only against their PQ codes — never the raw vectors.
+
+    At 100 TB this is the compound win: IVF prunes the scan to
+    nprobe/nlists of the corpus, PQ shrinks what remains by 32×, and the
+    only per-query joins are a broadcast of (query, probed list id) and
+    the candidate top-k. The exact re-rank of the shortlist (two-phase,
+    as in ``operators/quant.py``) composes on top when recall needs it.
+    """
+    from .ann import _centroids_as_literals, nearest_centroid_ids
+    from pyspark.sql import Window
+
+    cents = _centroids_as_literals(centroids, centroid_id, centroid_vec)
+    qv = as_double(F.col(query_vec))
+    qpre = queries.select(query_id, query_vec, qv.alias("__vd")).withColumn(
+        "__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd")))
+    )
+    probes = qpre.select(
+        query_id,
+        query_vec,
+        F.explode(
+            nearest_centroid_ids(F.col("__vd"), F.col("__nv"), cents, nprobe=int(nprobe))
+        ).alias(centroid_id),
+    )
+    cand = inverted.select(id_col, centroid_id).join(codes, id_col)
+    scored = cand.join(F.broadcast(probes), centroid_id).select(
+        F.col(query_id),
+        F.col(id_col),
+        adc_score_col(codebook, as_double(F.col(query_vec)), F.col("codes")).alias(
+            "adc_score"
+        ),
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("adc_score"), F.asc(id_col))
     return (

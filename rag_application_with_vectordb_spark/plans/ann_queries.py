@@ -687,11 +687,15 @@ _PQ_CB_SQL = f"""
     )
 """
 
-_PQ_ADC_TERMS = " + ".join(
-    f"list_dot_product(list_slice(q.qvec::DOUBLE[], {s * _PQ_SUB + 1}, {(s + 1) * _PQ_SUB}), "
-    f"cb_all[{s + 1}][enc.codes[{s + 1}]+1])"
-    for s in range(_PQ_M)
-)
+def _pq_adc_terms(qref: str = "q") -> str:
+    return " + ".join(
+        f"list_dot_product(list_slice({qref}.qvec::DOUBLE[], {s * _PQ_SUB + 1}, {(s + 1) * _PQ_SUB}), "
+        f"cb_all[{s + 1}][enc.codes[{s + 1}]+1])"
+        for s in range(_PQ_M)
+    )
+
+
+_PQ_ADC_TERMS = _pq_adc_terms("q")
 
 
 def _pq_codebook(spark: SparkSession, sf_dir: str):
@@ -737,6 +741,72 @@ def ann_pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     return pq_adc_topk(codes, queries, cb, k=5)
+
+
+@register(
+    "ann_ivfpq_adc_topk",
+    oracle=f"""
+    WITH {_kmeans_fp_sql(_IVF_K, _IVF_ITERS, _DIM, _IVF_SCALE, _IVF_SAMPLE_MOD)},
+    cent AS (SELECT centroid_id, cvec FROM cent{_IVF_ITERS}),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    {_PQ_CB_SQL},
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
+    probes AS (
+      SELECT query_id, qvec, centroid_id FROM (
+        SELECT q.query_id, q.qvec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {duck_cosine('q.qvec', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, {_pq_adc_terms("p")} AS adc_score
+      FROM assign a
+      JOIN probes p USING (centroid_id)
+      JOIN enc ON enc.vec_id = a.vec_id
+      CROSS JOIN cbl
+    )
+    SELECT query_id, vec_id, adc_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_score DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="IVF-PQ — the compound FAISS-style serving pipeline: probe the 2 "
+    "nearest of 8 TRAINED inverted lists (fp k-means quantizer, "
+    "bit-reproducible), then score only those candidates and only "
+    "against their 8-code PQ forms via the ordered ADC fold. At scale: "
+    "IVF prunes the scan to nprobe/nlists of the corpus, PQ shrinks the "
+    "remainder by 32×, and no stage shuffles the corpus. Both halves AND "
+    "their composition are value-checked against DuckDB.",
+    tags=("ann",),
+)
+def ann_ivfpq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ann_ivfpq_adc_topk, pq_encode
+
+    tune(spark)
+    emb, cb = _pq_codebook(spark, sf_dir)
+    codes = pq_encode(emb, cb)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_ivfpq_adc_topk(
+        _ivf_inverted(spark, sf_dir),
+        codes,
+        _trained_quantizer(spark, sf_dir),
+        queries,
+        cb,
+        k=5,
+        nprobe=2,
+    )
 
 
 @register(
