@@ -41,6 +41,7 @@ from ..functions.vector import as_double, dot
 
 __all__ = [
     "pq_codebook_firstc",
+    "pq_codebook_trained",
     "pq_encode",
     "pq_adc_topk",
     "adc_score_col",
@@ -67,6 +68,47 @@ def pq_codebook_firstc(
         [[float(x) for x in r[vec_col][s * sub : (s + 1) * sub]] for r in rows]
         for s in range(m)
     ]
+
+
+def pq_codebook_trained(
+    emb: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    dim: int = 64,
+    iterations: int = 2,
+    scale: int = 1 << 20,
+    sample_mod: int | None = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """TRAINED codebooks: per subspace, fixed-iteration spherical k-means
+    with fixed-point integer mean updates (``kmeans_fit_spherical_fp``) on
+    the subvector slices of a deterministic ``id % sample_mod`` sample —
+    the same bit-reproducible training recipe as the IVF coarse
+    quantizer, so trained-PQ stays value-checkable cross-engine. Training
+    is m independent small k-means runs; like all index build it runs
+    once offline and the codebook values persist.
+    """
+    from .kmeans import kmeans_fit_spherical_fp_values
+
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for s in range(m):
+        sliced = emb.select(
+            F.col(id_col),
+            F.slice(as_double(F.col(vec_col)), s * sub + 1, sub).alias("__sv"),
+        )
+        cents = kmeans_fit_spherical_fp_values(
+            sliced,
+            k=k,
+            iterations=iterations,
+            id_col=id_col,
+            vec_col="__sv",
+            scale=scale,
+            sample_mod=sample_mod,
+        )
+        books.append([cv for _, cv in sorted(cents)])
+    return books
 
 
 def _codebook_lit(codebook: list[list[list[float]]]) -> Column:

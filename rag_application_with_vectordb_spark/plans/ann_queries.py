@@ -154,6 +154,50 @@ def ann_lsh_multiprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_fp_sql_g(prefix: str, train: str, k: int, iters: int, dim: int, scale: int) -> str:
+    """Generalized unrolled-k-means CTE generator: ``train`` is any
+    relation exposing ``(vec_id, embedding)`` — e.g. a subvector slice
+    for PQ codebook training — and ``prefix`` namespaces the CTEs so
+    several trainings coexist in one WITH clause. Trained centroids land
+    in ``{prefix}cent{iters}``. Cross-engine exactness as in
+    ``_kmeans_fp_sql``."""
+    P = prefix
+    parts = [
+        f"""{P}cent0 AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+             embedding::DOUBLE[] AS cvec
+      FROM (SELECT vec_id, embedding FROM {train} ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"{P}cent{i - 1}"
+        parts.append(f"""{P}kassign{i} AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM {train} e CROSS JOIN {prev} c
+      ) WHERE rn = 1
+    )""")
+        parts.append(f"""{P}ksums{i} AS (
+      SELECT centroid_id, j,
+             SUM(CAST(FLOOR(CAST(a.embedding[CAST(j AS INTEGER)] AS DOUBLE) * {scale}.0) AS BIGINT)) AS fp_sum,
+             COUNT(*) AS n
+      FROM {P}kassign{i} a, (SELECT unnest(range(1, {dim + 1}))) t(j)
+      GROUP BY centroid_id, j
+    )""")
+        parts.append(f"""{P}kmeans{i} AS (
+      SELECT centroid_id,
+             list(CAST(fp_sum AS DOUBLE) / CAST(n * {scale} AS DOUBLE) ORDER BY j) AS cvec_new
+      FROM {P}ksums{i} GROUP BY centroid_id
+    )""")
+        parts.append(f"""{P}cent{i} AS (
+      SELECT c.centroid_id, COALESCE(m.cvec_new, c.cvec) AS cvec
+      FROM {prev} c LEFT JOIN {P}kmeans{i} m USING (centroid_id)
+    )""")
+    return ",\n    ".join(parts)
+
+
 def _kmeans_fp_sql(k: int, iters: int, dim: int, scale: int, sample_mod: int | None = None) -> str:
     """Unrolled fixed-iteration spherical k-means as DuckDB CTEs — the
     oracle twin of ``operators.kmeans.kmeans_fit_spherical_fp``. Exact
@@ -167,40 +211,8 @@ def _kmeans_fp_sql(k: int, iters: int, dim: int, scale: int, sample_mod: int | N
         if sample_mod is not None and int(sample_mod) > 1
         else "embeddings"
     )
-    parts = [
-        f"""cent0 AS (
-      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
-             embedding::DOUBLE[] AS cvec
-      FROM (SELECT vec_id, embedding FROM {train} ORDER BY vec_id LIMIT {k})
-    )"""
-    ]
-    for i in range(1, iters + 1):
-        prev = f"cent{i - 1}"
-        parts.append(f"""kassign{i} AS (
-      SELECT vec_id, embedding, centroid_id FROM (
-        SELECT e.vec_id, e.embedding, c.centroid_id,
-               row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
-        FROM {train} e CROSS JOIN {prev} c
-      ) WHERE rn = 1
-    )""")
-        parts.append(f"""ksums{i} AS (
-      SELECT centroid_id, j,
-             SUM(CAST(FLOOR(CAST(a.embedding[CAST(j AS INTEGER)] AS DOUBLE) * {scale}.0) AS BIGINT)) AS fp_sum,
-             COUNT(*) AS n
-      FROM kassign{i} a, (SELECT unnest(range(1, {dim + 1}))) t(j)
-      GROUP BY centroid_id, j
-    )""")
-        parts.append(f"""kmeans{i} AS (
-      SELECT centroid_id,
-             list(CAST(fp_sum AS DOUBLE) / CAST(n * {scale} AS DOUBLE) ORDER BY j) AS cvec_new
-      FROM ksums{i} GROUP BY centroid_id
-    )""")
-        parts.append(f"""cent{i} AS (
-      SELECT c.centroid_id, COALESCE(m.cvec_new, c.cvec) AS cvec
-      FROM {prev} c LEFT JOIN kmeans{i} m USING (centroid_id)
-    )""")
-    return ",\n    ".join(parts)
+    return _kmeans_fp_sql_g("", train, k, iters, dim, scale)
+
 
 
 _IVF_K, _IVF_ITERS, _IVF_SCALE = 8, 2, 1 << 20
@@ -657,22 +669,12 @@ def ann_lsh_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8
 
-#: Shared oracle CTEs: first-C codebooks as a [m][k][sub] nested list,
-#: and the corpus encoded to m codes per vector. Every fp64 reduction is
-#: an explicit left-to-right fold, matching the Spark side's ordered
-#: F.aggregate / sequential dot.
-_PQ_CB_SQL = f"""
-    cb AS (
-      SELECT s.s, r.code,
-             list_slice(r.embedding::DOUBLE[], s.s*{_PQ_SUB}+1, (s.s+1)*{_PQ_SUB}) AS cw
-      FROM (SELECT unnest(range(0, {_PQ_M}))) s(s)
-      CROSS JOIN (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
-                         embedding
-                  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})) r
-    ),
-    cb2 AS (SELECT s, list(cw ORDER BY code) AS cws FROM cb GROUP BY s),
-    cbl AS (SELECT list(cws ORDER BY s) AS cb_all FROM cb2),
-    enc AS (
+#: Shared oracle CTEs: codebooks as a [m][k][sub] nested list (``cbl``),
+#: and the corpus encoded to m codes per vector (``enc`` — assumes
+#: ``cbl`` is already defined). Every fp64 reduction is an explicit
+#: left-to-right fold, matching the Spark side's ordered F.aggregate /
+#: sequential dot.
+_PQ_ENC_SQL = f"""enc AS (
       SELECT e.vec_id, e.embedding,
         list_transform(range(0, {_PQ_M}), s ->
           CAST(list_position(
@@ -684,7 +686,21 @@ _PQ_CB_SQL = f"""
                                cb_all[CAST(s AS INTEGER)+1][CAST(c AS INTEGER)+1])))
           ) - 1 AS INTEGER)) AS codes
       FROM embeddings e, cbl
-    )
+    )"""
+
+#: First-C codebooks (the value-checked anchor construction) + encode.
+_PQ_CB_SQL = f"""
+    cb AS (
+      SELECT s.s, r.code,
+             list_slice(r.embedding::DOUBLE[], s.s*{_PQ_SUB}+1, (s.s+1)*{_PQ_SUB}) AS cw
+      FROM (SELECT unnest(range(0, {_PQ_M}))) s(s)
+      CROSS JOIN (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+                         embedding
+                  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_PQ_K})) r
+    ),
+    cb2 AS (SELECT s, list(cw ORDER BY code) AS cws FROM cb GROUP BY s),
+    cbl AS (SELECT list(cws ORDER BY s) AS cb_all FROM cb2),
+    {_PQ_ENC_SQL}
 """
 
 def _pq_adc_terms(qref: str = "q") -> str:
@@ -703,6 +719,116 @@ def _pq_codebook(spark: SparkSession, sf_dir: str):
     from ..operators.pq import pq_codebook_firstc
 
     return emb, pq_codebook_firstc(emb, m=_PQ_M, k=_PQ_K, dim=_DIM)
+
+
+_PQ_TRAIN_ITERS, _PQ_TRAIN_MOD = 2, 4
+_PQ_TRAIN_CACHE: dict[tuple, list[list[list[float]]]] = {}
+
+
+def _pq_trained_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Trained PQ codebooks, memoized + disk-persisted like the IVF
+    quantizer (same store dir, same fixture-identity key)."""
+    import json
+
+    key = (sf_dir, _PQ_M, _PQ_K, _PQ_TRAIN_ITERS, _IVF_SCALE, _PQ_TRAIN_MOD)
+    books = _PQ_TRAIN_CACHE.get(key)
+    if books is None:
+        d = _ivf_disk_dir(sf_dir)
+        path = os.path.join(d, "pq_codebooks.json") if d else None
+        if path and os.path.exists(path):
+            with open(path) as f:
+                books = [[[float(x) for x in cw] for cw in sub] for sub in json.load(f)]
+        else:
+            from ..operators.pq import pq_codebook_trained
+
+            emb = load_table(spark, sf_dir, "embeddings")
+            books = pq_codebook_trained(
+                emb,
+                m=_PQ_M,
+                k=_PQ_K,
+                dim=_DIM,
+                iterations=_PQ_TRAIN_ITERS,
+                scale=_IVF_SCALE,
+                sample_mod=_PQ_TRAIN_MOD,
+            )
+            if path:
+                try:
+                    os.makedirs(d, exist_ok=True)
+                    tmp = path + f".tmp{os.getpid()}"
+                    with open(tmp, "w") as f:
+                        json.dump(books, f)
+                    os.replace(tmp, path)
+                except OSError:
+                    pass
+        _PQ_TRAIN_CACHE[key] = books
+    return books
+
+
+def _pq_trained_cb_sql() -> str:
+    """Oracle CTEs for the trained codebooks: one unrolled fp k-means per
+    subspace over its slice of the ``vec_id % mod`` sample, unioned into
+    the same ``cbl`` nested-list shape the shared ``enc`` CTE consumes."""
+    trains = ",\n    ".join(
+        _kmeans_fp_sql_g(
+            f"s{s}_",
+            f"(SELECT vec_id, list_slice(embedding::DOUBLE[], {s * _PQ_SUB + 1}, {(s + 1) * _PQ_SUB}) AS embedding "
+            f"FROM embeddings WHERE vec_id % {_PQ_TRAIN_MOD} = 0)",
+            _PQ_K,
+            _PQ_TRAIN_ITERS,
+            _PQ_SUB,
+            _IVF_SCALE,
+        )
+        for s in range(_PQ_M)
+    )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {s} AS s, centroid_id AS code, cvec AS cw FROM s{s}_cent{_PQ_TRAIN_ITERS}"
+        for s in range(_PQ_M)
+    )
+    return f"""{trains},
+    cbu AS (
+      {union}
+    ),
+    cb2 AS (SELECT s, list(cw ORDER BY code) AS cws FROM cbu GROUP BY s),
+    cbl AS (SELECT list(cws ORDER BY s) AS cb_all FROM cb2),
+    {_PQ_ENC_SQL}"""
+
+
+@register(
+    "ann_pq_trained_adc_topk",
+    oracle=f"""
+    WITH {_pq_trained_cb_sql()},
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
+    scored AS (
+      SELECT q.query_id, enc.vec_id, {_PQ_ADC_TERMS} AS adc_score
+      FROM enc CROSS JOIN q, cbl
+    )
+    SELECT query_id, vec_id, adc_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_score DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="PQ with TRAINED codebooks: per subspace, the same fixed-point "
+    "spherical k-means as the IVF coarse quantizer runs on the subvector "
+    "slices (8 independent small trainings, offline, disk-persisted "
+    "beside the IVF index) — the oracle unrolls all eight Lloyd's runs "
+    "and still hash-matches codes and ADC scores exactly. The quality "
+    "upgrade over ann_pq_adc_topk's first-C anchor, with identical "
+    "serving-path plans.",
+    tags=("ann",),
+)
+def ann_pq_trained_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_adc_topk, pq_encode
+
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = _pq_trained_codebooks(spark, sf_dir)
+    codes = pq_encode(emb, books)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return pq_adc_topk(codes, queries, books, k=5)
 
 
 @register(
@@ -806,6 +932,97 @@ def ann_ivfpq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb,
         k=5,
         nprobe=2,
+    )
+
+
+@register(
+    "ann_ivfpq_rerank_topk",
+    oracle=f"""
+    WITH {_kmeans_fp_sql(_IVF_K, _IVF_ITERS, _DIM, _IVF_SCALE, _IVF_SAMPLE_MOD)},
+    cent AS (SELECT centroid_id, cvec FROM cent{_IVF_ITERS}),
+    assign AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    {_PQ_CB_SQL},
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
+    probes AS (
+      SELECT query_id, qvec, centroid_id FROM (
+        SELECT q.query_id, q.qvec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {duck_cosine('q.qvec', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= 2
+    ),
+    shortlist AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {_pq_adc_terms("p")} DESC, a.vec_id) AS rn
+        FROM assign a
+        JOIN probes p USING (centroid_id)
+        JOIN enc ON enc.vec_id = a.vec_id
+        CROSS JOIN cbl
+      ) WHERE rn <= 50
+    )
+    SELECT query_id, vec_id, similarity FROM (
+      SELECT s.query_id, s.vec_id,
+             {duck_cosine('e.embedding', 'q.qvec')} AS similarity,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY {duck_cosine('e.embedding', 'q.qvec')} DESC, s.vec_id) AS rn
+      FROM shortlist s
+      JOIN embeddings e ON e.vec_id = s.vec_id
+      JOIN q ON q.query_id = s.query_id
+    ) WHERE rn <= 5
+    """,
+    doc="Two-phase IVF-PQ retrieval: ADC shortlists 50 candidates from "
+    "the probed lists (codes only — 8 ints/vector touched), then ONLY "
+    "the shortlist's raw vectors are fetched for an exact cosine "
+    "re-rank. The standard recall-recovery pattern over a lossy index "
+    "(same shape as quant_int8_rerank_topk at int8): full-precision I/O "
+    "is 50 vectors per query instead of the corpus. Value-checked "
+    "through every stage.",
+    tags=("ann",),
+)
+def ann_ivfpq_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.pq import ann_ivfpq_adc_topk, pq_encode
+
+    tune(spark)
+    emb, cb = _pq_codebook(spark, sf_dir)
+    codes = pq_encode(emb, cb)
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    shortlist = ann_ivfpq_adc_topk(
+        _ivf_inverted(spark, sf_dir),
+        codes,
+        _trained_quantizer(spark, sf_dir),
+        queries,
+        cb,
+        k=50,
+        nprobe=2,
+    ).select("query_id", "vec_id")
+    rescored = (
+        shortlist.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_sim(F.col("embedding"), F.col("qvec")).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
     )
 
 
