@@ -1027,6 +1027,43 @@ def ann_ivfpq_rerank_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_pq_trained_recall",
+    oracle=f"""
+    WITH {_pq_trained_cb_sql()},
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id < 10),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, enc.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_PQ_ADC_TERMS} DESC, enc.vec_id) AS rn
+        FROM enc CROSS JOIN q, cbl
+      ) WHERE rn <= 5
+    ),
+    {_exact_top5_sql('vec_id < 10')}
+    {_RECALL_TAIL_SQL}
+    """,
+    doc="Recall@5 of trained-codebook PQ-ADC against the exact scan — "
+    "the monitor that justifies (or indicts) a codebook: on the "
+    "near-uniform fixtures an 8×16 codebook compresses 64 dims to 8 "
+    "codes, so recall is expectedly modest; the value-checked recall "
+    "arithmetic is the point, and the number moves with codebook "
+    "quality while the serving plan stays fixed.",
+    tags=("ann",),
+)
+def ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_adc_topk, pq_encode
+
+    tune(spark)
+    books = _pq_trained_codebooks(spark, sf_dir)
+
+    def approx(emb, queries):
+        return pq_adc_topk(pq_encode(emb, books), queries, books, k=5)
+
+    return _recall_vs_exact(spark, sf_dir, approx)
+
+
+@register(
     "pq_reconstruction_error",
     oracle=f"""
     WITH {_PQ_CB_SQL},

@@ -454,6 +454,90 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CMS_D, _CMS_W = 4, 1024
+
+
+@register(
+    "approx_freq_countmin",
+    oracle=f"""
+    WITH cms AS (
+      SELECT r.r AS r,
+             CAST({duck_hex13_to_long("md5(CAST(r.r AS VARCHAR) || '|' || CAST(l_partkey AS VARCHAR))")} % {_CMS_W} AS BIGINT) AS b,
+             COUNT(*) AS c
+      FROM lineitem, (SELECT unnest(range(0, {_CMS_D}))) r(r)
+      GROUP BY 1, 2
+    ),
+    probe AS (SELECT p_partkey FROM part WHERE p_partkey % 211 = 0),
+    est AS (
+      SELECT p.p_partkey,
+             MIN(COALESCE(cms.c, 0)) AS cms_count
+      FROM probe p
+      CROSS JOIN (SELECT unnest(range(0, {_CMS_D}))) r(r)
+      LEFT JOIN cms ON cms.r = r.r
+        AND cms.b = CAST({duck_hex13_to_long("md5(CAST(r.r AS VARCHAR) || '|' || CAST(p.p_partkey AS VARCHAR))")} % {_CMS_W} AS BIGINT)
+      GROUP BY 1
+    ),
+    exact AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+    SELECT est.p_partkey AS partkey,
+           CAST(est.cms_count AS BIGINT) AS cms_count,
+           CAST(COALESCE(exact.n, 0) AS BIGINT) AS exact_count
+    FROM est LEFT JOIN exact ON exact.l_partkey = est.p_partkey
+    """,
+    doc="Count-min sketch (Cormode & Muthukrishnan 2005) frequency "
+    "estimates for a probe set of part keys, against exact counts: "
+    "4 md5-derived hash rows × 1024 buckets, estimate = min over rows "
+    "of the landed bucket's count (one-sided error: cms ≥ exact "
+    "always). The md5 hashing makes the whole sketch deterministic, so "
+    "the ESTIMATES value-check cross-engine — the third sketch beside "
+    "HLL (rows-only) and KMV (value-checked). Scale: the sketch is "
+    "d×w = 4096 cells; map-side partial aggregation collapses the "
+    "groupBy to those cells before any shuffle, so building it over "
+    "100 TB moves ~constant bytes.",
+    tags=("relational", "approx"),
+)
+def approx_freq_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hex13_to_long
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+
+    def bucket(r_col, key_col):
+        return (
+            hex13_to_long(
+                F.md5(F.concat(r_col.cast("string"), F.lit("|"), key_col.cast("string")))
+            )
+            % _CMS_W
+        ).cast("bigint")
+
+    expanded = li.select(
+        "l_partkey", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")
+    )
+    cms = (
+        expanded.select("r", bucket(F.col("r"), F.col("l_partkey")).alias("b"))
+        .groupBy("r", "b")
+        .agg(F.count("*").alias("c"))
+    )
+    probe = part.filter(F.col("p_partkey") % 211 == 0).select("p_partkey")
+    probe_r = probe.select(
+        "p_partkey", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")
+    ).select("p_partkey", "r", bucket(F.col("r"), F.col("p_partkey")).alias("b"))
+    est = (
+        probe_r.join(cms, ["r", "b"], "left")
+        .groupBy("p_partkey")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_count"))
+    )
+    exact = li.groupBy("l_partkey").agg(F.count("*").alias("n"))
+    return (
+        est.join(exact, est.p_partkey == exact.l_partkey, "left")
+        .select(
+            est.p_partkey.alias("partkey"),
+            F.col("cms_count").cast("bigint").alias("cms_count"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("exact_count"),
+        )
+    )
+
+
 _KMV_K = 64
 
 
