@@ -398,6 +398,36 @@ def length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sample_uniform_k",
+    oracle=f"""
+    SELECT doc_id, u FROM (
+      SELECT doc_id,
+             {duck_hex13_to_long("md5('res42|' || CAST(doc_id AS VARCHAR))")} / 4503599627370496.0 AS u
+      FROM documents
+    ) ORDER BY u, doc_id LIMIT 100
+    """,
+    doc="Uniform k-sample without replacement as a deterministic "
+    "hash-rank top-k: keep the 100 documents with the smallest keyed-md5 "
+    "unit hash — equivalent in distribution to reservoir sampling, but "
+    "stateless, partitioning-stable, and re-runnable (the same corpus "
+    "always yields the same sample; adding documents perturbs the "
+    "sample exactly as a reservoir would). Plan: TakeOrderedAndProject "
+    "— per-partition top-k heaps then a k-row merge, no global sort, no "
+    "driver state. The hash doubles as the sampling proof: any auditor "
+    "can recompute membership per row.",
+    tags=("text", "pipeline", "sampling"),
+)
+def sample_uniform_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        hex13_to_long(F.md5(F.concat(F.lit("res42|"), F.col("doc_id").cast("string"))))
+        / F.lit(4503599627370496.0)
+    ).alias("u")
+    return docs.select("doc_id", u).orderBy(F.asc("u"), F.asc("doc_id")).limit(100)
+
+
+@register(
     "mix_rebalance_weights",
     oracle="""
     WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),

@@ -454,6 +454,84 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BLOOM_BITS, _BLOOM_H = 8192, 3
+
+
+@register(
+    "bloom_semijoin_customers",
+    oracle=f"""
+    WITH bits AS (
+      SELECT DISTINCT
+             CAST({duck_hex13_to_long("md5(CAST(h.h AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR))")} % {_BLOOM_BITS} AS BIGINT) AS pos
+      FROM orders, (SELECT unnest(range(0, {_BLOOM_H}))) h(h)
+    ),
+    probe AS (
+      SELECT c.c_custkey, h.h AS h,
+             CAST({duck_hex13_to_long("md5(CAST(h.h AS VARCHAR) || '|' || CAST(c.c_custkey AS VARCHAR))")} % {_BLOOM_BITS} AS BIGINT) AS pos
+      FROM customer c, (SELECT unnest(range(0, {_BLOOM_H}))) h(h)
+    ),
+    member AS (
+      SELECT c_custkey, COUNT(bits.pos) = {_BLOOM_H} AS bloom_member
+      FROM probe LEFT JOIN bits USING (pos)
+      GROUP BY c_custkey
+    )
+    SELECT m.c_custkey, m.bloom_member,
+           EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = m.c_custkey) AS exact_member
+    FROM member m
+    """,
+    doc="Bloom-filter semijoin pruning — the runtime-filter technique "
+    "that cuts shuffle bytes at scale: a 8192-bit/3-hash bloom built "
+    "from orders' customer keys (md5 bit positions → deterministic, so "
+    "even the false-positive SET value-checks cross-engine), probed by "
+    "every customer; output flags bloom membership beside exact EXISTS "
+    "membership, making the one-sided error visible (bloom ⊇ exact, "
+    "never misses). At 100 TB the bloom side is ≤ nbits distinct "
+    "positions — broadcastable — and pre-filters the probe BEFORE the "
+    "expensive join shuffle (Spark's own runtime bloom filter, "
+    "spark.sql.optimizer.runtime.bloomFilter.enabled, automates the "
+    "same pattern; this query makes its mechanics explicit and "
+    "checkable).",
+    tags=("relational", "approx", "join"),
+)
+def bloom_semijoin_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hex13_to_long
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def pos(h_col, key_col):
+        return (
+            hex13_to_long(
+                F.md5(F.concat(h_col.cast("string"), F.lit("|"), key_col.cast("string")))
+            )
+            % _BLOOM_BITS
+        ).cast("bigint")
+
+    hs = F.explode(F.sequence(F.lit(0), F.lit(_BLOOM_H - 1))).alias("h")
+    bits = (
+        orders.select("o_custkey", hs)
+        .select(pos(F.col("h"), F.col("o_custkey")).alias("pos"))
+        .distinct()
+    )
+    probe = cust.select("c_custkey", hs).select(
+        "c_custkey", pos(F.col("h"), F.col("c_custkey")).alias("pos")
+    )
+    member = (
+        probe.join(F.broadcast(bits.withColumn("__hit", F.lit(1))), "pos", "left")
+        .groupBy("c_custkey")
+        .agg((F.count("__hit") == _BLOOM_H).alias("bloom_member"))
+    )
+    exact = orders.select(F.col("o_custkey").alias("c_custkey")).distinct().withColumn(
+        "__ex", F.lit(True)
+    )
+    return member.join(exact, "c_custkey", "left").select(
+        "c_custkey",
+        "bloom_member",
+        F.coalesce(F.col("__ex"), F.lit(False)).alias("exact_member"),
+    )
+
+
 _CMS_D, _CMS_W = 4, 1024
 
 
