@@ -947,6 +947,149 @@ def ann_ivfadc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivfadc_topk(res_codes, centroids, queries, books, k=5, nprobe=2)
 
 
+def _opq_perm() -> list[int]:
+    """Deterministic dimension permutation: dims ordered by the md5 of
+    'perm42|<dim>' — the oracle reproduces it with ORDER BY md5(...)."""
+    import hashlib
+
+    return sorted(
+        range(_DIM), key=lambda j: (hashlib.md5(f"perm42|{j}".encode()).hexdigest(), j)
+    )
+
+
+_OPQ_CACHE: dict[tuple, list[list[list[float]]]] = {}
+
+
+def _opq_codebooks(spark: SparkSession, sf_dir: str, perm: list[int]) -> list[list[list[float]]]:
+    import json
+
+    key = (sf_dir, "opq", _PQ_M, _PQ_K, _PQ_TRAIN_ITERS, _IVF_SCALE, _PQ_TRAIN_MOD)
+    books = _OPQ_CACHE.get(key)
+    if books is None:
+        d = _ivf_disk_dir(sf_dir)
+        path = os.path.join(d, "opq_codebooks.json") if d else None
+        if path and os.path.exists(path):
+            with open(path) as f:
+                books = [[[float(x) for x in cw] for cw in sub] for sub in json.load(f)]
+        else:
+            from ..operators.pq import pq_codebook_trained
+
+            emb = load_table(spark, sf_dir, "embeddings")
+            permuted = emb.select(
+                "vec_id",
+                F.transform(
+                    F.lit(perm), lambda j: F.element_at(as_double(F.col("embedding")), j + 1)
+                ).alias("pvec"),
+            )
+            books = pq_codebook_trained(
+                permuted,
+                m=_PQ_M,
+                k=_PQ_K,
+                dim=_DIM,
+                iterations=_PQ_TRAIN_ITERS,
+                scale=_IVF_SCALE,
+                sample_mod=_PQ_TRAIN_MOD,
+                vec_col="pvec",
+            )
+            if path:
+                try:
+                    os.makedirs(d, exist_ok=True)
+                    tmp = path + f".tmp{os.getpid()}"
+                    with open(tmp, "w") as f:
+                        json.dump(books, f)
+                    os.replace(tmp, path)
+                except OSError:
+                    pass
+        _OPQ_CACHE[key] = books
+    return books
+
+
+def _opq_trained_cb_sql() -> str:
+    trains = ",\n    ".join(
+        _kmeans_fp_sql_g(
+            f"s{s}_",
+            f"(SELECT vec_id, list_slice(embedding, {s * _PQ_SUB + 1}, {(s + 1) * _PQ_SUB}) AS embedding "
+            f"FROM pemb WHERE vec_id % {_PQ_TRAIN_MOD} = 0)",
+            _PQ_K,
+            _PQ_TRAIN_ITERS,
+            _PQ_SUB,
+            _IVF_SCALE,
+        )
+        for s in range(_PQ_M)
+    )
+    union = "\n      UNION ALL ".join(
+        f"SELECT {s} AS s, centroid_id AS code, cvec AS cw FROM s{s}_cent{_PQ_TRAIN_ITERS}"
+        for s in range(_PQ_M)
+    )
+    return f"""{trains},
+    cbu AS (
+      {union}
+    ),
+    cb2 AS (SELECT s, list(cw ORDER BY code) AS cws FROM cbu GROUP BY s),
+    cbl AS (SELECT list(cws ORDER BY s) AS cb_all FROM cb2),
+    {_pq_enc_sql("pemb")}"""
+
+
+@register(
+    "ann_opq_adc_topk",
+    oracle=f"""
+    WITH perm AS MATERIALIZED (
+      SELECT list(j ORDER BY md5('perm42|' || CAST(j AS VARCHAR)), j) AS p
+      FROM (SELECT CAST(unnest(range(0, {_DIM})) AS INTEGER) AS j)
+    ),
+    pemb AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(perm.p, j -> CAST(embedding[j + 1] AS DOUBLE)) AS embedding
+      FROM embeddings, perm
+    ),
+    {_opq_trained_cb_sql()},
+    q AS (
+      SELECT vec_id AS query_id,
+             list_transform(perm.p, j -> CAST(embedding[j + 1] AS DOUBLE)) AS qvec
+      FROM embeddings, perm WHERE vec_id >= 100 AND vec_id < 103
+    ),
+    scored AS (
+      SELECT q.query_id, enc.vec_id, {_PQ_ADC_TERMS} AS adc_score
+      FROM enc CROSS JOIN q, cbl
+    )
+    SELECT query_id, vec_id, adc_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc_score DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    doc="OPQ-lite (Ge et al., CVPR'13, rotation restricted to a "
+    "permutation): dimensions are deterministically shuffled (md5 order) "
+    "before subspace splitting, decorrelating which dims land in which "
+    "codebook — the cheap version of OPQ's learned rotation that keeps "
+    "every stage value-checkable (a full rotation matrix would too, but "
+    "permutation preserves the inner product exactly, so ADC quality "
+    "changes only through subspace composition). Same serving plan as "
+    "ann_pq_trained_adc_topk; codebooks trained on the permuted slices, "
+    "disk-persisted.",
+    tags=("ann",),
+)
+def ann_opq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_adc_topk, pq_encode
+
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    perm = _opq_perm()
+    books = _opq_codebooks(spark, sf_dir, perm)
+
+    def permute(vec_col):
+        return F.transform(
+            F.lit(perm), lambda j: F.element_at(as_double(F.col(vec_col)), j + 1)
+        )
+
+    permuted = emb.select("vec_id", permute("embedding").alias("pvec"))
+    codes = pq_encode(permuted, books, vec_col="pvec")
+    queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103)).select(
+        F.col("vec_id").alias("query_id"), permute("embedding").alias("qvec")
+    )
+    return pq_adc_topk(codes, queries, books, k=5)
+
+
 @register(
     "ann_pq_trained_adc_topk",
     oracle=f"""
