@@ -87,29 +87,39 @@ def main() -> None:
     times, spread = {}, {}
     for name in HEADLINE:
         vals = sorted(w[name] for w in warm if w.get(name) is not None)
-        if len(vals) == 3:
-            times[name] = vals[1]
-            spread[name] = round(vals[2] - vals[0], 3)
+        if vals:  # median of however many warm passes succeeded (>=1)
+            times[name] = vals[len(vals) // 2]
+            spread[name] = round(vals[-1] - vals[0], 3)
 
-    total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_warm_spread": spread,
-                "queries_cold": {k: v for k, v in cold.items() if v is not None},
-                "cold_total": round(sum(v for v in cold.values() if v is not None), 3),
-                "errors": errors,
-                "n_ok": len(times),
-                "n_total": len(HEADLINE),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    # A query with zero successful warm passes would silently shrink the
+    # headline total and break round-over-round comparability — report
+    # total as null in that case (per-query times still carry the signal).
+    fully_failed = [n for n in HEADLINE if n not in times]
+    total = round(sum(times.values()), 3) if not fully_failed else None
+    payload = json.dumps(
+        {
+            "metric": "headline_suite_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "queries_warm_spread": spread,
+            "queries_cold": {k: v for k, v in cold.items() if v is not None},
+            "cold_total": round(sum(v for v in cold.values() if v is not None), 3),
+            "errors": errors,
+            "n_ok": len(times),
+            "n_total": len(HEADLINE),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    # Loss-proof the round's headline number (round 4's driver captured
+    # only the tail of stdout after Spark progress noise → parsed: null):
+    # persist the JSON to a file, stop Spark FIRST so nothing can print
+    # after us, then emit the line as the very last stdout bytes.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as fh:
+        fh.write(payload + "\n")
     spark.stop()
+    sys.stdout.flush()
+    print(payload, flush=True)
 
 
 if __name__ == "__main__":

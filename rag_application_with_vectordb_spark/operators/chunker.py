@@ -72,11 +72,32 @@ def chunk_documents(
     return out
 
 
-def global_chunk_index(chunks: DataFrame, id_col: str = "doc_id") -> DataFrame:
+#: ``global_chunk_index`` funnels every row through ONE reducer (a
+#: no-partition window). That is the reference's semantics (a single
+#: in-memory array) and fine for its corpus sizes, but a silent
+#: scale-killer if a caller points it at a real corpus — so the guard
+#: counts first and refuses above this ceiling unless explicitly lifted.
+GLOBAL_INDEX_MAX_ROWS = 10_000_000
+
+
+def global_chunk_index(
+    chunks: DataFrame, id_col: str = "doc_id", max_rows: int | None = GLOBAL_INDEX_MAX_ROWS
+) -> DataFrame:
     """Reference-parity globally-dense chunk id (``App.tsx:72-76``).
 
     Single-partition window — small corpora only; at scale keep the
-    ``(doc_id, chunk_id)`` composite key.
+    ``(doc_id, chunk_id)`` composite key (or ``zipWithIndex``-style
+    per-partition offsets). Guarded: refuses corpora above ``max_rows``
+    (pass ``max_rows=None`` to opt out, accepting the single-reducer
+    cost knowingly).
     """
+    if max_rows is not None:
+        n = chunks.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"global_chunk_index funnels all rows through one reducer; "
+                f"corpus exceeds max_rows={max_rows}. Use the (doc_id, chunk_id) "
+                f"composite key at scale, or pass max_rows=None to force."
+            )
     w = Window.orderBy(F.col(id_col), F.col("chunk_id"))
     return chunks.withColumn("global_id", F.row_number().over(w) - 1)

@@ -311,6 +311,14 @@ def ann_ivfadc_topk(
     from pyspark.sql import Window
 
     cents = _centroids_as_literals(centroids, centroid_id, centroid_vec)
+    ids = [cid for cid, _ in cents]
+    if ids != list(range(len(cents))):
+        # element_at(cents_lit, centroid_id + 1) below positions by id; a
+        # non-contiguous centroid table would dot the WRONG centroid and
+        # mis-score silently. Fail loudly instead.
+        raise ValueError(
+            f"ann_ivfadc_topk requires contiguous 0-based centroid ids, got {ids[:10]}..."
+        )
     cents_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in cents]
     )

@@ -268,6 +268,49 @@ def _ivf_disk_dir(sf_dir: str) -> str | None:
     return os.path.join(_IVF_STORE, hashlib.md5(tag.encode()).hexdigest()[:16])
 
 
+def _prune_stale_index_dirs(sf_dir: str, keep: str) -> None:
+    """GC superseded index generations for this fixture dir.
+
+    Every fixture regeneration changes mtime+size → a new hash dir; the
+    old generation would otherwise leak forever (one orphan per driver
+    round). Each dir records its source fixture in ``meta.json`` so
+    siblings for the SAME sf_dir (different generation) are identifiable
+    despite the hashed names; dirs without a meta predate this scheme
+    and are pruned too (everything here is re-buildable by design)."""
+    import json
+    import shutil
+
+    try:
+        sibs = os.listdir(_IVF_STORE)
+    except OSError:
+        return
+    target = os.path.abspath(sf_dir)
+    for name in sibs:
+        d = os.path.join(_IVF_STORE, name)
+        if d == keep or not os.path.isdir(d):
+            continue
+        try:
+            with open(os.path.join(d, "meta.json")) as f:
+                owner = json.load(f).get("sf_dir")
+        except OSError:
+            owner = target  # legacy no-meta dir: superseded format
+        except Exception:
+            owner = target  # unreadable meta: treat as stale
+        if owner == target:
+            shutil.rmtree(d, ignore_errors=True)
+
+
+def _publish_meta(d: str, sf_dir: str) -> None:
+    import json
+
+    try:
+        with open(os.path.join(d, "meta.json"), "w") as f:
+            json.dump({"sf_dir": os.path.abspath(sf_dir)}, f)
+    except OSError:
+        pass
+    _prune_stale_index_dirs(sf_dir, keep=d)
+
+
 def _trained_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     import json
 
@@ -295,6 +338,7 @@ def _trained_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
                     with open(tmp, "w") as f:
                         json.dump(cents, f)
                     os.replace(tmp, path)
+                    _publish_meta(d, sf_dir)
                 except OSError:
                     pass
         _QUANTIZER_CACHE[key] = cents
@@ -323,6 +367,7 @@ def _ivf_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     tmp = path + f".tmp{os.getpid()}"
                     inv.write.mode("overwrite").partitionBy("centroid_id").parquet(tmp)
                     os.replace(tmp, path)
+                    _publish_meta(d, sf_dir)
                     inv = spark.read.parquet(path)
                 except Exception:  # lost publish race / read-only fs — serve from plan
                     import shutil

@@ -78,9 +78,16 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
     for name in tables if explicit else TABLES:
         try:
             load_table(spark, sf_dir, name).createOrReplaceTempView(name)
-        except Exception:
+        except Exception as exc:
             if explicit:
                 raise
+            # Surface the root cause now: a later TABLE_OR_VIEW_NOT_FOUND
+            # on this view would otherwise hide the real decode/IO error.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "skipping view %r (unreadable at %s): %s", name, sf_dir, exc
+            )
 
 
 def tables_in_sql(sql: str) -> list[str]:

@@ -100,3 +100,17 @@ def test_global_ids_dense(spark):
     assert [r["global_id"] for r in out] == list(range(len(out)))
     # ordered by (doc_id, chunk_id): doc 3's chunks come first
     assert out[0]["doc_id"] == 3
+
+
+def test_global_ids_guard_refuses_large_corpus(spark):
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, "x" * 900) for i in range(8)], "doc_id long, text string"
+    )
+    chunks = chunk_documents(df)  # 8 docs x 2 chunks = 16 rows
+    with pytest.raises(ValueError, match="one reducer"):
+        global_chunk_index(chunks, max_rows=10).collect()
+    # explicit opt-out still works (reference-parity path)
+    out = global_chunk_index(chunks, max_rows=None).collect()
+    assert sorted(r["global_id"] for r in out) == list(range(len(out)))
