@@ -33,12 +33,20 @@ def salted_join(
     num_salts: int = 8,
     how: str = "inner",
     seed: int = 42,
+    join_hint: str | None = None,
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on ``key``, salted ``num_salts`` ways.
 
     ``small`` is replicated ``num_salts``× — use only when it is too big
     to broadcast but small enough to replicate (the middle regime where
     salting is the right tool).
+
+    ``join_hint``: optional hint (``"shuffle_hash"`` / ``"merge"``) on
+    the small side. In the regime salting targets, the small side exceeds
+    ``autoBroadcastJoinThreshold`` and Spark shuffles on the widened key
+    naturally; on test-sized dims Spark would broadcast instead (salting
+    then changes nothing), so demos/tests pass a hint to pin the shuffled
+    plan shape that matters at scale.
     """
     if num_salts < 1:
         raise ValueError("num_salts must be >= 1")
@@ -46,4 +54,6 @@ def salted_join(
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(int(num_salts) - 1)))
     )
+    if join_hint:
+        s = s.hint(join_hint)
     return b.join(s, [key, "__salt"], how).drop("__salt")

@@ -181,3 +181,227 @@ _sql_query(
     "rounded score); per-doc top-k via window, never a global sort.",
     tags=("text", "analytics"),
 )
+
+# --- session stats: per-user rollup of the 4-hour-gap sessionization ----------
+
+def _session_stats_sql(dur: str) -> str:
+    """Per-user session rollup; ``dur`` renders the engine's
+    (micros(max ts) − micros(min ts)) expression — the only dialect
+    split (Spark ``unix_micros``, DuckDB ``epoch_us``). Microsecond
+    INTEGER differences are exact (no fractional-second truncate-vs-
+    round divergence) and cancel any session-timezone offset, so the
+    values agree cross-engine without pinning a zone."""
+    return f"""
+    WITH x AS (
+      SELECT user_id, ts, event_id,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 4 HOUR
+             THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, event_id,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM x
+    ), sess AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events, {dur} AS dur_us
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+      CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS events_per_session,
+      CAST(SUM(dur_us) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_session_sec,
+      CAST(MAX(dur_us) AS DOUBLE) / 1000000.0 AS max_session_sec,
+      CAST(MAX(n_events) AS BIGINT) AS max_session_events
+    FROM sess GROUP BY user_id
+    """
+
+
+_sql_query(
+    "events_session_stats",
+    _session_stats_sql("unix_micros(MAX(ts)) - unix_micros(MIN(ts))"),
+    oracle=_session_stats_sql(
+        "CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)"
+    ),
+    doc="Per-user session statistics over the 4-hour-gap sessionization "
+    "(same gap rule as events_sessionized): session count, mean events "
+    "and duration, longest session. Everything stays keyed on user_id — "
+    "one shuffle, then a per-user rollup of a small session table; the "
+    "duration ratios divide exact integers, so the hash is stable.",
+    tags=("analytics", "sessions"),
+)
+
+# --- gap ranking: each user's longest inter-event silences --------------------
+
+def _gap_rank_sql(us: str) -> str:
+    """``us`` renders timestamp→exact-microseconds (unix_micros vs
+    epoch_us); the gap division back to seconds is exact-int / 1e6 —
+    correctly rounded identically in both engines."""
+    return f"""
+    WITH g AS (
+      SELECT user_id, event_id, event_type,
+             {us.format(e='ts')}
+             - lag({us.format(e='ts')}) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    )
+    SELECT user_id, gap_rank, CAST(gap_us AS DOUBLE) / 1000000.0 AS gap_sec,
+           event_id, event_type FROM (
+      SELECT user_id, event_id, event_type, gap_us,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY gap_us DESC, event_id) AS BIGINT) AS gap_rank
+      FROM g WHERE gap_us IS NOT NULL
+    ) r WHERE gap_rank <= 3
+    """
+
+
+_sql_query(
+    "window_session_gap_rank",
+    _gap_rank_sql("unix_micros({e})"),
+    oracle=_gap_rank_sql("epoch_us({e})"),
+    doc="Top-3 longest inter-event gaps per user — the diagnostic behind "
+    "any session-gap threshold choice (a gap histogram's tail). One lag "
+    "window plus one ranking window, both partitioned by user_id: a "
+    "single shuffle, skew-safe under AQE, no global sort.",
+    tags=("analytics", "window"),
+)
+
+# --- co-purchase graph: parts that ship together ------------------------------
+
+_sql_query(
+    "graph_copurchase_edges",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                       AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+    """,
+    doc="Co-purchase edge list: part pairs appearing in >= 2 common orders "
+    "— the item-item graph feeding co-occurrence recommenders and graph "
+    "dedup. The self-join is keyed on l_orderkey (never all-pairs across "
+    "orders): per-order fanout is bounded by basket size squared, the "
+    "shuffle key is the order key, and the HAVING prunes the singleton "
+    "tail before it leaves the aggregation.",
+    tags=("analytics", "graph"),
+)
+
+# --- dataset card: the corpus summary a training-data pipeline publishes ------
+
+_sql_query(
+    "docs_dataset_card",
+    """
+    SELECT lang, source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT) AS total_tokens,
+      CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+      CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+      CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts
+    FROM documents
+    GROUP BY GROUPING SETS ((lang, source), (lang), ())
+    """,
+    doc="Dataset card: corpus composition rolled up by (lang, source), "
+    "per-lang, and overall in one pass — doc counts, char/token volume, "
+    "length extremes, and exact-dup distinct texts (md5 fingerprints, so "
+    "the distinct shuffles 32-byte keys, not documents). GROUPING SETS "
+    "shares the single scan across all three granularities; every "
+    "output is an exact-integer aggregate or a ratio of exact integers.",
+    tags=("analytics", "text"),
+)
+
+# --- skew demo: salted join on the hot user_id key ----------------------------
+
+_SKEW_ORACLE = """
+    WITH f AS (SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id)
+    SELECT e.user_id, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS spend
+    FROM events e JOIN f ON e.user_id = f.user_id
+    WHERE e.ts < f.first_ts + INTERVAL 7 DAY
+    GROUP BY e.user_id, e.event_type
+"""
+
+
+@register(
+    "skew_salted_user_spend",
+    oracle=_SKEW_ORACLE,
+    doc="First-week activity per user x event_type, with the events-to-"
+    "profile join run through operators.skew.salted_join: the fixture's "
+    "15 user_ids are exactly the hot-key shape that funnels a plain "
+    "shuffle join into 15 reducers at scale. The big side's key widens "
+    "to (user_id, salt in [0,8)), the small side replicates 8x, and "
+    "each hot key spreads over 8 reducers; the salt never reaches the "
+    "output, so results hash-match the plain-join oracle. (A 15-row dim "
+    "would be broadcast in production; salting is the middle regime "
+    "where the dim outgrows broadcast but not replication - this query "
+    "pins the pattern's correctness and plan shape, see test_plans.)",
+    tags=("analytics", "skew"),
+)
+def skew_salted_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+    from ..sources.catalog import load_table
+
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    dim = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = salted_join(events, dim, "user_id", num_salts=8, join_hint="shuffle_hash")
+    return (
+        joined.filter(F.col("ts") < F.col("first_ts") + F.expr("INTERVAL 7 DAY"))
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("spend"),
+        )
+    )
+
+# --- exact interpolated percentiles (the sketch's ground truth) ---------------
+
+_sql_query(
+    "percentile_exact",
+    """
+    WITH v AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, x,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY x) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM v
+    ),
+    ng AS (SELECT l_returnflag, MAX(n) AS n FROM r GROUP BY l_returnflag),
+    t AS (
+      SELECT l_returnflag, 'p50' AS tag, 0.5 * (n - 1) AS h FROM ng
+      UNION ALL
+      SELECT l_returnflag, 'p95' AS tag, 0.95 * (n - 1) AS h FROM ng
+    ),
+    sel AS (
+      SELECT t.l_returnflag, t.tag, t.h,
+             MAX(CASE WHEN r.rn = CAST(FLOOR(t.h) AS BIGINT) THEN r.x END) AS xlo,
+             MAX(CASE WHEN r.rn = CAST(CEILING(t.h) AS BIGINT) THEN r.x END) AS xhi
+      FROM t JOIN r ON r.l_returnflag = t.l_returnflag
+                   AND r.rn >= CAST(FLOOR(t.h) AS BIGINT)
+                   AND r.rn <= CAST(CEILING(t.h) AS BIGINT)
+      GROUP BY t.l_returnflag, t.tag, t.h
+    ),
+    f AS (
+      SELECT l_returnflag, tag, xlo + (h - FLOOR(h)) * (xhi - xlo) AS val FROM sel
+    )
+    SELECT l_returnflag,
+           MAX(CASE WHEN tag = 'p50' THEN val END) AS price_p50,
+           MAX(CASE WHEN tag = 'p95' THEN val END) AS price_p95
+    FROM f GROUP BY l_returnflag
+    """,
+    doc="EXACT linear-interpolated p50/p95 of lineitem prices per return "
+    "flag, spelled as rank-select + interpolation in dialect-shared SQL "
+    "so both engines execute the identical fp expression (h = p*(n-1); "
+    "x_lo + frac*(x_hi - x_lo)) — engine-native percentile()/"
+    "quantile_cont() interpolate with algebraically-equal-but-fp-"
+    "different formulas and can differ in the last ulp. This is the "
+    "ground truth the sampling sketch (approx_percentile_sketch) is "
+    "judged against; the per-group sort (window rank) is the cost that "
+    "makes the sketch worth having at 100 TB.",
+    tags=("analytics", "approx"),
+)

@@ -681,25 +681,84 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pct_sketch_sql(unit_u: str) -> str:
+    """Deterministic sampling quantile sketch, rendered per dialect:
+    ``unit_u`` is the engine's md5-fold→[0,1) unit hash of the lineitem
+    row key. The percentile over the SAMPLE is computed with the same
+    rank-select + interpolation arithmetic as ``percentile_exact``, so
+    the estimate itself is value-checkable cross-engine — the same move
+    that made ``approx_distinct_kmv`` checkable where HLL was not."""
+    return f"""
+    WITH v AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x,
+             {unit_u} AS u
+      FROM lineitem
+    ),
+    tot AS (SELECT l_returnflag, COUNT(*) AS n_total FROM v GROUP BY l_returnflag),
+    s AS (SELECT l_returnflag, x FROM v WHERE u < 0.25),
+    r AS (
+      SELECT l_returnflag, x,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY x) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM s
+    ),
+    ng AS (SELECT l_returnflag, MAX(n) AS n FROM r GROUP BY l_returnflag),
+    t AS (
+      SELECT l_returnflag, 'p50' AS tag, 0.5 * (n - 1) AS h, n FROM ng
+      UNION ALL
+      SELECT l_returnflag, 'p95' AS tag, 0.95 * (n - 1) AS h, n FROM ng
+    ),
+    sel AS (
+      SELECT t.l_returnflag, t.tag, t.h, MAX(t.n) AS n_sample,
+             MAX(CASE WHEN r.rn = CAST(FLOOR(t.h) AS BIGINT) THEN r.x END) AS xlo,
+             MAX(CASE WHEN r.rn = CAST(CEILING(t.h) AS BIGINT) THEN r.x END) AS xhi
+      FROM t JOIN r ON r.l_returnflag = t.l_returnflag
+                   AND r.rn >= CAST(FLOOR(t.h) AS BIGINT)
+                   AND r.rn <= CAST(CEILING(t.h) AS BIGINT)
+      GROUP BY t.l_returnflag, t.tag, t.h
+    ),
+    f AS (
+      SELECT l_returnflag, tag, n_sample,
+             xlo + (h - FLOOR(h)) * (xhi - xlo) AS val
+      FROM sel
+    )
+    SELECT f.l_returnflag,
+           MAX(CASE WHEN tag = 'p50' THEN val END) AS price_p50,
+           MAX(CASE WHEN tag = 'p95' THEN val END) AS price_p95,
+           CAST(MAX(n_sample) AS BIGINT) AS n_sample,
+           CAST(MAX(n_total) AS BIGINT) AS n_total
+    FROM f JOIN tot ON f.l_returnflag = tot.l_returnflag
+    GROUP BY f.l_returnflag
+    """
+
+
+_PCT_ROWKEY = "'pct42|' || CAST(l_orderkey AS {V}) || '|' || CAST(l_linenumber AS {V})"
+
+
 @register(
     "approx_percentile_sketch",
-    oracle=None,  # t-digest/GK sketches differ across engines → rows-only
-    doc="percentile_approx over lineitem prices — the quantile-sketch path "
-    "(exact percentile at 100 TB needs a full sort); rows-only check.",
+    oracle=_pct_sketch_sql(
+        duck_hex13_to_long(f"md5({_PCT_ROWKEY.format(V='VARCHAR')})")
+        + " / 4503599627370496.0"
+    ),
+    doc="Quantile sketch via DETERMINISTIC uniform sampling: rows whose "
+    "md5-unit hash of (orderkey, linenumber) falls under 0.25 form the "
+    "sample; the interpolated percentile of the sample estimates the "
+    "population percentile (standard sampling-quantile bound: error "
+    "O(1/sqrt(sample))). Unlike t-digest/GK (engine-specific merge "
+    "states, never cross-engine comparable — this query was rows-only "
+    "through round 4), the hash-sampled estimate is bit-reproducible, "
+    "so the ESTIMATE itself is value-checked against DuckDB, with "
+    "percentile_exact as the accuracy yardstick. At 100 TB the sample "
+    "is map-side filtered at the scan (hash predicate pushes past the "
+    "shuffle), and only the 25% sample pays the per-group sort.",
     tags=("relational", "approx"),
 )
 def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    # Scalar p50/p95 columns, not one array column: the driver's
-    # canonicalizer hashes cell values and can't factorize python lists.
-    agged = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias("pcts"),
-        F.count("*").alias("n"),
+    register_views(spark, sf_dir, ["lineitem"])
+    u = (
+        f"conv(substring(md5({_PCT_ROWKEY.format(V='STRING')}), 1, 13), 16, 10)"
+        " / 4503599627370496.0"
     )
-    return agged.select(
-        "l_returnflag",
-        F.element_at("pcts", 1).alias("price_p50"),
-        F.element_at("pcts", 2).alias("price_p95"),
-        "n",
-    )
+    return spark.sql(_pct_sketch_sql(u))

@@ -145,3 +145,16 @@ def test_lineitem_fact_is_never_a_broadcast_build_side(spark, specs):
     ):
         df = specs[name].fn(spark, sf_dir)
         assert not _broadcast_subtrees_scanning(df, "lineitem"), name
+
+
+def test_skew_salted_join_widens_shuffle_key(spark, sf_dir, specs):
+    # The salted join's whole point is that the shuffle key is
+    # (user_id, __salt), not user_id alone — each hot user spreads over
+    # num_salts reducers. Pin that the executed plan partitions on the
+    # widened key (and that the salt never escapes to the output schema).
+    import re
+
+    df = specs["skew_salted_user_spend"].fn(spark, sf_dir)
+    plan = plan_of(df)
+    assert re.search(r"hashpartitioning\(user_id#\d+L?, __salt", plan), plan
+    assert "__salt" not in df.columns
