@@ -232,6 +232,48 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= float(min_jaccard))
 
 
+def minhash_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+    min_containment: float = 0.5,
+) -> DataFrame:
+    """Containment near-dup pairs over MinHash-LSH candidates.
+
+    Containment ``C(A,B) = |A ∩ B| / |A|`` is the asymmetric companion
+    to Jaccard: a short document wholly embedded in a longer one (quote,
+    concatenation, boilerplate wrapper) scores containment ≈ 1 while its
+    Jaccard can be arbitrarily small — the duplication mode Jaccard
+    dedup systematically misses in training corpora. Candidates come
+    from the same banded MinHash bucket join as
+    :func:`minhash_lsh_pairs` (no all-pairs work); the exact set
+    intersection on candidates then yields both directed containments.
+    Pairs survive when EITHER direction ≥ ``min_containment``.
+
+    Output: ``doc_a, doc_b, intersection, size_a, size_b,
+    containment_a, containment_b`` (``containment_a`` = fraction of
+    A's shingles inside B).
+    """
+    pairs = minhash_lsh_pairs(
+        docs, text_col, id_col, n, num_hashes, bands, min_jaccard=0.0
+    )
+    out = pairs.select(
+        "doc_a",
+        "doc_b",
+        "intersection",
+        "size_a",
+        "size_b",
+        (F.col("intersection").cast("double") / F.col("size_a").cast("double")).alias("containment_a"),
+        (F.col("intersection").cast("double") / F.col("size_b").cast("double")).alias("containment_b"),
+    )
+    return out.filter(
+        F.greatest("containment_a", "containment_b") >= float(min_containment)
+    )
+
+
 #: SimHash width — 32 bits keeps the per-bit aggregate fan-out small and
 #: fits the fp64-exact 52-bit hash fold used by the oracle.
 SIMHASH_BITS = 32

@@ -19,7 +19,7 @@ from ..operators.ann import ann_ivf_topk, ann_lsh_multiprobe_topk, ann_lsh_topk
 from ..operators.chunker import chunk_documents
 from ..session import tune
 from ..sources.catalog import load_table
-from .oracle_dialect import duck_cosine, duck_fold_unit, duck_hash_embedding
+from .oracle_dialect import duck_cosine, duck_fold_unit, duck_hash_embedding, duck_hex13_to_long
 from .registry import register
 
 _DIM = 64
@@ -1647,3 +1647,370 @@ def rag_e2e_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = emb.select("doc_id", "chunk_id", sim.alias("similarity"))
     return scored.orderBy(F.desc("similarity"), F.asc("doc_id"), F.asc("chunk_id")).limit(5)
+
+
+# === clustered-corpus recall monitors ========================================
+#
+# The fixture embeddings are near-uniform random vectors (max pairwise
+# cosine ~0.33), which caps recall@5 around 0.73 for ANY quantizer and
+# makes ANN quality unmeasurable (NEXT.md, round-4 VERDICT item 5). The
+# queries below plant real cluster structure IN-QUERY — deterministic
+# hash centroids plus hash noise, every component an md5 fold both
+# engines reproduce bitwise — and measure recall where a quantizer can
+# actually earn it: trained IVF reaches ~0.92 recall@5 at nprobe=1 while
+# the untrained first-C quantizer sits near 0.70 on the same corpus.
+
+_CL_N, _CL_C, _CL_DIM = 512, 8, 16
+_CL_NOISE = 0.8
+_CL_K, _CL_ITERS = 8, 2
+
+
+#: Materialized clustered corpus, one per SparkSession: generation is a
+#: wide md5-fold expression whose whole-stage codegen dominates the tiny
+#: 512-row dataflow, so both clustered-recall queries share one cached
+#: materialization instead of recompiling it per plan branch.
+_CL_CORPUS_CACHE: dict[int, DataFrame] = {}
+
+
+def _clustered_corpus_df(spark: SparkSession) -> DataFrame:
+    """``(vec_id, embedding)``: 512 vectors in 8 planted clusters.
+
+    ``embedding(i) = hash_emb(cluster(i)) + 0.8 * hash_emb(i)`` where
+    ``cluster(i) = md5-fold(i) % 8`` — pure Catalyst expressions over
+    ``spark.range``, zero I/O, reproducible in DuckDB SQL."""
+    from ..functions.text import hex13_to_long
+
+    key = id(spark)
+    cached = _CL_CORPUS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    ids = spark.range(0, _CL_N, 1, 8).select(F.col("id").cast("long").alias("vec_id"))
+    cl = (
+        hex13_to_long(F.md5(F.concat(F.lit("cl42|"), F.col("vec_id").cast("string"))))
+        % _CL_C
+    )
+    cvec = hash_embedding_expr(cl.cast("string"), _CL_DIM, "cc42")
+    nvec = hash_embedding_expr(F.col("vec_id").cast("string"), _CL_DIM, "nn42")
+    emb = F.zip_with(cvec, nvec, lambda a, b: a + F.lit(float(_CL_NOISE)) * b)
+    corpus = ids.select("vec_id", emb.alias("embedding")).persist()
+    corpus.count()  # materialize once — downstream branches read the cache
+    _CL_CORPUS_CACHE[key] = corpus
+    return corpus
+
+
+_CL_CLUSTER_EXPR = (
+    "CAST("
+    + duck_hex13_to_long("md5('cl42|' || CAST(vec_id AS VARCHAR))")
+    + f" % {_CL_C} AS VARCHAR)"
+)
+_CL_CC_FOLD = duck_fold_unit("'cc42|' || j || '|' || " + _CL_CLUSTER_EXPR)
+_CL_NN_FOLD = duck_fold_unit("'nn42|' || j || '|' || CAST(vec_id AS VARCHAR)")
+
+_CL_CORPUS_SQL = f"""corpus AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(range(0, {_CL_DIM}), j ->
+               {_CL_CC_FOLD}
+               + CAST({_CL_NOISE} AS DOUBLE) * {_CL_NN_FOLD}
+             ) AS embedding
+      FROM (SELECT unnest(range(0, {_CL_N})) AS vec_id)
+    )"""
+
+_CL_Q_SQL = "q AS (SELECT vec_id AS query_id, embedding AS qvec FROM corpus WHERE vec_id >= 100 AND vec_id < 110)"
+
+_CL_EXACT_SQL = f"""exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {duck_cosine('e.embedding', 'q.qvec')} DESC, e.vec_id) AS rn
+        FROM corpus e CROSS JOIN q
+      ) WHERE rn <= 5
+    )"""
+
+
+def _cl_ivf_sql(tag: str, cent: str, nprobe: int, k: int = 5) -> str:
+    """assignment + probe + per-list top-k CTEs for one quantizer."""
+    return f"""assign_{tag} AS MATERIALIZED (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM corpus e CROSS JOIN {cent} c
+      ) WHERE rn = 1
+    ),
+    probes_{tag} AS (
+      SELECT query_id, qvec, centroid_id FROM (
+        SELECT q.query_id, q.qvec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {duck_cosine('q.qvec', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN {cent} c
+      ) WHERE rn <= {nprobe}
+    ),
+    approx_{tag} AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {duck_cosine('a.embedding', 'p.qvec')} DESC, a.vec_id) AS rn
+        FROM assign_{tag} a JOIN probes_{tag} p USING (centroid_id)
+      ) WHERE rn <= {k}
+    )"""
+
+
+def _cl_recall_sql(tag: str, out: str) -> str:
+    return f"""r_{tag} AS (
+      SELECT e.query_id,
+             CAST(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS DOUBLE) AS {out}
+      FROM exact e LEFT JOIN approx_{tag} a
+        ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      GROUP BY e.query_id
+    )"""
+
+
+#: Trained clustered-corpus quantizer, one per session (deterministic —
+#: memoization is result-invisible; both clustered queries share it).
+_CL_TRAIN_CACHE: dict[int, list[tuple[int, list[float]]]] = {}
+
+
+def _cl_trained_centroids(spark: SparkSession, corpus: DataFrame):
+    from ..operators.kmeans import kmeans_fit_spherical_fp_values
+
+    key = id(spark)
+    cents = _CL_TRAIN_CACHE.get(key)
+    if cents is None:
+        cents = kmeans_fit_spherical_fp_values(
+            corpus, k=_CL_K, iterations=_CL_ITERS, scale=_IVF_SCALE
+        )
+        _CL_TRAIN_CACHE[key] = cents
+    return cents
+
+
+def _cl_recall5(exact: DataFrame, approx: DataFrame, out: str) -> DataFrame:
+    a = approx.select(
+        F.col("query_id").alias("__qa"), F.col("vec_id").alias("__va")
+    )
+    return (
+        exact.join(
+            a,
+            (exact.query_id == F.col("__qa")) & (exact.vec_id == F.col("__va")),
+            "left",
+        )
+        .groupBy(exact.query_id.alias("query_id"))
+        .agg((F.count("__va").cast("double") / F.count("*")).cast("double").alias(out))
+    )
+
+
+@register(
+    "ann_ivf_clustered_recall",
+    oracle=f"""
+    WITH {_CL_CORPUS_SQL},
+    {_kmeans_fp_sql_g("cl", "corpus", _CL_K, _CL_ITERS, _CL_DIM, _IVF_SCALE)},
+    cent_t AS MATERIALIZED (SELECT centroid_id, cvec FROM clcent{_CL_ITERS}),
+    cent_f AS MATERIALIZED (SELECT centroid_id, cvec FROM clcent0),
+    {_CL_Q_SQL},
+    {_CL_EXACT_SQL},
+    {_cl_ivf_sql("t", "cent_t", 1)},
+    {_cl_ivf_sql("f", "cent_f", 1)},
+    {_cl_recall_sql("t", "recall_trained")},
+    {_cl_recall_sql("f", "recall_firstc")}
+    SELECT r_t.query_id, recall_trained, recall_firstc
+    FROM r_t JOIN r_f USING (query_id)
+    """,
+    doc="Recall@5 on the PLANTED-CLUSTER corpus, trained IVF vs the "
+    "untrained first-C quantizer, both at nprobe=1: trained Lloyd's "
+    "centroids recover the 8 planted clusters and recall ~0.92 mean; "
+    "first-C (centroids = first 8 noisy points, clusters duplicated and "
+    "missing) splits clusters across lists and drops to ~0.70. This is "
+    "the measurement the near-uniform fixtures cannot express — the "
+    "quantizer-quality monitor a production index build would gate on. "
+    "Fully value-checked: corpus, training (fixed-point Lloyd's), "
+    "probes, and the recall arithmetic are all bit-reproducible SQL.",
+    tags=("ann", "recall"),
+)
+def ann_ivf_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import kmeans_fit_spherical_fp_values
+    from ..operators.knn import knn_join
+
+    tune(spark)
+    corpus = _clustered_corpus_df(spark)
+    trained = _cl_trained_centroids(spark, corpus)
+    firstc = kmeans_fit_spherical_fp_values(
+        corpus, k=_CL_K, iterations=0, scale=_IVF_SCALE
+    )
+    schema = "centroid_id int, cvec array<double>"
+    t_df = spark.createDataFrame(trained, schema)
+    f_df = spark.createDataFrame(firstc, schema)
+    queries = corpus.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = knn_join(corpus, queries, k=5).select("query_id", "vec_id")
+    ap_t = ann_ivf_topk(corpus, t_df, queries, k=5, nprobe=1).select("query_id", "vec_id")
+    ap_f = ann_ivf_topk(corpus, f_df, queries, k=5, nprobe=1).select("query_id", "vec_id")
+    r_t = _cl_recall5(exact, ap_t, "recall_trained")
+    r_f = _cl_recall5(exact, ap_f, "recall_firstc")
+    return r_t.join(r_f, "query_id")
+
+
+_CLPQ_M, _CLPQ_K, _CLPQ_SUB = 4, 16, 4
+
+
+def _clpq_cb_sql() -> str:
+    """First-C PQ codebooks + encode over the clustered corpus (the
+    generic twin of ``_PQ_CB_SQL``, parameterized to m=4 x sub=4, k=16
+    and the generated ``corpus`` CTE)."""
+    m, k, sub = _CLPQ_M, _CLPQ_K, _CLPQ_SUB
+    sc = "CAST(s AS INTEGER)"
+    cc = "CAST(c AS INTEGER)"
+    dotc = (
+        f"list_dot_product(list_slice(e.embedding::DOUBLE[], s*{sub}+1, (s+1)*{sub}), "
+        f"cb_all[{sc}+1][{cc}+1])"
+    )
+    return f"""clcb AS (
+      SELECT s.s, r.code,
+             list_slice(r.embedding::DOUBLE[], s.s*{sub}+1, (s.s+1)*{sub}) AS cw
+      FROM (SELECT unnest(range(0, {m}))) s(s)
+      CROSS JOIN (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+                         embedding
+                  FROM (SELECT vec_id, embedding FROM corpus ORDER BY vec_id LIMIT {k})) r
+    ),
+    clcb2 AS (SELECT s, list(cw ORDER BY code) AS cws FROM clcb GROUP BY s),
+    clcbl AS (SELECT list(cws ORDER BY s) AS cb_all FROM clcb2),
+    clenc AS MATERIALIZED (
+      SELECT e.vec_id,
+        list_transform(range(0, {m}), s ->
+          CAST(list_position(
+            list_transform(range(0, {k}), c -> {dotc}),
+            list_max(list_transform(range(0, {k}), c -> {dotc}))
+          ) - 1 AS INTEGER)) AS codes
+      FROM corpus e, clcbl
+    )"""
+
+
+_CLPQ_ADC_TERMS = " + ".join(
+    f"list_dot_product(list_slice(p.qvec::DOUBLE[], {s * _CLPQ_SUB + 1}, {(s + 1) * _CLPQ_SUB}), "
+    f"cb_all[{s + 1}][clenc.codes[{s + 1}]+1])"
+    for s in range(_CLPQ_M)
+)
+
+
+@register(
+    "ann_ivfpq_clustered_recall",
+    oracle=f"""
+    WITH {_CL_CORPUS_SQL},
+    {_kmeans_fp_sql_g("cl", "corpus", _CL_K, _CL_ITERS, _CL_DIM, _IVF_SCALE)},
+    cent_t AS MATERIALIZED (SELECT centroid_id, cvec FROM clcent{_CL_ITERS}),
+    {_CL_Q_SQL},
+    {_CL_EXACT_SQL},
+    {_clpq_cb_sql()},
+    assign_t AS MATERIALIZED (
+      SELECT vec_id, centroid_id FROM (
+        SELECT e.vec_id, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM corpus e CROSS JOIN cent_t c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qvec, centroid_id FROM (
+        SELECT q.query_id, q.qvec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {duck_cosine('q.qvec', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN cent_t c
+      ) WHERE rn <= 2
+    ),
+    ranked AS MATERIALIZED (
+      SELECT p.query_id, p.qvec, a.vec_id,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY {_CLPQ_ADC_TERMS} DESC, a.vec_id) AS rn
+      FROM assign_t a
+      JOIN probes p USING (centroid_id)
+      JOIN clenc ON clenc.vec_id = a.vec_id
+      CROSS JOIN clcbl
+    ),
+    adc5 AS (SELECT query_id, vec_id FROM ranked WHERE rn <= 5),
+    shortlist AS (SELECT query_id, qvec, vec_id FROM ranked WHERE rn <= 40),
+    rerank AS (
+      SELECT query_id, vec_id FROM (
+        SELECT s.query_id, s.vec_id,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {duck_cosine('e.embedding', 's.qvec')} DESC, s.vec_id) AS rn
+        FROM shortlist s JOIN corpus e ON e.vec_id = s.vec_id
+      ) WHERE rn <= 5
+    ),
+    r_adc AS (
+      SELECT e.query_id,
+             CAST(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS DOUBLE) AS recall_adc
+      FROM exact e LEFT JOIN adc5 a
+        ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      GROUP BY e.query_id
+    ),
+    r_rr AS (
+      SELECT e.query_id,
+             CAST(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*) AS DOUBLE) AS recall_rerank
+      FROM exact e LEFT JOIN rerank a
+        ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+      GROUP BY e.query_id
+    )
+    SELECT r_rr.query_id, recall_rerank, recall_adc
+    FROM r_rr JOIN r_adc USING (query_id)
+    """,
+    doc="Recall@5 of the full IVF-PQ pipeline on the planted-cluster "
+    "corpus: trained coarse quantizer (nprobe=2), 4x4 first-C product "
+    "codebooks, ADC shortlist of 40, exact re-rank to 5 — reported "
+    "next to the raw-ADC top-5 recall so the two-phase pattern's "
+    "recovery is the measured result: rerank 0.88 mean vs 0.36 for raw "
+    "ADC top-5. Crude 4-bitx4 codebooks lose ranking precision, and an "
+    "8x-k shortlist plus exact rescoring of ~40 rows/query wins it "
+    "back — the knob is shortlist width, not index rebuild. The "
+    "whole pipeline — corpus, training, codes, ADC folds, recall — is "
+    "bit-reproducible and value-checked in DuckDB.",
+    tags=("ann", "recall"),
+)
+def ann_ivfpq_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.ann import ivf_assign
+    from ..operators.knn import knn_join
+    from ..operators.pq import ann_ivfpq_adc_topk, pq_codebook_firstc, pq_encode
+
+    tune(spark)
+    corpus = _clustered_corpus_df(spark)
+    t_df = spark.createDataFrame(
+        _cl_trained_centroids(spark, corpus), "centroid_id int, cvec array<double>"
+    )
+    books = pq_codebook_firstc(corpus, m=_CLPQ_M, k=_CLPQ_K, dim=_CL_DIM)
+    codes = pq_encode(corpus, books)
+    inverted = ivf_assign(corpus, t_df)
+    queries = corpus.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 110)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    # ONE ADC ranking job: the 20-candidate shortlist keeps its adc_score,
+    # so the raw-ADC top-5 is a window over the shortlist, not a second
+    # full ADC scan (its top-5 is by construction a prefix of the top-20).
+    ranked = ann_ivfpq_adc_topk(
+        inverted, codes, t_df, queries, books, k=40, nprobe=2
+    ).persist()
+    shortlist = ranked.select("query_id", "vec_id")
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc_score"), F.asc("vec_id"))
+    adc5 = (
+        ranked.withColumn("__rn", F.row_number().over(w_adc))
+        .filter(F.col("__rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    rescored = (
+        shortlist.join(corpus.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_sim(F.col("embedding"), F.col("qvec")).alias("similarity"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("vec_id"))
+    rerank = (
+        rescored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "vec_id")
+    )
+    exact = knn_join(corpus, queries, k=5).select("query_id", "vec_id")
+    r_rr = _cl_recall5(exact, rerank, "recall_rerank")
+    r_adc = _cl_recall5(exact, adc5, "recall_adc")
+    return r_rr.join(r_adc, "query_id")

@@ -371,3 +371,57 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = _augmented_docs(spark, sf_dir)
     pairs = ngram_jaccard_pairs(aug, min_jaccard=0.4)
     return duplicate_components(aug.select("doc_id"), pairs)
+
+@register(
+    "text_minhash_containment",
+    oracle=f"""
+    {_JACCARD_SQL},
+    sig AS (
+      SELECT doc_id, j, min(md5(j || '|' || s)) AS minhash
+      FROM sets,
+           LATERAL (SELECT unnest(shingles)) u(s),
+           LATERAL (SELECT unnest(range(0, 12))) t(j)
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, CAST(j // 3 AS INTEGER) AS band_idx,
+             md5(string_agg(minhash, ',' ORDER BY j)) AS band_key
+      FROM sig GROUP BY doc_id, j // 3
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b, p.intersection, p.size_a, p.size_b,
+           CAST(p.intersection AS DOUBLE) / CAST(p.size_a AS DOUBLE) AS containment_a,
+           CAST(p.intersection AS DOUBLE) / CAST(p.size_b AS DOUBLE) AS containment_b
+    FROM pairs p JOIN cand USING (doc_a, doc_b)
+    WHERE greatest(CAST(p.intersection AS DOUBLE) / CAST(p.size_a AS DOUBLE),
+                   CAST(p.intersection AS DOUBLE) / CAST(p.size_b AS DOUBLE)) >= 0.5
+    """,
+    doc="Containment C(A,B)=|A∩B|/|A| over MinHash-LSH candidates — the "
+    "asymmetric dedup signal: a short doc embedded in a longer one "
+    "(quote/concat/boilerplate) hits containment ~1 while Jaccard "
+    "shrinks with the length gap, so threshold-on-Jaccard misses it. "
+    "Same banded bucket join as dedup_minhash_lsh_pairs (cost "
+    "O(docs x hashes), candidates bounded by band collisions), exact "
+    "set-intersect verify on candidates only.",
+    tags=("dedup", "text"),
+)
+def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_containment_pairs
+
+    tune(spark)
+    pairs = minhash_containment_pairs(
+        _augmented_docs(spark, sf_dir), num_hashes=12, bands=4, min_containment=0.5
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "intersection",
+        F.col("size_a").cast("bigint").alias("size_a"),
+        F.col("size_b").cast("bigint").alias("size_b"),
+        "containment_a",
+        "containment_b",
+    )

@@ -324,3 +324,68 @@ def text_train_heldout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", hash_split(F.col("doc_id")).alias("split"))
+
+@register(
+    "seq_ngram_lm_counts",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    big AS (
+      SELECT w[CAST(i AS INTEGER)] AS w1, w[CAST(i AS INTEGER) + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(w)))) u(i)
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS n FROM big GROUP BY w1, w2),
+    tot AS (SELECT w1, SUM(n) AS n1 FROM cnt GROUP BY w1)
+    SELECT w1, w2, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / CAST(n1 AS DOUBLE) AS cond_p
+    FROM cnt JOIN tot USING (w1)
+    ORDER BY n DESC, w1 ASC, w2 ASC
+    LIMIT 50
+    """,
+    doc="Bigram language-model counts over the corpus: top-50 bigrams "
+    "with conditional probability p(w2|w1) = count(w1 w2)/count(w1 ·). "
+    "The n-gram-LM/data-quality primitive (perplexity filters, "
+    "contamination n-gram lookup tables). Tokens explode once; bigram "
+    "pairing is a per-row transform over the token array (no window, no "
+    "self-join); both aggregates are hash aggs with map-side partials, "
+    "and the top-50 is TakeOrdered, never a global sort. cond_p divides "
+    "exact integers, so the hash is stable cross-engine.",
+    tags=("text", "analytics"),
+)
+def seq_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            F.explode(
+                F.when(
+                    F.size(w) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda i: F.struct(
+                            F.element_at(w, i).alias("w1"),
+                            F.element_at(w, i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    cnt = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("w1").agg(F.sum("n").alias("n1"))
+    return (
+        cnt.join(tot, "w1")
+        .select(
+            "w1",
+            "w2",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("n1").cast("double")).alias("cond_p"),
+        )
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
