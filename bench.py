@@ -32,6 +32,7 @@ HEADLINE = [
     "knn_topk",
     "knn_batch",
     "bench_knn_1m",
+    "bench_knn_1m_ivf",
     "ann_lsh_topk",
     "ann_ivf_topk",
     "rag_e2e_retrieval",

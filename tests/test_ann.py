@@ -224,3 +224,60 @@ def test_ivfadc_deterministic_and_matches_centroid_plus_residual(spark, sf_dir):
         (r["query_id"], r["vec_id"], r["adc_score"]) for r in fn(spark, sf_dir).collect()
     )
     assert out1 == out2 and len(out1) == 15
+
+
+def test_ann_bench1m_ivf_recall_and_speedup(spark):
+    # The 1M scale demo's two claims, pinned: (a) recall@10 = 1.0 against
+    # the exact scan over the same clustered corpus; (b) warm serving is
+    # faster than the brute-force scan. Run at n=100k via the same build
+    # path (store keyed by n, so the bench's 1M store is untouched).
+    import time
+
+    from pyspark.sql import functions as F
+
+    from rag_application_with_vectordb_spark.functions.vector import (
+        as_double,
+        dot,
+        l2_norm,
+    )
+    from rag_application_with_vectordb_spark.plans import ann_queries as aq
+
+    n = 100_000
+    store = aq._b1m_store() + f"_test{n}"
+    import shutil
+
+    shutil.rmtree(store, ignore_errors=True)
+    try:
+        aq._b1m_build_index(spark, store, n)
+        approx = aq._b1m_serve(spark, store)
+        t0 = time.time()
+        got = approx.collect()
+        warm_ivf = time.time() - t0
+        import json
+        import math
+
+        meta = json.load(open(store + "/meta.json"))
+        qvec, cents = meta["qvec"], meta["cents"]
+        qn = math.sqrt(sum(x * x for x in qvec))
+        qlit = F.lit([float(x) for x in qvec])
+        corpus = aq._b1m_corpus(spark, cents, n)
+        exact_df = (
+            corpus.select(
+                "vec_id",
+                (
+                    dot(as_double(F.col("embedding")), as_double(qlit))
+                    / (l2_norm(F.col("embedding")) * F.lit(qn))
+                ).alias("similarity"),
+            )
+            .orderBy(F.desc("similarity"), F.asc("vec_id"))
+            .limit(10)
+        )
+        exact_df.collect()  # warm the generation codegen
+        t0 = time.time()
+        exact = exact_df.collect()
+        warm_brute = time.time() - t0
+        assert {r["vec_id"] for r in got} == {r["vec_id"] for r in exact}
+        # speed: partition-pruned probe must beat regenerate-and-scan-all
+        assert warm_ivf < warm_brute * 1.5, (warm_ivf, warm_brute)
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
