@@ -317,3 +317,85 @@ def inertia(points: DataFrame, centroids: DataFrame, id_col: str = "vec_id", vec
     return joined.select(
         F.sum(_sq_dist(as_double(F.col(vec_col)), as_double(F.col("cvec")))).alias("s")
     ).first()["s"]
+
+
+def nearest_centroid_ids_l2(
+    vd, cents: list[tuple[int, list[float]]], nprobe: int = 1
+):
+    """``array<long>`` of the ``nprobe`` nearest literal centroids by
+    SQUARED L2 (min distance, centroid-id-asc tiebreak) — the Euclidean
+    twin of ``operators.ann.nearest_centroid_ids``, same single-Literal
+    matrix construction. The distance is ``dot(diff, diff)`` over the
+    proven sequential dot fold, so the value is bit-reproducible in
+    DuckDB as ``list_dot_product(diff, diff)``."""
+    mat = [[float(x) for x in cvec] for _, cvec in cents]
+    ids = [int(cid) for cid, _ in cents]
+    cmat, cids = F.lit(mat), F.lit(ids)
+
+    def dist(i):
+        diff = F.zip_with(vd, F.element_at(cmat, i + 1), lambda x, y: x - y)
+        return dot(diff, diff)
+
+    ranked = F.array_sort(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(len(cents) - 1)),
+            lambda i: F.struct(
+                dist(i).alias("d"), F.element_at(cids, i + 1).cast("long").alias("cid")
+            ),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, int(nprobe)), lambda s: s["cid"])
+
+
+def kmeans_fit_l2_fp_values(
+    points: DataFrame,
+    k: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = FP_SCALE,
+    sample_mod: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Squared-L2 Lloyd's with the fixed-point mean update of
+    :func:`kmeans_fit_spherical_fp` — the EUCLIDEAN trained quantizer,
+    bit-reproducible cross-engine (assignment is the sequential
+    ``dot(diff, diff)`` fold; the mean is exact-integer arithmetic).
+    Replaces the fp64-mean ``kmeans_fit`` wherever a trained-L2
+    quantizer must be value-checked (``ann_ivf_trained_topk``)."""
+    s = int(scale)
+    if sample_mod is not None and int(sample_mod) > 1:
+        points = points.filter(F.col(id_col) % int(sample_mod) == 0)
+    init = points.orderBy(F.asc(id_col)).limit(int(k)).select(id_col, vec_col).collect()
+    init.sort(key=lambda r: r[id_col])
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
+    ]
+    parallelism = points.sparkSession.sparkContext.defaultParallelism
+    pre = (
+        points.select(as_double(F.col(vec_col)).alias("__vd"))
+        .repartition(parallelism)
+        .persist()
+    )
+    try:
+        for _ in range(int(iterations)):
+            nearest = nearest_centroid_ids_l2(F.col("__vd"), cents, nprobe=1)
+            assigned = pre.select(
+                F.element_at(nearest, 1).alias("centroid_id"), F.col("__vd")
+            )
+            comps = assigned.select(
+                "centroid_id", F.posexplode("__vd").alias("dim", "val")
+            )
+            sums = comps.groupBy("centroid_id", "dim").agg(
+                F.sum(F.floor(F.col("val") * F.lit(float(s))).cast("long")).alias("fp_sum"),
+                F.count("*").alias("n"),
+            ).collect()
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in sums:
+                by_cid.setdefault(int(r["centroid_id"]), {})[r["dim"]] = r["fp_sum"] / (r["n"] * s)
+            cents = [
+                (cid, [by_cid[cid][j] for j in range(len(cvec))]) if cid in by_cid else (cid, cvec)
+                for cid, cvec in cents
+            ]
+    finally:
+        pre.unpersist()
+    return cents

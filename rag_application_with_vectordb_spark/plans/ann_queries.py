@@ -154,14 +154,31 @@ def ann_lsh_multiprobe_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_fp_sql_g(prefix: str, train: str, k: int, iters: int, dim: int, scale: int) -> str:
+def _duck_l2(dim: int, a: str, b: str) -> str:
+    """DuckDB squared-L2 mirroring the Spark ``dot(diff, diff)`` fold
+    (``operators.kmeans.nearest_centroid_ids_l2``)."""
+    diff = (
+        f"list_transform(range(1, {dim + 1}), i -> "
+        f"CAST({a}[CAST(i AS INTEGER)] AS DOUBLE) - {b}[CAST(i AS INTEGER)])"
+    )
+    return f"list_dot_product({diff}, {diff})"
+
+
+def _kmeans_fp_sql_g(
+    prefix: str, train: str, k: int, iters: int, dim: int, scale: int, metric: str = "cosine"
+) -> str:
     """Generalized unrolled-k-means CTE generator: ``train`` is any
     relation exposing ``(vec_id, embedding)`` — e.g. a subvector slice
     for PQ codebook training — and ``prefix`` namespaces the CTEs so
     several trainings coexist in one WITH clause. Trained centroids land
     in ``{prefix}cent{iters}``. Cross-engine exactness as in
-    ``_kmeans_fp_sql``."""
+    ``_kmeans_fp_sql``. ``metric``: "cosine" (spherical, max-sim) or
+    "l2" (Euclidean, min-sq-dist) assignment."""
     P = prefix
+    if metric == "l2":
+        order = f"{_duck_l2(dim, 'e.embedding', 'c.cvec')} ASC"
+    else:
+        order = f"{duck_cosine('e.embedding', 'c.cvec')} DESC"
     parts = [
         f"""{P}cent0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
@@ -175,7 +192,7 @@ def _kmeans_fp_sql_g(prefix: str, train: str, k: int, iters: int, dim: int, scal
       SELECT vec_id, embedding, centroid_id FROM (
         SELECT e.vec_id, e.embedding, c.centroid_id,
                row_number() OVER (PARTITION BY e.vec_id
-                                  ORDER BY {duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+                                  ORDER BY {order}, c.centroid_id) AS rn
         FROM {train} e CROSS JOIN {prev} c
       ) WHERE rn = 1
     )""")
@@ -518,23 +535,59 @@ def knn_topk_prenormed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(5)
 
 
+_L2_KMEANS_SQL = _kmeans_fp_sql_g(
+    "l2", "embeddings", 8, 3, _DIM, _IVF_SCALE, metric="l2"
+)
+
+
 @register(
     "ann_ivf_trained_topk",
-    oracle=None,  # k-means means are fp sums across partitions — not
-    # bit-reproducible in another engine; the untrained IVF query is the
-    # oracle anchor for the probe machinery, and pytest pins determinism
-    # and the probe-all==exact invariant for this trained path.
-    doc="IVF with a TRAINED coarse quantizer: deterministic fixed-iteration "
-    "Lloyd's k-means (operators/kmeans.py, pure DataFrame ops) instead of "
-    "the centroid-subset shortcut; 2 probes over 8 learned lists.",
+    oracle=f"""
+    WITH {_L2_KMEANS_SQL},
+    cent AS MATERIALIZED (SELECT centroid_id, cvec FROM l2cent3),
+    assign AS MATERIALIZED (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
+    probes AS (
+      SELECT query_id, qvec, centroid_id FROM (
+        SELECT q.query_id, q.qvec, c.centroid_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {duck_cosine('q.qvec', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM q CROSS JOIN cent c
+      ) WHERE rn <= 2
+    )
+    SELECT query_id, vec_id, similarity FROM (
+      SELECT p.query_id, a.vec_id, {duck_cosine('a.embedding', 'p.qvec')} AS similarity,
+             row_number() OVER (PARTITION BY p.query_id
+                                ORDER BY {duck_cosine('a.embedding', 'p.qvec')} DESC, a.vec_id) AS rn
+      FROM assign a JOIN probes p USING (centroid_id)
+    ) WHERE rn <= 5
+    """,
+    doc="IVF with a TRAINED EUCLIDEAN coarse quantizer: fixed-point "
+    "squared-L2 Lloyd's (operators/kmeans.py: kmeans_fit_l2_fp_values — "
+    "assignment by the sequential dot(diff,diff) fold, means on the "
+    "exact-integer grid), 2 cosine probes over 8 learned lists. "
+    "Value-checked since round 5: the fp64-mean kmeans_fit it replaced "
+    "was the catalog's last by-design rows-only trained path (the "
+    "fixed-point mean made the L2 training itself bit-reproducible in "
+    "DuckDB, the same move that closed the spherical trainer in r3).",
     tags=("ann",),
 )
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    from ..operators.kmeans import kmeans_fit
+    from ..operators.kmeans import kmeans_fit_l2_fp_values
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = kmeans_fit(emb, k=8, iterations=3)
+    cents = kmeans_fit_l2_fp_values(emb, k=8, iterations=3, scale=_IVF_SCALE)
+    centroids = spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in cents], "centroid_id int, cvec array<double>"
+    )
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
