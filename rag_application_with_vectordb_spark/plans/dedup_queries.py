@@ -28,7 +28,7 @@ from ..operators.dedup import (
 from ..session import tune
 from ..sources.catalog import load_table
 from .oracle_dialect import duck_cosine, duck_fold_unit, duck_hex13_to_long
-from .registry import register
+from .registry import QUERIES, register
 
 _NEAR_SUFFIX = " spark engine near duplicate suffix"
 
@@ -425,3 +425,137 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "containment_a",
         "containment_b",
     )
+
+# --- semantic dedup (SemDeDup): cluster-bounded embedding near-dup drop -------
+
+_SD_TAU = 0.98
+_SD_NOISE = 0.02
+_SD_K, _SD_ITERS, _SD_DIM = 8, 2, 64
+_SD_SCALE = 1 << 20
+
+
+def _sd_aug_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..embedder import hash_embedding_expr
+    from ..functions.vector import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    noise = hash_embedding_expr(F.col("vec_id").cast("string"), _SD_DIM, "sd42")
+    # Two selects: computing the noise in the same projection that
+    # re-aliases vec_id would resolve the hash key against the SHIFTED
+    # id (sibling-alias shadowing) — the oracle keys noise by source id.
+    near = (
+        emb.filter(F.col("vec_id") < 20)
+        .select(
+            "vec_id",
+            F.zip_with(
+                as_double(F.col("embedding")), noise, lambda a, b: a + F.lit(_SD_NOISE) * b
+            ).alias("embedding"),
+        )
+        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+    )
+    return emb.select("vec_id", as_double(F.col("embedding")).alias("embedding")).unionByName(near)
+
+
+_SD_NOISE_FOLD = duck_fold_unit("'sd42|' || j || '|' || CAST(vec_id AS VARCHAR)")
+
+_SD_AUG_SQL = f"""aug AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000 AS vec_id,
+             list_transform(range(0, {_SD_DIM}), j ->
+               CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE)
+               + CAST({_SD_NOISE} AS DOUBLE) * {_SD_NOISE_FOLD}) AS embedding
+      FROM embeddings WHERE vec_id < 20
+    )"""
+
+
+@register(
+    "dedup_semantic_semdedup",
+    oracle=None,  # assembled below — needs the kmeans generator from ann_queries
+    doc="Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the "
+    "embedding space with the trained spherical quantizer, then drop "
+    "any vector whose cosine to a LOWER-id vector in the SAME cluster "
+    "exceeds 0.98 (output: dropped id, the smallest qualifying keeper, "
+    "their cosine). The cluster assignment bounds the quadratic: "
+    "pairwise cosine runs within clusters only — SemDeDup's own "
+    "complexity contract, and at 100 TB clusters are additionally "
+    "size-capped. Augmentation plants 20 hash-perturbed near-copies "
+    "(cosine ~0.9988) so the drop set is non-vacuous on the "
+    "near-uniform fixture; training, assignment, pairwise cosines, and "
+    "the keep-lowest-id rule are all value-checked in DuckDB.",
+    tags=("dedup", "ann"),
+)
+def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vector import cosine_sim
+    from ..operators.ann import ivf_assign
+    from ..operators.kmeans import kmeans_fit_spherical_fp_values
+
+    tune(spark)
+    aug = _sd_aug_spark(spark, sf_dir).persist()
+    cents = kmeans_fit_spherical_fp_values(
+        aug, k=_SD_K, iterations=_SD_ITERS, scale=_SD_SCALE
+    )
+    cents_df = spark.createDataFrame(
+        [(cid, cvec) for cid, cvec in cents], "centroid_id int, cvec array<double>"
+    )
+    assigned = ivf_assign(aug, cents_df)
+    a = assigned.select(
+        F.col("vec_id").alias("kept_id"),
+        F.col("embedding").alias("emb_a"),
+        "centroid_id",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("dropped_id"),
+        F.col("embedding").alias("emb_b"),
+        "centroid_id",
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("kept_id") < F.col("dropped_id"))
+        .select(
+            "dropped_id",
+            "kept_id",
+            cosine_sim(F.col("emb_a"), F.col("emb_b")).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= _SD_TAU)
+    )
+    w = Window.partitionBy("dropped_id").orderBy(F.asc("kept_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("dropped_id", "kept_id", "similarity")
+    )
+
+
+def _sd_oracle() -> str:
+    from .ann_queries import _kmeans_fp_sql_g
+
+    return f"""
+    WITH {_SD_AUG_SQL},
+    {_kmeans_fp_sql_g("sd", "aug", _SD_K, _SD_ITERS, _SD_DIM, _SD_SCALE)},
+    cent AS MATERIALIZED (SELECT centroid_id, cvec FROM sdcent{_SD_ITERS}),
+    assign AS MATERIALIZED (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT e.vec_id, e.embedding, c.centroid_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {duck_cosine('e.embedding', 'c.cvec')} DESC, c.centroid_id) AS rn
+        FROM aug e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT b.vec_id AS dropped_id, a.vec_id AS kept_id,
+             {duck_cosine('a.embedding', 'b.embedding')} AS similarity
+      FROM assign a JOIN assign b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {_SD_TAU}
+    )
+    SELECT dropped_id, kept_id, similarity FROM (
+      SELECT *, row_number() OVER (PARTITION BY dropped_id ORDER BY kept_id) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """
+
+
+QUERIES["dedup_semantic_semdedup"].oracle = _sd_oracle()

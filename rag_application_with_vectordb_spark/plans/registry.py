@@ -101,8 +101,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_token_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
-    "events_tumbling_hourly",
-    "ann_lsh_topk",
+    # (b continued) two more round-5 additions take the last anchor slots
+    # (never-checked queries outrank re-confirming r1 greens)
+    "dedup_semantic_semdedup",
+    "hybrid_maxsim_topk",
 )
 
 
