@@ -292,8 +292,11 @@ def _prune_stale_index_dirs(sf_dir: str, keep: str) -> None:
     old generation would otherwise leak forever (one orphan per driver
     round). Each dir records its source fixture in ``meta.json`` so
     siblings for the SAME sf_dir (different generation) are identifiable
-    despite the hashed names; dirs without a meta predate this scheme
-    and are pruned too (everything here is re-buildable by design)."""
+    despite the hashed names. Dirs without a meta are left alone — they
+    may be a DIFFERENT sf_dir's live index (treating them as stale once
+    cost a bench cold pass a full sf0.1 retrain); every dir published
+    since the meta scheme carries one, so the no-meta population can
+    only shrink."""
     import json
     import shutil
 
@@ -309,10 +312,8 @@ def _prune_stale_index_dirs(sf_dir: str, keep: str) -> None:
         try:
             with open(os.path.join(d, "meta.json")) as f:
                 owner = json.load(f).get("sf_dir")
-        except OSError:
-            owner = target  # legacy no-meta dir: superseded format
         except Exception:
-            owner = target  # unreadable meta: treat as stale
+            continue  # no/unreadable meta: could be another sf_dir's index
         if owner == target:
             shutil.rmtree(d, ignore_errors=True)
 
