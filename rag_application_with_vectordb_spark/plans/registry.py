@@ -95,9 +95,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "window_balance_rank",
     "window_running_spend",
     "topk_parts_per_brand",
-    "set_nations_customers_and_suppliers",
+    "seq_doc_logprob",
     "subquery_above_avg_balance",
-    "scalar_datetime_orders",
+    "doc_embedding_meanpool",
     "text_token_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -19,7 +19,7 @@ from ..operators.multimodal import (
 )
 from ..session import tune
 from ..sources.catalog import load_table
-from .oracle_dialect import duck_hex13_to_long
+from .oracle_dialect import duck_hash_embedding, duck_hex13_to_long
 from .registry import register
 
 _STOPS_SQL = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
@@ -388,4 +388,153 @@ def seq_ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
         .limit(50)
+    )
+
+# --- per-doc bigram LM quality score (perplexity-style filter) ----------------
+
+@register(
+    "seq_doc_logprob",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    big AS (
+      SELECT doc_id, w[CAST(i AS INTEGER)] AS w1, w[CAST(i AS INTEGER) + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(w)))) u(i)
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS n FROM big GROUP BY w1, w2),
+    tot AS (SELECT w1, SUM(n) AS n1 FROM cnt GROUP BY w1),
+    terms AS (
+      SELECT b.doc_id,
+             CAST(round(ln(CAST(c.n AS DOUBLE) / CAST(tt.n1 AS DOUBLE)) * 1000000.0)
+                  AS BIGINT) AS micro_ln
+      FROM big b JOIN cnt c ON b.w1 = c.w1 AND b.w2 = c.w2
+                 JOIN tot tt ON b.w1 = tt.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(micro_ln) AS DOUBLE) / (COUNT(*) * 1000000.0) AS avg_logprob
+    FROM terms GROUP BY doc_id
+    """,
+    doc="Per-document bigram LM score: mean ln p(w2|w1) under the "
+    "corpus-trained bigram model — the perplexity-style quality filter "
+    "(low average log-prob = unnatural token sequences = drop "
+    "candidate). Each ln is rounded onto a 1e-6 integer grid BEFORE the "
+    "per-doc sum (exact BIGINT arithmetic, summation-order-free), so "
+    "the cross-partition aggregate is deterministic — the same "
+    "fixed-point move as the k-means mean update; ln itself is the "
+    "catalog's one transcendental and the 1e-6 grid absorbs its ulp "
+    "(pattern proven by BM25/TF-IDF). Model counts and doc terms reuse "
+    "one bigram explode; everything shuffles on (w1,w2) or doc_id only.",
+    tags=("text", "analytics"),
+)
+def seq_doc_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    bigrams = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size(w) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda i: F.struct(
+                            F.element_at(w, i).alias("w1"),
+                            F.element_at(w, i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    cnt = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    tot = cnt.groupBy("w1").agg(F.sum("n").alias("n1"))
+    model = cnt.join(tot, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.log(F.col("n").cast("double") / F.col("n1").cast("double")) * 1000000.0
+        ).cast("bigint").alias("micro_ln"),
+    )
+    terms = bigrams.join(model, ["w1", "w2"])
+    return terms.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        (F.sum("micro_ln").cast("double") / (F.count("*") * F.lit(1000000.0))).alias(
+            "avg_logprob"
+        ),
+    )
+
+# --- mean-pooled document embeddings (chunk -> doc vector aggregation) --------
+
+_POOL_DIM = 16
+_POOL_SCALE = 1 << 20
+
+
+@register(
+    "doc_embedding_meanpool",
+    oracle=f"""
+    WITH chunks AS (
+      SELECT doc_id,
+             CAST(floor((i - 1) / 800) AS BIGINT) AS chunk_id,
+             substring(text, CAST(i AS INTEGER), 1000) AS chunk_text
+      FROM documents,
+           LATERAL (SELECT unnest(range(1, greatest(length(text), 1) + 1, 800)) AS i) s
+      WHERE length(trim(substring(text, CAST(i AS INTEGER), 1000))) > 0
+    ),
+    cemb AS (
+      SELECT doc_id, chunk_id,
+             {duck_hash_embedding('chunk_text', _POOL_DIM, 'pool42')} AS cvec
+      FROM chunks
+    ),
+    comps AS (
+      SELECT doc_id, j,
+             SUM(CAST(floor(cvec[CAST(j AS INTEGER) + 1] * {_POOL_SCALE}.0) AS BIGINT)) AS fp_sum,
+             COUNT(*) AS n
+      FROM cemb, LATERAL (SELECT unnest(range(0, {_POOL_DIM}))) t(j)
+      GROUP BY doc_id, j
+    )
+    SELECT doc_id, CAST(j AS BIGINT) AS dim,
+           CAST(fp_sum AS DOUBLE) / CAST(n * {_POOL_SCALE} AS DOUBLE) AS mean_val,
+           CAST(n AS BIGINT) AS n_chunks
+    FROM comps
+    """,
+    doc="Chunk-to-document embedding aggregation: chunk the text with "
+    "the reference's stride-800/width-1000 chunker, hash-embed each "
+    "chunk, and mean-pool per (doc, dimension) — the standard "
+    "multi-vector -> single-vector collapse for doc-level retrieval. "
+    "The mean uses the fixed-point trick (floor onto a 2^20 grid, "
+    "exact BIGINT sums, one correctly-rounded division), so the "
+    "cross-partition aggregate is order-free and value-checked; output "
+    "is long-format (doc, dim, mean) because the driver comparator "
+    "hashes scalars. One explode + one hash-agg keyed (doc_id, dim).",
+    tags=("text", "ann"),
+)
+def doc_embedding_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..embedder import hash_embedding_expr
+    from ..operators.chunker import chunk_documents
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs)
+    cemb = chunks.select(
+        "doc_id",
+        "chunk_id",
+        hash_embedding_expr(F.col("chunk_text"), _POOL_DIM, "pool42").alias("cvec"),
+    )
+    comps = cemb.select(
+        "doc_id", F.posexplode("cvec").alias("dim", "val")
+    ).groupBy("doc_id", "dim").agg(
+        F.sum(F.floor(F.col("val") * F.lit(float(_POOL_SCALE))).cast("long")).alias("fp_sum"),
+        F.count("*").alias("n"),
+    )
+    return comps.select(
+        "doc_id",
+        F.col("dim").cast("bigint").alias("dim"),
+        (F.col("fp_sum").cast("double") / (F.col("n") * F.lit(_POOL_SCALE)).cast("double")).alias("mean_val"),
+        F.col("n").cast("bigint").alias("n_chunks"),
     )
