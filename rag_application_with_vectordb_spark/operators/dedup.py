@@ -232,34 +232,36 @@ def minhash_lsh_pairs(
     return verified.filter(F.col("jaccard") >= float(min_jaccard))
 
 
-def minhash_containment_pairs(
+def containment_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
-    num_hashes: int = 12,
-    bands: int = 4,
     min_containment: float = 0.5,
 ) -> DataFrame:
-    """Containment near-dup pairs over MinHash-LSH candidates.
+    """Containment near-dup pairs over shared-shingle candidates.
 
     Containment ``C(A,B) = |A ∩ B| / |A|`` is the asymmetric companion
     to Jaccard: a short document wholly embedded in a longer one (quote,
     concatenation, boilerplate wrapper) scores containment ≈ 1 while its
     Jaccard can be arbitrarily small — the duplication mode Jaccard
-    dedup systematically misses in training corpora. Candidates come
-    from the same banded MinHash bucket join as
-    :func:`minhash_lsh_pairs` (no all-pairs work); the exact set
-    intersection on candidates then yields both directed containments.
-    Pairs survive when EITHER direction ≥ ``min_containment``.
+    dedup systematically misses in training corpora. Candidates must
+    therefore come from the shingle POSTING join (any pair sharing a
+    shingle), NOT from symmetric MinHash-LSH bands: band collision
+    probability tracks Jaccard, so banded candidates miss exactly the
+    short-in-long pairs containment exists to catch (pinned by
+    ``test_containment_catches_subset_doc_jaccard_misses``). The
+    posting join never goes all-pairs — only documents sharing a
+    shingle meet, and the per-shingle fanout is bounded by posting-list
+    length (hot shingles are stopword-like and can be frequency-capped
+    at scale). Pairs survive when EITHER direction ≥
+    ``min_containment``.
 
     Output: ``doc_a, doc_b, intersection, size_a, size_b,
     containment_a, containment_b`` (``containment_a`` = fraction of
     A's shingles inside B).
     """
-    pairs = minhash_lsh_pairs(
-        docs, text_col, id_col, n, num_hashes, bands, min_jaccard=0.0
-    )
+    pairs = ngram_jaccard_pairs(docs, text_col, id_col, n, min_jaccard=0.0)
     out = pairs.select(
         "doc_a",
         "doc_b",

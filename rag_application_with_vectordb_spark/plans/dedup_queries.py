@@ -373,49 +373,32 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_components(aug.select("doc_id"), pairs)
 
 @register(
-    "text_minhash_containment",
+    "text_containment_pairs",
     oracle=f"""
-    {_JACCARD_SQL},
-    sig AS (
-      SELECT doc_id, j, min(md5(j || '|' || s)) AS minhash
-      FROM sets,
-           LATERAL (SELECT unnest(shingles)) u(s),
-           LATERAL (SELECT unnest(range(0, 12))) t(j)
-      GROUP BY doc_id, j
-    ),
-    bands AS (
-      SELECT doc_id, CAST(j // 3 AS INTEGER) AS band_idx,
-             md5(string_agg(minhash, ',' ORDER BY j)) AS band_key
-      FROM sig GROUP BY doc_id, j // 3
-    ),
-    cand AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
-    SELECT p.doc_a, p.doc_b, p.intersection, p.size_a, p.size_b,
-           CAST(p.intersection AS DOUBLE) / CAST(p.size_a AS DOUBLE) AS containment_a,
-           CAST(p.intersection AS DOUBLE) / CAST(p.size_b AS DOUBLE) AS containment_b
-    FROM pairs p JOIN cand USING (doc_a, doc_b)
-    WHERE greatest(CAST(p.intersection AS DOUBLE) / CAST(p.size_a AS DOUBLE),
-                   CAST(p.intersection AS DOUBLE) / CAST(p.size_b AS DOUBLE)) >= 0.5
+    {_JACCARD_SQL}
+    SELECT doc_a, doc_b, intersection, size_a, size_b,
+           CAST(intersection AS DOUBLE) / CAST(size_a AS DOUBLE) AS containment_a,
+           CAST(intersection AS DOUBLE) / CAST(size_b AS DOUBLE) AS containment_b
+    FROM pairs
+    WHERE greatest(CAST(intersection AS DOUBLE) / CAST(size_a AS DOUBLE),
+                   CAST(intersection AS DOUBLE) / CAST(size_b AS DOUBLE)) >= 0.5
     """,
-    doc="Containment C(A,B)=|A∩B|/|A| over MinHash-LSH candidates — the "
-    "asymmetric dedup signal: a short doc embedded in a longer one "
-    "(quote/concat/boilerplate) hits containment ~1 while Jaccard "
-    "shrinks with the length gap, so threshold-on-Jaccard misses it. "
-    "Same banded bucket join as dedup_minhash_lsh_pairs (cost "
-    "O(docs x hashes), candidates bounded by band collisions), exact "
-    "set-intersect verify on candidates only.",
+    doc="Containment C(A,B)=|A∩B|/|A| over shared-shingle posting "
+    "candidates — the asymmetric dedup signal: a short doc embedded in "
+    "a longer one (quote/concat/boilerplate) hits containment ~1 while "
+    "Jaccard shrinks with the length gap. Candidates deliberately come "
+    "from the shingle posting join, not MinHash bands: band collision "
+    "probability tracks JACCARD, so banded candidates miss exactly the "
+    "subset pairs containment exists to catch (test-pinned). Posting "
+    "fanout is bounded per shingle; hot shingles are frequency-capped "
+    "at scale.",
     tags=("dedup", "text"),
 )
-def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_containment_pairs
+def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
 
     tune(spark)
-    pairs = minhash_containment_pairs(
-        _augmented_docs(spark, sf_dir), num_hashes=12, bands=4, min_containment=0.5
-    )
+    pairs = containment_pairs(_augmented_docs(spark, sf_dir), min_containment=0.5)
     return pairs.select(
         "doc_a",
         "doc_b",
@@ -425,6 +408,7 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "containment_a",
         "containment_b",
     )
+
 
 # --- semantic dedup (SemDeDup): cluster-bounded embedding near-dup drop -------
 

@@ -72,7 +72,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_clustered_recall",
     "bench_knn_1m_ivf",
     "events_session_stats",
-    "text_minhash_containment",
+    "text_containment_pairs",
     "docs_dataset_card",
     "seq_ngram_lm_counts",
     "graph_copurchase_edges",

@@ -1,0 +1,83 @@
+"""Unit tests for the round-5 operators: exact percentiles vs numpy,
+SemDeDup's planted-copy detection, and containment's asymmetric-dup
+property that Jaccard misses."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from rag_application_with_vectordb_spark.plans.registry import load_all
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return load_all()
+
+
+def test_percentile_exact_matches_numpy(spark, sf_dir, specs):
+    rows = specs["percentile_exact"].fn(spark, sf_dir).collect()
+    import duckdb
+
+    li = duckdb.sql(
+        f"SELECT l_returnflag, l_extendedprice FROM '{sf_dir}/lineitem.parquet'"
+    ).df()
+    for r in rows:
+        x = li[li.l_returnflag == r["l_returnflag"]].l_extendedprice.to_numpy(float)
+        # numpy 'linear' interpolation is the same h = p*(n-1) definition
+        assert r["price_p50"] == pytest.approx(np.percentile(x, 50), rel=1e-12)
+        assert r["price_p95"] == pytest.approx(np.percentile(x, 95), rel=1e-12)
+
+
+def test_percentile_sketch_tracks_exact(spark, sf_dir, specs):
+    exact = {
+        r["l_returnflag"]: r for r in specs["percentile_exact"].fn(spark, sf_dir).collect()
+    }
+    est = {
+        r["l_returnflag"]: r
+        for r in specs["approx_percentile_sketch"].fn(spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    for flag, e in est.items():
+        # a 25% uniform sample's p50/p95 should land within a few percent
+        assert e["price_p50"] == pytest.approx(exact[flag]["price_p50"], rel=0.10)
+        assert e["price_p95"] == pytest.approx(exact[flag]["price_p95"], rel=0.10)
+        assert 0 < e["n_sample"] < e["n_total"]
+
+
+def test_semdedup_drops_exactly_the_planted_copies(spark, sf_dir, specs):
+    rows = specs["dedup_semantic_semdedup"].fn(spark, sf_dir).collect()
+    dropped = {r["dropped_id"] for r in rows}
+    assert dropped == {10000 + i for i in range(20)}
+    for r in rows:
+        assert r["kept_id"] == r["dropped_id"] - 10000  # keeper is the source
+        assert r["similarity"] > 0.98
+
+
+def test_containment_catches_subset_doc_jaccard_misses(spark):
+    from rag_application_with_vectordb_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)], "doc_id long, text string"
+    )
+    cont = containment_pairs(docs, min_containment=0.9).collect()
+    # every shingle of doc 1 appears in doc 2 -> containment_a == 1.0
+    assert len(cont) == 1 and cont[0]["containment_a"] == 1.0
+    # while the Jaccard of the same pair is far below a dedup threshold
+    jac = ngram_jaccard_pairs(docs).collect()
+    assert len(jac) == 1 and jac[0]["jaccard"] < 0.2
+
+
+def test_doc_meanpool_is_true_mean(spark, sf_dir, specs):
+    out = specs["doc_embedding_meanpool"].fn(spark, sf_dir)
+    one = out.filter(F.col("doc_id") == 0).orderBy("dim").collect()
+    assert len(one) == 16
+    n = one[0]["n_chunks"]
+    assert all(r["n_chunks"] == n for r in one)
+    assert all(abs(r["mean_val"]) <= 1.0 for r in one)
