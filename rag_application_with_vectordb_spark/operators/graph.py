@@ -1,0 +1,92 @@
+"""Distributed graph operators: fixed-point PageRank.
+
+The engine already has one iterative graph algorithm (duplicate
+connected components via min-label propagation, ``operators/dedup.py``);
+this module adds the other classic: PageRank over an edge list, written
+as a bounded Python loop of DataFrame joins — each iteration is one
+shuffle keyed on the edge endpoints, exactly the Pregel superstep shape
+a 1000-executor cluster runs.
+
+Cross-engine determinism: floating-point PageRank is NOT reproducible
+across engines (the inflow sum's addition order differs), so the rank
+is carried as a **fixed-point BIGINT** (``scale`` units per 1.0). Every
+update is integer arithmetic — ``pr div outdeg`` shares, a single
+order-free integer SUM, and an integer damping step
+``base + (85 * inflow) div 100`` — so the result is bit-identical in
+any engine, which is what makes ``graph_pagerank`` value-checkable
+against DuckDB.
+
+Scale posture (100 TB): per iteration the plan is
+``edges ⋈ pr (shuffle on src) → groupBy dst (shuffle on dst) → nodes
+⟕ inflow``; no all-pairs step, no driver-side state — the rank vector
+never leaves the cluster. Overflow bound: ``85 * Σ pr`` must fit in
+int64, i.e. ``n_nodes * scale < 2^63 / 100`` — the default
+``scale=10^9`` is safe to ~9.2e10 nodes (far beyond any real graph);
+shrink ``scale`` if you somehow exceed that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SCALE = 1_000_000_000
+
+
+def pagerank_fp(
+    edges: DataFrame,
+    iterations: int = 3,
+    scale: int = DEFAULT_SCALE,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-point PageRank over a directed edge list.
+
+    Every node must appear as a source at least once (true for any
+    symmetrized undirected graph, e.g. co-purchase edges emitted in both
+    directions) — dangling-node mass redistribution is deliberately out
+    of scope so the recurrence stays a pure local aggregate.
+
+    Recurrence (all BIGINT):
+      ``pr_0 = scale``  (rank 1.0 per node, unnormalized)
+      ``pr_{t+1}(v) = (15*scale) div 100
+                      + (85 * Σ_{u→v} (pr_t(u) div outdeg(u))) div 100``
+
+    Returns ``(part, outdeg, pr)`` with ``pr`` still in fixed-point
+    units; divide by ``scale`` for the float rank.
+    """
+    if damping_num >= damping_den or damping_num <= 0:
+        raise ValueError("damping must satisfy 0 < num < den")
+    deg = edges.groupBy(F.col(src_col).alias("part")).agg(
+        F.count("*").cast("long").alias("outdeg")
+    )
+    # (src, dst, outdeg): join once, reused every iteration.
+    ed = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    ).join(
+        deg.select(F.col("part").alias("__src"), "outdeg"), "__src"
+    )
+    base = (damping_den - damping_num) * int(scale) // damping_den
+    pr = deg.select("part", F.lit(int(scale)).cast("long").alias("pr"))
+    for _ in range(int(iterations)):
+        inflow = (
+            ed.join(pr.select(F.col("part").alias("__src"), "pr"), "__src")
+            .select(
+                F.col("__dst").alias("part"),
+                F.expr("pr div outdeg").alias("__share"),
+            )
+            .groupBy("part")
+            .agg(F.sum("__share").alias("__inflow"))
+        )
+        pr = deg.join(inflow, "part", "left").select(
+            "part",
+            (
+                F.lit(base)
+                + F.expr(
+                    f"({damping_num} * coalesce(__inflow, 0L)) div {damping_den}"
+                )
+            ).cast("long").alias("pr"),
+        )
+    return deg.join(pr, "part").select("part", "outdeg", "pr")

@@ -287,6 +287,101 @@ _sql_query(
     tags=("analytics", "graph"),
 )
 
+# --- PageRank over the co-purchase graph (iterative, fixed-point) -------------
+
+_PR_ITERS, _PR_SCALE = 3, 1_000_000_000
+_PR_BASE = 15 * _PR_SCALE // 100
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-point PageRank as DuckDB CTEs — the bit-exact twin
+    of ``operators.graph.pagerank_fp`` (integer shares + integer damping;
+    ``//`` here == Spark's ``div`` for the non-negative values in play)."""
+    parts = [
+        """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (SELECT pa AS src, pb AS dst FROM prs
+              UNION ALL SELECT pb AS src, pa AS dst FROM prs),
+    deg AS (SELECT src AS part, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src),"""
+        + f"""
+    pr0 AS (SELECT part, CAST({_PR_SCALE} AS BIGINT) AS pr FROM deg)"""
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        parts.append(f"""in{t} AS (
+      SELECT e.dst AS part, SUM(p.pr // d.outdeg) AS s
+      FROM edges e JOIN pr{t - 1} p ON p.part = e.src
+                   JOIN deg d ON d.part = e.src
+      GROUP BY e.dst
+    ),
+    pr{t} AS (
+      SELECT d.part,
+             CAST({_PR_BASE} + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
+      FROM deg d LEFT JOIN in{t} i USING (part)
+    )""")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT d.part AS part_id, d.outdeg,
+           CAST(p.pr AS DOUBLE) / {_PR_SCALE}.0 AS pagerank
+    FROM deg d JOIN pr{_PR_ITERS} p USING (part)
+    """
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="PageRank over the symmetrized co-purchase graph (part pairs "
+    "sharing >= 2 orders), 3 iterations at damping 0.85 — the second "
+    "iterative graph algorithm next to dedup_components, run as a "
+    "bounded Python loop of DataFrame joins (one Pregel superstep per "
+    "iteration: edges-join-rank shuffled on src, inflow agg shuffled on "
+    "dst; the rank vector never touches the driver). Rank is carried as "
+    "fixed-point BIGINT (1e9 units) so the inflow sum is an order-free "
+    "integer aggregate — that, plus integer shares and integer damping, "
+    "makes an ITERATIVE fp-free algorithm value-checkable bit-for-bit "
+    "against DuckDB's unrolled CTE twin.",
+    tags=("analytics", "graph", "iterative"),
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_fp
+    from ..sources.catalog import load_table
+
+    tune(spark)
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    prs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = prs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        prs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    ranked = pagerank_fp(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
+    return ranked.select(
+        F.col("part").alias("part_id"),
+        "outdeg",
+        (F.col("pr").cast("double") / F.lit(float(_PR_SCALE))).alias("pagerank"),
+    )
+
+
 # --- dataset card: the corpus summary a training-data pipeline publishes ------
 
 _sql_query(
