@@ -548,3 +548,91 @@ def duplicate_components(
     )
     edges.unpersist()
     return out
+
+
+def duplicated_span_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Per-document duplicated-substring coverage — the span-level dedup
+    monitor from "Deduplicating Training Data Makes Language Models
+    Better" (Lee et al. 2022), approximated at word n-gram granularity.
+
+    A position-``p`` n-gram in a document is *duplicated* when the same
+    n-gram occurs in at least one OTHER document; the duplicated-token
+    count is the length of the union of all covered intervals
+    ``[p, p+n)`` (overlapping spans counted once, via the classic
+    gaps-and-islands window: ``contrib = max(0, p+n - max(p,
+    prev_max_end))``). Output per doc: ``doc_id, n_tokens, dup_tokens,
+    dup_fraction`` — the per-doc statistic a pipeline thresholds on to
+    drop or trim heavily-duplicated training text.
+
+    Scale posture: n-grams travel as md5 hashes (32-byte shuffle keys,
+    never the text); the duplicate decision is one groupBy on the hash,
+    the join back is hash-keyed, and the interval union is one window
+    partitioned by doc_id — three shuffles total, each on a bounded
+    key, no all-pairs anywhere. Unlike the suffix-array original this
+    is embarrassingly parallel and needs no global sort.
+    """
+    d = _spread(docs, id_col)
+    w = tokens(F.col(text_col))
+    toks = d.select(F.col(id_col), w.alias("__w")).persist()
+
+    def gram(i: Column) -> Column:
+        parts: list[Column] = []
+        for t in range(n):
+            if t:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(F.col("__w"), i + t))
+        return F.concat(*parts)
+
+    grams = F.when(
+        F.size("__w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"), F.md5(gram(i)).alias("sh")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,sh:string>>"))
+    pos = toks.select(F.col(id_col), F.explode(grams).alias("g")).select(
+        F.col(id_col), F.col("g.pos").alias("pos"), F.col("g.sh").alias("sh")
+    )
+    dup = (
+        pos.groupBy("sh")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("sh")
+    )
+    dpos = pos.join(dup, "sh").select(F.col(id_col), "pos")
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = dpos.withColumn("prev_end", F.max(F.col("pos") + n).over(win))
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.col("pos")
+        + n
+        - F.greatest(F.col("pos"), F.coalesce(F.col("prev_end"), F.lit(0).cast("long"))),
+    )
+    perdoc = cov.groupBy(id_col).agg(F.sum(contrib).alias("__dup"))
+    out = (
+        toks.select(F.col(id_col), F.size("__w").cast("long").alias("n_tokens"))
+        .join(perdoc, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("dup_tokens"),
+            (
+                F.coalesce(F.col("__dup"), F.lit(0)).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_fraction"),
+        )
+    )
+    return out
