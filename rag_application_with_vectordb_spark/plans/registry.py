@@ -77,6 +77,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "seq_ngram_lm_counts",
     "graph_copurchase_edges",
     "window_session_gap_rank",
+    "graph_pagerank",
+    "dedup_substring_spans",
+    "ann_pq_clustered_trained_recall",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "chunk_sliding_window",
     "chunk_global_ids",
@@ -98,9 +101,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "seq_doc_logprob",
     "subquery_above_avg_balance",
     "doc_embedding_meanpool",
-    "text_token_stats",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
     # (b continued) two more round-5 additions take the last anchor slots
     # (never-checked queries outrank re-confirming r1 greens)
     "dedup_semantic_semdedup",
