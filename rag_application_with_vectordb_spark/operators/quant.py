@@ -58,3 +58,51 @@ def quantize_embeddings(
     the column a 100 TB deployment would store (with the fp32 original
     kept for exact re-ranking)."""
     return df.withColumn(out_col, quantize_vec(F.col(vec_col), scale))
+
+
+def signbit_mask(vec: Column, start: int, bits: int = 32) -> Column:
+    """BIGINT sign-bit mask of ``vec[start : start+bits]`` (0-based
+    ``start``): bit ``j`` set iff component ``start+j`` is > 0.
+
+    Unrolled 32-term integer sum (distinct powers of two, so ``+`` is
+    ``|``) — stays inside whole-stage codegen, and the identical
+    ``list_sum(list_transform(...))`` fold reproduces it in DuckDB. A
+    64-dim float vector compresses to two BIGINTs: 8 bytes/vector of
+    candidate-generation I/O, 32× below the fp64 scan."""
+    v = as_double(vec)
+    terms = [
+        F.when(F.element_at(v, start + j + 1) > 0, F.lit(1 << j).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for j in range(bits)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def signbit_masks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """``(id, lo, hi)``: the vector's sign bits packed into two BIGINTs
+    (dims [0,32) → lo, [32,64) → hi). The binary-hashing index build:
+    one projection over the scan, no shuffle."""
+    if dim != 64:
+        raise ValueError("signbit_masks packs exactly 64 dims (lo/hi 32+32)")
+    v = F.col(vec_col)
+    return df.select(
+        F.col(id_col),
+        signbit_mask(v, 0).alias("lo"),
+        signbit_mask(v, 32).alias("hi"),
+    )
+
+
+def hamming64(lo_a: Column, hi_a: Column, lo_b: Column, hi_b: Column) -> Column:
+    """Hamming distance between two 64-bit sign masks:
+    ``bit_count(lo⊕lo') + bit_count(hi⊕hi')`` — pure integer codegen."""
+    return (
+        F.bit_count(lo_a.bitwiseXOR(lo_b)) + F.bit_count(hi_a.bitwiseXOR(hi_b))
+    ).cast("long")

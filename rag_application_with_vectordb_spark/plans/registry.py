@@ -80,6 +80,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "graph_pagerank",
     "dedup_substring_spans",
     "ann_pq_clustered_trained_recall",
+    "ann_signbits_rerank_topk",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "chunk_sliding_window",
     "chunk_global_ids",
@@ -90,7 +91,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q3_top_orders",
     "q5_regional_revenue",
     "agg_distinct_orders",
-    "agg_part_stats",
     "rollup_supplier_balance",
     "cube_order_counts",
     "join_semi_customers_with_urgent",

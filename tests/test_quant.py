@@ -118,3 +118,53 @@ def test_quantization_properties_hypothesis(spark):
 
     got = list(quantize_embeddings(df).first()["qvec"])
     assert got == [quant(x) for x in vals]
+
+
+def test_signbit_masks_match_numpy(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from rag_application_with_vectordb_spark.operators.quant import signbit_masks
+
+    got = {r["vec_id"]: (r["lo"], r["hi"]) for r in signbit_masks(df).collect()}
+    for i, vec in rows:
+        lo = sum(1 << j for j in range(32) if vec[j] > 0)
+        hi = sum(1 << j for j in range(32) if vec[32 + j] > 0)
+        assert got[i] == (lo, hi), i
+
+
+def test_hamming64_counts_differing_signs(spark):
+    from pyspark.sql import functions as F
+
+    from rag_application_with_vectordb_spark.operators.quant import hamming64
+
+    df = spark.createDataFrame(
+        [(0b1010, 0, 0b0110, 0), (2**31, 2**31, 0, 0)],
+        "lo_a long, hi_a long, lo_b long, hi_b long",
+    )
+    got = [
+        r["h"]
+        for r in df.select(
+            hamming64(F.col("lo_a"), F.col("hi_a"), F.col("lo_b"), F.col("hi_b")).alias("h")
+        ).collect()
+    ]
+    assert got == [2, 2]
+
+
+def test_signbits_rerank_finds_self(spark, sf_dir):
+    from rag_application_with_vectordb_spark.plans.registry import load_all
+
+    rows = load_all()["ann_signbits_rerank_topk"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        top = max(rs, key=lambda r: r["similarity"])
+        # the query vector itself has Hamming 0 → always shortlisted and
+        # re-ranked to the top with similarity 1.0
+        assert top["vec_id"] == qid and top["hamming"] == 0
+        assert abs(top["similarity"] - 1.0) < 1e-12
