@@ -582,3 +582,50 @@ def length_buckets_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.join(F.broadcast(buckets), "n_tokens").select(
         "doc_id", "n_tokens", "histq_bucket"
     )
+
+
+# --- weighted sampling without replacement (Efraimidis–Spirakis) --------------
+
+
+@register(
+    "sample_weighted_k",
+    oracle=f"""
+    SELECT doc_id, n_chars, es_cost_fp FROM (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             (-CAST(round(ln(
+                 {duck_hex13_to_long("md5('wres42|' || CAST(doc_id AS VARCHAR))")} / 4503599627370496.0
+               ) * 1000000.0) AS BIGINT) * 1000000) // CAST(n_chars AS BIGINT) AS es_cost_fp
+      FROM documents
+    ) ORDER BY es_cost_fp ASC, doc_id ASC LIMIT 100
+    """,
+    doc="Length-weighted k-sample without replacement — "
+    "Efraimidis-Spirakis A-ES: keep the k docs with the largest "
+    "u^(1/w), equivalently the SMALLEST -ln(u)/w, with u the keyed-md5 "
+    "unit hash of sample_uniform_k and w = n_chars (long documents "
+    "proportionally likelier, the standard token-budget-aware corpus "
+    "draw). Determinism: ln(u) is rounded onto the 1e-6 grid "
+    "(seq_doc_logprob's fixed-point move), scaled, and integer-DIVIDED "
+    "by the weight — both operands non-negative, so Spark's "
+    "truncating div == DuckDB's flooring // and the whole sort key is "
+    "one BIGINT, cross-engine exact. Plan: per-row expressions + "
+    "TakeOrderedAndProject — stateless, partitioning-stable, no global "
+    "sort; auditors can recompute any row's key from its id alone.",
+    tags=("text", "pipeline", "sampling"),
+)
+def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    u = hex13_to_long(
+        F.md5(F.concat(F.lit("wres42|"), F.col("doc_id").cast("string")))
+    ) / F.lit(4503599627370496.0)
+    micro_neg_ln = -F.round(F.ln(u) * F.lit(1000000.0)).cast("long")
+    out = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        (micro_neg_ln * F.lit(1000000)).alias("__num"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        F.expr("__num div n_chars").alias("es_cost_fp"),
+    )
+    return out.orderBy(F.asc("es_cost_fp"), F.asc("doc_id")).limit(100)

@@ -81,6 +81,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_substring_spans",
     "ann_pq_clustered_trained_recall",
     "ann_signbits_rerank_topk",
+    "sample_weighted_k",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "chunk_sliding_window",
     "chunk_global_ids",
@@ -92,7 +93,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q5_regional_revenue",
     "agg_distinct_orders",
     "rollup_supplier_balance",
-    "cube_order_counts",
     "join_semi_customers_with_urgent",
     "join_anti_customers_without_orders",
     "window_balance_rank",

@@ -99,3 +99,32 @@ def test_stratified_sample_downweights_en(spark, sf_dir):
             assert counts[lang] == n
     # en is down-sampled to ~30% (binomial tolerance on a few hundred docs)
     assert 0.15 * full["en"] <= counts["en"] <= 0.45 * full["en"]
+
+
+def test_sample_weighted_k_matches_python_es(spark, sf_dir):
+    import hashlib
+    import math
+
+    import duckdb
+
+    from rag_application_with_vectordb_spark.plans.registry import load_all
+
+    rows = load_all()["sample_weighted_k"].fn(spark, sf_dir).collect()
+    assert len(rows) == 100 and len({r["doc_id"] for r in rows}) == 100
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+
+    def cost(doc_id, n_chars):
+        h = hashlib.md5(f"wres42|{doc_id}".encode()).hexdigest()
+        u = int(h[:13], 16) / 4503599627370496.0
+        micro = -round(math.log(u) * 1e6)
+        return micro * 1000000 // n_chars
+
+    want = sorted(docs, key=lambda d: (cost(*d), d[0]))[:100]
+    assert {r["doc_id"] for r in rows} == {d[0] for d in want}
+    # weighting skews the draw toward long documents
+    corpus_avg = sum(n for _, n in docs) / len(docs)
+    sample_avg = sum(r["n_chars"] for r in rows) / len(rows)
+    assert sample_avg > corpus_avg
