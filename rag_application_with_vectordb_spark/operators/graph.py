@@ -59,14 +59,23 @@ def pagerank_fp(
     """
     if damping_num >= damping_den or damping_num <= 0:
         raise ValueError("damping must satisfy 0 < num < den")
-    deg = edges.groupBy(F.col(src_col).alias("part")).agg(
-        F.count("*").cast("long").alias("outdeg")
+    # Persist the graph-shaped inputs: every iteration's lineage references
+    # deg and ed, and without materialization Spark re-derives the whole
+    # edge-building subtree (scan → distinct → self-join) once per
+    # iteration — measured 16 redundant copies in the 3-iteration plan.
+    # At cluster scale you'd checkpoint pr every ~10 iterations as well to
+    # truncate lineage; at the bounded iteration counts used here the
+    # persisted graph keeps each iteration to exactly two shuffles.
+    deg = (
+        edges.groupBy(F.col(src_col).alias("part"))
+        .agg(F.count("*").cast("long").alias("outdeg"))
+        .persist()
     )
     # (src, dst, outdeg): join once, reused every iteration.
-    ed = edges.select(
-        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
-    ).join(
-        deg.select(F.col("part").alias("__src"), "outdeg"), "__src"
+    ed = (
+        edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
+        .join(deg.select(F.col("part").alias("__src"), "outdeg"), "__src")
+        .persist()
     )
     base = (damping_den - damping_num) * int(scale) // damping_den
     pr = deg.select("part", F.lit(int(scale)).cast("long").alias("pr"))

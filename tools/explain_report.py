@@ -84,6 +84,22 @@ ANNOTATED = {
     "one exchange for the per-bucket counts.",
     "events_sessionized": "Single keyed window partition (user_id) feeding "
     "both the lag and the cumulative sum; decimal-exact session sums.",
+    "graph_pagerank": "Iterative Pregel shape: deg and the edge⋈outdeg "
+    "relation persist once (InMemoryTableScan reuse — without it the "
+    "edge-building subtree re-derives per iteration), then each of the 3 "
+    "iterations is exactly two shuffles (join on src, inflow agg on dst); "
+    "rank vector stays distributed, all arithmetic integer.",
+    "dedup_substring_spans": "n-grams shuffle as md5 keys (32 B) — "
+    "duplicate decision is one hash groupBy, join-back hash-keyed, "
+    "interval union one window per doc_id; no all-pairs, no global sort "
+    "(the suffix-array original needs one).",
+    "ann_signbits_rerank_topk": "Candidate generation reads two BIGINTs "
+    "per vector (bit_count(xor) in codegen — 32× below the fp64 scan); "
+    "only the 64-row shortlist per query touches full vectors for the "
+    "exact rerank.",
+    "sample_weighted_k": "Per-row fixed-point E-S key + "
+    "TakeOrderedAndProject: per-partition top-k heaps, k-row merge, no "
+    "global sort, no driver state.",
 }
 
 
