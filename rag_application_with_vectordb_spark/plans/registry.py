@@ -82,6 +82,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_pq_clustered_trained_recall",
     "ann_signbits_rerank_topk",
     "sample_weighted_k",
+    "ann_opq_learned_adc_topk",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "chunk_sliding_window",
     "chunk_global_ids",
@@ -95,7 +96,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "rollup_supplier_balance",
     "join_semi_customers_with_urgent",
     "join_anti_customers_without_orders",
-    "window_balance_rank",
     "window_running_spend",
     "topk_parts_per_brand",
     "seq_doc_logprob",

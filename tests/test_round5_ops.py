@@ -81,3 +81,47 @@ def test_doc_meanpool_is_true_mean(spark, sf_dir, specs):
     n = one[0]["n_chunks"]
     assert all(r["n_chunks"] == n for r in one)
     assert all(abs(r["mean_val"]) <= 1.0 for r in one)
+
+
+def test_opq_learned_perm_is_valid_and_variance_balanced(spark, sf_dir):
+    import duckdb
+
+    from rag_application_with_vectordb_spark.plans.ann_queries import (
+        _DIM,
+        _OPQL_VSCALE,
+        _PQ_M,
+        _PQ_TRAIN_MOD,
+        _opq_learned_perm,
+    )
+
+    perm = _opq_learned_perm(spark, sf_dir)
+    assert sorted(perm) == list(range(_DIM))
+
+    # independent recompute: fixed-point variance ranks from DuckDB
+    rows = duckdb.sql(f"""
+        SELECT CAST(j AS INTEGER) AS j, COUNT(*) AS n,
+               SUM(CAST(FLOOR(CAST(embedding[CAST(j AS INTEGER)+1] AS DOUBLE) * {_OPQL_VSCALE}.0) AS BIGINT)) AS s1,
+               SUM(CAST(FLOOR(CAST(embedding[CAST(j AS INTEGER)+1] AS DOUBLE) * {_OPQL_VSCALE}.0) AS BIGINT)
+                   * CAST(FLOOR(CAST(embedding[CAST(j AS INTEGER)+1] AS DOUBLE) * {_OPQL_VSCALE}.0) AS BIGINT)) AS s2
+        FROM '{sf_dir}/embeddings.parquet', (SELECT unnest(range(0, {_DIM}))) t(j)
+        WHERE vec_id % {_PQ_TRAIN_MOD} = 0 GROUP BY j
+    """).fetchall()
+    var_fp = {j: n * s2 - s1 * s1 for j, n, s1, s2 in rows}
+    ranked = sorted(range(_DIM), key=lambda j: (-var_fp[j], j))
+    m = _PQ_M
+    assign = []
+    for r, j in enumerate(ranked):
+        b = r % (2 * m)
+        s = b if b < m else 2 * m - 1 - b
+        assign.append((s, r, j))
+    want = [j for s, r, j in sorted(assign)]
+    assert perm == want
+    # snake property: every subspace receives exactly dim/m dims, and the
+    # top-m-ranked dims land in m DISTINCT subspaces (balanced allocation)
+    sub = _DIM // m
+    by_s = {}
+    for s, r, j in assign:
+        by_s.setdefault(s, []).append(r)
+    assert all(len(v) == sub for v in by_s.values())
+    top_m_subspaces = {s for s, r, j in assign if r < m}
+    assert len(top_m_subspaces) == m
