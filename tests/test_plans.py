@@ -158,3 +158,35 @@ def test_skew_salted_join_widens_shuffle_key(spark, sf_dir, specs):
     plan = plan_of(df)
     assert re.search(r"hashpartitioning\(user_id#\d+L?, __salt", plan), plan
     assert "__salt" not in df.columns
+
+
+def test_pagerank_reuses_persisted_graph(spark, sf_dir, specs):
+    plan = plan_of(specs["graph_pagerank"].fn(spark, sf_dir))
+    # the edge-building subtree (lineitem self-join) must be derived ONCE
+    # and served from cache in every iteration — without the persist the
+    # 3-iteration plan re-ran it 16x (measured before the fix). Every
+    # iteration's join + the final output join read the cache, so the
+    # executed plan references InMemoryTableScan at least 4 times.
+    assert plan.count("InMemoryTableScan") >= 4
+    assert "BatchEvalPython" not in plan
+
+
+def test_substring_spans_has_no_cartesian(spark, sf_dir, specs):
+    plan = plan_of(specs["dedup_substring_spans"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_signbits_candidate_side_stays_integer(spark, sf_dir, specs):
+    plan = plan_of(specs["ann_signbits_rerank_topk"].fn(spark, sf_dir))
+    # Hamming ranking is pure codegen integer work — no Python anywhere
+    assert "BatchEvalPython" not in plan
+    assert "bit_count" in plan
+
+
+def test_sample_weighted_k_is_take_ordered(spark, sf_dir, specs):
+    plan = plan_of(specs["sample_weighted_k"].fn(spark, sf_dir))
+    # stateless E-S sampling: per-partition heaps, never a global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
