@@ -83,19 +83,19 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_signbits_rerank_topk",
     "sample_weighted_k",
     "ann_opq_learned_adc_topk",
+    "ann_ivf_trained_topk",
+    "ann_lsh_recall",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "chunk_sliding_window",
     "chunk_global_ids",
     "embed_hash_components",
     "context_assembly",
-    "knn_zero_query",
     "knn_dim_mismatch",
     "q3_top_orders",
     "q5_regional_revenue",
     "agg_distinct_orders",
     "rollup_supplier_balance",
     "join_semi_customers_with_urgent",
-    "join_anti_customers_without_orders",
     "window_running_spend",
     "topk_parts_per_brand",
     "seq_doc_logprob",
