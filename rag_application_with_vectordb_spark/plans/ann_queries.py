@@ -2630,3 +2630,199 @@ def bench_knn_1m_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(store):
         _b1m_build_index(spark, store, _B1M_N)
     return _b1m_serve(spark, store)
+
+
+# === embedding-quality probe: kNN label prediction ============================
+#
+# The embeddings fixture carries a `label` column (10 classes) that the
+# catalog's retrieval queries never read — but it is exactly what an
+# embedding pipeline's EVAL stage consumes: leave-one-out kNN label
+# prediction is the classic non-parametric probe of embedding quality
+# (the cheap stand-in for a linear probe). On the near-uniform fixture
+# vectors the labels are unlearnable, so measured accuracy hovers at the
+# 10-class chance floor (~0.1) — which is itself the correct reading:
+# this monitor is what tells you an embedding space carries no label
+# signal BEFORE you train on top of it.
+
+
+@register(
+    "eval_knn_label_accuracy",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qvec, label AS actual
+      FROM embeddings WHERE vec_id < 100
+    ),
+    top5 AS (
+      SELECT query_id, actual, label FROM (
+        SELECT q.query_id, q.actual, e.label,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {duck_cosine('e.embedding', 'q.qvec')} DESC, e.vec_id) AS rn
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, actual, label AS predicted, COUNT(*) AS votes
+      FROM top5 GROUP BY query_id, actual, label
+    ),
+    pred AS (
+      SELECT query_id, actual, predicted FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, predicted ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT actual AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+    FROM pred GROUP BY actual
+    """,
+    doc="Embedding-quality probe: leave-one-out 5-NN majority-vote label "
+    "prediction over the embeddings table's 10-class label column, "
+    "reported as per-class accuracy — the non-parametric eval an "
+    "embedding pipeline gates on before training anything downstream. "
+    "Majority ties break to the smallest label, neighbor ties to the "
+    "smallest id, so prediction is fully deterministic and the whole "
+    "probe (scores, votes, accuracy arithmetic) hash-matches DuckDB. "
+    "On these synthetic near-uniform vectors accuracy sits at the "
+    "10-class chance floor — the probe correctly reports zero label "
+    "signal. Plan: 100 probes broadcast against one corpus scan, "
+    "per-query window over scored triples only.",
+    tags=("ann", "eval"),
+)
+def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("actual"),
+    )
+    scored = (
+        emb.select("vec_id", "embedding", "label")
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "actual",
+            "vec_id",
+            "label",
+            cosine_sim(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    top5 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("query_id", "actual", F.col("label").alias("predicted")).agg(
+        F.count("*").alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("predicted"))
+    pred = votes.withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
+    return pred.groupBy(F.col("actual").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        F.sum((F.col("predicted") == F.col("actual")).cast("long"))
+        .cast("bigint")
+        .alias("n_correct"),
+        (
+            F.sum((F.col("predicted") == F.col("actual")).cast("long")).cast("double")
+            / F.count("*")
+        ).alias("accuracy"),
+    )
+
+
+@register(
+    "eval_knn_label_accuracy_clustered",
+    oracle=f"""
+    WITH {_CL_CORPUS_SQL},
+    lab AS (
+      SELECT vec_id, embedding,
+             {duck_hex13_to_long("md5('cl42|' || CAST(vec_id AS VARCHAR))")} % {_CL_C} AS label
+      FROM corpus
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec, label AS actual FROM lab),
+    top5 AS (
+      SELECT query_id, actual, label FROM (
+        SELECT q.query_id, q.actual, e.label,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {duck_cosine('e.embedding', 'q.qvec')} DESC, e.vec_id) AS rn
+        FROM lab e CROSS JOIN q
+        WHERE e.vec_id <> q.query_id
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, actual, label AS predicted, COUNT(*) AS votes
+      FROM top5 GROUP BY query_id, actual, label
+    ),
+    pred AS (
+      SELECT query_id, actual, predicted FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY votes DESC, predicted ASC) AS rn
+        FROM votes
+      ) WHERE rn = 1
+    )
+    SELECT CAST(actual AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+    FROM pred GROUP BY actual
+    """,
+    doc="The kNN label probe on the PLANTED-CLUSTER corpus (labels = the "
+    "8 planted cluster ids): every vector probes leave-one-out against "
+    "all 511 others. Paired with eval_knn_label_accuracy this closes "
+    "the monitor's own validation loop — chance-floor (~0.1) on the "
+    "label-free uniform fixture, near-perfect here where the labels ARE "
+    "the geometry — so a mid-range reading on real data is "
+    "interpretable as partial label signal, not monitor noise. Same "
+    "deterministic vote/tie rules, fully hash-checked.",
+    tags=("ann", "eval"),
+)
+def eval_knn_label_accuracy_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import hex13_to_long
+
+    tune(spark)
+    corpus = _clustered_corpus_df(spark)
+    lab = corpus.select(
+        "vec_id",
+        "embedding",
+        (
+            hex13_to_long(F.md5(F.concat(F.lit("cl42|"), F.col("vec_id").cast("string"))))
+            % _CL_C
+        ).alias("label"),
+    )
+    q = lab.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("actual"),
+    )
+    scored = (
+        lab.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "actual",
+            "vec_id",
+            "label",
+            cosine_sim(F.col("embedding"), F.col("qvec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    top5 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("query_id", "actual", F.col("label").alias("predicted")).agg(
+        F.count("*").alias("votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("votes"), F.asc("predicted"))
+    pred = votes.withColumn("rn", F.row_number().over(wv)).filter(F.col("rn") == 1)
+    return pred.groupBy(F.col("actual").cast("bigint").alias("label")).agg(
+        F.count("*").cast("bigint").alias("n_probes"),
+        F.sum((F.col("predicted") == F.col("actual")).cast("long"))
+        .cast("bigint")
+        .alias("n_correct"),
+        (
+            F.sum((F.col("predicted") == F.col("actual")).cast("long")).cast("double")
+            / F.count("*")
+        ).alias("accuracy"),
+    )

@@ -85,6 +85,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_opq_learned_adc_topk",
     "ann_ivf_trained_topk",
     "ann_lsh_recall",
+    "eval_knn_label_accuracy",
+    "eval_knn_label_accuracy_clustered",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "chunk_sliding_window",
     "chunk_global_ids",
@@ -93,13 +95,11 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "knn_dim_mismatch",
     "q3_top_orders",
     "q5_regional_revenue",
-    "agg_distinct_orders",
     "rollup_supplier_balance",
     "join_semi_customers_with_urgent",
     "window_running_spend",
     "topk_parts_per_brand",
     "seq_doc_logprob",
-    "subquery_above_avg_balance",
     "doc_embedding_meanpool",
     # (b continued) two more round-5 additions take the last anchor slots
     # (never-checked queries outrank re-confirming r1 greens)
