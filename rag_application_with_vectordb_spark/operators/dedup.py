@@ -636,3 +636,61 @@ def duplicated_span_coverage(
         )
     )
     return out
+
+
+def minhash_signature_expr(shingles: Column, num_hashes: int = 12) -> Column:
+    """Per-ROW MinHash signature: element ``j`` = ``array_min`` over the
+    document's shingle array of ``md5(j || '|' || shingle)``.
+
+    Produces strings bit-identical to :func:`minhash_signatures` (same
+    hash family, same lexicographic min) but as a stateless projection —
+    no explode, no aggregate, no shuffle. The batch path keeps the
+    explode+agg form (map-side partial min beats the nested HOF ~3× on
+    a corpus scan); THIS form exists for Structured Streaming, where a
+    per-row expression needs no watermarked aggregation state: each
+    micro-batch row signs itself and can immediately probe a static
+    band index (see ``streaming.windows.neardup_candidates_stream``).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(int(num_hashes) - 1)),
+        lambda j: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(F.concat(j.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+
+
+def minhash_band_keys(signature: Column, bands: int, rows: int) -> Column:
+    """``array<string>[bands]``: md5 of each band's comma-joined slice of
+    the signature — the LSH bucket keys (identical construction to
+    :func:`minhash_lsh_pairs`)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(int(bands) - 1)),
+        lambda b: F.md5(F.array_join(F.slice(signature, b * int(rows) + 1, int(rows)), ",")),
+    )
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """The static LSH index a streaming near-dup gate probes:
+    ``(band_idx, band_key, doc_id)`` for the accepted corpus. Built with
+    the batch signature path (explode + single agg); at 100 TB this is a
+    maintained table, appended as documents are accepted."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, text_col, id_col, n, num_hashes)
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(minhash_band_keys(F.col("signature"), bands, rows)).alias(
+            "band_idx", "band_key"
+        ),
+    ).select("band_idx", "band_key", F.col(id_col))

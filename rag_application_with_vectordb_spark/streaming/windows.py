@@ -174,3 +174,56 @@ def run_to_completion(stream_df: DataFrame, name: str, mode: str = "complete") -
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def neardup_candidates_stream(
+    docs_stream: DataFrame,
+    band_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> DataFrame:
+    """Online near-dup gate: MinHash-LSH candidate detection at ingest.
+
+    Each incoming document signs itself with a per-ROW MinHash signature
+    (``operators.dedup.minhash_signature_expr`` — a stateless projection,
+    so no watermarked aggregation state is needed), computes its band
+    keys, and probes the static ``(band_idx, band_key, doc_id)`` index of
+    the already-accepted corpus via a stream-static equi-join. Emits one
+    row per (incoming doc, matched corpus doc, band): the candidate
+    pairs a downstream verifier (exact Jaccard, as in
+    ``minhash_lsh_pairs``) confirms or clears.
+
+    Scale posture: the stream side never shuffles before the join (all
+    signing is per-row); the static index is bucketed by the join key at
+    maintenance time, so each micro-batch joins against the matching
+    buckets only. Append output mode — no streaming state beyond the
+    join itself.
+    """
+    from ..functions.text import word_shingles
+    from ..operators.dedup import minhash_band_keys, minhash_signature_expr
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sig = minhash_signature_expr(word_shingles(F.col(text_col), n), num_hashes)
+    keyed = (
+        docs_stream.filter(F.size(word_shingles(F.col(text_col), n)) > 0)
+        .select(F.col(id_col).alias("stream_doc_id"), sig.alias("signature"))
+        .select(
+            "stream_doc_id",
+            F.posexplode(minhash_band_keys(F.col("signature"), bands, rows)).alias(
+                "band_idx", "band_key"
+            ),
+        )
+    )
+    idx = band_index.select(
+        "band_idx", "band_key", F.col("doc_id").alias("corpus_doc_id")
+    )
+    return (
+        keyed.join(idx, ["band_idx", "band_key"])
+        .filter(F.col("corpus_doc_id") != F.col("stream_doc_id"))
+        .select("stream_doc_id", "corpus_doc_id", "band_idx")
+    )

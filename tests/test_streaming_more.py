@@ -35,3 +35,89 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir):
     assert {tuple(r) for r in got.select(*want.columns).collect()} == {
         tuple(r) for r in want.collect()
     }
+
+
+def test_minhash_signature_expr_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from rag_application_with_vectordb_spark.functions.text import word_shingles
+    from rag_application_with_vectordb_spark.operators.dedup import (
+        minhash_signature_expr,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").limit(50)
+    per_row = {
+        r["doc_id"]: list(r["sig"])
+        for r in docs.select(
+            "doc_id", minhash_signature_expr(word_shingles(F.col("text"), 3)).alias("sig")
+        ).collect()
+    }
+    batch = {
+        r["doc_id"]: list(r["signature"])
+        for r in minhash_signatures(docs).collect()
+    }
+    assert per_row == batch  # bit-identical md5 strings, both paths
+
+
+def test_neardup_stream_matches_batch_candidates(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from rag_application_with_vectordb_spark.operators.dedup import minhash_band_index
+    from rag_application_with_vectordb_spark.streaming.windows import (
+        neardup_candidates_stream,
+        run_to_completion,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # accepted corpus = originals; "incoming" stream = exact copies of the
+    # first 20 (id + 10000) plus 10 untouched docs re-submitted verbatim
+    head = docs.filter(F.col("doc_id") < 20)
+    incoming = head.select((F.col("doc_id") + 10000).alias("doc_id"), "text").unionAll(
+        docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 110))
+    )
+    stream_dir = str(tmp_path / "incoming")
+    incoming.coalesce(1).write.parquet(stream_dir)
+
+    index = minhash_band_index(docs)
+    stream = (
+        spark.readStream.schema(incoming.schema).parquet(stream_dir)
+    )
+    got = run_to_completion(
+        neardup_candidates_stream(stream, index), "neardup_out", mode="append"
+    )
+    got_pairs = {
+        (r["stream_doc_id"], r["corpus_doc_id"])
+        for r in got.select("stream_doc_id", "corpus_doc_id").distinct().collect()
+    }
+    # batch twin: band-key equi-join of the same two relations
+    from rag_application_with_vectordb_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_signature_expr,
+    )
+    from rag_application_with_vectordb_spark.functions.text import word_shingles
+
+    sig = minhash_signature_expr(word_shingles(F.col("text"), 3))
+    keyed = incoming.select(
+        F.col("doc_id").alias("stream_doc_id"),
+        F.posexplode(minhash_band_keys(sig, 4, 3)).alias("band_idx", "band_key"),
+    )
+    want_pairs = {
+        (r["stream_doc_id"], r["corpus_doc_id"])
+        for r in keyed.join(
+            index.select("band_idx", "band_key", F.col("doc_id").alias("corpus_doc_id")),
+            ["band_idx", "band_key"],
+        )
+        .filter(F.col("corpus_doc_id") != F.col("stream_doc_id"))
+        .select("stream_doc_id", "corpus_doc_id")
+        .distinct()
+        .collect()
+    }
+    assert got_pairs == want_pairs
+    # every exact copy must be flagged against its original (identical
+    # text → identical signature → all bands collide)
+    for d in range(20):
+        assert (d + 10000, d) in got_pairs
+    # a re-submitted identical doc collides with itself in the corpus —
+    # the self-filter must keep (x, x) out
+    assert all(a != b for a, b in got_pairs)
