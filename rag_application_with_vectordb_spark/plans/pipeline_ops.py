@@ -629,3 +629,105 @@ def sample_weighted_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("__num div n_chars").alias("es_cost_fp"),
     )
     return out.orderBy(F.asc("es_cost_fp"), F.asc("doc_id")).limit(100)
+
+
+# --- per-group cap: at most k docs per group (domain cap) ---------------------
+
+
+@register(
+    "sample_k_per_group",
+    oracle=f"""
+    SELECT doc_id, lang, pick_rank FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('cap42|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS pick_rank
+      FROM documents
+    ) WHERE pick_rank <= 20
+    """,
+    doc="Per-group cap — 'at most k documents per domain', the curation "
+    "rule that stops one crawl domain from dominating a mixture: rank "
+    "docs inside each lang group by keyed md5 (a deterministic uniform "
+    "draw, same family as sample_uniform_k) and keep the first 20. One "
+    "window per group key — the shuffle is on lang, per-group state is "
+    "a k-counter, and the draw is auditable per row. Complements "
+    "sample_stratified_by_lang (rate-based) with a hard per-group "
+    "ceiling.",
+    tags=("text", "pipeline", "sampling"),
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("cap42|"), F.col("doc_id").cast("string"))),
+        F.asc("doc_id"),
+    )
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("pick_rank"))
+        .filter(F.col("pick_rank") <= 20)
+    )
+
+
+# --- per-group z-score standardization (exact-integer moments) ----------------
+
+
+@register(
+    "feature_zscore_chars",
+    oracle="""
+    WITH m AS (
+      SELECT lang, COUNT(*) AS n,
+             SUM(CAST(n_chars AS BIGINT)) AS s1,
+             SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS s2
+      FROM documents GROUP BY lang
+    ),
+    st AS (
+      SELECT lang,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n AS sigma
+      FROM m
+    )
+    SELECT d.doc_id, d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+           CAST(CASE WHEN st.sigma = 0 THEN 0.0
+                     ELSE (CAST(d.n_chars AS DOUBLE) - st.mu) / st.sigma
+                END AS DOUBLE) AS z_chars
+    FROM documents d JOIN st USING (lang)
+    """,
+    doc="Per-group z-score standardization of a numeric feature "
+    "(n_chars by lang) — the featurization step before any "
+    "length-based outlier rule or model input. Determinism without "
+    "fixed-point tricks: the inputs are integers, so Σx and Σx² are "
+    "exact BIGINTs, the population variance (n·Σx² − (Σx)²)/n² is a "
+    "ratio of exact integers, and fp64 division + IEEE sqrt are "
+    "correctly rounded in both engines — every z value hash-matches. "
+    "Plan: one tiny per-group aggregate broadcast back onto the scan; "
+    "zero-variance groups clamp to z=0 instead of dividing by zero.",
+    tags=("text", "pipeline", "analytics"),
+)
+def feature_zscore_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.groupBy("lang").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("n_chars").cast("long")).alias("s1"),
+        F.sum(F.col("n_chars").cast("long") * F.col("n_chars").cast("long")).alias("s2"),
+    )
+    st = m.select(
+        "lang",
+        (F.col("s1").cast("double") / F.col("n")).alias("mu"),
+        (
+            F.sqrt((F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double"))
+            / F.col("n")
+        ).alias("sigma"),
+    )
+    return docs.join(F.broadcast(st), "lang").select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.when(F.col("sigma") == 0, F.lit(0.0))
+        .otherwise((F.col("n_chars").cast("double") - F.col("mu")) / F.col("sigma"))
+        .cast("double")
+        .alias("z_chars"),
+    )
