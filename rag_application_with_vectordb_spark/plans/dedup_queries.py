@@ -601,3 +601,69 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_coverage(
         _augmented_docs(spark, sf_dir), n=_SPAN_N
     )
+
+
+# --- prefix-filtered set-similarity join (All-Pairs / PPJoin) -----------------
+
+_PF_T = 0.5
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=rf"""
+    WITH {_SETS_SQL},
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sets),
+    sizes AS (SELECT doc_id, len(shingles) AS set_size FROM sets),
+    freq AS (SELECT shingle, COUNT(*) AS df FROM posting GROUP BY shingle),
+    ordered AS (
+      SELECT shingle, row_number() OVER (ORDER BY df ASC, shingle ASC) AS ordl
+      FROM freq
+    ),
+    ranked AS (
+      SELECT p.doc_id, p.shingle, s.set_size,
+             row_number() OVER (PARTITION BY p.doc_id ORDER BY o.ordl ASC) AS rn
+      FROM posting p JOIN ordered o USING (shingle) JOIN sizes s USING (doc_id)
+    ),
+    pref AS (
+      SELECT doc_id, shingle FROM ranked
+      WHERE rn <= set_size - CAST(CEILING({_PF_T} * set_size) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    v AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS intersection,
+             CAST(len(sa.shingles) AS BIGINT) AS size_a,
+             CAST(len(sb.shingles) AS BIGINT) AS size_b
+      FROM cand c
+      JOIN sets sa ON sa.doc_id = c.doc_a
+      JOIN sets sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, intersection, size_a, size_b,
+           CAST(intersection AS DOUBLE)
+             / CAST(size_a + size_b - intersection AS DOUBLE) AS jaccard
+    FROM v
+    WHERE CAST(intersection AS DOUBLE)
+            / CAST(size_a + size_b - intersection AS DOUBLE) >= {_PF_T}
+    """,
+    doc="Exact set-similarity self-join at Jaccard >= 0.5 with PREFIX "
+    "FILTERING (All-Pairs/PPJoin, Bayardo WWW'07): tokens globally "
+    "ordered rarest-first, each doc indexes only its |S|-ceil(t|S|)+1 "
+    "prefix, and a >= t pair MUST collide inside both prefixes — so the "
+    "inverted-index join runs over the short, rare-token lists and "
+    "stays provably lossless (pytest asserts set-equality against the "
+    "unpruned posting join at the same threshold). The exact-but-pruned "
+    "middle ground between dedup_ngram_jaccard (anchor) and "
+    "MinHash-LSH (probabilistic); at 100 TB the prefix cut is what "
+    "makes an exact verify pass affordable.",
+    tags=("dedup", "text"),
+)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    tune(spark)
+    return prefix_filter_jaccard_pairs(
+        _augmented_docs(spark, sf_dir), threshold=_PF_T
+    )

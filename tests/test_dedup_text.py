@@ -240,3 +240,33 @@ def test_kmv_estimate_properties(spark, sf_dir):
             assert est == float(exact)
         else:  # KMV with k=64 has ~1/sqrt(62) relative error; allow 5 sigma
             assert abs(est - exact) / exact < 0.65, (status, est, exact)
+
+
+def test_prefix_filter_is_lossless_and_prunes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from rag_application_with_vectordb_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+    from rag_application_with_vectordb_spark.plans.dedup_queries import (
+        _augmented_docs,
+    )
+
+    docs = _augmented_docs(spark, sf_dir)
+    t = 0.5
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, min_jaccard=t).collect()
+    }
+    # LOSSLESS: prefix filtering finds exactly the >= t pairs
+    assert got == want
+    assert len(got) > 0
+    # and it actually prunes: the prefix posting join generates strictly
+    # fewer candidate pairs than the any-shared-shingle join
+    full_candidates = ngram_jaccard_pairs(docs, min_jaccard=0.0).count()
+    assert len(got) < full_candidates
