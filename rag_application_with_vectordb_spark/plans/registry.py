@@ -90,13 +90,13 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "sample_k_per_group",
     "feature_zscore_chars",
     "dedup_prefix_filter_pairs",
+    "graph_triangles",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "chunk_sliding_window",
     "chunk_global_ids",
     "embed_hash_components",
     "context_assembly",
     "knn_dim_mismatch",
-    "join_semi_customers_with_urgent",
     "window_running_spend",
     "topk_parts_per_brand",
     "seq_doc_logprob",

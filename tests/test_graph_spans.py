@@ -87,3 +87,34 @@ def test_span_coverage_short_docs_yield_zero(spark):
     rows = duplicated_span_coverage(docs, n=8).collect()
     assert {r["doc_id"]: r["dup_tokens"] for r in rows} == {1: 0, 2: 0}
     assert all(r["n_tokens"] == 3 for r in rows)
+
+
+def test_triangle_counts_match_bruteforce(spark, sf_dir):
+    import duckdb
+
+    from rag_application_with_vectordb_spark.plans.registry import load_all
+
+    rows = load_all()["graph_triangles"].fn(spark, sf_dir).collect()
+    got = {r["part_id"]: r["triangles"] for r in rows}
+    got_total = sum(got.values()) // 3  # each triangle counted at 3 nodes
+
+    # brute force: every unordered triple of mutually-connected nodes
+    brute = duckdb.sql(f"""
+        WITH op AS (SELECT DISTINCT l_orderkey, l_partkey
+                    FROM '{sf_dir}/lineitem.parquet'),
+        prs AS (
+          SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                             AND a.l_partkey < b.l_partkey
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        )
+        SELECT COUNT(*) FROM prs e1
+        JOIN prs e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+        JOIN prs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb
+    """).fetchone()[0]
+    assert got_total == brute
+    # clustering coefficient bounds + zero-degree-1 property
+    for r in rows:
+        assert 0.0 <= r["clustering_coeff"] <= 1.0
+        if r["degree"] < 2:
+            assert r["triangles"] == 0 and r["clustering_coeff"] == 0.0
