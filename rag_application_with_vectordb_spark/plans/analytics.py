@@ -561,3 +561,88 @@ _sql_query(
     "result hash-matches DuckDB.",
     tags=("analytics", "graph"),
 )
+
+
+# --- regular-grid resample with linear interpolation --------------------------
+
+def _resample_sql(micros: str, gen: str, inl: str) -> str:
+    """Hourly-grid resample of each user's purchase-value series with
+    linear interpolation. ``micros`` renders timestamp→exact-int
+    microseconds; ``gen`` the engine's timestamp range generator;
+    ``inl`` the IGNORE NULLS placement (Spark: after the call; DuckDB:
+    inside the parens — see events_forward_fill)."""
+    last_val = f"last_value(CASE WHEN is_grid = 0 THEN value END{inl[0]}){inl[1]}"
+    last_m = f"last_value(CASE WHEN is_grid = 0 THEN m END{inl[0]}){inl[1]}"
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, value, {micros.format(e='ts')} AS m
+      FROM events WHERE event_type = 'purchase'
+    ),
+    bounds AS (
+      SELECT user_id, date_trunc('hour', MIN(ts)) AS t0, MAX(ts) AS t1
+      FROM ev GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, g AS ts, {micros.format(e='g')} AS m
+      FROM ({gen}) t
+    ),
+    u AS (
+      SELECT user_id, ts, m, CAST(NULL AS DOUBLE) AS value,
+             CAST(1 AS BIGINT) AS is_grid, CAST(-1 AS BIGINT) AS ord_id
+      FROM grid
+      UNION ALL
+      SELECT user_id, ts, m, value, CAST(0 AS BIGINT) AS is_grid,
+             event_id AS ord_id
+      FROM ev
+    ),
+    fwd AS (
+      SELECT *,
+        {last_val} OVER (PARTITION BY user_id ORDER BY m ASC, is_grid ASC, ord_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        {last_m}   OVER (PARTITION BY user_id ORDER BY m ASC, is_grid ASC, ord_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pm
+      FROM u
+    ),
+    both_dirs AS (
+      SELECT *,
+        {last_val} OVER (PARTITION BY user_id ORDER BY m DESC, is_grid ASC, ord_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nv,
+        {last_m}   OVER (PARTITION BY user_id ORDER BY m DESC, is_grid ASC, ord_id DESC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nm
+      FROM fwd
+    )
+    SELECT user_id, ts AS grid_ts,
+      CAST(CASE
+        WHEN pm IS NULL THEN nv
+        WHEN nm IS NULL THEN pv
+        WHEN nm = pm THEN pv
+        ELSE pv + (nv - pv) * (CAST(m - pm AS DOUBLE) / CAST(nm - pm AS DOUBLE))
+      END AS DOUBLE) AS value_interp
+    FROM both_dirs WHERE is_grid = 1
+    """
+
+
+_SPARK_GEN = (
+    "SELECT user_id, explode(sequence(t0, t1, INTERVAL 1 HOUR)) AS g FROM bounds"
+)
+_DUCK_GEN = (
+    "SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS g FROM bounds"
+)
+
+_sql_query(
+    "events_resample_linear",
+    _resample_sql("unix_micros({e})", _SPARK_GEN, ("", " IGNORE NULLS")),
+    oracle=_resample_sql("epoch_us({e})", _DUCK_GEN, (" IGNORE NULLS", "")),
+    doc="Regular-grid resampling: each user's purchase-value series "
+    "sampled onto an hourly grid with LINEAR INTERPOLATION between the "
+    "surrounding events (hold at the edges) — the gap-fill primitive "
+    "that turns irregular event streams into the fixed-step series "
+    "feature stores and forecasting models consume. Grid points and "
+    "events union into one relation; one ascending and one descending "
+    "IGNORE-NULLS window per user recover the bracketing events "
+    "(sort key (micros, is_grid, event_id) is total, so both passes "
+    "are deterministic), and the interpolation arithmetic runs on "
+    "exact integer microseconds — cross-engine identical. Two windows "
+    "per user partition, no joins against the raw stream.",
+    tags=("analytics", "window", "timeseries"),
+)

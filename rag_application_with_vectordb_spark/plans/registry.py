@@ -91,6 +91,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "feature_zscore_chars",
     "dedup_prefix_filter_pairs",
     "graph_triangles",
+    "events_resample_linear",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "chunk_sliding_window",
     "chunk_global_ids",
@@ -98,7 +99,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "context_assembly",
     "knn_dim_mismatch",
     "window_running_spend",
-    "topk_parts_per_brand",
     "seq_doc_logprob",
     "doc_embedding_meanpool",
     # (b continued) two more round-5 additions take the last anchor slots

@@ -125,3 +125,43 @@ def test_opq_learned_perm_is_valid_and_variance_balanced(spark, sf_dir):
     assert all(len(v) == sub for v in by_s.values())
     top_m_subspaces = {s for s, r, j in assign if r < m}
     assert len(top_m_subspaces) == m
+
+
+def test_resample_linear_matches_numpy_interp(spark, sf_dir, specs):
+    import duckdb
+    import numpy as np
+
+    rows = specs["events_resample_linear"].fn(spark, sf_dir).collect()
+    ev = duckdb.sql(f"""
+        SELECT user_id, epoch_us(ts) AS m, value
+        FROM '{sf_dir}/events.parquet'
+        WHERE event_type = 'purchase' ORDER BY user_id, m, event_id
+    """).fetchall()
+    by_user = {}
+    for u, m, v in ev:
+        by_user.setdefault(u, []).append((m, v))
+    grid = duckdb.sql(f"""
+        WITH ev AS (SELECT user_id, ts FROM '{sf_dir}/events.parquet'
+                    WHERE event_type = 'purchase')
+        SELECT user_id, epoch_us(unnest(generate_series(
+                 date_trunc('hour', MIN(ts)), MAX(ts), INTERVAL 1 HOUR))) AS g
+        FROM ev GROUP BY user_id
+    """).fetchall()
+    want = {}
+    for u, g in grid:
+        pts = by_user[u]
+        xs = np.array([m for m, _ in pts], dtype=np.int64)
+        # np.interp needs strictly usable xp; duplicates at the same
+        # micros are resolved by event_id order in the query — collapse
+        # to the LAST value at each x to mirror the window's pick
+        uniq = {}
+        for m, v in pts:
+            uniq[m] = v
+        xs = np.array(sorted(uniq), dtype=np.int64)
+        ys = np.array([uniq[m] for m in sorted(uniq)])
+        want[(u, g)] = float(np.interp(float(g), xs.astype(float), ys))
+    got = {(r["user_id"], int(r["grid_ts"].timestamp() * 1_000_000)): r["value_interp"] for r in rows}
+    assert set(got) == set(want)
+    import math
+    for k in want:
+        assert math.isclose(got[k], want[k], rel_tol=1e-9, abs_tol=1e-9), k
