@@ -646,3 +646,41 @@ _sql_query(
     "per user partition, no joins against the raw stream.",
     tags=("analytics", "window", "timeseries"),
 )
+
+
+# --- association rules over co-purchased parts --------------------------------
+
+_sql_query(
+    "assoc_rules_parts",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM op),
+    item AS (SELECT l_partkey AS item, COUNT(*) AS n_item FROM op GROUP BY 1),
+    pair AS (
+      SELECT a.l_partkey AS ante, b.l_partkey AS cons, COUNT(*) AS n_pair
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT p.ante, p.cons,
+      CAST(p.n_pair AS BIGINT) AS n_pair,
+      CAST(p.n_pair AS DOUBLE) / nb.n_baskets AS support,
+      CAST(p.n_pair AS DOUBLE) / ia.n_item AS confidence,
+      (CAST(p.n_pair AS DOUBLE) / ia.n_item)
+        / (CAST(ic.n_item AS DOUBLE) / nb.n_baskets) AS lift
+    FROM pair p
+    JOIN item ia ON ia.item = p.ante
+    JOIN item ic ON ic.item = p.cons
+    CROSS JOIN nb
+    """,
+    doc="Association rules ante=>cons over order baskets: support, "
+    "confidence = P(cons|ante), and lift = confidence / P(cons) for "
+    "every DIRECTED part pair co-occurring in >= 2 orders — the rule "
+    "mining step on top of graph_copurchase_edges' undirected counts. "
+    "The basket self-join is keyed on l_orderkey (per-basket fanout "
+    "only); item counts broadcast back onto the pair table; every "
+    "measure is a ratio of exact integers, so fp64 results hash-match. "
+    "At 100 TB the HAVING prunes the singleton tail inside the "
+    "aggregate, and the two item-side joins are broadcast-sized.",
+    tags=("analytics", "graph"),
+)

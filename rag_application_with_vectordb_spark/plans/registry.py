@@ -92,13 +92,13 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_prefix_filter_pairs",
     "graph_triangles",
     "events_resample_linear",
+    "assoc_rules_parts",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "chunk_sliding_window",
     "chunk_global_ids",
     "embed_hash_components",
     "context_assembly",
     "knn_dim_mismatch",
-    "window_running_spend",
     "seq_doc_logprob",
     "doc_embedding_meanpool",
     # (b continued) two more round-5 additions take the last anchor slots
