@@ -93,10 +93,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "graph_triangles",
     "events_resample_linear",
     "assoc_rules_parts",
+    "text_token_entropy",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "chunk_sliding_window",
     "chunk_global_ids",
-    "embed_hash_components",
     "context_assembly",
     "knn_dim_mismatch",
     "seq_doc_logprob",

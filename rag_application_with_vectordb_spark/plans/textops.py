@@ -538,3 +538,69 @@ def doc_embedding_meanpool(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("fp_sum").cast("double") / (F.col("n") * F.lit(_POOL_SCALE)).cast("double")).alias("mean_val"),
         F.col("n").cast("bigint").alias("n_chunks"),
     )
+
+
+# --- per-doc token entropy (gibberish / templated-text signal) ----------------
+
+
+@register(
+    "text_token_entropy",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    tok AS (
+      SELECT doc_id, unnest(w) AS word, len(w) AS n FROM t
+    ),
+    cnt AS (
+      SELECT doc_id, word, COUNT(*) AS c, MAX(n) AS n
+      FROM tok GROUP BY doc_id, word
+    ),
+    terms AS (
+      SELECT doc_id, n,
+             c * CAST(round(ln(CAST(c AS DOUBLE) / n) * 1000000.0) AS BIGINT)
+               AS micro_term
+      FROM cnt
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(-SUM(micro_term) AS DOUBLE) / (MAX(n) * 1000000.0) AS entropy
+    FROM terms GROUP BY doc_id
+    """,
+    doc="Per-document unigram token entropy H = -sum p ln p — the "
+    "information-density quality signal (near-zero for templated or "
+    "repeated text, ln(n_distinct) for all-distinct word salad; "
+    "gibberish detectors threshold on it next to the Gopher rules). "
+    "Each ln(c/n) lands on the 1e-6 integer grid BEFORE the per-doc "
+    "sum (seq_doc_logprob's fixed-point move), multiplied by the exact "
+    "integer count c, so the cross-partition aggregate is order-free "
+    "BIGINT arithmetic and the final division is one deterministic fp64 "
+    "op — hash-matches DuckDB. One shuffle on (doc_id, word), one on "
+    "doc_id.",
+    tags=("text", "analytics"),
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    tok = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.size(w).alias("n"), F.explode(w).alias("word"))
+    )
+    cnt = tok.groupBy("doc_id", "word").agg(
+        F.count("*").alias("c"), F.max("n").alias("n")
+    )
+    micro_term = (
+        F.col("c")
+        * F.round(F.ln(F.col("c").cast("double") / F.col("n")) * F.lit(1000000.0)).cast("long")
+    )
+    terms = cnt.select("doc_id", "n", micro_term.alias("micro_term"))
+    return terms.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        ((-F.sum("micro_term")).cast("double") / (F.max("n") * F.lit(1000000.0))).alias(
+            "entropy"
+        ),
+    )
