@@ -38,11 +38,16 @@ __all__ = [
     "exact_dup_groups",
     "ngram_jaccard_pairs",
     "minhash_signatures",
+    "minhash_signature_expr",
+    "minhash_band_keys",
+    "minhash_band_index",
     "minhash_lsh_pairs",
     "simhash_signatures",
     "simhash_pairs",
     "simhash_blocked_pairs",
     "embedding_neardup_pairs",
+    "duplicated_span_coverage",
+    "prefix_filter_jaccard_pairs",
 ]
 
 

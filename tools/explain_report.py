@@ -100,6 +100,16 @@ ANNOTATED = {
     "sample_weighted_k": "Per-row fixed-point E-S key + "
     "TakeOrderedAndProject: per-partition top-k heaps, k-row merge, no "
     "global sort, no driver state.",
+    "dedup_prefix_filter_pairs": "Inverted-index join over PREFIX "
+    "postings only (rarest tokens) — posting lists shrink by the "
+    "threshold factor, provably lossless at >= t; verification joins "
+    "touch candidate pairs only.",
+    "graph_triangles": "Degree-oriented wedge enumeration: out-degrees "
+    "bounded ~sqrt(m) under the orientation, closing edge via one "
+    "equi-join to the sorted edge list — no OR-join, no cross product.",
+    "events_resample_linear": "Union of grid + events, two IGNORE-NULLS "
+    "windows per user (asc/desc) recover bracketing events — no join "
+    "against the raw stream; interpolation on exact integer micros.",
 }
 
 
