@@ -41,6 +41,7 @@ def pagerank_fp(
     damping_den: int = 100,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-point PageRank over a directed edge list.
 
@@ -54,8 +55,15 @@ def pagerank_fp(
       ``pr_{t+1}(v) = (15*scale) div 100
                       + (85 * Σ_{u→v} (pr_t(u) div outdeg(u))) div 100``
 
+    With ``weight_col`` (positive integer edge weights) the share
+    becomes ``(pr_t(u) * w_uv) div W_u`` where ``W_u = Σ out-weights``
+    — still pure integer arithmetic, so the weighted variant keeps the
+    bit-exact cross-engine property (overflow bound tightens to
+    ``max_pr * max_w < 2^63``).
+
     Returns ``(part, outdeg, pr)`` with ``pr`` still in fixed-point
-    units; divide by ``scale`` for the float rank.
+    units; divide by ``scale`` for the float rank. ``outdeg`` is the
+    edge count (unweighted) in both modes.
     """
     if damping_num >= damping_den or damping_num <= 0:
         raise ValueError("damping must satisfy 0 < num < den")
@@ -66,15 +74,27 @@ def pagerank_fp(
     # At cluster scale you'd checkpoint pr every ~10 iterations as well to
     # truncate lineage; at the bounded iteration counts used here the
     # persisted graph keeps each iteration to exactly two shuffles.
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
     deg = (
         edges.groupBy(F.col(src_col).alias("part"))
-        .agg(F.count("*").cast("long").alias("outdeg"))
+        .agg(
+            F.count("*").cast("long").alias("outdeg"),
+            F.sum(w).cast("long").alias("outw"),
+        )
         .persist()
     )
-    # (src, dst, outdeg): join once, reused every iteration.
+    # (src, dst, w, outw): join once, reused every iteration.
     ed = (
-        edges.select(F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst"))
-        .join(deg.select(F.col("part").alias("__src"), "outdeg"), "__src")
+        edges.select(
+            F.col(src_col).alias("__src"),
+            F.col(dst_col).alias("__dst"),
+            w.alias("__w"),
+        )
+        .join(deg.select(F.col("part").alias("__src"), "outw"), "__src")
         .persist()
     )
     base = (damping_den - damping_num) * int(scale) // damping_den
@@ -84,7 +104,7 @@ def pagerank_fp(
             ed.join(pr.select(F.col("part").alias("__src"), "pr"), "__src")
             .select(
                 F.col("__dst").alias("part"),
-                F.expr("pr div outdeg").alias("__share"),
+                F.expr("(pr * __w) div outw").alias("__share"),
             )
             .groupBy("part")
             .agg(F.sum("__share").alias("__inflow"))

@@ -684,3 +684,92 @@ _sql_query(
     "aggregate, and the two item-side joins are broadcast-sized.",
     tags=("analytics", "graph"),
 )
+
+
+def _pagerank_weighted_oracle() -> str:
+    """Unrolled WEIGHTED PageRank: shares proportional to co-purchase
+    strength, ``(pr * w) // W_u`` — integer arithmetic throughout."""
+    parts = [
+        """op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (SELECT pa AS src, pb AS dst, w FROM prs
+              UNION ALL SELECT pb AS src, pa AS dst, w FROM prs),
+    deg AS (SELECT src AS part, CAST(COUNT(*) AS BIGINT) AS outdeg,
+                   CAST(SUM(w) AS BIGINT) AS outw
+            FROM edges GROUP BY src),"""
+        + f"""
+    pr0 AS (SELECT part, CAST({_PR_SCALE} AS BIGINT) AS pr FROM deg)"""
+    ]
+    for t in range(1, _PR_ITERS + 1):
+        parts.append(f"""in{t} AS (
+      SELECT e.dst AS part, SUM((p.pr * e.w) // d.outw) AS s
+      FROM edges e JOIN pr{t - 1} p ON p.part = e.src
+                   JOIN deg d ON d.part = e.src
+      GROUP BY e.dst
+    ),
+    pr{t} AS (
+      SELECT d.part,
+             CAST({_PR_BASE} + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
+      FROM deg d LEFT JOIN in{t} i USING (part)
+    )""")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT d.part AS part_id, d.outdeg,
+           CAST(p.pr AS DOUBLE) / {_PR_SCALE}.0 AS pagerank
+    FROM deg d JOIN pr{_PR_ITERS} p USING (part)
+    """
+
+
+@register(
+    "graph_pagerank_weighted",
+    oracle=_pagerank_weighted_oracle(),
+    doc="WEIGHTED PageRank: random-walk transition probabilities "
+    "proportional to co-purchase strength (n_orders) instead of "
+    "uniform — the variant recommenders actually run, since a pair "
+    "co-bought 10x should pull more rank than a pair co-bought twice. "
+    "Shares become (pr * w) div W_u, still pure BIGINT arithmetic, so "
+    "the iterative weighted walk stays bit-exact against the unrolled "
+    "DuckDB twin. Same persisted-graph Pregel plan as graph_pagerank.",
+    tags=("analytics", "graph", "iterative"),
+)
+def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_fp
+    from ..sources.catalog import load_table
+
+    tune(spark)
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    prs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+        .filter(F.col("w") >= 2)
+    )
+    edges = prs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
+    ).unionAll(prs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"), "w"))
+    ranked = pagerank_fp(
+        edges, iterations=_PR_ITERS, scale=_PR_SCALE, weight_col="w"
+    )
+    return ranked.select(
+        F.col("part").alias("part_id"),
+        "outdeg",
+        (F.col("pr").cast("double") / F.lit(float(_PR_SCALE))).alias("pagerank"),
+    )

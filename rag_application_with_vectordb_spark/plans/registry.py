@@ -94,10 +94,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_resample_linear",
     "assoc_rules_parts",
     "text_token_entropy",
+    "graph_pagerank_weighted",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "chunk_sliding_window",
     "chunk_global_ids",
-    "context_assembly",
     "knn_dim_mismatch",
     "seq_doc_logprob",
     "doc_embedding_meanpool",
