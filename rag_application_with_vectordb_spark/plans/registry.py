@@ -44,10 +44,14 @@ _loaded = False
 # rotation (VERDICT r4 item 1): (a) the 13 queries added after round 4's
 # window froze — the PQ family, count-min, bloom semijoin, mixture
 # rebalance, uniform-k sample — have NEVER had a driver row; they lead.
-# (b) queries NEW in round 5 follow (never checked by construction).
-# (c) the remaining slots re-confirm the stalest greens: rows whose only
-# driver check was round 1. After this round every one of the registry
-# queries has at least one green driver row.
+# (b) every query NEW in round 5 (never checked by construction) — as the
+# round added operators, these displaced most of the original (c)
+# re-confirmation anchors, since a first driver row for a new query beats
+# re-confirming an r1 green that also has pytest + local-oracle coverage.
+# (c) a small residue of r1-only greens re-confirms the oldest rows.
+# After this round, every registry query has at least one driver row
+# except the two no-oracle-by-design bench demos (bench_knn_1m got its
+# rows-only row in r4; approx_distinct_sketch in r1).
 # Entries not named here follow in registration order.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) added late in round 4 — never driver-checked
