@@ -99,9 +99,9 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "assoc_rules_parts",
     "text_token_entropy",
     "graph_pagerank_weighted",
+    "text_dsir_importance",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "chunk_sliding_window",
-    "chunk_global_ids",
     "knn_dim_mismatch",
     "seq_doc_logprob",
     "doc_embedding_meanpool",

@@ -604,3 +604,123 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy"
         ),
     )
+
+
+# --- DSIR-style importance weights (data selection for language models) -------
+
+
+@register(
+    "text_dsir_importance",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    big AS (
+      SELECT doc_id, lang,
+             w[CAST(i AS INTEGER)] AS w1, w[CAST(i AS INTEGER) + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(w)))) u(i)
+    ),
+    cc AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2),
+    tc AS (SELECT w1, SUM(c) AS n1 FROM cc GROUP BY w1),
+    ct AS (SELECT w1, w2, COUNT(*) AS c FROM big WHERE lang = 'en' GROUP BY w1, w2),
+    tt AS (SELECT w1, SUM(c) AS n1 FROM ct GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM big),
+    terms AS (
+      SELECT b.doc_id,
+        CAST(round(ln(CAST(COALESCE(ct.c, 0) + 1 AS DOUBLE)
+                      / CAST(COALESCE(tt.n1, 0) + v.vocab AS DOUBLE)) * 1000000.0)
+             AS BIGINT)
+        - CAST(round(ln(CAST(cc.c + 1 AS DOUBLE)
+                        / CAST(tc.n1 + v.vocab AS DOUBLE)) * 1000000.0)
+               AS BIGINT) AS micro_lr
+      FROM big b
+      JOIN cc ON cc.w1 = b.w1 AND cc.w2 = b.w2
+      JOIN tc ON tc.w1 = b.w1
+      LEFT JOIN ct ON ct.w1 = b.w1 AND ct.w2 = b.w2
+      LEFT JOIN tt ON tt.w1 = b.w1
+      CROSS JOIN v
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(micro_lr) AS DOUBLE) / (COUNT(*) * 1000000.0) AS importance
+      FROM terms GROUP BY doc_id
+    )
+    SELECT p.doc_id, d.lang, p.n_bigrams, p.importance
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    """,
+    doc="DSIR-style importance weights (Xie et al. 2023, 'Data Selection "
+    "for Language Models via Importance Resampling', hashed-ngram "
+    "variant): per document, the mean bigram log-likelihood RATIO "
+    "between a target-domain LM (here: the lang='en' slice) and the "
+    "raw-corpus LM, add-one smoothed over the shared vocabulary — the "
+    "score a selection pass resamples by to tilt a crawl toward a "
+    "target distribution. Both models are count tables from ONE bigram "
+    "explode; each ln lands on the 1e-6 grid before the order-free "
+    "integer per-doc sum (the proven fixed-point move), so every "
+    "importance value hash-matches DuckDB. English docs score near "
+    "zero (the target IS their distribution); non-target docs go "
+    "negative — the monitor shows the separation directly.",
+    tags=("text", "pipeline", "analytics"),
+)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    big = (
+        docs.filter(F.length(F.trim(F.col("text"))) > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.when(
+                    F.size(w) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda i: F.struct(
+                            F.element_at(w, i).alias("w1"),
+                            F.element_at(w, i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("bg"),
+        )
+        .select("doc_id", "lang", "bg.w1", "bg.w2")
+        .persist()
+    )
+    cc = big.groupBy("w1", "w2").agg(F.count("*").alias("cc"))
+    tc = cc.groupBy("w1").agg(F.sum("cc").alias("tcn"))
+    ct = (
+        big.filter(F.col("lang") == "en")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("ct"))
+    )
+    tt = ct.groupBy("w1").agg(F.sum("ct").alias("ttn"))
+    v = big.agg(F.countDistinct("w2").alias("vocab"))
+    micro = lambda num, den: F.round(F.ln(num.cast("double") / den.cast("double")) * F.lit(1000000.0)).cast("long")
+    terms = (
+        big.join(cc, ["w1", "w2"])
+        .join(tc, "w1")
+        .join(ct, ["w1", "w2"], "left")
+        .join(tt, "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            (
+                micro(
+                    F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1),
+                    F.coalesce(F.col("ttn"), F.lit(0)) + F.col("vocab"),
+                )
+                - micro(F.col("cc") + F.lit(1), F.col("tcn") + F.col("vocab"))
+            ).alias("micro_lr"),
+        )
+    )
+    per_doc = terms.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        (F.sum("micro_lr").cast("double") / (F.count("*") * F.lit(1000000.0))).alias(
+            "importance"
+        ),
+    )
+    return per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_bigrams", "importance"
+    )
