@@ -118,3 +118,39 @@ def test_triangle_counts_match_bruteforce(spark, sf_dir):
         assert 0.0 <= r["clustering_coeff"] <= 1.0
         if r["degree"] < 2:
             assert r["triangles"] == 0 and r["clustering_coeff"] == 0.0
+
+
+def test_weighted_pagerank_reduces_to_uniform_on_equal_weights(spark):
+    from pyspark.sql import functions as F
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    edges = und + [(b, a) for a, b in und]
+    df = spark.createDataFrame(edges, "src long, dst long").withColumn(
+        "w", F.lit(7).cast("long")
+    )
+    plain = {
+        r["part"]: r["pr"]
+        for r in pagerank_fp(df, iterations=3, scale=10**9).collect()
+    }
+    weighted = {
+        r["part"]: r["pr"]
+        for r in pagerank_fp(df, iterations=3, scale=10**9, weight_col="w").collect()
+    }
+    # equal weights cancel: (pr*7) div (7*d) == pr div d for every value
+    # reachable here (shares stay integral at the same points)... not in
+    # general! (pr*w) div (w*d) >= pr div d, equality iff the remainder
+    # structure matches — with w=7 and pr=1e9, 7e9 div 21 != (1e9 div 3)*...
+    # So assert the FLOAT ranks agree to within the integer-division
+    # granularity instead of bit equality.
+    for v in plain:
+        assert abs(plain[v] - weighted[v]) <= 100, v
+    # and a genuinely skewed weight changes the ranking in the expected
+    # direction: loading edge (1,2) pulls rank toward 2
+    skew = df.withColumn(
+        "w", F.when((F.col("src") == 1) & (F.col("dst") == 2), F.lit(100)).otherwise(F.lit(1)).cast("long")
+    )
+    sk = {
+        r["part"]: r["pr"]
+        for r in pagerank_fp(skew, iterations=3, scale=10**9, weight_col="w").collect()
+    }
+    assert sk[2] > weighted[2]
