@@ -773,3 +773,75 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "outdeg",
         (F.col("pr").cast("double") / F.lit(float(_PR_SCALE))).alias("pagerank"),
     )
+
+
+# --- event-type Markov transition matrix --------------------------------------
+
+_sql_query(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS n_from FROM cnt GROUP BY 1)
+    SELECT c.from_type, c.to_type, c.n,
+           CAST(c.n AS DOUBLE) / t.n_from AS p
+    FROM cnt c JOIN tot t USING (from_type)
+    """,
+    doc="First-order Markov transition matrix over each user's "
+    "time-ordered event stream: P(next event type | current) — the "
+    "behavioral model behind next-action prediction and funnel anomaly "
+    "detection. One lead() window per user (total order (ts, event_id) "
+    "— deterministic under ties), one count aggregate, probabilities "
+    "as ratios of exact integers. At 100 TB the window shuffle on "
+    "user_id is the only data movement; the matrix itself is "
+    "|event_types|^2 rows.",
+    tags=("analytics", "window"),
+)
+
+# --- Gini coefficient of customer spend (exact integer arithmetic) ------------
+
+_sql_query(
+    "spend_gini",
+    """
+    WITH s AS (
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM s
+    ),
+    agg AS (
+      SELECT MAX(n) AS n,
+             SUM(cents) AS total,
+             SUM((2 * i - n - 1) * cents) AS wsum
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(total AS DOUBLE) / 100 AS total_spend,
+           CAST(wsum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE)) AS gini
+    FROM agg
+    """,
+    doc="Gini coefficient of per-customer spend — the standard "
+    "concentration metric (0 = uniform, →1 = one whale) computed by "
+    "the sorted-rank identity G = Σ(2i−n−1)·x_i / (n·Σx): spend goes "
+    "through DECIMAL cents (exact BIGINT), ranks come from one global "
+    "sort of the per-customer aggregate (small — customers, not "
+    "orders), and the weighted sum is pure integer arithmetic, so the "
+    "coefficient hash-matches DuckDB bit-for-bit. The data-mixture "
+    "analogue (token share per source) is the dataset-card metric "
+    "curation teams watch.",
+    tags=("analytics",),
+)
