@@ -731,3 +731,106 @@ def feature_zscore_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("z_chars"),
     )
+
+
+# --- cross-document boilerplate removal (CCNet-style paragraph dedup) ---------
+
+_BP_HEADER = "SHARED NAV HEADER home products contact"
+_BP_FOOTER = "SHARED FOOTER all rights reserved"
+
+_BP_AUG_SQL = f"""
+      SELECT doc_id,
+        CASE WHEN doc_id % 3 = 0
+             THEN '{_BP_HEADER}' || chr(10) || text || chr(10) || '{_BP_FOOTER}'
+             ELSE text END AS text
+      FROM documents
+"""
+
+
+@register(
+    "text_remove_boilerplate",
+    oracle=rf"""
+    WITH aug AS ({_BP_AUG_SQL}),
+    lines AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, l[CAST(i AS INTEGER)] AS line
+      FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM aug),
+           LATERAL (SELECT unnest(range(1, len(l) + 1))) u(i)
+    ),
+    lf AS (SELECT doc_id, pos, line, md5(trim(line)) AS fp FROM lines),
+    df AS (SELECT fp, COUNT(DISTINCT doc_id) AS ndocs FROM lf GROUP BY fp),
+    kept AS (
+      SELECT lf.doc_id, lf.pos, lf.line
+      FROM lf JOIN df USING (fp) WHERE df.ndocs < 10
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             COALESCE(string_agg(line, chr(10) ORDER BY pos), '') AS cleaned
+      FROM kept GROUP BY doc_id
+    ),
+    counts AS (
+      SELECT l.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN d.ndocs < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM lf l JOIN df d USING (fp) GROUP BY l.doc_id
+    )
+    SELECT c.doc_id, c.n_lines, c.n_kept,
+           md5(COALESCE(r.cleaned, '')) AS cleaned_fp,
+           CAST(length(COALESCE(r.cleaned, '')) AS BIGINT) AS cleaned_chars
+    FROM counts c LEFT JOIN rebuilt r ON r.doc_id = c.doc_id
+    """,
+    doc="Cross-document boilerplate removal (the CCNet/RefinedWeb "
+    "paragraph-dedup stage): lines whose md5 fingerprint appears in "
+    ">= 10 distinct documents (planted nav header/footer on every third "
+    "doc — ~167 occurrences each) are dropped, and each document is "
+    "reassembled in original line order. Fingerprints shuffle as 32-byte "
+    "keys; the document-frequency decision is one hash groupBy; "
+    "reassembly is an ORDER BY pos string_agg inside the doc_id group — "
+    "deterministic in both engines. Output carries the cleaned-text md5 "
+    "so the whole reconstruction is value-checked without hashing "
+    "megabytes through the driver.",
+    tags=("text", "pipeline", "dedup"),
+)
+def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.lit(_BP_HEADER), F.lit("\n"), F.col("text"), F.lit("\n"), F.lit(_BP_FOOTER)
+        ),
+    ).otherwise(F.col("text"))
+    aug = docs.select("doc_id", text.alias("text"))
+    lines = aug.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), "\n")).alias("pos0", "line")
+    ).select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "line"
+    )
+    lf = lines.withColumn("fp", F.md5(F.trim(F.col("line"))))
+    df = lf.groupBy("fp").agg(F.countDistinct("doc_id").alias("ndocs"))
+    joined = lf.join(df, "fp")
+    kept = joined.filter(F.col("ndocs") < 10)
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "line"))).alias("arr")
+        )
+        .select(
+            "doc_id",
+            F.array_join(F.transform(F.col("arr"), lambda s: s["line"]), "\n").alias(
+                "cleaned"
+            ),
+        )
+    )
+    counts = joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum((F.col("ndocs") < 10).cast("long")).cast("bigint").alias("n_kept"),
+    )
+    return counts.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias("cleaned_fp"),
+        F.length(F.coalesce(F.col("cleaned"), F.lit(""))).cast("bigint").alias(
+            "cleaned_chars"
+        ),
+    )

@@ -128,3 +128,24 @@ def test_sample_weighted_k_matches_python_es(spark, sf_dir):
     corpus_avg = sum(n for _, n in docs) / len(docs)
     sample_avg = sum(r["n_chars"] for r in rows) / len(rows)
     assert sample_avg > corpus_avg
+
+
+def test_boilerplate_removal_restores_originals(spark, sf_dir):
+    import duckdb
+
+    from rag_application_with_vectordb_spark.plans.registry import load_all
+
+    rows = load_all()["text_remove_boilerplate"].fn(spark, sf_dir).collect()
+    orig = dict(
+        duckdb.sql(
+            f"SELECT doc_id, md5(text) FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    for r in rows:
+        # removal must return EVERY doc to its pre-plant text: planted
+        # header/footer stripped, untouched docs bit-identical
+        assert r["cleaned_fp"] == orig[r["doc_id"]], r["doc_id"]
+        if r["doc_id"] % 3 == 0:
+            assert r["n_lines"] == r["n_kept"] + 2
+        else:
+            assert r["n_lines"] == r["n_kept"]
