@@ -845,3 +845,58 @@ _sql_query(
     "curation teams watch.",
     tags=("analytics",),
 )
+
+
+# --- marketing attribution: first/last click before each purchase -------------
+
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+def _attribution_sql(micros: str) -> str:
+    return f"""
+    WITH e AS (
+      SELECT event_id, user_id, ts, event_type, {micros.format(e='ts')} AS m
+      FROM events
+    ),
+    w AS (
+      SELECT *,
+        MIN(CASE WHEN event_type = 'click' THEN m END) OVER (
+          PARTITION BY user_id ORDER BY m
+          RANGE BETWEEN {_WEEK_US} PRECEDING AND CURRENT ROW) AS first_click_m,
+        MAX(CASE WHEN event_type = 'click' THEN m END) OVER (
+          PARTITION BY user_id ORDER BY m
+          RANGE BETWEEN {_WEEK_US} PRECEDING AND CURRENT ROW) AS last_click_m,
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+          PARTITION BY user_id ORDER BY m
+          RANGE BETWEEN {_WEEK_US} PRECEDING AND CURRENT ROW) AS n_clicks_7d
+      FROM e
+    ),
+    ck AS (
+      SELECT user_id, m, MIN(event_id) AS click_id
+      FROM e WHERE event_type = 'click' GROUP BY user_id, m
+    )
+    SELECT w.event_id, w.user_id, w.ts,
+           CAST(w.n_clicks_7d AS BIGINT) AS n_clicks_7d,
+           f.click_id AS first_touch_id,
+           l.click_id AS last_touch_id
+    FROM w
+    LEFT JOIN ck f ON f.user_id = w.user_id AND f.m = w.first_click_m
+    LEFT JOIN ck l ON l.user_id = w.user_id AND l.m = w.last_click_m
+    WHERE w.event_type = 'purchase'
+    """
+
+
+_sql_query(
+    "events_purchase_attribution",
+    _attribution_sql("unix_micros({e})"),
+    oracle=_attribution_sql("epoch_us({e})"),
+    doc="First-touch / last-touch attribution: every purchase annotated "
+    "with the user's earliest and latest click in the preceding 7 days "
+    "plus the click count — the two canonical attribution models in "
+    "one pass. The 7-day lookback is a value-based RANGE frame over "
+    "exact integer microseconds (one keyed window per user, no "
+    "self-join against the raw stream); the frame extremes come back "
+    "as timestamps and resolve to event ids via a tiny per-(user, "
+    "instant) click table with a deterministic min-id tie rule.",
+    tags=("analytics", "window"),
+)
