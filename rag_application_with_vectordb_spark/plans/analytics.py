@@ -900,3 +900,67 @@ _sql_query(
     "instant) click table with a deterministic min-id tie rule.",
     tags=("analytics", "window"),
 )
+
+
+# --- robust outliers: median absolute deviation (Iglewicz-Hoaglin) ------------
+
+def _median_sql(src: str, val: str, out: str) -> str:
+    """Rank-select interpolated median of ``{src}.{val}`` per
+    l_returnflag — the dialect-shared fp recipe proven by
+    percentile_exact (h = 0.5*(n-1); x_lo + frac*(x_hi - x_lo))."""
+    return f"""{out}_r AS (
+      SELECT l_returnflag, {val} AS x,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY {val}) - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM {src}
+    ),
+    {out}_h AS (
+      SELECT l_returnflag, 0.5 * (MAX(n) - 1) AS h FROM {out}_r GROUP BY l_returnflag
+    ),
+    {out} AS (
+      SELECT r.l_returnflag,
+             MAX(CASE WHEN r.rn = CAST(FLOOR(h.h) AS BIGINT) THEN r.x END)
+             + (h.h - FLOOR(h.h)) *
+               (MAX(CASE WHEN r.rn = CAST(CEILING(h.h) AS BIGINT) THEN r.x END)
+                - MAX(CASE WHEN r.rn = CAST(FLOOR(h.h) AS BIGINT) THEN r.x END)) AS med
+      FROM {out}_r r JOIN {out}_h h ON h.l_returnflag = r.l_returnflag
+                 AND r.rn >= CAST(FLOOR(h.h) AS BIGINT)
+                 AND r.rn <= CAST(CEILING(h.h) AS BIGINT)
+      GROUP BY r.l_returnflag, h.h
+    )"""
+
+
+_sql_query(
+    "robust_outliers_mad",
+    f"""
+    WITH v AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+    ),
+    {_median_sql('v', 'x', 'med1')},
+    dev AS (
+      SELECT v.l_returnflag, ABS(v.x - med1.med) AS x, v.x AS orig, med1.med
+      FROM v JOIN med1 USING (l_returnflag)
+    ),
+    {_median_sql('dev', 'x', 'med2')}
+    SELECT d.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(d.med) AS median_price,
+           MAX(med2.med) AS mad,
+           CAST(SUM(CASE WHEN CAST(0.6745 AS DOUBLE) * (d.orig - d.med) / med2.med > 3.5
+                          OR CAST(0.6745 AS DOUBLE) * (d.orig - d.med) / med2.med < -3.5
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN med2 USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    """,
+    doc="Robust outlier detection per return flag: modified z-score "
+    "0.6745*(x - median)/MAD with the |z| > 3.5 rule (Iglewicz & "
+    "Hoaglin) — the data-cleaning screen that, unlike the mean/std "
+    "z-score, one fat-tailed value cannot poison. Two rank-select "
+    "interpolated medians (the percentile_exact recipe, dialect-shared "
+    "fp arithmetic) feed a single flagged-count aggregate; every "
+    "intermediate is deterministic, so even the outlier COUNTS "
+    "hash-match. The per-group sort behind each median is the 100 TB "
+    "cost — the sketch analogue (approx_percentile_sketch) is the "
+    "screening alternative when exactness can be traded.",
+    tags=("analytics", "approx"),
+)
