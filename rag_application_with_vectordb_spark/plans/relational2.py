@@ -762,3 +762,120 @@ def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / 4503599627370496.0"
     )
     return spark.sql(_pct_sketch_sql(u))
+
+
+@register(
+    "approx_distinct_kmv_merged",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT o_orderstatus, o_custkey FROM orders),
+    u AS (
+      SELECT o_orderstatus, o_custkey % 8 AS shard,
+             {duck_hex13_to_long("md5(CAST(o_custkey AS VARCHAR))")} / 4503599627370496.0 AS u
+      FROM d
+    ),
+    shard_k AS (
+      SELECT o_orderstatus, shard, u FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderstatus, shard ORDER BY u) AS rn
+        FROM u
+      ) WHERE rn <= {_KMV_K}
+    ),
+    merged AS (
+      SELECT o_orderstatus, u,
+             row_number() OVER (PARTITION BY o_orderstatus ORDER BY u) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n_m
+      FROM shard_k
+    ),
+    direct AS (
+      SELECT o_orderstatus, u,
+             row_number() OVER (PARTITION BY o_orderstatus ORDER BY u) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n_d
+      FROM u
+    ),
+    em AS (
+      SELECT o_orderstatus,
+        CAST(CASE WHEN MAX(n_m) < {_KMV_K} THEN CAST(MAX(n_m) AS DOUBLE)
+             ELSE {_KMV_K - 1}.0 / MAX(CASE WHEN rn = {_KMV_K} THEN u END) END AS DOUBLE) AS est_merged
+      FROM merged GROUP BY o_orderstatus
+    ),
+    ed AS (
+      SELECT o_orderstatus,
+        CAST(CASE WHEN MAX(n_d) < {_KMV_K} THEN CAST(MAX(n_d) AS DOUBLE)
+             ELSE {_KMV_K - 1}.0 / MAX(CASE WHEN rn = {_KMV_K} THEN u END) END AS DOUBLE) AS est_direct,
+        CAST(MAX(n_d) AS BIGINT) AS exact_customers
+      FROM direct GROUP BY o_orderstatus
+    )
+    SELECT em.o_orderstatus, est_merged, est_direct,
+           CAST(CASE WHEN est_merged = est_direct THEN 1 ELSE 0 END AS BIGINT)
+             AS merge_is_lossless,
+           exact_customers
+    FROM em JOIN ed USING (o_orderstatus)
+    """,
+    doc="KMV sketch MERGEABILITY — the property that makes sketches "
+    "work on a cluster: keys are sharded 8 ways (simulating executors), "
+    "each shard keeps only its k smallest unit hashes (k*8 bytes of "
+    "state), and the merged sketch (k smallest of the union) yields an "
+    "estimate IDENTICAL to the single-pass sketch over all keys — the "
+    "global k-minimum values are necessarily inside the union of "
+    "per-shard k-minima. merge_is_lossless is computed in-query and "
+    "must be 1 for every group; the whole demonstration hash-matches "
+    "DuckDB. This is the map-side-combine contract a 100 TB distinct "
+    "count rides on.",
+    tags=("relational", "approx"),
+)
+def approx_distinct_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import hex13_to_long
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select("o_orderstatus", "o_custkey").distinct()
+    u = d.select(
+        "o_orderstatus",
+        (F.col("o_custkey") % 8).alias("shard"),
+        (
+            hex13_to_long(F.md5(F.col("o_custkey").cast("string")))
+            / F.lit(4503599627370496.0)
+        ).alias("u"),
+    )
+    ws = Window.partitionBy("o_orderstatus", "shard").orderBy("u")
+    shard_k = (
+        u.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= _KMV_K)
+        .drop("rn")
+    )
+
+    def estimate(src: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("o_orderstatus").orderBy("u")
+        wc = Window.partitionBy("o_orderstatus")
+        r = src.select(
+            "o_orderstatus",
+            "u",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).alias("n"),
+        )
+        return r.groupBy("o_orderstatus").agg(
+            F.when(F.max("n") < _KMV_K, F.max("n").cast("double"))
+            .otherwise(
+                F.lit(float(_KMV_K - 1))
+                / F.max(F.when(F.col("rn") == _KMV_K, F.col("u")))
+            )
+            .cast("double")
+            .alias(out),
+            F.max("n").cast("bigint").alias(f"__n_{out}"),
+        )
+
+    em = estimate(shard_k, "est_merged")
+    ed = estimate(u, "est_direct")
+    return (
+        em.join(ed, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "est_merged",
+            "est_direct",
+            (F.col("est_merged") == F.col("est_direct"))
+            .cast("bigint")
+            .alias("merge_is_lossless"),
+            F.col("__n_est_direct").alias("exact_customers"),
+        )
+    )
