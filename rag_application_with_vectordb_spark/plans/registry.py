@@ -102,7 +102,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_dsir_importance",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "chunk_sliding_window",
-    "knn_dim_mismatch",
+    "text_remove_boilerplate",
     "seq_doc_logprob",
     "doc_embedding_meanpool",
     # (b continued) two more round-5 additions take the last anchor slots
