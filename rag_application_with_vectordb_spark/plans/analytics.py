@@ -566,7 +566,7 @@ _sql_query(
 # --- regular-grid resample with linear interpolation --------------------------
 
 def _resample_sql(micros: str, gen: str, inl: str) -> str:
-    """Hourly-grid resample of each user's purchase-value series with
+    """6-hour-grid resample of each user's purchase-value series with
     linear interpolation. ``micros`` renders timestamp→exact-int
     microseconds; ``gen`` the engine's timestamp range generator;
     ``inl`` the IGNORE NULLS placement (Spark: after the call; DuckDB:
@@ -623,10 +623,10 @@ def _resample_sql(micros: str, gen: str, inl: str) -> str:
 
 
 _SPARK_GEN = (
-    "SELECT user_id, explode(sequence(t0, t1, INTERVAL 1 HOUR)) AS g FROM bounds"
+    "SELECT user_id, explode(sequence(t0, t1, INTERVAL 6 HOUR)) AS g FROM bounds"
 )
 _DUCK_GEN = (
-    "SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS g FROM bounds"
+    "SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 6 HOUR)) AS g FROM bounds"
 )
 
 _sql_query(
@@ -634,7 +634,7 @@ _sql_query(
     _resample_sql("unix_micros({e})", _SPARK_GEN, ("", " IGNORE NULLS")),
     oracle=_resample_sql("epoch_us({e})", _DUCK_GEN, (" IGNORE NULLS", "")),
     doc="Regular-grid resampling: each user's purchase-value series "
-    "sampled onto an hourly grid with LINEAR INTERPOLATION between the "
+    "sampled onto a 6-hour grid with LINEAR INTERPOLATION between the "
     "surrounding events (hold at the edges) — the gap-fill primitive "
     "that turns irregular event streams into the fixed-step series "
     "feature stores and forecasting models consume. Grid points and "

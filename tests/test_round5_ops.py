@@ -144,7 +144,7 @@ def test_resample_linear_matches_numpy_interp(spark, sf_dir, specs):
         WITH ev AS (SELECT user_id, ts FROM '{sf_dir}/events.parquet'
                     WHERE event_type = 'purchase')
         SELECT user_id, epoch_us(unnest(generate_series(
-                 date_trunc('hour', MIN(ts)), MAX(ts), INTERVAL 1 HOUR))) AS g
+                 date_trunc('hour', MIN(ts)), MAX(ts), INTERVAL 6 HOUR))) AS g
         FROM ev GROUP BY user_id
     """).fetchall()
     want = {}
