@@ -834,3 +834,58 @@ def text_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cleaned_chars"
         ),
     )
+
+
+# --- deterministic negative sampling (contrastive-pair construction) ----------
+
+_NEG_K = 4
+
+
+@register(
+    "sample_negatives_k",
+    oracle=f"""
+    WITH n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    anchors AS (SELECT doc_id FROM documents WHERE doc_id < 100)
+    SELECT a.doc_id AS anchor_id, CAST(j AS BIGINT) AS neg_rank,
+           CAST((a.doc_id + 1 +
+                 {duck_hex13_to_long("md5('neg42|' || CAST(a.doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR))")}
+                 % (n.n_docs - 1)) % n.n_docs AS BIGINT) AS negative_id
+    FROM anchors a, (SELECT unnest(range(0, {_NEG_K}))) t(j), n
+    """,
+    doc="Deterministic negative sampling for contrastive training: each "
+    "anchor document draws k=4 uniform negatives via "
+    "anchor + 1 + (keyed-md5 mod (N-1)) mod N — the shifted-modulus "
+    "construction that is collision-free with the anchor BY ALGEBRA "
+    "(offset ranges over [1, N-1]), so no rejection loop and no "
+    "iterative resampling; every (anchor, rank) resolves to one "
+    "auditable negative id. Map-only over the anchor set with one "
+    "broadcast corpus count — the shape that pairs with "
+    "mine-hard-negatives (knn_batch) in an embedding-training "
+    "pipeline. Dense 0..N-1 ids assumed (the fixture's layout); at "
+    "scale you'd draw against a zipWithIndex-style dense rank.",
+    tags=("text", "pipeline", "sampling"),
+)
+def sample_negatives_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    anchors = docs.filter(F.col("doc_id") < 100).select("doc_id")
+    j = F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("j")
+    pairs = anchors.select("doc_id", j).crossJoin(F.broadcast(n))
+    off = hex13_to_long(
+        F.md5(
+            F.concat(
+                F.lit("neg42|"),
+                F.col("doc_id").cast("string"),
+                F.lit("|"),
+                F.col("j").cast("string"),
+            )
+        )
+    ) % (F.col("n_docs") - 1)
+    return pairs.select(
+        F.col("doc_id").alias("anchor_id"),
+        F.col("j").cast("bigint").alias("neg_rank"),
+        ((F.col("doc_id") + 1 + off) % F.col("n_docs")).cast("bigint").alias(
+            "negative_id"
+        ),
+    )

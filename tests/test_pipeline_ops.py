@@ -149,3 +149,16 @@ def test_boilerplate_removal_restores_originals(spark, sf_dir):
             assert r["n_lines"] == r["n_kept"] + 2
         else:
             assert r["n_lines"] == r["n_kept"]
+
+
+def test_negative_sampling_never_hits_anchor(spark, sf_dir):
+    from rag_application_with_vectordb_spark.plans.registry import load_all
+
+    rows = load_all()["sample_negatives_k"].fn(spark, sf_dir).collect()
+    assert len(rows) == 400  # 100 anchors x 4
+    for r in rows:
+        assert r["negative_id"] != r["anchor_id"]
+        assert 0 <= r["negative_id"] < 500
+    # deterministic: same draw every run
+    again = load_all()["sample_negatives_k"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
