@@ -667,3 +667,67 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         _augmented_docs(spark, sf_dir), threshold=_PF_T
     )
+
+
+# --- band candidates via the PER-ROW signature path (streaming gate twin) -----
+
+
+@register(
+    "dedup_band_candidates",
+    oracle=f"""
+    WITH {_SETS_SQL},
+    sig AS (
+      SELECT doc_id, j, min(md5(j || '|' || s)) AS minhash
+      FROM sets,
+           LATERAL (SELECT unnest(shingles)) u(s),
+           LATERAL (SELECT unnest(range(0, 12))) t(j)
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, CAST(j // 3 AS INTEGER) AS band_idx,
+             md5(string_agg(minhash, ',' ORDER BY j)) AS band_key
+      FROM sig GROUP BY doc_id, j // 3
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    doc="LSH band-collision candidate pairs computed through the PER-ROW "
+    "signature path (minhash_signature_expr: min-over-HOF inside one "
+    "projection, no explode, no aggregate) — the exact computation the "
+    "STREAMING near-dup gate (neardup_candidates_stream) runs per "
+    "micro-batch, registered as its batch twin so the streaming "
+    "operator is transitively oracle-checked the same way the window "
+    "aggregates are (streaming_twins pattern). The oracle is the "
+    "explode+group construction — hash-equality here also re-proves "
+    "the two signature paths bit-identical at the query level.",
+    tags=("dedup", "streaming-twin"),
+)
+def dedup_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import word_shingles
+    from ..operators.dedup import minhash_band_keys, minhash_signature_expr
+
+    tune(spark)
+    docs = _augmented_docs(spark, sf_dir)
+    sig = minhash_signature_expr(word_shingles(F.col("text"), 3), 12)
+    keyed = (
+        docs.filter(F.size(word_shingles(F.col("text"), 3)) > 0)
+        .select(F.col("doc_id"), sig.alias("signature"))
+        .select(
+            "doc_id",
+            F.posexplode(minhash_band_keys(F.col("signature"), 4, 3)).alias(
+                "band_idx", "band_key"
+            ),
+        )
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
