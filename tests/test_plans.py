@@ -190,3 +190,35 @@ def test_sample_weighted_k_is_take_ordered(spark, sf_dir, specs):
     # stateless E-S sampling: per-partition heaps, never a global sort
     assert "TakeOrderedAndProject" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_prefix_filter_has_no_cartesian(spark, sf_dir, specs):
+    plan = plan_of(specs["dedup_prefix_filter_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_triangles_close_wedges_with_equi_join(spark, sf_dir, specs):
+    plan = plan_of(specs["graph_triangles"].fn(spark, sf_dir))
+    # the closing edge must be an equi-join (LEAST/GREATEST keys), never
+    # a nested-loop over an OR condition
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_resample_windows_are_keyed_by_user(spark, sf_dir, specs):
+    plan = plan_of(specs["events_resample_linear"].fn(spark, sf_dir))
+    # both IGNORE-NULLS passes partition by user_id — no global window
+    assert "BatchEvalPython" not in plan
+    import re
+
+    # every Window operator in the plan must carry a partition spec
+    for m in re.finditer(r"Window \[", plan):
+        seg = plan[m.start() : m.start() + 2000]
+        assert "user_id" in seg.split("\n")[0]
+
+
+def test_attribution_range_frame_stays_keyed(spark, sf_dir, specs):
+    plan = plan_of(specs["events_purchase_attribution"].fn(spark, sf_dir))
+    assert "specifiedwindowframe(RangeFrame" in plan
+    assert "BatchEvalPython" not in plan
