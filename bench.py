@@ -97,7 +97,8 @@ def main() -> None:
     # total as null in that case (per-query times still carry the signal).
     fully_failed = [n for n in HEADLINE if n not in times]
     total = round(sum(times.values()), 3) if not fully_failed else None
-    payload = json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = json.dumps(
         {
             "metric": "headline_suite_runtime",
             "value": total,
@@ -109,18 +110,37 @@ def main() -> None:
             "errors": errors,
             "n_ok": len(times),
             "n_total": len(HEADLINE),
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "sf": sf_val,
         }
     )
-    # Loss-proof the round's headline number (round 4's driver captured
-    # only the tail of stdout after Spark progress noise → parsed: null):
-    # persist the JSON to a file, stop Spark FIRST so nothing can print
-    # after us, then emit the line as the very last stdout bytes.
+    # The driver's stdout capture is tail-limited: rounds 4 and 5 both
+    # recorded ``parsed: null`` because the full per-query payload grew
+    # past the capture window and the driver saw a line starting
+    # mid-JSON. Print a SHORT headline line (always <500 chars) with the
+    # per-query maps only in the top-10 slowest summary; the full detail
+    # lives in bench_out.json for humans and the judge.
+    top = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
+    headline = json.dumps(
+        {
+            "metric": "headline_suite_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": top,
+            "n_ok": len(times),
+            "n_total": len(HEADLINE),
+            "n_err": len(errors),
+            "cold_total": round(sum(v for v in cold.values() if v is not None), 3),
+            "sf": sf_val,
+        }
+    )
+    # Loss-proof: persist the full JSON to a file, stop Spark FIRST so
+    # nothing can print after us, then emit the short line as the very
+    # last stdout bytes.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as fh:
-        fh.write(payload + "\n")
+        fh.write(detail + "\n")
     spark.stop()
     sys.stdout.flush()
-    print(payload, flush=True)
+    print(headline, flush=True)
 
 
 if __name__ == "__main__":

@@ -40,75 +40,72 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 _loaded = False
 
 # The driver's correctness gate checks only the FIRST 50 registry entries
-# (observed: CORRECTNESS_r01.json == first 50 of iteration order). Round-5
-# rotation (VERDICT r4 item 1): (a) the 13 queries added after round 4's
-# window froze — the PQ family, count-min, bloom semijoin, mixture
-# rebalance, uniform-k sample — have NEVER had a driver row; they lead.
-# (b) every query NEW in round 5 (never checked by construction) — as the
-# round added operators, these displaced most of the original (c)
-# re-confirmation anchors, since a first driver row for a new query beats
-# re-confirming an r1 green that also has pytest + local-oracle coverage.
-# (c) a small residue of r1-only greens re-confirms the oldest rows.
-# After this round, every registry query has at least one driver row
-# except the two no-oracle-by-design bench demos (bench_knn_1m got its
-# rows-only row in r4; approx_distinct_sketch in r1).
+# (observed: CORRECTNESS_r01.json == first 50 of iteration order). Round-6
+# rotation (VERDICT r5 items 2): (a) the 7 queries registered after the
+# round-5 window froze — never driver-checked — go first; (b) queries NEW
+# in round 6 follow (never checked by construction); (c) the remaining
+# slots re-confirm the stalest greens, i.e. queries whose only driver row
+# is round 1. No-oracle bench demos (bench_knn_1m, bench_knn_1m_ivf,
+# approx_distinct_sketch) are deliberately EXCLUDED from the window — a
+# slot spent recording ``err: no_oracle`` is a slot wasted (VERDICT r5
+# "What's wrong" #2); they already have their rows-only rows.
 # Entries not named here follow in registration order.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) added late in round 4 — never driver-checked
-    "ann_pq_adc_topk",
-    "ann_pq_trained_adc_topk",
-    "ann_pq_trained_recall",
-    "pq_reconstruction_error",
-    "ann_ivfpq_adc_topk",
-    "ann_ivfpq_rerank_topk",
-    "ann_ivfadc_topk",
-    "ann_opq_adc_topk",
-    "approx_freq_countmin",
-    "bloom_semijoin_customers",
-    "mix_rebalance_weights",
-    "mix_apply_rebalance",
-    "sample_uniform_k",
-    # (b) new in round 5 — never checked by construction
-    "skew_salted_user_spend",
-    "approx_percentile_sketch",  # gains a deterministic oracle this round
-    "percentile_exact",
-    "ann_ivf_clustered_recall",
-    "ann_ivfpq_clustered_recall",
-    "bench_knn_1m_ivf",
-    "events_session_stats",
-    "text_containment_pairs",
-    "docs_dataset_card",
-    "seq_ngram_lm_counts",
-    "graph_copurchase_edges",
-    "window_session_gap_rank",
-    "graph_pagerank",
-    "dedup_substring_spans",
-    "ann_pq_clustered_trained_recall",
-    "ann_signbits_rerank_topk",
-    "sample_weighted_k",
-    "ann_opq_learned_adc_topk",
-    "ann_ivf_trained_topk",
-    "ann_lsh_recall",
-    "eval_knn_label_accuracy",
-    "eval_knn_label_accuracy_clustered",
-    "sample_k_per_group",
-    "feature_zscore_chars",
-    "dedup_prefix_filter_pairs",
-    "graph_triangles",
-    "events_resample_linear",
-    "assoc_rules_parts",
-    "text_token_entropy",
-    "graph_pagerank_weighted",
-    "text_dsir_importance",
+    # (a) added late in round 5 — never driver-checked
+    "approx_distinct_kmv_merged",
+    "dedup_band_candidates",
+    "events_markov_transitions",
+    "events_purchase_attribution",
+    "robust_outliers_mad",
+    "sample_negatives_k",
+    "spend_gini",
+    # (b) new in round 6 — never checked by construction
+    "ann_ivf_append_parity",
+    "ann_ivf_staleness_drift",
+    "dedup_prefix_filter_pairs_scalable",
+    "stream_ingest_index_twin",
     # (c) stalest greens — only driver check was round 1; re-confirm
-    "chunk_sliding_window",
-    "text_remove_boilerplate",
-    "seq_doc_logprob",
-    "doc_embedding_meanpool",
-    # (b continued) two more round-5 additions take the last anchor slots
-    # (never-checked queries outrank re-confirming r1 greens)
-    "dedup_semantic_semdedup",
-    "hybrid_maxsim_topk",
+    "agg_distinct_orders",
+    "agg_part_stats",
+    "ann_lsh_multiprobe_topk",
+    "ann_lsh_topk",
+    "chunk_global_ids",
+    "context_assembly",
+    "cube_order_counts",
+    "dedup_embedding_topk_pairs",
+    "dedup_exact",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard",
+    "dedup_simhash_blocked_pairs",
+    "dedup_simhash_signatures",
+    "embed_hash_components",
+    "events_high_water_marks",
+    "events_sliding_halfhour",
+    "events_tumbling_hourly",
+    "join_anti_customers_without_orders",
+    "join_semi_customers_with_urgent",
+    "knn_dim_mismatch",
+    "knn_zero_query",
+    "multimodal_decode_meta",
+    "multimodal_frame_sample",
+    "multimodal_resize_meta",
+    "q3_top_orders",
+    "q5_regional_revenue",
+    "rollup_supplier_balance",
+    "scalar_datetime_orders",
+    "set_nations_customers_and_suppliers",
+    "set_nations_customers_only",
+    "set_union_all_keys",
+    "subquery_above_avg_balance",
+    "text_bpe_token_count",
+    "text_fingerprints",
+    "text_lang_id",
+    "text_quality_scores",
+    "text_token_stats",
+    "topk_parts_per_brand",
+    "window_balance_rank",
+    # window_running_spend is the 51st stalest green — left out: the
+    # window is 50 wide and that query runs (rows-only) in every bench.
 )
 
 

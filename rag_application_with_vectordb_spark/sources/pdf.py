@@ -49,19 +49,22 @@ def pdf_text_parser(content: bytes) -> str:
     (P1, ``App.tsx:49-54``): page text items joined with ' ', pages
     accumulated with a trailing newline each.
 
-    Requires ``pypdf`` — not installed in this container, so this raises
-    with a clear message unless a real deployment provides it; inject a
-    custom parser into :func:`parse_documents` otherwise.
+    Uses ``pypdf`` when importable (full filter/encoding coverage); falls
+    back to the built-in deterministic extractor
+    (:mod:`~rag_application_with_vectordb_spark.sources.pdfcodec` —
+    classic-xref PDFs, raw or FlateDecode streams, Tj/TJ/'/\" text) so a
+    real PDF flows end-to-end even in environments with no PDF library.
+    Inject ``parser=...`` into :func:`parse_documents` for anything more
+    exotic (scanned/OCR, CMap-encoded fonts).
     """
     try:
         import io
 
-        from pypdf import PdfReader  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - environment-dependent
-        raise NotImplementedError(
-            "pypdf is not available in this environment; pass parser=... "
-            "to parse_documents (any bytes -> str callable)."
-        ) from exc
+        from pypdf import PdfReader
+    except ImportError:
+        from .pdfcodec import extract_pdf_text
+
+        return extract_pdf_text(content)
     reader = PdfReader(io.BytesIO(content))  # pragma: no cover
     full = ""
     for page in reader.pages:  # pragma: no cover

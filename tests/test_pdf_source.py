@@ -40,15 +40,76 @@ def test_parse_plumbing_with_injected_parser(spark, doc_dir):
     assert len({r["doc_id"] for r in rows}) == 2
 
 
-def test_pdf_parser_stub_raises_without_pypdf():
+def test_pdf_parser_rejects_non_pdf_bytes():
     try:
         import pypdf  # noqa: F401
 
         pytest.skip("pypdf present in this environment")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError):
-        pdf_text_parser(b"%PDF-1.4 fake")
+    with pytest.raises(ValueError):
+        pdf_text_parser(b"plain text, no PDF header")
+
+
+# ---- real PDF bytes through the DEFAULT parser (VERDICT r5 item 3) ----
+
+
+def test_default_parser_extracts_real_pdf_text():
+    # Reference P1 semantics (App.tsx:49-54): items joined with ' ',
+    # pages accumulated with a trailing '\n' each.
+    from pdf_fixture import make_pdf
+
+    pdf = make_pdf([["Hello", "world (escaped) \\ ok"], ["page two", "tail"]])
+    assert pdf_text_parser(pdf) == "Hello world (escaped) \\ ok\npage two tail\n"
+
+
+def test_default_parser_flate_and_hex_variants():
+    from pdf_fixture import make_pdf
+
+    flate = make_pdf([["compressed alpha", "beta"], ["gamma"]], compress=True)
+    assert pdf_text_parser(flate) == "compressed alpha beta\ngamma\n"
+    hexed = make_pdf([["hex one", "hex two"]], hex_strings=True)
+    assert pdf_text_parser(hexed) == "hex one hex two\n"
+
+
+@pytest.fixture()
+def real_pdf_dir(tmp_path):
+    from pdf_fixture import make_pdf
+
+    (tmp_path / "spark.pdf").write_bytes(
+        make_pdf(
+            [
+                ["spark scans parquet files with pushdown", "catalyst optimizes plans"],
+                ["executors shuffle partitions", "broadcast joins avoid shuffles"],
+            ],
+            compress=True,
+        )
+    )
+    (tmp_path / "vectors.pdf").write_bytes(
+        make_pdf([["vector search ranks by cosine similarity", "top k results"]])
+    )
+    (tmp_path / "notes.txt").write_bytes(b"not a pdf")
+    return str(tmp_path)
+
+
+def test_real_pdf_bytes_end_to_end(spark, real_pdf_dir, tmp_path):
+    # The complete reference ingest flow (App.tsx:26-101) on ACTUAL PDF
+    # bytes with NO injected parser and NO pypdf: binaryFile scan →
+    # default parse → chunk → embed → store → retrieve.
+    binary = read_binary_documents(spark, real_pdf_dir)
+    docs = parse_documents(binary)  # default parser
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in docs.collect()}
+    assert set(rows) == {"spark.pdf", "vectors.pdf"}
+    assert (
+        rows["spark.pdf"]["text"]
+        == "spark scans parquet files with pushdown catalyst optimizes plans\n"
+        "executors shuffle partitions broadcast joins avoid shuffles\n"
+    )
+    store = VectorStore(spark, str(tmp_path / "store"))
+    ingest_documents(store, docs, chunk_size=60, overlap=10)
+    assert store.is_ready()
+    answer = RagPipeline(store).ask("cosine similarity", k=2)
+    assert "QUESTION:\ncosine similarity" in answer
 
 
 def test_file_to_answer_pipeline(spark, doc_dir, tmp_path):
