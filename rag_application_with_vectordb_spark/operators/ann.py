@@ -323,6 +323,30 @@ def ivf_assign(
     )
 
 
+def ivf_append(
+    new_vectors: DataFrame,
+    centroids: DataFrame,
+    index_path: str,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Append a batch to a persisted IVF index WITHOUT rebuilding it —
+    the distributed analog of the reference's incremental ``add()``
+    (``App.tsx:79``) at index level, and FAISS ``IndexIVF.add``
+    semantics: assignment uses the index's FROZEN quantizer (nearest
+    existing centroid; no retrain), and the write is parquet
+    ``mode("append")`` partitioned by ``centroid_id`` — only the
+    partitions the batch lands in gain files, existing lists are never
+    rewritten. Serving needs no code change: the next partition-pruned
+    probe scan simply sees the new files. At 100 TB this is the
+    difference between an O(batch) ingest step and an O(corpus)
+    rebuild; quantizer drift is a monitored quantity
+    (``plans.ann_incremental.ann_ivf_staleness_drift``), not a rebuild
+    trigger per batch."""
+    assigned = ivf_assign(new_vectors, centroids, corpus_id, corpus_vec)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(index_path)
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -707,6 +707,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    vocab_ordinal: str = "global",
 ) -> DataFrame:
     """Set-similarity self-join with PREFIX FILTERING (the All-Pairs /
     PPJoin candidate rule, Bayardo et al. WWW'07; Xiao et al. WWW'08).
@@ -730,34 +731,52 @@ def prefix_filter_jaccard_pairs(
     the posting ranking; the join shuffles prefix postings only. This
     is the textbook bridge between the exact posting join (anchor) and
     MinHash-LSH (probabilistic): still exact, but pruned.
+
+    ``vocab_ordinal``:
+
+    - ``"global"`` (default, the literal All-Pairs formulation): a dense
+      ordinal over the token vocabulary via one unpartitioned
+      ``row_number`` window — over the (bounded) distinct-shingle
+      relation, not the corpus, but still a single-partition sort at
+      extreme vocabulary sizes.
+    - ``"per-doc"`` (the scale path): NO vocabulary-wide window at all.
+      The ordinal's ONLY use is ordering each document's own tokens, so
+      each doc ranks its postings directly by the joined ``(df,
+      shingle)`` key inside the per-doc window — the identical total
+      order (ties impossible: shingle is unique), hence bit-identical
+      prefixes and pairs, with every window partitioned by ``id_col``.
+      This strictly dominates the zipWithIndex-style two-level ordinal
+      (local rank + broadcast offsets): that still materializes a global
+      rank nothing consumes.
     """
     from pyspark.sql import Window
 
     t = float(threshold)
     if not 0 < t <= 1:
         raise ValueError("threshold must be in (0, 1]")
+    if vocab_ordinal not in ("global", "per-doc"):
+        raise ValueError("vocab_ordinal must be 'global' or 'per-doc'")
     sets = _shingle_sets(docs, text_col, id_col, n).persist()
     sizes = sets.select(F.col(id_col), F.size("shingles").alias("set_size"))
     posting = sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     freq = posting.groupBy("shingle").agg(F.count("*").alias("df"))
-    wo = Window.orderBy(F.asc("df"), F.asc("shingle"))
-    # A global ordinal over the token vocabulary: the window is over the
-    # (bounded) distinct-shingle relation, not the corpus; at extreme
-    # vocabulary sizes swap in a zipWithIndex-style two-level ordinal.
-    ordered = freq.select("shingle", F.row_number().over(wo).alias("ord"))
-    ranked = (
-        posting.join(ordered, "shingle")
-        .withColumn(
+    if vocab_ordinal == "per-doc":
+        ranked = posting.join(freq, "shingle").withColumn(
             "rn",
             F.row_number().over(
-                Window.partitionBy(id_col).orderBy(F.asc("ord"))
+                Window.partitionBy(id_col).orderBy(F.asc("df"), F.asc("shingle"))
             ),
         )
-        .join(sizes, id_col)
-        .withColumn(
-            "prefix_len",
-            (F.col("set_size") - F.ceil(F.lit(t) * F.col("set_size")) + 1).cast("int"),
+    else:
+        wo = Window.orderBy(F.asc("df"), F.asc("shingle"))
+        ordered = freq.select("shingle", F.row_number().over(wo).alias("ord"))
+        ranked = posting.join(ordered, "shingle").withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy(id_col).orderBy(F.asc("ord"))),
         )
+    ranked = ranked.join(sizes, id_col).withColumn(
+        "prefix_len",
+        (F.col("set_size") - F.ceil(F.lit(t) * F.col("set_size")) + 1).cast("int"),
     )
     prefix = ranked.filter(F.col("rn") <= F.col("prefix_len")).select(
         F.col(id_col), "shingle"

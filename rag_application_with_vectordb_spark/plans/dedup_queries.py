@@ -606,11 +606,18 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- prefix-filtered set-similarity join (All-Pairs / PPJoin) -----------------
 
 _PF_T = 0.5
+#: The scalable variant runs at a lower threshold — longer prefixes,
+#: more candidates — so its driver row exercises a different (harder)
+#: slice of the pruning arithmetic than the r5-green global-ordinal row.
+_PF_T_SCALABLE = 0.4
 
 
-@register(
-    "dedup_prefix_filter_pairs",
-    oracle=rf"""
+def _pf_oracle(t: float) -> str:
+    """Prefix-filter oracle at threshold ``t`` — shared by the
+    global-ordinal and per-doc-ordinal registrations (the SQL keeps the
+    literal global ordinal: the scalable Spark plan must produce the
+    identical pairs, which is exactly the claim under test)."""
+    return rf"""
     WITH {_SETS_SQL},
     posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sets),
     sizes AS (SELECT doc_id, len(shingles) AS set_size FROM sets),
@@ -626,7 +633,7 @@ _PF_T = 0.5
     ),
     pref AS (
       SELECT doc_id, shingle FROM ranked
-      WHERE rn <= set_size - CAST(CEILING({_PF_T} * set_size) AS BIGINT) + 1
+      WHERE rn <= set_size - CAST(CEILING({t} * set_size) AS BIGINT) + 1
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -646,8 +653,13 @@ _PF_T = 0.5
              / CAST(size_a + size_b - intersection AS DOUBLE) AS jaccard
     FROM v
     WHERE CAST(intersection AS DOUBLE)
-            / CAST(size_a + size_b - intersection AS DOUBLE) >= {_PF_T}
-    """,
+            / CAST(size_a + size_b - intersection AS DOUBLE) >= {t}
+    """
+
+
+@register(
+    "dedup_prefix_filter_pairs",
+    oracle=_pf_oracle(_PF_T),
     doc="Exact set-similarity self-join at Jaccard >= 0.5 with PREFIX "
     "FILTERING (All-Pairs/PPJoin, Bayardo WWW'07): tokens globally "
     "ordered rarest-first, each doc indexes only its |S|-ceil(t|S|)+1 "
@@ -666,6 +678,31 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     return prefix_filter_jaccard_pairs(
         _augmented_docs(spark, sf_dir), threshold=_PF_T
+    )
+
+
+@register(
+    "dedup_prefix_filter_pairs_scalable",
+    oracle=_pf_oracle(_PF_T_SCALABLE),
+    doc="The prefix-filter join's SCALE formulation (VERDICT r5 item 5): "
+    "identical All-Pairs/PPJoin semantics, but the vocabulary-wide "
+    "single-partition row_number ordinal is GONE — each document ranks "
+    "its own postings directly by the joined (df, shingle) key inside "
+    "the per-doc window (the same total order, ties impossible, so "
+    "prefixes and pairs are bit-identical; pytest asserts set-equality "
+    "between the two plans and that no unpartitioned Window remains). "
+    "The oracle keeps the literal global ordinal — matching it is "
+    "exactly the equivalence claim. Runs at t=0.4 (longer prefixes, "
+    "more candidates) so this row exercises a harder pruning slice "
+    "than the t=0.5 global-ordinal row.",
+    tags=("dedup", "text"),
+)
+def dedup_prefix_filter_pairs_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    tune(spark)
+    return prefix_filter_jaccard_pairs(
+        _augmented_docs(spark, sf_dir), threshold=_PF_T_SCALABLE, vocab_ordinal="per-doc"
     )
 
 

@@ -76,7 +76,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "dedup_minhash_signatures",
     "dedup_ngram_jaccard",
-    "dedup_simhash_blocked_pairs",
+    "dedup_simhash_pairs",
     "dedup_simhash_signatures",
     "embed_hash_components",
     "events_high_water_marks",
@@ -120,6 +120,7 @@ def load_all() -> dict[str, QuerySpec]:
         from . import dedup_queries  # noqa: F401
         from . import streaming_twins  # noqa: F401
         from . import ann_queries  # noqa: F401
+        from . import ann_incremental  # noqa: F401
         from . import relational2  # noqa: F401
         from . import relational3  # noqa: F401
         from . import analytics  # noqa: F401

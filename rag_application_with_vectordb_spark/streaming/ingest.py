@@ -35,8 +35,21 @@ def stream_ingest_documents(
     overlap: int = CHUNK_OVERLAP,
     text_glob: str = "*.txt",
     checkpoint: str | None = None,
+    index_centroids: DataFrame | None = None,
+    index_path: str | None = None,
 ):
     """Watch ``path`` for text files; chunk+embed+append each micro-batch.
+
+    ``index_centroids`` + ``index_path``: also maintain a persisted IVF
+    index incrementally — each micro-batch's chunk vectors are assigned
+    to their nearest (frozen) centroid and appended to that inverted
+    list's partition (:func:`..operators.ann.ivf_append`), so new
+    documents become searchable through the partition-pruned ANN path
+    one micro-batch after they land, with zero index rebuild. This
+    composes the reference's entire ingest loop (``App.tsx:43-95``:
+    parse → chunk → embed → add, incrementally searchable) as one
+    streaming dataflow; ``plans.streaming_twins.stream_ingest_index_twin``
+    is the oracle-checked batch twin of the chunk→embed→assign stages.
 
     Returns the started StreamingQuery (caller stops it / awaits). Uses
     the text file source (one row per file via ``wholetext``) so the
@@ -70,13 +83,31 @@ def stream_ingest_documents(
         )
     )
 
+    if index_centroids is not None and index_path is None:
+        raise ValueError("index_path= is required when index_centroids is given")
+
     def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
         chunks = chunk_documents(batch_df, chunk_size=chunk_size, overlap=overlap)
         with_id = chunks.select(
             F.xxhash64(F.col("doc_id"), F.col("chunk_id")).alias("id"),
             F.col("chunk_text").alias("text"),
         )
-        store.add(embedder.embed_df(with_id, text_col="text"))
+        embedded = embedder.embed_df(with_id, text_col="text")
+        if index_centroids is not None:
+            embedded = embedded.persist()  # one embed pass feeds both sinks
+        store.add(embedded)
+        if index_centroids is not None:
+            from ..operators.ann import ivf_append
+
+            ivf_append(
+                embedded.select(
+                    F.col("id").alias("vec_id"),
+                    F.col("embedding").cast("array<double>").alias("embedding"),
+                ),
+                index_centroids,
+                index_path,
+            )
+            embedded.unpersist()
 
     return (
         docs.writeStream.foreachBatch(ingest_batch)

@@ -270,3 +270,30 @@ def test_prefix_filter_is_lossless_and_prunes(spark, sf_dir):
     # fewer candidate pairs than the any-shared-shingle join
     full_candidates = ngram_jaccard_pairs(docs, min_jaccard=0.0).count()
     assert len(got) < full_candidates
+
+
+def test_prefix_filter_per_doc_ordinal_is_equivalent(spark, sf_dir):
+    # The scale formulation (no vocabulary-wide window; each doc orders
+    # its postings by the (df, shingle) key directly) must produce the
+    # bit-identical pair set: same total order -> same prefixes.
+    from rag_application_with_vectordb_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from rag_application_with_vectordb_spark.plans.dedup_queries import (
+        _augmented_docs,
+    )
+
+    docs = _augmented_docs(spark, sf_dir)
+    for t in (0.4, 0.5):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in prefix_filter_jaccard_pairs(
+                docs, threshold=t, vocab_ordinal="per-doc"
+            ).collect()
+        }
+        want = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+        }
+        assert got == want
+        assert len(got) > 0

@@ -198,6 +198,18 @@ def test_prefix_filter_has_no_cartesian(spark, sf_dir, specs):
     assert "BatchEvalPython" not in plan
 
 
+def test_prefix_filter_scalable_has_no_global_window(spark, sf_dir, specs):
+    # The literal formulation pays one single-partition exchange for the
+    # vocabulary ordinal; the scalable registration must not — every
+    # window is partitioned by doc_id (VERDICT r5 item 5).
+    legacy = plan_of(specs["dedup_prefix_filter_pairs"].fn(spark, sf_dir))
+    assert "SinglePartition" in legacy  # contrast: the ordinal's exchange
+    plan = plan_of(specs["dedup_prefix_filter_pairs_scalable"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_triangles_close_wedges_with_equi_join(spark, sf_dir, specs):
     plan = plan_of(specs["graph_triangles"].fn(spark, sf_dir))
     # the closing edge must be an equi-join (LEAST/GREATEST keys), never
