@@ -51,7 +51,9 @@ LITERAL_CENTROID_MAX = 256
 
 
 def _centroids_as_literals(
-    centroids: DataFrame, centroid_id: str = "centroid_id", centroid_vec: str = "cvec"
+    centroids: DataFrame | list[tuple[int, list[float]]],
+    centroid_id: str = "centroid_id",
+    centroid_vec: str = "cvec",
 ) -> list[tuple[int, list[float]]] | None:
     """Collect a (small) centroid table to the driver as
     ``[(id, [components])]``, or None if it exceeds
@@ -63,7 +65,15 @@ def _centroids_as_literals(
     per-vector window shuffle, nothing besides the corpus scan. The
     collect moves ≤ 256×dim doubles, the same sanctioned driver
     boundary as ``ask()``'s k rows.
+
+    Callers that already hold the trained centroids as driver values
+    (every catalog query — training memoizes k×dim doubles) pass the
+    ``[(id, vec)]`` list directly: wrapping values in a DataFrame only
+    to re-collect them here costs a ~1 s execution round-trip per call
+    on the serving path.
     """
+    if isinstance(centroids, list):
+        return sorted((int(c), [float(x) for x in v]) for c, v in centroids)
     rows = centroids.limit(LITERAL_CENTROID_MAX + 1).collect()
     if len(rows) > LITERAL_CENTROID_MAX:
         return None
@@ -287,7 +297,7 @@ def ann_lsh_multiprobe_topk(
 
 def ivf_assign(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[float]]],
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     centroid_id: str = "centroid_id",
@@ -325,7 +335,7 @@ def ivf_assign(
 
 def ivf_append(
     new_vectors: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[float]]],
     index_path: str,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
@@ -349,7 +359,7 @@ def ivf_append(
 
 def ann_ivf_topk(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | list[tuple[int, list[float]]],
     queries: DataFrame,
     k: int = 5,
     nprobe: int = 2,

@@ -964,3 +964,54 @@ _sql_query(
     "screening alternative when exactness can be traded.",
     tags=("analytics", "approx"),
 )
+
+
+# --- winsorization: per-group percentile clipping (round-6 breadth) -----------
+
+_sql_query(
+    "feature_winsorize_prices",
+    """
+    WITH v AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, x,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM v
+    ),
+    b AS (
+      SELECT l_returnflag,
+             MAX(CASE WHEN rn = GREATEST(CAST(CEILING(0.05 * n) AS BIGINT), 1) THEN x END) AS lo,
+             MAX(CASE WHEN rn = GREATEST(CAST(CEILING(0.95 * n) AS BIGINT), 1) THEN x END) AS hi
+      FROM r GROUP BY l_returnflag
+    ),
+    w AS (
+      SELECT v.l_returnflag,
+             LEAST(GREATEST(v.x, b.lo), b.hi) AS xw,
+             CASE WHEN v.x < b.lo THEN 1 ELSE 0 END AS clip_lo,
+             CASE WHEN v.x > b.hi THEN 1 ELSE 0 END AS clip_hi
+      FROM v JOIN b ON v.l_returnflag = b.l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(clip_lo) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(clip_hi) AS BIGINT) AS n_clipped_hi,
+           MIN(xw) AS lo_bound,
+           MAX(xw) AS hi_bound,
+           CAST(CAST(SUM(CAST(xw AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_winsorized
+    FROM w GROUP BY l_returnflag
+    """,
+    doc="Per-group winsorization (outlier clipping) of lineitem prices at "
+    "the NEAREST-RANK p05/p95 — the feature-scaling step a training "
+    "pipeline runs on heavy-tailed numerics before normalization. "
+    "Nearest-rank (not interpolated) bounds are actual data values, so "
+    "the clipped column stays on the fixture's 2-decimal grid and the "
+    "mean goes through an exact DECIMAL sum — every output bit "
+    "reproduces in DuckDB (dialect-shared SQL). Counts of clipped rows "
+    "per side make the query double as a tail-mass monitor. The "
+    "per-group window rank is the same cost class as percentile_exact "
+    "(weak-by-design at 100 TB; approx_percentile_sketch is the "
+    "shipped sort-free alternative for the bounds).",
+    tags=("analytics", "pipeline"),
+)

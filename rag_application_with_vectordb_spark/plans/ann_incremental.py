@@ -55,7 +55,7 @@ from .ann_queries import (
     _ivf_inverted,
     _kmeans_fp_sql,
     _kmeans_fp_sql_g,
-    _trained_quantizer,
+    _trained_quantizer_vals,
 )
 from .oracle_dialect import duck_cosine
 from .registry import register
@@ -101,9 +101,10 @@ def _tail_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.filter((F.col("vec_id") % _BASE_MOD) == _BASE_REST)
 
 
-def _base_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Coarse quantizer trained on the BASE corpus only — frozen at index
-    build time; appends never retrain it (that is what
+def _base_quantizer(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """Coarse quantizer trained on the BASE corpus only, as driver values
+    ``[(id, vec)]`` (the literal-expression serving form) — frozen at
+    index build time; appends never retrain it (that is what
     ``ann_ivf_staleness_drift`` monitors)."""
     key = _inc_key(sf_dir)
     cents = _BASE_Q_CACHE.get(key)
@@ -133,9 +134,7 @@ def _base_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 except OSError:
                     pass
         _BASE_Q_CACHE[key] = cents
-    return spark.createDataFrame(
-        [(cid, cvec) for cid, cvec in cents], "centroid_id int, cvec array<double>"
-    )
+    return cents
 
 
 def _appended_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +342,7 @@ def ann_ivf_staleness_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id")
     fresh5 = ann_ivf_topk(
         emb,
-        _trained_quantizer(spark, sf_dir),
+        _trained_quantizer_vals(spark, sf_dir),
         queries,
         k=_K,
         nprobe=_NPROBE,

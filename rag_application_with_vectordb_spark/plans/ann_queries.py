@@ -365,6 +365,19 @@ def _trained_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _trained_quantizer_vals(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """The trained quantizer as driver values ``[(id, vec)]`` — the form
+    the literal-expression serving paths consume directly. Prefer this
+    over :func:`_trained_quantizer` anywhere the centroids are only
+    turned into literals: the DataFrame wrapper costs a ~1 s
+    collect round-trip per call (measured; see
+    ``operators.ann._centroids_as_literals``)."""
+    key = _ivf_key(sf_dir)
+    if key not in _QUANTIZER_CACHE:
+        _trained_quantizer(spark, sf_dir)
+    return _QUANTIZER_CACHE[key]
+
+
 def _ivf_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ann import ivf_assign
 
@@ -377,7 +390,7 @@ def _ivf_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
             inv = spark.read.parquet(path).persist()
         else:
             emb = load_table(spark, sf_dir, "embeddings")
-            inv = ivf_assign(emb, _trained_quantizer(spark, sf_dir))
+            inv = ivf_assign(emb, _trained_quantizer_vals(spark, sf_dir))
             if path:
                 # the on-disk analog of "inverted lists partitioned by
                 # centroid id": a probe becomes a partition-pruned read
@@ -440,7 +453,7 @@ def _ivf_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = _trained_quantizer(spark, sf_dir)
+    centroids = _trained_quantizer_vals(spark, sf_dir)
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
@@ -705,7 +718,7 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     def approx(emb, queries):
         return ann_ivf_topk(
             emb,
-            _trained_quantizer(spark, sf_dir),
+            _trained_quantizer_vals(spark, sf_dir),
             queries,
             k=5,
             nprobe=2,
@@ -2574,7 +2587,7 @@ def _b1m_build_index(spark: SparkSession, store: str, n: int) -> None:
         os.replace(tmp, store)
 
 
-def _b1m_serve(spark: SparkSession, store: str) -> DataFrame:
+def _b1m_serve(spark: SparkSession, store: str, qvec: list[float] | None = None) -> DataFrame:
     """Serving path, ONE Spark job: probe selection is driver-side
     arithmetic over the 64 cached centroids (no job), the scan reads
     only the probed partitions (partition pruning on centroid_id), and
@@ -2585,7 +2598,9 @@ def _b1m_serve(spark: SparkSession, store: str) -> DataFrame:
 
     with open(os.path.join(store, "meta.json")) as fh:
         meta = json.load(fh)
-    cents, qvec = meta["cents"], meta["qvec"]
+    cents = meta["cents"]
+    if qvec is None:
+        qvec = meta["qvec"]
     qn = math.sqrt(sum(x * x for x in qvec))
     sims = [
         sum(a * b for a, b in zip(qvec, c)) / (qn * math.sqrt(sum(x * x for x in c)))

@@ -64,6 +64,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "ann_ivf_staleness_drift",
     "dedup_prefix_filter_pairs_scalable",
     "stream_ingest_index_twin",
+    "feature_winsorize_prices",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "agg_distinct_orders",
     "agg_part_stats",
@@ -95,7 +96,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "scalar_datetime_orders",
     "set_nations_customers_and_suppliers",
     "set_nations_customers_only",
-    "set_union_all_keys",
     "subquery_above_avg_balance",
     "text_bpe_token_count",
     "text_fingerprints",

@@ -109,4 +109,14 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # Session bring-up includes executor-thread + shuffle-infra spin-up,
+    # which local mode otherwise defers to the FIRST job — mis-attributing
+    # ~2 s of one-time scheduler/codegen warmup to whichever query runs
+    # first (a real cluster pre-starts executors for the same reason).
+    # One tiny shuffling job pays it here, inside session construction
+    # where it belongs.
+    try:
+        spark.range(int(cpus)).repartition(2).count()
+    except Exception:
+        pass  # a failed warm-up must never fail session construction
     return tune(spark)

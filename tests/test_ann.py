@@ -281,3 +281,50 @@ def test_ann_bench1m_ivf_recall_and_speedup(spark):
         assert warm_ivf < warm_brute * 1.5, (warm_ivf, warm_brute)
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def test_bench1m_store_append_serves_without_rebuild(spark):
+    # The incremental half of the 1M demo's story (VERDICT r5 item 4):
+    # new vectors appended to the PERSISTED partitioned store via
+    # ivf_append (frozen centroids, parquet mode-append) must be servable
+    # by the unchanged partition-pruned probe path — no rebuild.
+    import json
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from rag_application_with_vectordb_spark.operators.ann import ivf_append
+    from rag_application_with_vectordb_spark.plans import ann_queries as aq
+
+    n = 50_000
+    store = aq._b1m_store() + f"_apptest{n}"
+    shutil.rmtree(store, ignore_errors=True)
+    try:
+        aq._b1m_build_index(spark, store, n)
+        idx_path = store + "/index.parquet"
+        n_before = spark.read.parquet(idx_path).count()
+        assert n_before == n
+
+        meta = json.load(open(store + "/meta.json"))
+        cents_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(meta["cents"])],
+            "centroid_id int, cvec array<double>",
+        )
+        # the "late batch": 256 new vectors from the same generator,
+        # ids beyond the built corpus
+        batch = aq._b1m_corpus(spark, meta["cents"], n + 256).filter(
+            F.col("vec_id") >= n
+        )
+        ivf_append(batch, cents_df, idx_path)
+
+        idx = spark.read.parquet(idx_path)
+        assert idx.count() == n + 256
+        # serve with an appended vector as the query: top-1 must be itself
+        probe = batch.filter(F.col("vec_id") == n).collect()[0]
+        got = aq._b1m_serve(
+            spark, store, qvec=[float(x) for x in probe["embedding"]]
+        ).collect()
+        assert got[0]["vec_id"] == n
+        assert abs(got[0]["similarity"] - 1.0) < 1e-12
+    finally:
+        shutil.rmtree(store, ignore_errors=True)
