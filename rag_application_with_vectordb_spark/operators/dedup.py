@@ -48,6 +48,7 @@ __all__ = [
     "embedding_neardup_pairs",
     "duplicated_span_coverage",
     "prefix_filter_jaccard_pairs",
+    "decontaminate",
 ]
 
 
@@ -824,4 +825,68 @@ def prefix_filter_jaccard_pairs(
     )
     return verified.filter(F.col("jaccard") >= t).select(
         "doc_a", "doc_b", "intersection", "size_a", "size_b", "jaccard"
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    word ``n``-gram with an evaluation/heldout set — the GPT-3/PaLM
+    recipe (Brown et al. 2020 App. C: 13-gram overlap; n is a knob) run
+    as a distributed join instead of a driver-side scan.
+
+    Per contaminated training doc: ``doc_id, n_grams, contam_grams,
+    contam_fraction`` where ``contam_grams`` counts gram POSITIONS whose
+    n-gram occurs anywhere in the eval set (repeats count per position —
+    the fraction is then "how much of this doc is leaked", the threshold
+    a pipeline drops or trims on). Clean docs are omitted.
+
+    Scale posture: n-grams travel as md5 hashes (32-byte keys, never
+    text); the eval side aggregates to a DISTINCT hash set (bounded by
+    the eval corpus, typically ≪ train) and the only joins are
+    hash-keyed — a left-semi-shaped hit count plus the per-doc gram
+    count. No all-pairs, no sort; the same shape as
+    :func:`duplicated_span_coverage` minus the interval union.
+    """
+    def gram_positions(docs: DataFrame) -> DataFrame:
+        d = _spread(docs, id_col)
+        toks = d.select(F.col(id_col), tokens(F.col(text_col)).alias("__w"))
+
+        def gram(i: Column) -> Column:
+            parts: list[Column] = []
+            for t in range(n):
+                if t:
+                    parts.append(F.lit(" "))
+                parts.append(F.element_at(F.col("__w"), i + t))
+            return F.concat(*parts)
+
+        grams = F.when(
+            F.size("__w") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__w") - (n - 1)),
+                lambda i: F.md5(gram(i)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return toks.select(F.col(id_col), F.explode(grams).alias("sh"))
+
+    tg = gram_positions(train)
+    eg = gram_positions(evalset).select("sh").distinct()
+    counts = tg.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    hits = (
+        tg.join(eg, "sh", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("contam_grams"))
+    )
+    return counts.join(hits, id_col).select(
+        F.col(id_col),
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("contam_grams").cast("bigint").alias("contam_grams"),
+        (F.col("contam_grams").cast("double") / F.col("n_grams").cast("double")).alias(
+            "contam_fraction"
+        ),
     )

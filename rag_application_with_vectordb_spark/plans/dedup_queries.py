@@ -768,3 +768,64 @@ def dedup_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+# --- benchmark decontamination (train/eval n-gram overlap) --------------------
+
+_DECON_N = 8
+
+
+def _decon_grams_sql(pred: str, distinct: bool = False) -> str:
+    """Word 8-gram md5 positions for docs matching ``pred`` (DuckDB)."""
+    g = " || ' ' || ".join(f"w[CAST(i + {t} AS INTEGER)]" for t in range(_DECON_N))
+    sel = "DISTINCT doc_id, sh" if False else ("DISTINCT sh" if distinct else "doc_id, sh")
+    return f"""(
+      SELECT {sel} FROM (
+        SELECT doc_id, md5({g}) AS sh
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+              FROM aug WHERE {pred}) tw,
+             LATERAL (SELECT unnest(range(1, greatest(len(w) - {_DECON_N - 2}, 1)))) s(i)
+        WHERE len(w) >= {_DECON_N}
+      )
+    )"""
+
+
+@register(
+    "decontaminate_train_docs",
+    oracle=rf"""
+    WITH aug AS ({_AUG_SQL}),
+    tg AS (SELECT * FROM {_decon_grams_sql("doc_id < 10000")}),
+    eg AS (SELECT * FROM {_decon_grams_sql("doc_id >= 10000", distinct=True)}),
+    counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS contam_grams
+      FROM tg WHERE sh IN (SELECT sh FROM eg) GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(c.n_grams AS BIGINT) AS n_grams,
+           CAST(h.contam_grams AS BIGINT) AS contam_grams,
+           CAST(h.contam_grams AS DOUBLE) / CAST(c.n_grams AS DOUBLE) AS contam_fraction
+    FROM counts c JOIN hits h USING (doc_id)
+    """,
+    doc="Benchmark decontamination (GPT-3 App. C recipe at word-8-gram "
+    "granularity): flag TRAINING docs sharing any n-gram with the EVAL "
+    "set, as a distributed hash join — n-grams travel as md5 keys, the "
+    "eval side is a distinct hash set (bounded by the eval corpus), the "
+    "hit count is a left-semi join, no all-pairs, no sort. On the "
+    "planted corpus the eval set (doc_id >= 10000: exact + near copies "
+    "of base docs 0-19) leaks exactly those 20 base docs, so the "
+    "expected output is deterministic and the fractions measure how "
+    "much of each doc leaked. At 100 TB: the standard pre-training "
+    "hygiene pass, run before every release.",
+    tags=("dedup", "text", "pipeline"),
+)
+def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import decontaminate
+
+    tune(spark)
+    aug = _augmented_docs(spark, sf_dir)
+    return decontaminate(
+        aug.filter(F.col("doc_id") < 10000),
+        aug.filter(F.col("doc_id") >= 10000),
+        n=_DECON_N,
+    )

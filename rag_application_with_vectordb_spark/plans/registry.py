@@ -65,6 +65,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "dedup_prefix_filter_pairs_scalable",
     "stream_ingest_index_twin",
     "feature_winsorize_prices",
+    "decontaminate_train_docs",
     # (c) stalest greens — only driver check was round 1; re-confirm
     "agg_distinct_orders",
     "agg_part_stats",
@@ -94,7 +95,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q5_regional_revenue",
     "rollup_supplier_balance",
     "scalar_datetime_orders",
-    "set_nations_customers_and_suppliers",
     "set_nations_customers_only",
     "subquery_above_avg_balance",
     "text_bpe_token_count",

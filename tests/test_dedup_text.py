@@ -297,3 +297,37 @@ def test_prefix_filter_per_doc_ordinal_is_equivalent(spark, sf_dir):
         }
         assert got == want
         assert len(got) > 0
+
+
+def test_decontaminate_flags_planted_leaks(spark, sf_dir):
+    # The eval split (doc_id >= 10000) contains exact + suffixed copies of
+    # base docs 0-19; decontamination must flag ALL of them, with the
+    # exact copies fully covered (every 8-gram leaked).
+    from pyspark.sql import functions as F
+
+    from rag_application_with_vectordb_spark.operators.dedup import decontaminate
+    from rag_application_with_vectordb_spark.plans.dedup_queries import (
+        _augmented_docs,
+    )
+
+    aug = _augmented_docs(spark, sf_dir)
+    out = decontaminate(
+        aug.filter(F.col("doc_id") < 10000),
+        aug.filter(F.col("doc_id") >= 10000),
+        n=8,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    planted = [d for d in range(20) if d in rows]
+    # every base doc with >= 8 tokens must be flagged, fully covered
+    n_tokens = {
+        r["doc_id"]: len(r["text"].split())
+        for r in aug.filter(F.col("doc_id") < 20).collect()
+    }
+    for d in range(20):
+        if n_tokens[d] >= 8:
+            assert d in rows, f"leaked doc {d} not flagged"
+            assert rows[d]["contam_fraction"] == 1.0  # exact copy leaks every gram
+    assert len(planted) > 0
+    # contamination is rare outside the planted leaks (word-salad corpus)
+    accidental = [d for d in rows if d >= 20]
+    assert len(accidental) < len(rows) / 2
