@@ -234,3 +234,35 @@ def test_attribution_range_frame_stays_keyed(spark, sf_dir, specs):
     plan = plan_of(specs["events_purchase_attribution"].fn(spark, sf_dir))
     assert "specifiedwindowframe(RangeFrame" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ivf_append_parity_serves_with_broadcast_probes(spark, sf_dir, specs):
+    # The appended-store serve must look exactly like ann_ivf_topk's:
+    # tiny probe side broadcast (never the corpus), partial top-k
+    # pushdown below the single query_id exchange, no nested loops.
+    plan = plan_of(specs["ann_ivf_append_parity"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # partial top-k before the shuffle
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stream_ingest_twin_stays_jvm_side(spark, sf_dir, specs):
+    # chunk -> hash-embed -> centroid argmax -> agg: pure Catalyst
+    # expressions end to end — the ingest hot path must never drop into
+    # row-at-a-time Python.
+    plan = plan_of(specs["stream_ingest_index_twin"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_is_semi_join_on_hashes(spark, sf_dir, specs):
+    # the train-gram × eval-gram match must be a hash-keyed semi join —
+    # never an all-pairs comparison of documents.
+    plan = plan_of(specs["decontaminate_train_docs"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan

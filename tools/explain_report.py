@@ -110,6 +110,33 @@ ANNOTATED = {
     "events_resample_linear": "Union of grid + events, two IGNORE-NULLS "
     "windows per user (asc/desc) recover bracketing events — no join "
     "against the raw stream; interpolation on exact integer micros.",
+    "ann_ivf_append_parity": "Serves from the APPENDED persisted store "
+    "(base build + ivf_append of the tail — existing partitions never "
+    "rewritten): probe side broadcast, WindowGroupLimit partial top-k "
+    "below the single query_id exchange; at scale the store read is a "
+    "centroid_id-partition-pruned scan.",
+    "ann_ivf_staleness_drift": "Two independent serve paths (stale "
+    "appended store vs fresh retrained index) plus the exact anchor — "
+    "recall arithmetic is three hash joins on (query_id, vec_id); both "
+    "quantizer trainings are k×dim literal expressions, never a corpus "
+    "shuffle.",
+    "dedup_prefix_filter_pairs_scalable": "The PPJoin prefix cut with NO "
+    "vocabulary-wide window: each doc ranks its postings by the joined "
+    "(df, shingle) key inside the doc_id-partitioned window — zero "
+    "SinglePartition exchanges anywhere (plan-asserted).",
+    "stream_ingest_index_twin": "chunk Generate → md5-fold embedding → "
+    "literal-centroid argmax → per-list agg, all in codegen — the exact "
+    "per-micro-batch dataflow the streaming ingest runs via ivf_append; "
+    "no Python stage, no cross join.",
+    "decontaminate_train_docs": "Train grams × eval grams as a hash-keyed "
+    "LEFT SEMI join (grams travel as md5 keys, eval side distinct-"
+    "reduced) — contamination checking at corpus scale without an "
+    "all-pairs document comparison.",
+    "feature_winsorize_prices": "Per-group rank window sizes the bounds "
+    "(same cost class as percentile_exact — the documented sort anchor; "
+    "approx_percentile_sketch is the shipped sort-free path), then one "
+    "broadcast of 3 bound rows back onto the fact for the clip + "
+    "DECIMAL-exact aggregate.",
 }
 
 
