@@ -39,6 +39,8 @@ __all__ = [
     "ann_lsh_topk",
     "ann_lsh_multiprobe_topk",
     "ivf_assign",
+    "ivf_append",
+    "ivf_compact",
     "ann_ivf_topk",
     "nearest_centroid_ids",
     "LITERAL_CENTROID_MAX",
@@ -352,9 +354,47 @@ def ivf_append(
     difference between an O(batch) ingest step and an O(corpus)
     rebuild; quantizer drift is a monitored quantity
     (``plans.ann_incremental.ann_ivf_staleness_drift``), not a rebuild
-    trigger per batch."""
+    trigger per batch. Each batch adds one file per touched partition —
+    schedule :func:`ivf_compact` when small files accumulate."""
     assigned = ivf_assign(new_vectors, centroids, corpus_id, corpus_vec)
     assigned.write.mode("append").partitionBy("centroid_id").parquet(index_path)
+
+
+def ivf_compact(spark, index_path: str) -> None:
+    """Compact a persisted IVF index in place.
+
+    Every :func:`ivf_append` batch adds one file per touched
+    ``centroid_id`` partition; after many small batches a probe scan
+    opens dozens of tiny files per list (the classic streaming-sink
+    small-files problem). Compaction rewrites the store with the rows
+    hash-clustered by list id — one task owns each list, so each
+    partition directory collapses to a single file — then swaps the
+    directory in atomically (rename-shuffle; an object-store deployment
+    would commit a new manifest instead). Contents are byte-identical
+    row-wise: serving needs no coordination beyond not starting a new
+    scan mid-swap, and results are unchanged (pytest-pinned).
+    """
+    import os
+    import shutil
+
+    tmp = index_path + f".compact{os.getpid()}"
+    bak = index_path + f".old{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        spark.read.parquet(index_path)
+        .repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(tmp)
+    )
+    os.rename(index_path, bak)
+    try:
+        os.rename(tmp, index_path)
+    except OSError:  # restore the live store if the swap fails
+        os.rename(bak, index_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(bak, ignore_errors=True)
 
 
 def ann_ivf_topk(

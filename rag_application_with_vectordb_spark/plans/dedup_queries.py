@@ -816,7 +816,11 @@ def _decon_grams_sql(pred: str, distinct: bool = False) -> str:
     "of base docs 0-19) leaks exactly those 20 base docs, so the "
     "expected output is deterministic and the fractions measure how "
     "much of each doc leaked. At 100 TB: the standard pre-training "
-    "hygiene pass, run before every release.",
+    "hygiene pass, run before every release. Complements "
+    "pipeline_ops.contamination_check (trigram shared-count flag over a "
+    "keyed-md5 90/10 split): this query measures POSITION-LEVEL leak "
+    "coverage at 8-gram granularity against a planted eval set, the "
+    "fraction a trim-vs-drop decision needs.",
     tags=("dedup", "text", "pipeline"),
 )
 def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

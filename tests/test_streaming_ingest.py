@@ -123,3 +123,53 @@ def test_stream_ingest_maintains_ivf_index(spark, tmp_path):
     ).collect()
     assert top1[0]["vec_id"] == probe_row["vec_id"]
     assert abs(top1[0]["similarity"] - 1.0) < 1e-12
+
+
+def test_ivf_compact_collapses_files_and_preserves_serving(spark, tmp_path):
+    # Many small appends -> many files per inverted list; compaction must
+    # collapse each list to one file with byte-identical contents and an
+    # unchanged serve result.
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from rag_application_with_vectordb_spark.operators.ann import (
+        ivf_append,
+        ivf_compact,
+        ivf_assign,
+    )
+
+    cents = ingest_index_centroids(spark)
+    embedder = HashEmbedder(dim=_ING_DIM)
+    idx = str(tmp_path / "idx")
+    base = spark.createDataFrame(
+        [(i, f"document number {i} about topic {i % 3} with extra words") for i in range(40)],
+        "vec_id long, text string",
+    )
+    vecs = embedder.embed_df(base, text_col="text").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    ivf_assign(vecs, cents).write.mode("overwrite").partitionBy("centroid_id").parquet(idx)
+    for lo in (40, 60, 80):  # three small append batches
+        batch = spark.createDataFrame(
+            [(i, f"late batch doc {i} arriving afterwards") for i in range(lo, lo + 20)],
+            "vec_id long, text string",
+        )
+        bvecs = embedder.embed_df(batch, text_col="text").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        ivf_append(bvecs, cents, idx)
+
+    def files_per_list():
+        parts = glob.glob(idx + "/centroid_id=*")
+        return {p.rsplit("=", 1)[1]: len(glob.glob(p + "/*.parquet")) for p in parts}
+
+    before_rows = {(r["vec_id"], r["centroid_id"]) for r in spark.read.parquet(idx).collect()}
+    assert max(files_per_list().values()) >= 2  # appends really fragmented it
+
+    ivf_compact(spark, idx)
+
+    assert max(files_per_list().values()) == 1  # one file per inverted list
+    after_rows = {(r["vec_id"], r["centroid_id"]) for r in spark.read.parquet(idx).collect()}
+    assert after_rows == before_rows
+    assert len(after_rows) == 100
