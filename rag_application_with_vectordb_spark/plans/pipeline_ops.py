@@ -889,3 +889,137 @@ def sample_negatives_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "negative_id"
         ),
     )
+
+
+# --- embedding drift monitor (round 6) ----------------------------------------
+
+_DRIFT_SCALE = 1 << 20
+
+
+@register(
+    "embedding_drift_monitor",
+    oracle=f"""
+    WITH pos AS (
+      SELECT vec_id % 2 AS half, CAST(j AS INTEGER) AS j,
+             CAST(FLOOR(CAST(embedding[CAST(j AS INTEGER)] AS DOUBLE) * {_DRIFT_SCALE}.0) AS BIGINT) AS fx
+      FROM embeddings, (SELECT unnest(range(1, 65))) t(j)
+    ),
+    m AS (
+      SELECT half, j,
+             CAST(SUM(fx) AS DOUBLE) / (COUNT(*) * {_DRIFT_SCALE}.0) AS mean_fx
+      FROM pos GROUP BY half, j
+    )
+    SELECT CAST(e.j - 1 AS INTEGER) AS component,
+           e.mean_fx AS mean_even, o.mean_fx AS mean_odd,
+           ABS(e.mean_fx - o.mean_fx) AS abs_diff
+    FROM (SELECT * FROM m WHERE half = 0) e
+    JOIN (SELECT * FROM m WHERE half = 1) o USING (j)
+    """,
+    doc="Embedding-distribution drift monitor: per-component means of two "
+    "corpus halves (vec_id parity stands in for old-batch vs new-batch) "
+    "and their absolute gap — the per-feature shift check an embedding "
+    "pipeline alarms on before ANN recall quietly degrades (the same "
+    "signal ann_ivf_staleness_drift measures at the index level, caught "
+    "earlier and 64x cheaper). Means use the kmeans fixed-point trick "
+    "(floor(x * 2^20) integer sums, one correctly-rounded fp64 division) "
+    "so a cross-partition fp64 SUM's order-dependence never flaps the "
+    "hash: every output bit reproduces in DuckDB. One scan, one 128-key "
+    "aggregate; no shuffle of vectors themselves.",
+    tags=("ann", "pipeline", "monitor"),
+)
+def embedding_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("component", "x"),
+    ).select(
+        "half",
+        "component",
+        F.floor(F.col("x") * float(_DRIFT_SCALE)).cast("long").alias("fx"),
+    )
+    m = pos.groupBy("half", "component").agg(
+        (F.sum("fx").cast("double") / (F.count("*") * float(_DRIFT_SCALE))).alias("mean_fx")
+    )
+    e = m.filter(F.col("half") == 0).select("component", F.col("mean_fx").alias("mean_even"))
+    o = m.filter(F.col("half") == 1).select("component", F.col("mean_fx").alias("mean_odd"))
+    return e.join(o, "component").select(
+        F.col("component").cast("int").alias("component"),
+        "mean_even",
+        "mean_odd",
+        F.abs(F.col("mean_even") - F.col("mean_odd")).alias("abs_diff"),
+    )
+
+
+# --- referential-integrity audit (round 6) ------------------------------------
+
+
+@register(
+    "audit_referential_integrity",
+    oracle="""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_documents,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_embeddings,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)) AS n_docs_without_embedding,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings e
+        WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)) AS n_embeddings_without_doc,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE text IS NULL OR length(trim(text)) = 0) AS n_empty_text,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings
+        WHERE len(embedding) <> 64) AS n_dim_mismatch,
+      (SELECT CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) FROM documents) AS n_dup_doc_ids,
+      (SELECT CAST(COUNT(*) - COUNT(DISTINCT vec_id) AS BIGINT) FROM embeddings) AS n_dup_vec_ids
+    """,
+    doc="Data-contract audit across the documents<->embeddings pair: row "
+    "counts, orphans on both sides (anti joins on the shared id), "
+    "empty/null text, wrong-dimension vectors, duplicate keys — one row "
+    "of BIGINTs. The pre-flight check a pipeline runs before training "
+    "or index build; at 100 TB each probe is one scan + hash anti-join, "
+    "and any nonzero cell halts the run with a named defect instead of "
+    "a silent downstream quality drop.",
+    tags=("pipeline", "monitor"),
+)
+def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE declarative plan, not a loop of driver-side count() jobs: each
+    # table aggregates once (all its per-table probes in the same pass),
+    # the two orphan checks are anti-join aggregates, and the four
+    # single-row subtrees crossJoin into the output row. One action.
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    d_stats = docs.agg(
+        F.count("*").alias("n_documents"),
+        F.sum(
+            (F.col("text").isNull() | (F.length(F.trim(F.col("text"))) == 0)).cast("long")
+        ).alias("n_empty_text"),
+        (F.count("*") - F.countDistinct("doc_id")).alias("n_dup_doc_ids"),
+    )
+    e_stats = emb.agg(
+        F.count("*").alias("n_embeddings"),
+        F.sum((F.size("embedding") != 64).cast("long")).alias("n_dim_mismatch"),
+        (F.count("*") - F.countDistinct("vec_id")).alias("n_dup_vec_ids"),
+    )
+    orphan_d = (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"], "left_anti")
+        .agg(F.count("*").alias("n_docs_without_embedding"))
+    )
+    orphan_e = (
+        emb.join(docs, emb["vec_id"] == docs["doc_id"], "left_anti")
+        .agg(F.count("*").alias("n_embeddings_without_doc"))
+    )
+    return (
+        d_stats.crossJoin(e_stats)
+        .crossJoin(orphan_d)
+        .crossJoin(orphan_e)
+        .select(
+            "n_documents",
+            "n_embeddings",
+            "n_docs_without_embedding",
+            "n_embeddings_without_doc",
+            "n_empty_text",
+            "n_dim_mismatch",
+            "n_dup_doc_ids",
+            "n_dup_vec_ids",
+        )
+    )
