@@ -55,6 +55,7 @@ from .ann_queries import (
     _ivf_inverted,
     _kmeans_fp_sql,
     _kmeans_fp_sql_g,
+    _publish_meta,
     _trained_quantizer_vals,
 )
 from .oracle_dialect import duck_cosine
@@ -131,6 +132,7 @@ def _base_quantizer(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[fl
                     with open(tmp, "w") as f:
                         json.dump(cents, f)
                     os.replace(tmp, path)
+                    _publish_meta(d, sf_dir, kind="append")
                 except OSError:
                     pass
         _BASE_Q_CACHE[key] = cents
@@ -166,6 +168,10 @@ def _appended_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
             # index exists and is appended, not rebuilt
             ivf_append(_tail_embeddings(spark, sf_dir), cents, tmp)
             os.replace(tmp, path)
+            # meta-keyed GC: superseded append-store generations for this
+            # fixture are pruned; kind="append" keeps this family's
+            # publishes from ever deleting the main trained-IVF store
+            _publish_meta(d, sf_dir, kind="append")
         except Exception:
             shutil.rmtree(tmp, ignore_errors=True)
             inv = ivf_assign(load_table(spark, sf_dir, "embeddings"), cents).persist()

@@ -285,7 +285,7 @@ def _ivf_disk_dir(sf_dir: str) -> str | None:
     return os.path.join(_IVF_STORE, hashlib.md5(tag.encode()).hexdigest()[:16])
 
 
-def _prune_stale_index_dirs(sf_dir: str, keep: str) -> None:
+def _prune_stale_index_dirs(sf_dir: str, keep: str, kind: str = "ivf") -> None:
     """GC superseded index generations for this fixture dir.
 
     Every fixture regeneration changes mtime+size → a new hash dir; the
@@ -296,7 +296,13 @@ def _prune_stale_index_dirs(sf_dir: str, keep: str) -> None:
     may be a DIFFERENT sf_dir's live index (treating them as stale once
     cost a bench cold pass a full sf0.1 retrain); every dir published
     since the meta scheme carries one, so the no-meta population can
-    only shrink."""
+    only shrink.
+
+    ``kind`` namespaces co-existing index FAMILIES for one fixture (the
+    main trained IVF store vs the incremental append store,
+    ``plans.ann_incremental``): pruning only same-kind siblings keeps
+    one publish from deleting the other family's live index. Metas
+    written before the field default to "ivf"."""
     import json
     import shutil
 
@@ -311,22 +317,22 @@ def _prune_stale_index_dirs(sf_dir: str, keep: str) -> None:
             continue
         try:
             with open(os.path.join(d, "meta.json")) as f:
-                owner = json.load(f).get("sf_dir")
+                meta = json.load(f)
         except Exception:
             continue  # no/unreadable meta: could be another sf_dir's index
-        if owner == target:
+        if meta.get("sf_dir") == target and meta.get("kind", "ivf") == kind:
             shutil.rmtree(d, ignore_errors=True)
 
 
-def _publish_meta(d: str, sf_dir: str) -> None:
+def _publish_meta(d: str, sf_dir: str, kind: str = "ivf") -> None:
     import json
 
     try:
         with open(os.path.join(d, "meta.json"), "w") as f:
-            json.dump({"sf_dir": os.path.abspath(sf_dir)}, f)
+            json.dump({"sf_dir": os.path.abspath(sf_dir), "kind": kind}, f)
     except OSError:
         pass
-    _prune_stale_index_dirs(sf_dir, keep=d)
+    _prune_stale_index_dirs(sf_dir, keep=d, kind=kind)
 
 
 def _trained_quantizer(spark: SparkSession, sf_dir: str) -> DataFrame:
