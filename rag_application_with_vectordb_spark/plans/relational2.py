@@ -879,3 +879,78 @@ def approx_distinct_kmv_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__n_est_direct").alias("exact_customers"),
         )
     )
+
+
+# --- winsorization via the sampled bounds (sort-free scale path) --------------
+
+
+def _winsorize_sketch_sql(unit_u: str) -> str:
+    """Winsorization whose p05/p95 clip bounds come from the SAME
+    deterministic 25 % hash sample as ``approx_percentile_sketch`` — the
+    sort-free pairing for ``feature_winsorize_prices`` (the exact
+    nearest-rank anchor whose per-group full sort is the 100 TB cost).
+    Only the sample pays the rank window; the clip + aggregate over the
+    full fact is map-side. Nearest-rank bounds are actual sample values,
+    so clipped prices stay on the 2-decimal grid and the mean's DECIMAL
+    sum is exact — the whole estimate hash-matches cross-engine."""
+    return f"""
+    WITH v AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x,
+             {unit_u} AS u0
+      FROM lineitem
+    ),
+    r AS (
+      SELECT l_returnflag, x,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY x) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM v WHERE u0 < 0.25
+    ),
+    b AS (
+      SELECT l_returnflag,
+             MAX(CASE WHEN rn = GREATEST(CAST(CEILING(0.05 * n) AS BIGINT), 1) THEN x END) AS lo,
+             MAX(CASE WHEN rn = GREATEST(CAST(CEILING(0.95 * n) AS BIGINT), 1) THEN x END) AS hi
+      FROM r GROUP BY l_returnflag
+    ),
+    w AS (
+      SELECT v.l_returnflag,
+             LEAST(GREATEST(v.x, b.lo), b.hi) AS xw,
+             CASE WHEN v.x < b.lo THEN 1 ELSE 0 END AS clip_lo,
+             CASE WHEN v.x > b.hi THEN 1 ELSE 0 END AS clip_hi
+      FROM v JOIN b ON v.l_returnflag = b.l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(clip_lo) AS BIGINT) AS n_clipped_lo,
+           CAST(SUM(clip_hi) AS BIGINT) AS n_clipped_hi,
+           MIN(xw) AS lo_bound,
+           MAX(xw) AS hi_bound,
+           CAST(CAST(SUM(CAST(xw AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_winsorized
+    FROM w GROUP BY l_returnflag
+    """
+
+
+@register(
+    "feature_winsorize_prices_approx",
+    oracle=_winsorize_sketch_sql(
+        duck_hex13_to_long(f"md5({_PCT_ROWKEY.format(V='VARCHAR')})")
+        + " / 4503599627370496.0"
+    ),
+    doc="feature_winsorize_prices with SAMPLED clip bounds: p05/p95 come "
+    "from the deterministic 25% md5-hash sample (the "
+    "approx_percentile_sketch machinery), so only the sample pays the "
+    "per-group rank sort and the full-fact pass is clip + aggregate "
+    "only — the winsorization a 100 TB pipeline actually runs, paired "
+    "with the exact variant as its accuracy anchor (same output "
+    "schema, directly diffable). Nearest-rank sample bounds are real "
+    "data values, keeping the DECIMAL mean exact; the estimate itself "
+    "hash-matches DuckDB.",
+    tags=("analytics", "pipeline", "approx"),
+)
+def feature_winsorize_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ["lineitem"])
+    u = (
+        f"conv(substring(md5({_PCT_ROWKEY.format(V='STRING')}), 1, 13), 16, 10)"
+        " / 4503599627370496.0"
+    )
+    return spark.sql(_winsorize_sketch_sql(u))
