@@ -833,3 +833,116 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         aug.filter(F.col("doc_id") >= 10000),
         n=_DECON_N,
     )
+
+
+# --- composed curation funnel (round 6) ---------------------------------------
+
+_FUNNEL_MIN_TOKENS = 10
+_FUNNEL_NEAR_T = 0.6
+
+
+@register(
+    "curation_funnel",
+    oracle=rf"""
+    WITH aug AS ({_AUG_SQL}),
+    tok AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM aug
+    ),
+    s1 AS (SELECT * FROM tok WHERE n_tokens >= {_FUNNEL_MIN_TOKENS}),
+    fp AS (
+      SELECT doc_id, n_tokens,
+             md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      FROM s1
+    ),
+    s2 AS (
+      SELECT f.doc_id, f.n_tokens FROM fp f
+      JOIN (SELECT fingerprint, min(doc_id) AS canonical_id FROM fp GROUP BY 1) g
+        ON f.fingerprint = g.fingerprint AND f.doc_id = g.canonical_id
+    ),
+    sets AS (
+      SELECT t.doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+      FROM (SELECT s2.doc_id, regexp_split_to_array(trim(a.text), '\s+') AS w
+            FROM s2 JOIN aug a USING (doc_id)) t(doc_id, w)
+      WHERE len(w) >= 3
+    ),
+    posting AS (SELECT doc_id, unnest(shingles) AS shingle FROM sets),
+    sizes AS (SELECT doc_id, len(shingles) AS set_size FROM sets),
+    near AS (
+      SELECT b.doc_id
+      FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM posting a JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) p
+      JOIN sizes sa ON sa.doc_id = p.doc_a
+      JOIN sizes sb ON sb.doc_id = p.doc_b
+      JOIN s2 b ON b.doc_id = p.doc_b
+      WHERE CAST(p.i AS DOUBLE) / CAST(sa.set_size + sb.set_size - p.i AS DOUBLE)
+            >= {_FUNNEL_NEAR_T}
+      GROUP BY 1
+    ),
+    s3 AS (SELECT * FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM near))
+    SELECT * FROM (
+      SELECT 0 AS stage_no, 'raw' AS stage,
+             CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM tok
+      UNION ALL
+      SELECT 1, 'quality_min_tokens', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT) FROM s1
+      UNION ALL
+      SELECT 2, 'exact_dedup_canonical', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT) FROM s2
+      UNION ALL
+      SELECT 3, 'near_dedup_jaccard', CAST(COUNT(*) AS BIGINT), CAST(SUM(n_tokens) AS BIGINT) FROM s3
+    )
+    """,
+    doc="The COMPOSED curation funnel — the individual dedup/quality "
+    "operators chained the way a pre-training pipeline actually runs "
+    "them, with per-stage retention (docs + tokens): raw -> min-token "
+    "quality gate -> exact-dedup keep-canonical (md5 fingerprint, min "
+    "id) -> near-dedup drop (inverted-index Jaccard >= 0.6, higher id "
+    "of each pair dropped). On the planted corpus the stages peel off "
+    "exactly the 20 exact copies then the 20 near copies, so the funnel "
+    "numbers are deterministic and every stage's intermediate is the "
+    "SAME relation the standalone queries check. At 100 TB each stage "
+    "is one already-audited plan shape; the funnel is what the dataset "
+    "card reports per release.",
+    tags=("dedup", "pipeline", "text"),
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import token_count
+
+    tune(spark)
+    aug = _augmented_docs(spark, sf_dir)
+    tok = aug.select(
+        "doc_id", "text", token_count(F.col("text")).cast("bigint").alias("n_tokens")
+    )
+    s1 = tok.filter(F.col("n_tokens") >= _FUNNEL_MIN_TOKENS)
+    canon = (
+        exact_dup_groups(s1)
+        .filter(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    s2 = s1.join(canon, "doc_id")
+    near_drop = (
+        ngram_jaccard_pairs(s2, min_jaccard=_FUNNEL_NEAR_T)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    s3 = s2.join(near_drop, "doc_id", "left_anti")
+
+    def stage(no: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+
+    return (
+        stage(0, "raw", tok)
+        .unionByName(stage(1, "quality_min_tokens", s1))
+        .unionByName(stage(2, "exact_dedup_canonical", s2))
+        .unionByName(stage(3, "near_dedup_jaccard", s3))
+    )
