@@ -106,6 +106,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "window_balance_rank",
     # window_running_spend is the 51st stalest green — left out: the
     # window is 50 wide and that query runs (rows-only) in every bench.
+    # Registered AFTER this window froze (judge-checked locally, all
+    # green at sf0.001/0.01/0.1) — these lead the round-7 rotation:
+    # embedding_drift_monitor, audit_referential_integrity,
+    # feature_winsorize_prices_approx, curation_funnel.
 )
 
 
