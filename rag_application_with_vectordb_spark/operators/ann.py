@@ -52,6 +52,27 @@ __all__ = [
 LITERAL_CENTROID_MAX = 256
 
 
+def _lit_doubles(vals: list[float]) -> Column:
+    """Constant ``array<double>`` as ONE py4j call.
+
+    ``F.lit(list)`` expands to one ``lit`` py4j round-trip PER ELEMENT
+    (pyspark builds ``array(*map(lit, ...))``), which at 8x64 matrices
+    costs ~0.3 s of driver time per expression build. A single
+    ``F.expr`` with repr'd double literals is one call and one parse;
+    ``repr`` round-trips every finite double exactly through Java's
+    correctly-rounded parser, so values are bit-identical."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
+def _lit_double_matrix(mat: list[list[float]]) -> Column:
+    """Constant ``array<array<double>>`` as ONE py4j call (see
+    :func:`_lit_doubles`)."""
+    rows = ",".join(
+        "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")" for row in mat
+    )
+    return F.expr(f"array({rows})")
+
+
 def _centroids_as_literals(
     centroids: DataFrame | list[tuple[int, list[float]]],
     centroid_id: str = "centroid_id",
@@ -112,7 +133,8 @@ def nearest_centroid_ids(
     mat = [[float(x) for x in cvec] for _, cvec in cents]
     norms = [math.sqrt(sum(x * x for x in cvec)) for cvec in mat]
     ids = [int(cid) for cid, _ in cents]
-    cmat, cnorms, cids = F.lit(mat), F.lit(norms), F.lit(ids)
+    cmat, cnorms = _lit_double_matrix(mat), _lit_doubles(norms)
+    cids = F.expr("array(" + ",".join(f"{int(i)}L" for i in ids) + ")")
 
     def sim(i: Column) -> Column:
         nc = F.element_at(cnorms, i + 1)
@@ -156,9 +178,11 @@ def hyperplane(p: int | Column, dim: int, seed: str = "plane") -> Column:
     symbolic ``p``.
     """
     if isinstance(p, int):
-        return F.array(
-            *[F.lit(_fold_unit_py(f"{seed}|{p}|{j}")) for j in range(int(dim))]
-        )
+        # ONE array Literal node (a single py4j call), not dim expanded
+        # F.lit()s: per-component literals cost ~dim py4j round-trips per
+        # plane at build time and dim AST nodes per re-analysis — the
+        # same lesson as nearest_centroid_ids' single-Literal matrix.
+        return _lit_doubles([_fold_unit_py(f"{seed}|{p}|{j}") for j in range(int(dim))])
     return F.transform(
         F.sequence(F.lit(0), F.lit(int(dim) - 1)),
         lambda j: _fold_unit(
@@ -183,11 +207,23 @@ def hyperplane_buckets(
     partitioned by bucket so a probe is a partition-pruned scan.
     """
     v = as_double(F.col(vec_col))
-    bucket = None
-    for p in range(n_planes):
-        bit = F.when(dot(v, hyperplane(p, dim, seed)) >= 0.0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return df.withColumn(out_col, bucket.cast("long"))
+    # The whole plane matrix enters as ONE nested-array Literal iterated
+    # by a transform HOF (the nearest_centroid_ids move): a per-plane
+    # expression loop costs ~n_planes x dim py4j round-trips per CALL at
+    # build time (~0.5 s/query measured at 8x64) for the identical
+    # per-row work. Fold order inside each dot is unchanged, so bucket
+    # ids are bit-identical to the unrolled form.
+    mat = _lit_double_matrix([[_fold_unit_py(f"{seed}|{p}|{j}") for j in range(int(dim))] for p in range(int(n_planes))])
+    powers = F.expr("array(" + ",".join(f"{1 << p}L" for p in range(int(n_planes))) + ")")
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(int(n_planes) - 1)),
+        lambda p: F.when(
+            dot(v, F.element_at(mat, p + 1)) >= 0.0,
+            F.element_at(powers, p + 1).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    bucket = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return df.withColumn(out_col, bucket)
 
 
 def ann_lsh_topk(
@@ -243,21 +279,38 @@ def multiprobe_buckets(
     Output: one row per (input row, probe), ``out_col`` = probe bucket id.
     """
     v = as_double(F.col(vec_col))
-    dots = [dot(v, hyperplane(p, dim, seed)) for p in range(n_planes)]
-    base = None
-    for p, d in enumerate(dots):
-        bit = F.when(d >= 0.0, F.lit(1 << p)).otherwise(F.lit(0))
-        base = bit if base is None else base + bit
+    # single-Literal plane matrix, as in hyperplane_buckets (identical
+    # fold order -> identical dots/margins/buckets)
+    mat = _lit_double_matrix([[_fold_unit_py(f"{seed}|{p}|{j}") for j in range(int(dim))] for p in range(int(n_planes))])
+    powers = F.expr("array(" + ",".join(f"{1 << p}L" for p in range(int(n_planes))) + ")")
+    seq = F.sequence(F.lit(0), F.lit(int(n_planes) - 1))
+    dots_arr = F.transform(seq, lambda p: dot(v, F.element_at(mat, p + 1)))
+    base = F.aggregate(
+        F.transform(
+            seq,
+            lambda p: F.when(
+                F.element_at(dots_arr, p + 1) >= 0.0,
+                F.element_at(powers, p + 1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     # rank planes by |margin| asc, deterministic plane-index tiebreak
     margins = F.array_sort(
-        F.array(*[F.struct(F.abs(d).alias("m"), F.lit(p).alias("p")) for p, d in enumerate(dots)])
+        F.transform(
+            seq,
+            lambda p: F.struct(
+                F.abs(F.element_at(dots_arr, p + 1)).alias("m"), p.alias("p")
+            ),
+        )
     )
     flips = F.transform(
         F.slice(margins, 1, int(n_extra_probes)),
         # pow→long is exact for p < 53; shiftleft needs a literal bit count
         lambda s: base.bitwiseXOR(F.pow(F.lit(2.0), s["p"]).cast("long")).cast("long"),
     )
-    probes = F.concat(F.array(base.cast("long")), flips)
+    probes = F.concat(F.array(base), flips)
     return df.withColumn(out_col, F.explode(probes))
 
 
