@@ -40,7 +40,38 @@ __all__ = [
     "l2_dist",
     "cosine_sim",
     "cosine_sim_prenormed",
+    "lit_doubles",
+    "lit_double_matrix",
+    "lit_longs",
 ]
+
+
+def lit_doubles(vals: Iterable[float]) -> Column:
+    """Constant ``array<double>`` as ONE py4j call.
+
+    ``F.lit(list)`` / ``F.array(*map(F.lit, ...))`` cost one py4j
+    round-trip PER ELEMENT — ~0.3-0.5 s of driver time per expression
+    build for an 8x64 matrix, paid on EVERY query construction. A single
+    ``F.expr`` with repr'd double literals is one call + one parse;
+    ``repr`` round-trips every finite double exactly through Java's
+    correctly-rounded parser, so values are bit-identical (oracle
+    hash-matches across the ANN family prove it).
+    """
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
+def lit_double_matrix(mat: Iterable[Iterable[float]]) -> Column:
+    """Constant ``array<array<double>>`` as ONE py4j call (see
+    :func:`lit_doubles`)."""
+    rows = ",".join(
+        "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")" for row in mat
+    )
+    return F.expr(f"array({rows})")
+
+
+def lit_longs(vals: Iterable[int]) -> Column:
+    """Constant ``array<bigint>`` as ONE py4j call."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
 
 
 def vec_lit(values: Iterable[float]) -> Column:
@@ -50,7 +81,7 @@ def vec_lit(values: Iterable[float]) -> Column:
     broadcast scalar. (Reference: one query vector at a time,
     ``App.tsx:190``.)
     """
-    return F.array(*[F.lit(float(v)).cast("double") for v in values])
+    return lit_doubles(values)
 
 
 def as_double(vec: Column | str) -> Column:

@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_sim, dot, as_double
+from ..functions.vector import as_double, cosine_sim, dot, lit_double_matrix, lit_doubles, lit_longs
 
 __all__ = [
     "hyperplane",
@@ -50,27 +50,6 @@ __all__ = [
 #: (the generated expression would be enormous) and the broadcast
 #: crossJoin + window path takes over.
 LITERAL_CENTROID_MAX = 256
-
-
-def _lit_doubles(vals: list[float]) -> Column:
-    """Constant ``array<double>`` as ONE py4j call.
-
-    ``F.lit(list)`` expands to one ``lit`` py4j round-trip PER ELEMENT
-    (pyspark builds ``array(*map(lit, ...))``), which at 8x64 matrices
-    costs ~0.3 s of driver time per expression build. A single
-    ``F.expr`` with repr'd double literals is one call and one parse;
-    ``repr`` round-trips every finite double exactly through Java's
-    correctly-rounded parser, so values are bit-identical."""
-    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
-
-
-def _lit_double_matrix(mat: list[list[float]]) -> Column:
-    """Constant ``array<array<double>>`` as ONE py4j call (see
-    :func:`_lit_doubles`)."""
-    rows = ",".join(
-        "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")" for row in mat
-    )
-    return F.expr(f"array({rows})")
 
 
 def _centroids_as_literals(
@@ -133,8 +112,7 @@ def nearest_centroid_ids(
     mat = [[float(x) for x in cvec] for _, cvec in cents]
     norms = [math.sqrt(sum(x * x for x in cvec)) for cvec in mat]
     ids = [int(cid) for cid, _ in cents]
-    cmat, cnorms = _lit_double_matrix(mat), _lit_doubles(norms)
-    cids = F.expr("array(" + ",".join(f"{int(i)}L" for i in ids) + ")")
+    cmat, cnorms, cids = lit_double_matrix(mat), lit_doubles(norms), lit_longs(ids)
 
     def sim(i: Column) -> Column:
         nc = F.element_at(cnorms, i + 1)
@@ -182,7 +160,7 @@ def hyperplane(p: int | Column, dim: int, seed: str = "plane") -> Column:
         # F.lit()s: per-component literals cost ~dim py4j round-trips per
         # plane at build time and dim AST nodes per re-analysis — the
         # same lesson as nearest_centroid_ids' single-Literal matrix.
-        return _lit_doubles([_fold_unit_py(f"{seed}|{p}|{j}") for j in range(int(dim))])
+        return lit_doubles([_fold_unit_py(f"{seed}|{p}|{j}") for j in range(int(dim))])
     return F.transform(
         F.sequence(F.lit(0), F.lit(int(dim) - 1)),
         lambda j: _fold_unit(
@@ -213,8 +191,8 @@ def hyperplane_buckets(
     # build time (~0.5 s/query measured at 8x64) for the identical
     # per-row work. Fold order inside each dot is unchanged, so bucket
     # ids are bit-identical to the unrolled form.
-    mat = _lit_double_matrix([[_fold_unit_py(f"{seed}|{p}|{j}") for j in range(int(dim))] for p in range(int(n_planes))])
-    powers = F.expr("array(" + ",".join(f"{1 << p}L" for p in range(int(n_planes))) + ")")
+    mat = lit_double_matrix([[_fold_unit_py(f"{seed}|{p}|{j}") for j in range(int(dim))] for p in range(int(n_planes))])
+    powers = lit_longs([1 << p for p in range(int(n_planes))])
     bits = F.transform(
         F.sequence(F.lit(0), F.lit(int(n_planes) - 1)),
         lambda p: F.when(
@@ -281,8 +259,8 @@ def multiprobe_buckets(
     v = as_double(F.col(vec_col))
     # single-Literal plane matrix, as in hyperplane_buckets (identical
     # fold order -> identical dots/margins/buckets)
-    mat = _lit_double_matrix([[_fold_unit_py(f"{seed}|{p}|{j}") for j in range(int(dim))] for p in range(int(n_planes))])
-    powers = F.expr("array(" + ",".join(f"{1 << p}L" for p in range(int(n_planes))) + ")")
+    mat = lit_double_matrix([[_fold_unit_py(f"{seed}|{p}|{j}") for j in range(int(dim))] for p in range(int(n_planes))])
+    powers = lit_longs([1 << p for p in range(int(n_planes))])
     seq = F.sequence(F.lit(0), F.lit(int(n_planes) - 1))
     dots_arr = F.transform(seq, lambda p: dot(v, F.element_at(mat, p + 1)))
     base = F.aggregate(

@@ -330,7 +330,9 @@ def nearest_centroid_ids_l2(
     DuckDB as ``list_dot_product(diff, diff)``."""
     mat = [[float(x) for x in cvec] for _, cvec in cents]
     ids = [int(cid) for cid, _ in cents]
-    cmat, cids = F.lit(mat), F.lit(ids)
+    from ..functions.vector import lit_double_matrix, lit_longs
+
+    cmat, cids = lit_double_matrix(mat), lit_longs(ids)
 
     def dist(i):
         diff = F.zip_with(vd, F.element_at(cmat, i + 1), lambda x, y: x - y)

@@ -114,12 +114,18 @@ def pq_codebook_trained(
 
 
 def _codebook_lit(codebook: list[list[list[float]]]) -> Column:
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in sub])
-            for sub in codebook
-        ]
+    # one py4j call for the whole m x k x sub constant (see
+    # functions.vector.lit_doubles for why per-element F.lit is ~100x
+    # costlier at build time; values are bit-identical)
+    subs = ",".join(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in cw) + ")" for cw in sub
+        )
+        + ")"
+        for sub in codebook
     )
+    return F.expr(f"array({subs})")
 
 
 def pq_encode(
@@ -140,8 +146,12 @@ def pq_encode(
     codes = []
     for s in range(m):
         sv = F.slice(v, s * sub + 1, sub)
-        dots = F.array(
-            *[dot(sv, F.array(*[F.lit(float(x)) for x in cw])) for cw in codebook[s]]
+        from ..functions.vector import lit_double_matrix
+
+        cws = lit_double_matrix(codebook[s])
+        dots = F.transform(
+            F.sequence(F.lit(0), F.lit(len(codebook[s]) - 1)),
+            lambda c: dot(sv, F.element_at(cws, c + 1)),
         )
         # 1-based position of the max → 0-based code; array_position takes
         # the FIRST max, giving the deterministic smallest-code tiebreak
@@ -319,9 +329,9 @@ def ann_ivfadc_topk(
         raise ValueError(
             f"ann_ivfadc_topk requires contiguous 0-based centroid ids, got {ids[:10]}..."
         )
-    cents_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in cvec]) for _, cvec in cents]
-    )
+    from ..functions.vector import lit_double_matrix
+
+    cents_lit = lit_double_matrix([cvec for _, cvec in cents])
     qv = as_double(F.col(query_vec))
     qpre = queries.select(query_id, query_vec, qv.alias("__vd")).withColumn(
         "__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd")))

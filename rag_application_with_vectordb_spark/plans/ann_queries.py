@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..embedder import hash_embedding_expr
-from ..functions.vector import as_double, cosine_sim, cosine_sim_prenormed, dot, l2_norm
+from ..functions.vector import as_double, cosine_sim, cosine_sim_prenormed, dot, l2_norm, lit_double_matrix, lit_doubles
 from ..operators.ann import ann_ivf_topk, ann_lsh_multiprobe_topk, ann_lsh_topk
 from ..operators.chunker import chunk_documents
 from ..session import tune
@@ -2544,7 +2544,7 @@ def _b1m_corpus(spark: SparkSession, cents: list[list[float]], n: int) -> DataFr
         lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(2000)) - 1000).cast("double") / 1000.0,
     )
     emb = F.zip_with(
-        F.element_at(F.lit(cents), cl + 1),
+        F.element_at(lit_double_matrix(cents), cl + 1),
         noise,
         lambda a, b: a + F.lit(float(_B1M_NOISE)) * b,
     )
@@ -2614,7 +2614,7 @@ def _b1m_serve(spark: SparkSession, store: str, qvec: list[float] | None = None)
     ]
     probes = sorted(range(len(cents)), key=lambda i: (-sims[i], i))[:_B1M_NPROBE]
     idx = spark.read.parquet(os.path.join(store, "index.parquet"))
-    qlit = F.lit([float(x) for x in qvec])
+    qlit = lit_doubles([float(x) for x in qvec])
     return (
         idx.filter(F.col("centroid_id").isin(probes))
         .select(
