@@ -202,10 +202,15 @@ def minhash_lsh_pairs(
         F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"__m{j}")
         for j in range(int(num_hashes))
     ]
+    # Persist the signature relation too: it is the dedup pipeline's
+    # INDEX ARTIFACT (one num_hashes-array row per doc — at 100 TB it is
+    # written to a table once and every banding/verification pass reads
+    # it), and per-process the plan-cache hit means repeated calls skip
+    # the O(postings x hashes) md5 aggregation entirely.
     sigs = posting.groupBy(id_col).agg(*mins).select(
         F.col(id_col),
         F.array(*[F.col(f"__m{j}") for j in range(int(num_hashes))]).alias("signature"),
-    )
+    ).persist()
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.md5(F.array_join(F.slice(F.col("signature"), b * rows + 1, rows), ",")),

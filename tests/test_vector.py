@@ -94,3 +94,34 @@ def test_cosine_properties(spark_session_holder, a, b):
 @pytest.fixture(scope="session")
 def spark_session_holder(spark):
     return spark
+
+
+def test_lit_doubles_bit_identical_to_per_element_lits(spark):
+    # lit_doubles builds the constant via repr'd SQL literals (one py4j
+    # call); every finite double must round-trip bit-exactly vs the
+    # per-element F.lit form — including negative zero, denormals,
+    # huge/tiny magnitudes, and values with no short decimal form.
+    import math
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from rag_application_with_vectordb_spark.functions.vector import (
+        lit_double_matrix,
+        lit_doubles,
+    )
+
+    tricky = [
+        0.0, -0.0, 1.0, -1.0, 0.1, 2.0 / 3.0, math.pi, -math.e,
+        1e-300, -1e300, 5e-324, 1.7976931348623157e308,
+        4503599627370496.0, 1 / (1 << 52), -0.9999999999999999,
+    ]
+    row = spark.range(1).select(
+        lit_doubles(tricky).alias("a"),
+        F.array(*[F.lit(float(v)) for v in tricky]).alias("b"),
+        lit_double_matrix([tricky, tricky[::-1]]).alias("m"),
+    ).first()
+    bits = lambda x: struct.pack("<d", x)
+    assert [bits(x) for x in row["a"]] == [bits(x) for x in row["b"]]
+    assert [bits(x) for x in row["a"]] == [bits(v) for v in tricky]
+    assert [bits(x) for x in row["m"][1]] == [bits(v) for v in tricky[::-1]]
