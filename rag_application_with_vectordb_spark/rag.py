@@ -92,6 +92,28 @@ class VectorStore:
         else:
             self._mem = prepped if self._mem is None else self._mem.unionByName(prepped)
 
+    def merge_add(self, chunks: DataFrame) -> None:
+        """Idempotent :meth:`add`: MERGE-on-id semantics without a Delta/
+        Iceberg runtime — rows whose ``id`` already exists in the store
+        are dropped before the append, so replaying a batch (stream
+        restart after a lost checkpoint commit, a retried job) cannot
+        duplicate chunks. The engine's hash chunk ids
+        (``xxhash64(doc_id, chunk_id)``) make the key stable across
+        retries, which is exactly what makes this merge well-defined.
+
+        Cost: one column-pruned read of the store's ``id`` column + a
+        hash anti-join per batch. At 100 TB you'd keep the id set in a
+        bloom filter or use a real MERGE-capable table format; the
+        semantics here are identical, and the append-only fast path
+        (:meth:`add`) remains for sources that guarantee uniqueness.
+        """
+        if self.is_ready():
+            existing = self.df().select("id")
+            chunks = chunks.join(
+                existing, chunks["id"] == existing["id"], "left_anti"
+            )
+        self.add(chunks)
+
     # S4 — reset(), vectorDb.ts:54-56
     def reset(self) -> None:
         self._mem = None

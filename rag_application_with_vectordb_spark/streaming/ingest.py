@@ -37,6 +37,7 @@ def stream_ingest_documents(
     checkpoint: str | None = None,
     index_centroids: DataFrame | None = None,
     index_path: str | None = None,
+    idempotent: bool = False,
 ):
     """Watch ``path`` for text files; chunk+embed+append each micro-batch.
 
@@ -50,6 +51,13 @@ def stream_ingest_documents(
     parse → chunk → embed → add, incrementally searchable) as one
     streaming dataflow; ``plans.streaming_twins.stream_ingest_index_twin``
     is the oracle-checked batch twin of the chunk→embed→assign stages.
+
+    ``idempotent=True`` routes store appends through
+    :meth:`..rag.VectorStore.merge_add` (anti-join on the stable hash
+    chunk id before the append), so a replayed micro-batch — restart
+    after a lost checkpoint commit, a retried job — cannot duplicate
+    chunks: exactly-once store contents from an at-least-once source,
+    without a MERGE-capable table format.
 
     Returns the started StreamingQuery (caller stops it / awaits). Uses
     the text file source (one row per file via ``wholetext``) so the
@@ -95,7 +103,7 @@ def stream_ingest_documents(
         embedded = embedder.embed_df(with_id, text_col="text")
         if index_centroids is not None:
             embedded = embedded.persist()  # one embed pass feeds both sinks
-        store.add(embedded)
+        (store.merge_add if idempotent else store.add)(embedded)
         if index_centroids is not None:
             from ..operators.ann import ivf_append
 

@@ -173,3 +173,49 @@ def test_ivf_compact_collapses_files_and_preserves_serving(spark, tmp_path):
     after_rows = {(r["vec_id"], r["centroid_id"]) for r in spark.read.parquet(idx).collect()}
     assert after_rows == before_rows
     assert len(after_rows) == 100
+
+
+def test_idempotent_ingest_survives_checkpoint_loss(spark, tmp_path):
+    # The at-least-once failure mode: the checkpoint is lost, the stream
+    # restarts, and every file is redelivered. merge_add's anti-join on
+    # the stable hash chunk id must keep the store byte-identical;
+    # the plain append path duplicates (shown as the contrast).
+    import shutil
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "a.txt").write_text("replayed document about exactly once sinks " * 30)
+    (incoming / "b.txt").write_text("second document with different content words " * 30)
+
+    def run(store, checkpoint, idempotent):
+        q = stream_ingest_documents(
+            spark,
+            str(incoming),
+            store,
+            embedder=HashEmbedder(dim=_ING_DIM),
+            chunk_size=200,
+            overlap=40,
+            checkpoint=str(checkpoint),
+            idempotent=idempotent,
+        )
+        q.awaitTermination()
+
+    # idempotent path: replay-after-checkpoint-loss changes nothing
+    store = VectorStore(spark, str(tmp_path / "store"))
+    ck = tmp_path / "ck"
+    run(store, ck, idempotent=True)
+    first = sorted(r["id"] for r in store.df().select("id").collect())
+    assert len(first) == len(set(first)) > 0
+    shutil.rmtree(ck)  # lose the source's processed-files log
+    run(store, ck, idempotent=True)  # full redelivery
+    replay = sorted(r["id"] for r in store.df().select("id").collect())
+    assert replay == first
+
+    # contrast: the append-only fast path duplicates on the same replay
+    store2 = VectorStore(spark, str(tmp_path / "store2"))
+    ck2 = tmp_path / "ck2"
+    run(store2, ck2, idempotent=False)
+    n1 = store2.df().count()
+    shutil.rmtree(ck2)
+    run(store2, ck2, idempotent=False)
+    assert store2.df().count() == 2 * n1
