@@ -1015,3 +1015,42 @@ _sql_query(
     "shipped sort-free alternative for the bounds).",
     tags=("analytics", "pipeline"),
 )
+
+
+# --- rolling z-score anomaly screen (round 6) ---------------------------------
+
+_sql_query(
+    "events_anomaly_rolling_z",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, ts, CAST(value AS DOUBLE) AS value,
+             COUNT(*) OVER win AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE) AS s,
+             CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) OVER win AS DOUBLE) AS sq
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    ),
+    z AS (
+      SELECT user_id, event_id, ts, value, n,
+             s / n AS roll_mean,
+             SQRT((sq - s * s / n) / (n - 1)) AS roll_std
+      FROM w WHERE n >= 8
+    )
+    SELECT user_id, event_id, ts, value, roll_mean, roll_std,
+           (value - roll_mean) / roll_std AS zscore
+    FROM z
+    WHERE roll_std > 0 AND ABS((value - roll_mean) / roll_std) > 3.0
+    """,
+    doc="Rolling z-score anomaly screen over per-user event values: each "
+    "event scored against the mean/std of its own PREVIOUS <= 20 events "
+    "(trailing ROWS frame excludes the current row, so an outlier never "
+    "masks itself), flagged at |z| > 3 with >= 8 priors. The running "
+    "moments come from DECIMAL sums of the 2-decimal values (value^2 is "
+    "exactly 4-decimal), so the mean/std/z doubles are bit-identical "
+    "cross-engine despite the windowed fp arithmetic — the same "
+    "exactness trick as feature_zscore_chars, per-row and windowed. One "
+    "hash exchange on user_id; the classic streaming-observability "
+    "anomaly monitor in batch form.",
+    tags=("analytics", "window", "monitor"),
+)

@@ -109,7 +109,8 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # Registered AFTER this window froze (judge-checked locally, all
     # green at sf0.001/0.01/0.1) — these lead the round-7 rotation:
     # embedding_drift_monitor, audit_referential_integrity,
-    # feature_winsorize_prices_approx, curation_funnel.
+    # feature_winsorize_prices_approx, curation_funnel,
+    # text_tokenize_ids, events_anomaly_rolling_z.
 )
 
 

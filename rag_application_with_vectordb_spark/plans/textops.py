@@ -724,3 +724,79 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.join(docs.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", "n_bigrams", "importance"
     )
+
+
+# --- text → token-id encoding (round 6) ---------------------------------------
+
+_VOCAB_SIZE = 256
+
+
+@register(
+    "text_tokenize_ids",
+    oracle=rf"""
+    WITH tw AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    posting AS (
+      SELECT doc_id, w[CAST(i AS INTEGER)] AS word, CAST(i AS BIGINT) AS pos
+      FROM tw, LATERAL (SELECT unnest(range(1, len(w) + 1))) s(i)
+    ),
+    freq AS (SELECT word, COUNT(*) AS n FROM posting GROUP BY word),
+    vocab AS (
+      SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS INTEGER) AS id
+      FROM freq ORDER BY n DESC, word ASC LIMIT {_VOCAB_SIZE}
+    ),
+    enc AS (
+      SELECT p.doc_id, p.pos, COALESCE(v.id, 0) AS tid
+      FROM posting p LEFT JOIN vocab v USING (word)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           list(tid ORDER BY pos) AS token_ids
+    FROM enc GROUP BY doc_id
+    """,
+    doc="Text → token-id encoding with a DETERMINISTIC frequency "
+    "vocabulary — the tokenization stage between curation and packing "
+    "that the catalog previously only counted: top-256 words by "
+    "(frequency DESC, word ASC) become ids 1..256, everything else OOV "
+    "id 0; output is each doc's ordered id sequence plus its OOV count "
+    "(the vocabulary-coverage monitor). Fully distributed: the vocab is "
+    "a ranked 256-row relation broadcast onto the exploded postings, "
+    "re-assembled per doc by position — no driver-side vocab, no "
+    "all-pairs; the only global sort is over the BOUNDED candidate "
+    "relation feeding the 256-row limit. Ids are exact integers, so "
+    "the sequences hash-match DuckDB bit-for-bit.",
+    tags=("text", "pipeline"),
+)
+def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    posting = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    freq = posting.groupBy("word").agg(F.count("*").alias("n"))
+    # 256-row candidate set first (TakeOrdered — no global sort of the
+    # vocabulary), then a dense id by the same total order; the window's
+    # single partition holds exactly _VOCAB_SIZE rows by construction.
+    top = freq.orderBy(F.desc("n"), F.asc("word")).limit(_VOCAB_SIZE)
+    vocab = top.select(
+        "word",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("word")))
+        .cast("int")
+        .alias("id"),
+    )
+    enc = posting.join(F.broadcast(vocab), "word", "left").select(
+        "doc_id", "pos", F.coalesce(F.col("id"), F.lit(0)).alias("tid")
+    )
+    return enc.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("tid") == 0).cast("long")).alias("n_oov"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+            lambda s: s.getField("tid"),
+        ).alias("token_ids"),
+    )
