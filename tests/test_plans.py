@@ -266,3 +266,21 @@ def test_decontaminate_is_semi_join_on_hashes(spark, sf_dir, specs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_tokenize_ids_broadcasts_vocab(spark, sf_dir, specs):
+    # the 256-row vocab must broadcast onto the exploded postings; the
+    # candidate selection is a TakeOrdered, never a vocabulary-wide sort
+    plan = plan_of(specs["text_tokenize_ids"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_anomaly_rolling_z_is_single_keyed_window(spark, sf_dir, specs):
+    # one hash exchange on user_id; the trailing frame never globally sorts
+    plan = plan_of(specs["events_anomaly_rolling_z"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan
