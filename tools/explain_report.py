@@ -137,6 +137,13 @@ ANNOTATED = {
     "approx_percentile_sketch is the shipped sort-free path), then one "
     "broadcast of 3 bound rows back onto the fact for the clip + "
     "DECIMAL-exact aggregate.",
+    "text_tokenize_ids": "Tokenization stage: TakeOrdered 256-row vocab "
+    "candidate -> dense ids -> BROADCAST onto the exploded postings -> "
+    "per-doc positional reassembly; no vocabulary-wide sort, no Python, "
+    "id sequences exact integers.",
+    "events_anomaly_rolling_z": "ONE hash exchange on user_id feeding the "
+    "trailing-20 ROWS frame; rolling moments are DECIMAL sums (exact, "
+    "order-independent) so the windowed z doubles are engine-identical.",
 }
 
 
