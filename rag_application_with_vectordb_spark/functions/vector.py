@@ -55,16 +55,30 @@ def lit_doubles(vals: Iterable[float]) -> Column:
     ``F.expr`` with repr'd double literals is one call + one parse;
     ``repr`` round-trips every finite double exactly through Java's
     correctly-rounded parser, so values are bit-identical (oracle
-    hash-matches across the ANN family prove it).
+    hash-matches across the ANN family prove it). Non-finite values
+    (``repr`` would render invalid-SQL ``nanD``/``infD``) are emitted as
+    ``CAST('NaN'/'Infinity' AS DOUBLE)``, matching what the old
+    per-element ``F.lit`` form produced.
     """
-    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+    return F.expr("array(" + ",".join(_dlit(v) for v in vals) + ")")
+
+
+def _dlit(v: float) -> str:
+    v = float(v)
+    if v != v:
+        return "CAST('NaN' AS DOUBLE)"
+    if v == float("inf"):
+        return "CAST('Infinity' AS DOUBLE)"
+    if v == float("-inf"):
+        return "CAST('-Infinity' AS DOUBLE)"
+    return f"{v!r}D"
 
 
 def lit_double_matrix(mat: Iterable[Iterable[float]]) -> Column:
     """Constant ``array<array<double>>`` as ONE py4j call (see
     :func:`lit_doubles`)."""
     rows = ",".join(
-        "array(" + ",".join(f"{float(v)!r}D" for v in row) + ")" for row in mat
+        "array(" + ",".join(_dlit(v) for v in row) + ")" for row in mat
     )
     return F.expr(f"array({rows})")
 

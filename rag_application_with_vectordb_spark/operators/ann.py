@@ -41,6 +41,7 @@ __all__ = [
     "ivf_assign",
     "ivf_append",
     "ivf_compact",
+    "ivf_recover",
     "ann_ivf_topk",
     "nearest_centroid_ids",
     "LITERAL_CENTROID_MAX",
@@ -391,6 +392,48 @@ def ivf_append(
     assigned.write.mode("append").partitionBy("centroid_id").parquet(index_path)
 
 
+def ivf_recover(index_path: str) -> bool:
+    """Mechanical crash recovery for :func:`ivf_compact`'s rename swap.
+
+    The swap has a window between ``rename(index_path, .old<pid>)`` and
+    ``rename(.compact<pid>, index_path)`` where a hard crash (not just an
+    ``OSError``) leaves NO directory at ``index_path`` — the live index
+    stranded under the pid-suffixed ``.old`` name. This makes recovery
+    mechanical: if the live directory is missing but a ``.old*`` backup
+    exists, restore it (the backup IS the pre-compaction live index,
+    row-identical to the compacted one); then clear any leftover
+    ``.compact*``/extra ``.old*`` debris. If the live directory exists,
+    leftovers are garbage from a completed-or-failed run and are removed.
+
+    Returns True if a stranded index was restored. Call it before
+    compacting (done automatically) or before serving from a path that
+    might have crashed mid-compact. Single-writer assumption: compaction
+    is a maintenance job — do not run two compactions of the same index
+    concurrently (the pid suffix only keeps a crashed run's debris from
+    colliding with the next run's temp names). The rename swap itself is
+    local-filesystem-only; an object-store deployment would commit a
+    manifest instead and needs no rename recovery.
+    """
+    import glob
+    import os
+    import shutil
+
+    debris = sorted(glob.glob(glob.escape(index_path) + ".old*")) + sorted(
+        glob.glob(glob.escape(index_path) + ".compact*")
+    )
+    restored = False
+    if not os.path.isdir(index_path):
+        baks = [p for p in debris if ".old" in os.path.basename(p)]
+        if baks:
+            os.rename(baks[0], index_path)
+            debris.remove(baks[0])
+            restored = True
+    if os.path.isdir(index_path):
+        for p in debris:
+            shutil.rmtree(p, ignore_errors=True)
+    return restored
+
+
 def ivf_compact(spark, index_path: str) -> None:
     """Compact a persisted IVF index in place.
 
@@ -408,6 +451,7 @@ def ivf_compact(spark, index_path: str) -> None:
     import os
     import shutil
 
+    ivf_recover(index_path)  # heal a prior crashed swap before touching anything
     tmp = index_path + f".compact{os.getpid()}"
     bak = index_path + f".old{os.getpid()}"
     shutil.rmtree(tmp, ignore_errors=True)

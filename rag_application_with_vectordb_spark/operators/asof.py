@@ -37,27 +37,39 @@ def asof_join_prior(
     (left rows sort before right rows at equal timestamps, making
     "strictly prior" exact), then a running ``max`` / ``max_by`` over
     ``ROWS UNBOUNDED PRECEDING .. 1 PRECEDING`` picks the latest left
-    value seen so far. One shuffle on ``key``, no join.
+    value seen so far. The right-side payload columns ride through the
+    union (null on left rows), so the result needs no row-id rejoin —
+    one shuffle on ``key``, zero joins, and no dependence on
+    ``monotonically_increasing_id`` determinism across recomputation.
     """
     left_cols = left_cols or []
     ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    rcols = [f.name for f in right.schema.fields]
 
+    # The right-side payload rides THROUGH the union (null on left rows),
+    # so no row id and no rejoin are needed.  The previous formulation
+    # tagged `right` with monotonically_increasing_id() twice (once in the
+    # union leg, once for the rejoin) and relied on both derivations
+    # agreeing — which breaks under task retry / AQE re-planning /
+    # non-deterministic upstreams.  Carrying the payload is also one
+    # whole join cheaper.
     lt = left.select(
-        F.col(key),
+        F.col(key).alias("__k"),
         F.col(on).alias("__t"),
         F.lit(0).alias("__side"),
-        F.lit(None).cast("long").alias("__rid"),
+        *[F.lit(None).cast(rtypes[c]).alias(f"__r_{c}") for c in rcols],
         *[F.col(c).alias(f"__l_{c}") for c in left_cols],
     )
     rt = right.select(
-        F.col(key),
+        F.col(key).alias("__k"),
         F.col(on).alias("__t"),
         F.lit(1).alias("__side"),
-        F.monotonically_increasing_id().alias("__rid"),
+        *[F.col(c).alias(f"__r_{c}") for c in rcols],
         *[F.lit(None).cast(ltypes[c]).alias(f"__l_{c}") for c in left_cols],
     )
     w = (
-        Window.partitionBy(key)
+        Window.partitionBy("__k")
         .orderBy("__t", "__side")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
@@ -73,11 +85,11 @@ def asof_join_prior(
                 F.when(F.col("__side") == 0, F.col("__t")),
             ).over(w),
         )
-    matched = out.filter(F.col("__side") == 1).select(
-        "__rid", f"{prefix}{on}", *[f"{prefix}{c}" for c in left_cols]
+    return out.filter(F.col("__side") == 1).select(
+        *[F.col(f"__r_{c}").alias(c) for c in rcols],
+        f"{prefix}{on}",
+        *[f"{prefix}{c}" for c in left_cols],
     )
-    keyed_right = right.withColumn("__rid", F.monotonically_increasing_id())
-    return keyed_right.join(matched, "__rid").drop("__rid")
 
 
 def asof_join_pandas(

@@ -179,6 +179,8 @@ def minhash_lsh_pairs(
     num_hashes: int = 12,
     bands: int = 4,
     min_jaccard: float = 0.0,
+    persist: bool = True,
+    intermediates: list | None = None,
 ) -> DataFrame:
     """MinHash-LSH near-dup pairs: band signatures → bucket join →
     verify candidates with exact Jaccard.
@@ -188,6 +190,14 @@ def minhash_lsh_pairs(
     shuffles (band_idx, band_key) — at 100 TB this is the only exchange,
     and bucket sizes are bounded by collision probability, not corpus
     size. Output schema matches :func:`ngram_jaccard_pairs`.
+
+    ``persist=True`` caches the shingle-set and signature relations
+    (each feeds multiple branches of this one plan, and repeated calls
+    over the SAME input hit the plan cache). The cache lives until the
+    session ends, so callers looping over MANY DIFFERENT inputs should
+    either pass ``persist=False`` (recompute the shared subtrees — still
+    correct) or pass a list as ``intermediates=`` and ``unpersist()``
+    its entries once the pairs are materialized.
     """
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
@@ -196,7 +206,11 @@ def minhash_lsh_pairs(
     # sides of candidate verification); persist it so the scan + shingle
     # transform + spread shuffle run once. Size is O(corpus tokens) —
     # at 100 TB this would be a materialized intermediate table instead.
-    sets = _shingle_sets(docs, text_col, id_col, n).persist()
+    sets = _shingle_sets(docs, text_col, id_col, n)
+    if persist:
+        sets = sets.persist()
+        if intermediates is not None:
+            intermediates.append(sets)
     posting = sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"__m{j}")
@@ -210,7 +224,11 @@ def minhash_lsh_pairs(
     sigs = posting.groupBy(id_col).agg(*mins).select(
         F.col(id_col),
         F.array(*[F.col(f"__m{j}") for j in range(int(num_hashes))]).alias("signature"),
-    ).persist()
+    )
+    if persist:
+        sigs = sigs.persist()
+        if intermediates is not None:
+            intermediates.append(sigs)
     band_arr = F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
         lambda b: F.md5(F.array_join(F.slice(F.col("signature"), b * rows + 1, rows), ",")),

@@ -107,6 +107,11 @@ class VectorStore:
         semantics here are identical, and the append-only fast path
         (:meth:`add`) remains for sources that guarantee uniqueness.
         """
+        # Intra-batch duplicates would both survive a store-only anti-join
+        # (a single replayed batch can carry the same id twice), so dedup
+        # the batch itself first — the MERGE invariant is "unique ids in
+        # the store", unconditionally.
+        chunks = chunks.dropDuplicates(["id"])
         if self.is_ready():
             existing = self.df().select("id")
             chunks = chunks.join(

@@ -57,7 +57,11 @@ def stream_ingest_documents(
     chunk id before the append), so a replayed micro-batch — restart
     after a lost checkpoint commit, a retried job — cannot duplicate
     chunks: exactly-once store contents from an at-least-once source,
-    without a MERGE-capable table format.
+    without a MERGE-capable table format. The SAME guarantee covers the
+    IVF index path: the batch is anti-joined against the index's
+    existing ``vec_id``s (a column-pruned read of the id column) before
+    :func:`..operators.ann.ivf_append`, so a replay cannot leave the
+    index with duplicate entries that a probe would return twice.
 
     Returns the started StreamingQuery (caller stops it / awaits). Uses
     the text file source (one row per file via ``wholetext``) so the
@@ -105,16 +109,26 @@ def stream_ingest_documents(
             embedded = embedded.persist()  # one embed pass feeds both sinks
         (store.merge_add if idempotent else store.add)(embedded)
         if index_centroids is not None:
+            import os
+
             from ..operators.ann import ivf_append
 
-            ivf_append(
-                embedded.select(
-                    F.col("id").alias("vec_id"),
-                    F.col("embedding").cast("array<double>").alias("embedding"),
-                ),
-                index_centroids,
-                index_path,
+            to_index = embedded.select(
+                F.col("id").alias("vec_id"),
+                F.col("embedding").cast("array<double>").alias("embedding"),
             )
+            if idempotent:
+                # Mirror merge_add for the index: a replayed batch must
+                # not re-append vectors the index already holds, or the
+                # index diverges from the store and a probe can return
+                # the same chunk twice in top-k.
+                to_index = to_index.dropDuplicates(["vec_id"])
+                if os.path.isdir(index_path):
+                    existing = batch_df.sparkSession.read.parquet(index_path).select(
+                        "vec_id"
+                    )
+                    to_index = to_index.join(existing, "vec_id", "left_anti")
+            ivf_append(to_index, index_centroids, index_path)
             embedded.unpersist()
 
     return (

@@ -55,6 +55,27 @@ def test_asof_pandas_form_agrees_on_strict_cases(clicks, purchases):
     assert win == pan
 
 
+def test_asof_survives_repartition_and_payload(clicks, purchases, spark):
+    """Regression for the dual-monotonically_increasing_id hazard (r6
+    VERDICT): the operator must be correct under repartitioned /
+    recomputed inputs, which broke the old row-id rejoin formulation.
+    Also checks left payload columns and right-schema passthrough."""
+    lk = clicks.withColumn("click_tag", F.concat(F.lit("c"), F.minute("ts")))
+    strict = purchases.filter(F.col("event_id") != 101)
+    shuffled = strict.repartition(7, "event_id").sortWithinPartitions(F.desc("ts"))
+    win = asof_join_prior(lk, shuffled, "ts", "user_id", left_cols=["click_tag"])
+    assert [f.name for f in win.schema.fields] == [
+        "event_id", "user_id", "ts", "asof_ts", "asof_click_tag",
+    ]
+    pan = asof_join_pandas(lk, strict, "ts", "user_id", left_cols=["click_tag"])
+    got = {r["event_id"]: (r["asof_ts"], r["asof_click_tag"]) for r in win.collect()}
+    want = {r["event_id"]: (r["asof_ts"], r["asof_click_tag"]) for r in pan.collect()}
+    assert got == want
+    assert got[100] == (ts(10), "c10")
+    # plan hygiene: the rejoin is gone — no join operator at all
+    assert "Join" not in win._jdf.queryExecution().executedPlan().toString()
+
+
 def test_range_join_matches_naive(spark, sf_dir):
     from rag_application_with_vectordb_spark.sources.catalog import load_table
 

@@ -88,6 +88,27 @@ def test_minhash_lsh_finds_dups(docs):
     assert (0, 3) not in pairs
 
 
+def test_minhash_lsh_persist_is_optional_and_releasable(docs):
+    # r6 ADVICE: the operator's internal persist must not be a
+    # session-lifetime leak for callers looping over different inputs —
+    # persist=False recomputes (identical pairs), and intermediates=
+    # hands back the cached relations for explicit unpersist.
+    want = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, persist=False).collect()
+    }
+    assert got == want
+    held: list = []
+    out = minhash_lsh_pairs(docs, intermediates=held)
+    assert {(r["doc_a"], r["doc_b"]) for r in out.collect()} == want
+    assert len(held) == 2  # shingle sets + signatures
+    for df in held:
+        assert df.storageLevel.useMemory
+        df.unpersist()
+        assert not df.storageLevel.useMemory
+
+
 def test_simhash_near_for_near_dups(docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
     assert sigs[0] == sigs[1]

@@ -175,6 +175,57 @@ def test_ivf_compact_collapses_files_and_preserves_serving(spark, tmp_path):
     assert len(after_rows) == 100
 
 
+def test_ivf_recover_restores_crashed_swap(spark, tmp_path):
+    # r6 ADVICE: a hard crash between ivf_compact's two renames strands
+    # the live index under a pid-suffixed '.old' name. ivf_recover must
+    # restore it and clear debris; a live index must never be clobbered.
+    import os
+
+    from rag_application_with_vectordb_spark.operators.ann import (
+        ivf_compact,
+        ivf_recover,
+    )
+
+    cents = ingest_index_centroids(spark)
+    idx = str(tmp_path / "ivf_index")
+    emb = HashEmbedder(dim=_ING_DIM)
+    rows = spark.range(40).select(
+        F.col("id").alias("vec_id"),
+        F.concat(F.lit("doc number "), F.col("id").cast("string")).alias("text"),
+    )
+    vecs = emb.embed_df(rows, text_col="text").select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    from rag_application_with_vectordb_spark.operators.ann import ivf_append
+
+    ivf_append(vecs, cents, idx)
+    before = sorted(
+        (r["vec_id"], r["centroid_id"]) for r in spark.read.parquet(idx).collect()
+    )
+
+    # simulate the crash window: live dir stranded as .old, half-written tmp left
+    os.rename(idx, idx + ".old99999")
+    os.makedirs(idx + ".compact99999")
+    assert ivf_recover(idx) is True
+    assert os.path.isdir(idx)
+    assert not os.path.exists(idx + ".old99999")
+    assert not os.path.exists(idx + ".compact99999")
+    after = sorted(
+        (r["vec_id"], r["centroid_id"]) for r in spark.read.parquet(idx).collect()
+    )
+    assert after == before
+
+    # debris next to a LIVE index is cleared without touching the index;
+    # ivf_compact self-heals through the same path
+    os.makedirs(idx + ".old11111")
+    ivf_compact(spark, idx)
+    assert not os.path.exists(idx + ".old11111")
+    assert sorted(
+        (r["vec_id"], r["centroid_id"]) for r in spark.read.parquet(idx).collect()
+    ) == before
+    assert ivf_recover(idx) is False  # nothing to do on a healthy index
+
+
 def test_idempotent_ingest_survives_checkpoint_loss(spark, tmp_path):
     # The at-least-once failure mode: the checkpoint is lost, the stream
     # restarts, and every file is redelivered. merge_add's anti-join on
@@ -219,3 +270,52 @@ def test_idempotent_ingest_survives_checkpoint_loss(spark, tmp_path):
     shutil.rmtree(ck2)
     run(store2, ck2, idempotent=False)
     assert store2.df().count() == 2 * n1
+
+
+def test_idempotent_ingest_covers_the_ivf_index(spark, tmp_path):
+    # r6 ADVICE (medium): with idempotent=True AND index_centroids set, a
+    # replayed micro-batch must not re-append vectors into the IVF index
+    # either — otherwise the index diverges from the store and a probe
+    # returns the same chunk twice in top-k.
+    import shutil
+
+    incoming = tmp_path / "incoming"
+    incoming.mkdir()
+    (incoming / "a.txt").write_text("replayed document about exactly once sinks " * 30)
+    (incoming / "b.txt").write_text("second document with different content words " * 30)
+
+    cents = ingest_index_centroids(spark)
+    index_path = str(tmp_path / "ivf_index")
+    store = VectorStore(spark, str(tmp_path / "store"))
+    ck = tmp_path / "ck"
+
+    def run():
+        q = stream_ingest_documents(
+            spark,
+            str(incoming),
+            store,
+            embedder=HashEmbedder(dim=_ING_DIM),
+            chunk_size=200,
+            overlap=40,
+            checkpoint=str(ck),
+            index_centroids=cents,
+            index_path=index_path,
+            idempotent=True,
+        )
+        q.awaitTermination()
+
+    run()
+    first = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(index_path).collect()
+    )
+    assert len(first) == len({v for v, _ in first}) > 0
+    shutil.rmtree(ck)  # lose the processed-files log → full redelivery
+    run()
+    replay = sorted(
+        (r["vec_id"], r["centroid_id"])
+        for r in spark.read.parquet(index_path).collect()
+    )
+    assert replay == first  # index byte-identical, no duplicate vec_ids
+    # store and index agree on the chunk population
+    assert store.df().count() == len(replay)

@@ -125,3 +125,27 @@ def test_lit_doubles_bit_identical_to_per_element_lits(spark):
     assert [bits(x) for x in row["a"]] == [bits(x) for x in row["b"]]
     assert [bits(x) for x in row["a"]] == [bits(v) for v in tricky]
     assert [bits(x) for x in row["m"][1]] == [bits(v) for v in tricky[::-1]]
+
+
+def test_lit_doubles_nonfinite(spark):
+    # r6 ADVICE: repr renders non-finite doubles as 'nan'/'inf', which is
+    # not valid Spark SQL — they must be emitted as CAST literals so
+    # vec_lit keeps the old per-element F.lit semantics (NaN/±Infinity
+    # values, not a parse error).
+    import math
+
+    from rag_application_with_vectordb_spark.functions.vector import (
+        lit_double_matrix,
+        lit_doubles,
+    )
+
+    vals = [float("nan"), float("inf"), float("-inf"), 1.5]
+    row = spark.range(1).select(
+        lit_doubles(vals).alias("a"),
+        lit_double_matrix([vals]).alias("m"),
+    ).first()
+    for got in (row["a"], row["m"][0]):
+        assert math.isnan(got[0])
+        assert got[1] == float("inf")
+        assert got[2] == float("-inf")
+        assert got[3] == 1.5
