@@ -1023,3 +1023,100 @@ def audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dup_vec_ids",
         )
     )
+
+
+# --- sharded training-data export manifest (round 7) --------------------------
+
+_EXP_MIN_TOKENS = 8
+_EXP_VOCAB = 256
+_EXP_BUDGET = 512
+_EXP_SHARDS = 32
+_EXP_MOD = 1_000_000_007
+
+
+@register(
+    "export_manifest",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, text,
+        CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    s1 AS (SELECT * FROM tok WHERE n_tokens >= {_EXP_MIN_TOKENS}),
+    fp AS (
+      SELECT doc_id, text,
+        md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+      FROM s1
+    ),
+    s2 AS (
+      SELECT f.doc_id, f.text FROM fp f
+      JOIN (SELECT fingerprint, min(doc_id) AS doc_id FROM fp GROUP BY 1) g
+        ON f.fingerprint = g.fingerprint AND f.doc_id = g.doc_id
+    ),
+    posting AS (
+      SELECT doc_id, w[CAST(i AS INTEGER)] AS word, CAST(i AS BIGINT) AS pos
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM s2) tw,
+      LATERAL (SELECT unnest(range(1, len(w) + 1))) s(i)
+    ),
+    freq AS (SELECT word, COUNT(*) AS n FROM posting GROUP BY word),
+    vocab AS (
+      SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word ASC) AS INTEGER) AS id
+      FROM freq ORDER BY n DESC, word ASC LIMIT {_EXP_VOCAB}
+    ),
+    enc AS (
+      SELECT p.doc_id, p.pos, COALESCE(v.id, 0) AS tid
+      FROM posting p LEFT JOIN vocab v USING (word)
+    ),
+    perdoc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(tid * pos) % {_EXP_MOD} AS BIGINT) AS doc_checksum
+      FROM enc GROUP BY doc_id
+    ),
+    t AS (
+      SELECT doc_id, n_tokens, doc_checksum,
+        {duck_hex13_to_long("md5('pack42|' || CAST(doc_id AS VARCHAR))")} % {_EXP_SHARDS} AS shard,
+        md5('ord42|' || CAST(doc_id AS VARCHAR)) AS okey
+      FROM perdoc
+    ),
+    c AS (
+      SELECT doc_id, shard, n_tokens, doc_checksum,
+        CAST(COALESCE(SUM(n_tokens) OVER (
+          PARTITION BY shard ORDER BY okey, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+      FROM t
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST((SUM(n_tokens) + {_EXP_BUDGET - 1}) // {_EXP_BUDGET} AS BIGINT) AS n_seqs,
+      CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      CAST(SUM((doc_checksum * 31 + start_offset * 7 + n_tokens) % {_EXP_MOD}) AS BIGINT)
+        AS checksum
+    FROM c GROUP BY shard
+    """,
+    doc="The manifest of the sharded training-data export "
+    "(operators/export.py): quality gate -> exact-dedup keep-canonical "
+    "-> deterministic token-id encoding -> 512-token packing, then one "
+    "row per shard with doc/sequence/token counts and an exact-integer "
+    "content+placement checksum (sum over docs of "
+    "(doc_checksum*31 + start_offset*7 + n_tokens) mod 1e9+7, where "
+    "doc_checksum = sum(token_id*position)). Order-insensitive by "
+    "construction, so the number is invariant to task scheduling and "
+    "file layout -- re-verifiable from the written artifact at read "
+    "time (read_training_shards). Every stage is a previously audited "
+    "plan shape; the manifest aggregate adds one shuffle on the "
+    "32-value shard key.",
+    tags=("text", "pipeline", "export"),
+)
+def export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.export import curate_tokenize_pack, shard_manifest
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    packed = curate_tokenize_pack(
+        docs,
+        budget=_EXP_BUDGET,
+        shards=_EXP_SHARDS,
+        vocab_size=_EXP_VOCAB,
+        min_tokens=_EXP_MIN_TOKENS,
+    )
+    return shard_manifest(packed, budget=_EXP_BUDGET)

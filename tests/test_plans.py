@@ -147,6 +147,31 @@ def test_lineitem_fact_is_never_a_broadcast_build_side(spark, specs):
         assert not _broadcast_subtrees_scanning(df, "lineitem"), name
 
 
+def test_lineitem_fact_never_broadcasts_at_sf1(spark, specs):
+    # The sf1.0 variant (VERDICT r6 gap #2): at 6M lineitem rows (~110 MB
+    # on disk) every broadcast decision is far past any threshold — this
+    # converts the "graceful at 10x" claim (plans/relational2.py) into a
+    # checked property. Runs only when the local scale-up fixture set
+    # exists (tools/gen_sf.py 1.0); planning only, nothing executes.
+    import os
+
+    import pytest
+
+    sf_dir = "/root/repo/testdata_local/sf1.0"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("local sf1.0 fixture set not generated (tools/gen_sf.py)")
+    for name in (
+        "q3_top_orders",
+        "q7_nation_pair_revenue",
+        "q9_product_profit",
+        "q12_late_priority",
+        "q18_large_volume_customers",
+        "q21_sole_late_supplier",
+    ):
+        df = specs[name].fn(spark, sf_dir)
+        assert not _broadcast_subtrees_scanning(df, "lineitem"), name
+
+
 def test_skew_salted_join_widens_shuffle_key(spark, sf_dir, specs):
     # The salted join's whole point is that the shuffle key is
     # (user_id, __salt), not user_id alone — each hot user spreads over
