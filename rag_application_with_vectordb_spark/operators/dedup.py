@@ -41,6 +41,7 @@ __all__ = [
     "minhash_signature_expr",
     "minhash_band_keys",
     "minhash_band_index",
+    "band_index_append",
     "minhash_lsh_pairs",
     "simhash_signatures",
     "simhash_pairs",
@@ -739,6 +740,48 @@ def minhash_band_index(
             "band_idx", "band_key"
         ),
     ).select("band_idx", "band_key", F.col(id_col))
+
+
+def band_index_append(
+    new_docs: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 12,
+    bands: int = 4,
+) -> None:
+    """Append newly accepted documents' band rows to a PERSISTED LSH
+    band index — the ``ivf_append`` analog for the near-dup gate: the
+    index a streaming gate probes must grow as batches are accepted, or
+    the gate never catches duplicates of *recently ingested* documents
+    (it would only see the corpus frozen at index-build time).
+
+    Uses the per-row signature path (``minhash_signature_expr`` — bit-
+    identical to the batch build), writes parquet ``mode("append")``
+    partitioned by ``band_idx``: only ``bands`` partition directories,
+    each gaining one file per batch; existing rows are never rewritten,
+    and the next probe's scan simply sees the new files. Compact with a
+    ``repartition(band_idx) → overwrite`` rewrite when small files
+    accumulate (the ``ivf_compact`` pattern)."""
+    from ..functions.text import word_shingles
+
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    rows = num_hashes // bands
+    sig = minhash_signature_expr(word_shingles(F.col(text_col), n), num_hashes)
+    keyed = (
+        new_docs.filter(F.size(word_shingles(F.col(text_col), n)) > 0)
+        .select(F.col(id_col), sig.alias("signature"))
+        .select(
+            F.col(id_col),
+            F.posexplode(minhash_band_keys(F.col("signature"), bands, rows)).alias(
+                "band_idx", "band_key"
+            ),
+        )
+        .select("band_idx", "band_key", F.col(id_col))
+    )
+    keyed.write.mode("append").partitionBy("band_idx").parquet(index_path)
 
 
 def prefix_filter_jaccard_pairs(
