@@ -1,0 +1,211 @@
+"""In-engine model training: multinomial Naive Bayes as relational
+algebra — train on one hash-split, score the held-out split, emit the
+confusion matrix.
+
+A curation pipeline trains lightweight classifiers (language, quality,
+domain) over the corpus itself; fastText-style linear models reduce to
+exactly this shape: per-class token statistics (one groupBy), a
+broadcastable weight table, and a per-document weighted sum. Nothing
+here is a UDF — training IS aggregation, scoring IS a join.
+
+Cross-engine determinism: the log-probabilities are quantized to
+integer micro-log-units (``CAST(round(ln(p)*1e6) AS BIGINT)``) at the
+weight table, so the per-document score is an exact integer sum —
+associative, partitioning-independent — and the argmax (score desc,
+class asc) is bit-stable. This is the fixed-point-integer trick the
+catalog already uses for PageRank and weighted sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import hex13_to_long, tokens
+from ..session import tune
+from ..sources.catalog import load_table
+from .oracle_dialect import duck_hex13_to_long
+from .registry import register
+
+_SEED = "nb42"
+_TRAIN_PERMILLE = 800  # 80/20 split
+
+
+def _split_sql(which: str) -> str:
+    h = duck_hex13_to_long(f"md5('{_SEED}|' || CAST(doc_id AS VARCHAR))")
+    op = "<" if which == "train" else ">="
+    return f"{h} % 1000 {op} {_TRAIN_PERMILLE}"
+
+
+def _split_col(which: str):
+    h = hex13_to_long(
+        F.md5(F.concat(F.lit(f"{_SEED}|"), F.col("doc_id").cast("string")))
+    )
+    return (h % 1000 < _TRAIN_PERMILLE) if which == "train" else (
+        h % 1000 >= _TRAIN_PERMILLE
+    )
+
+
+@register(
+    "text_nb_confusion",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, lang, t.w
+      FROM (SELECT doc_id, lang,
+              regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(ws) AS w) t
+      WHERE t.w <> ''
+    ),
+    train_tok AS (SELECT * FROM tok WHERE {_split_sql("train")}),
+    cls AS (
+      SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents WHERE {_split_sql("train")} GROUP BY lang
+    ),
+    n_train AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n FROM cls),
+    vocab AS (SELECT DISTINCT w FROM train_tok),
+    v_size AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+    cw AS (
+      SELECT lang AS c, w, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM train_tok GROUP BY lang, w
+    ),
+    ctot AS (
+      SELECT lang AS c, CAST(COUNT(*) AS BIGINT) AS tot
+      FROM train_tok GROUP BY lang
+    ),
+    weights AS (
+      SELECT cls.c, vocab.w,
+        CAST(round(ln(
+          (CAST(COALESCE(cw.cnt, 0) AS DOUBLE) + 1.0)
+          / (CAST(ctot.tot AS DOUBLE) + CAST(v_size.v AS DOUBLE))
+        ) * 1000000) AS BIGINT) AS lp
+      FROM cls CROSS JOIN vocab CROSS JOIN v_size
+      JOIN ctot ON ctot.c = cls.c
+      LEFT JOIN cw ON cw.c = cls.c AND cw.w = vocab.w
+    ),
+    priors AS (
+      SELECT c, CAST(round(ln(
+        CAST(n_docs AS DOUBLE) / CAST(n_train.n AS DOUBLE)) * 1000000) AS BIGINT)
+        AS prior
+      FROM cls CROSS JOIN n_train
+    ),
+    test_tok AS (
+      SELECT doc_id, lang, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok WHERE {_split_sql("test")} GROUP BY doc_id, lang, w
+    ),
+    tok_scores AS (
+      SELECT t.doc_id, ws.c, CAST(SUM(t.tf * ws.lp) AS BIGINT) AS s
+      FROM test_tok t JOIN weights ws ON ws.w = t.w
+      GROUP BY t.doc_id, ws.c
+    ),
+    scores AS (
+      SELECT d.doc_id, d.lang AS lang_true, p.c,
+        p.prior + COALESCE(ts.s, 0) AS score
+      FROM (SELECT DISTINCT doc_id, lang FROM documents
+            WHERE {_split_sql("test")}) d
+      CROSS JOIN priors p
+      LEFT JOIN tok_scores ts ON ts.doc_id = d.doc_id AND ts.c = p.c
+    ),
+    pred AS (
+      SELECT doc_id, lang_true, c AS lang_pred
+      FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score DESC, c ASC) AS rn
+            FROM scores)
+      WHERE rn = 1
+    )
+    SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY lang_true, lang_pred
+    """,
+    doc="Multinomial Naive Bayes language classifier, trained and "
+    "scored entirely in the engine: 80/20 keyed-md5 split, per-class "
+    "token counts with Laplace smoothing as the training aggregate, "
+    "log-probs quantized to integer micro-log-units so scoring is an "
+    "exact integer sum (associative — partitioning cannot flap the "
+    "argmax), confusion matrix out. The weight table is |classes| x "
+    "|vocab| rows — broadcast-sized for any bounded vocabulary, so at "
+    "100 TB scoring is a map-side join + one groupBy per document: "
+    "the fastText serving shape. Out-of-vocabulary test tokens drop "
+    "out of the score (standard NB practice), and a test document "
+    "with no known tokens still gets the prior-only argmax.",
+    tags=("text", "classify", "ml"),
+)
+def text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    train_docs = docs.filter(_split_col("train"))
+    train_tok = tok.filter(_split_col("train"))
+
+    cls = train_docs.groupBy(F.col("lang").alias("c")).agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    n_train = cls.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    vocab = train_tok.select("w").distinct()
+    v_size = vocab.agg(F.count("*").cast("bigint").alias("v"))
+    cw = train_tok.groupBy(F.col("lang").alias("c"), "w").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    ctot = train_tok.groupBy(F.col("lang").alias("c")).agg(
+        F.count("*").cast("bigint").alias("tot")
+    )
+    weights = (
+        cls.select("c")
+        .crossJoin(vocab)
+        .crossJoin(F.broadcast(v_size))
+        .join(ctot, "c")
+        .join(cw, ["c", "w"], "left")
+        .select(
+            "c",
+            "w",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + 1.0)
+                    / (F.col("tot").cast("double") + F.col("v").cast("double"))
+                )
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("lp"),
+        )
+    )
+    priors = cls.crossJoin(F.broadcast(n_train)).select(
+        "c",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("n").cast("double")) * 1000000
+        )
+        .cast("bigint")
+        .alias("prior"),
+    )
+    test_tok = (
+        tok.filter(_split_col("test"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    tok_scores = (
+        test_tok.join(F.broadcast(weights), "w")
+        .groupBy("doc_id", "c")
+        .agg(F.sum(F.col("tf") * F.col("lp")).cast("bigint").alias("s"))
+    )
+    scores = (
+        docs.filter(_split_col("test"))
+        .select("doc_id", F.col("lang").alias("lang_true"))
+        .crossJoin(F.broadcast(priors))
+        .join(tok_scores, ["doc_id", "c"], "left")
+        .select(
+            "doc_id",
+            "lang_true",
+            "c",
+            (F.col("prior") + F.coalesce(F.col("s"), F.lit(0))).alias("score"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("c"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("lang_true", F.col("c").alias("lang_pred"))
+    )
+    return pred.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").cast("bigint").alias("n")
+    )

@@ -1,0 +1,262 @@
+"""Warehouse-maintenance operators: CDC snapshot diff, SCD Type-2
+history, and incremental (delta-merge) aggregate view maintenance.
+
+The reference's store is rebuild-from-scratch (`App.tsx` re-ingests the
+whole PDF; `services/vectorDb.ts` has no update path). A production
+pipeline over the same data maintains derived state incrementally:
+detect what changed between snapshots (CDC), keep attribute history
+(SCD2), and refresh aggregates from deltas instead of recomputing
+(incremental view maintenance). All three are pure relational algebra
+here, with exact DuckDB twins.
+
+Cross-engine determinism:
+
+- Money is exact-integer cents (``CAST(round(price*100) AS BIGINT)``);
+  sums are then associative, so base+delta merge equals full recompute
+  bitwise regardless of partitioning.
+- Row content hashes are ``md5`` over a fixed ``'|'``-joined canonical
+  string of integer-rendered fields (identical text in both engines).
+- ``date_trunc('month', ts)`` returns DATE in DuckDB but TIMESTAMP in
+  Spark — the oracles cast back to TIMESTAMP.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..sources.catalog import load_table
+from .registry import register
+
+#: CDC snapshot cut points (orders span 1995-01 .. 2001-08).
+_CUT1 = "2000-01-01 00:00:00"
+_CUT2 = "2001-01-01 00:00:00"
+#: Deterministic mutation rules that derive snapshot v2 from v1.
+_DEL_MOD = 97  # o_orderkey % 97 == 0 → deleted in v2
+_UPD_MOD = 13  # o_orderkey % 13 == 0 → price bumped +500 cents in v2
+_UPD_CENTS = 500
+
+_CENTS_SQL = "CAST(round(o_totalprice * 100) AS BIGINT)"
+
+
+def _cents_col():
+    return F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+
+
+def _row_hash_sql(cents_expr: str) -> str:
+    return (
+        "md5(o_orderstatus || '|' || o_orderpriority || '|' || "
+        f"CAST({cents_expr} AS VARCHAR))"
+    )
+
+
+def _row_hash_col(cents):
+    return F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            cents.cast("string"),
+        )
+    )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT o_orderkey, {_row_hash_sql(_CENTS_SQL)} AS row_hash
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_CUT1}'
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+        {_row_hash_sql(
+            f"{_CENTS_SQL} + CASE WHEN o_orderkey % {_UPD_MOD} = 0 THEN {_UPD_CENTS} ELSE 0 END"
+        )} AS row_hash
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '{_CUT2}' AND o_orderkey % {_DEL_MOD} <> 0
+    )
+    SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+      CASE WHEN v1.o_orderkey IS NULL THEN 'I'
+           WHEN v2.o_orderkey IS NULL THEN 'D'
+           ELSE 'U' END AS change_type,
+      v1.row_hash AS old_hash, v2.row_hash AS new_hash
+    FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    WHERE v1.o_orderkey IS NULL OR v2.o_orderkey IS NULL
+       OR v1.row_hash <> v2.row_hash
+    """,
+    doc="Change-data-capture between two table snapshots: full outer "
+    "join on the key, compare md5 row-content hashes, emit I/D/U rows "
+    "only (unchanged rows drop out). Snapshot v2 is derived from v1 by "
+    "deterministic rules (rows after the cut inserted, keys %97 "
+    "deleted, keys %13 price-bumped) so the diff is exactly known. At "
+    "100 TB both snapshots hash-partition on the key — the join is "
+    "co-partitioned, each task diffs its own key range, and the hash "
+    "comparison means wide rows never travel twice (ship key+hash, "
+    "fetch full rows only for the changed keys).",
+    tags=("maintenance", "cdc"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderdate") < F.lit(_CUT1).cast("timestamp")).select(
+        "o_orderkey", _row_hash_col(_cents_col()).alias("row_hash")
+    )
+    bump = F.when(F.col("o_orderkey") % _UPD_MOD == 0, F.lit(_UPD_CENTS)).otherwise(
+        F.lit(0)
+    )
+    v2 = (
+        orders.filter(F.col("o_orderdate") < F.lit(_CUT2).cast("timestamp"))
+        .filter(F.col("o_orderkey") % _DEL_MOD != 0)
+        .select("o_orderkey", _row_hash_col(_cents_col() + bump).alias("row_hash"))
+    )
+    j = v1.withColumnRenamed("row_hash", "old_hash").join(
+        v2.withColumnRenamed("row_hash", "new_hash"),
+        "o_orderkey",
+        "full_outer",
+    )
+    return j.filter(
+        F.col("old_hash").isNull()
+        | F.col("new_hash").isNull()
+        | (F.col("old_hash") != F.col("new_hash"))
+    ).select(
+        "o_orderkey",
+        F.when(F.col("old_hash").isNull(), "I")
+        .when(F.col("new_hash").isNull(), "D")
+        .otherwise("U")
+        .alias("change_type"),
+        "old_hash",
+        "new_hash",
+    )
+
+
+@register(
+    "scd2_customer_status_history",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey)
+        - row_number() OVER (PARTITION BY o_custkey, o_orderstatus
+                             ORDER BY o_orderdate, o_orderkey) AS island
+      FROM orders
+    ),
+    runs AS (
+      SELECT o_custkey, o_orderstatus AS status,
+        MIN(o_orderdate) AS valid_from,
+        MIN(rn) AS seq,
+        CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM seq) s
+      GROUP BY o_custkey, o_orderstatus, island
+    )
+    SELECT o_custkey, status, valid_from,
+      lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY seq)
+        AS valid_to,
+      lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY seq)
+        IS NULL AS is_current,
+      n_orders
+    FROM runs
+    """,
+    doc="Slowly-changing-dimension Type 2: collapse each customer's "
+    "order-status stream into validity intervals (gaps-and-islands via "
+    "the two-row_number difference), then valid_to = next interval's "
+    "valid_from (lead window) and is_current = last interval. All "
+    "windows partition by o_custkey, so at 100 TB this is one shuffle "
+    "on the customer key and every window stays inside its partition — "
+    "no global sort anywhere. Ties inside a day break on o_orderkey so "
+    "the island assignment is deterministic under any partitioning.",
+    tags=("maintenance", "scd"),
+)
+def scd2_customer_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    order_cols = [F.asc("o_orderdate"), F.asc("o_orderkey")]
+    w_all = Window.partitionBy("o_custkey").orderBy(*order_cols)
+    w_status = Window.partitionBy("o_custkey", "o_orderstatus").orderBy(*order_cols)
+    seq = orders.select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderdate",
+        F.row_number().over(w_all).alias("rn"),
+        (F.row_number().over(w_all) - F.row_number().over(w_status)).alias("island"),
+    )
+    runs = seq.groupBy("o_custkey", "o_orderstatus", "island").agg(
+        F.min("o_orderdate").alias("valid_from"),
+        F.min("rn").alias("seq"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    # runs are ordered by their first occurrence (min rn), which is
+    # tie-free even when several runs of one customer start on the same
+    # date (the fixture has day-granularity timestamps)
+    w_run = Window.partitionBy("o_custkey").orderBy("seq")
+    nxt = F.lead("valid_from").over(w_run)
+    return runs.select(
+        "o_custkey",
+        F.col("o_orderstatus").alias("status"),
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+        "n_orders",
+    )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle=f"""
+    SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+      CAST(COUNT(*) AS BIGINT) AS order_cnt,
+      CAST(SUM({_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM orders GROUP BY 1
+    """,
+    doc="Incremental materialized-view maintenance: the monthly revenue "
+    "rollup is kept as mergeable partials — the standing view covers "
+    "orders before the cut, the delta covers new arrivals — and the "
+    "refresh is a full-outer merge that coalesce-adds counts and "
+    "exact-integer cent sums. The oracle is the FULL recompute over "
+    "all orders: hash equality is the proof that merge(base, delta) == "
+    "recompute, which only holds because the measures are associative "
+    "(counts, integer sums — never fp64 sums). At 100 TB the delta is "
+    "one partition's scan and the merge touches |months| rows, so a "
+    "refresh costs O(delta), not O(history).",
+    tags=("maintenance", "incremental"),
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("month")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(month).agg(
+            F.count("*").cast("bigint").alias("order_cnt"),
+            F.sum(_cents_col()).cast("bigint").alias("revenue_cents"),
+        )
+
+    cut = F.lit(_CUT2).cast("timestamp")
+    base = partial(orders.filter(F.col("o_orderdate") < cut))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cut))
+    merged = base.select(
+        "month",
+        F.col("order_cnt").alias("b_cnt"),
+        F.col("revenue_cents").alias("b_cents"),
+    ).join(
+        delta.select(
+            "month",
+            F.col("order_cnt").alias("d_cnt"),
+            F.col("revenue_cents").alias("d_cents"),
+        ),
+        "month",
+        "full_outer",
+    )
+    zero = F.lit(0).cast("bigint")
+    return merged.select(
+        "month",
+        (F.coalesce(F.col("b_cnt"), zero) + F.coalesce(F.col("d_cnt"), zero)).alias(
+            "order_cnt"
+        ),
+        (
+            F.coalesce(F.col("b_cents"), zero) + F.coalesce(F.col("d_cents"), zero)
+        ).alias("revenue_cents"),
+    )

@@ -1120,3 +1120,73 @@ def export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_tokens=_EXP_MIN_TOKENS,
     )
     return shard_manifest(packed, budget=_EXP_BUDGET)
+
+
+# --- leakage-safe grouped split -------------------------------------------------
+
+_FOLD_SEED = "fold42"
+_N_FOLDS = 5
+
+
+@register(
+    "split_group_folds",
+    oracle=f"""
+    WITH assign AS (
+      SELECT user_id,
+        {duck_hex13_to_long(f"md5('{_FOLD_SEED}|' || CAST(user_id AS VARCHAR))")}
+          % {_N_FOLDS} AS fold
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    leak AS (
+      SELECT CAST(SUM(CASE WHEN nf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS leaked
+      FROM (SELECT user_id, COUNT(DISTINCT fold) AS nf FROM assign GROUP BY user_id)
+    )
+    SELECT a.fold, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      MAX(leak.leaked) AS leaked_users
+    FROM events e JOIN assign a ON a.user_id = e.user_id CROSS JOIN leak
+    GROUP BY a.fold
+    """,
+    doc="Leakage-safe k-fold assignment: the split key is the GROUP "
+    "(user_id), not the row, so all of a user's events land in one "
+    "fold and a model evaluated on fold i has never seen that user -- "
+    "the grouped-split discipline that row-level random splits "
+    "violate. Assignment is a keyed-md5 hash of the group key: "
+    "stateless, reproducible, joinable from any engine. The "
+    "leaked_users audit column (groups appearing in >1 fold) is "
+    "computed in the same plan and is structurally zero -- a hash "
+    "function is single-valued -- but the audit belongs in the "
+    "artifact, not in a code comment. At 100 TB the assignment is a "
+    "map-side expression on the fact table (no distinct-users table "
+    "needed: the hash recomputes identically per row), one shuffle on "
+    "the 5-value fold key for the counts.",
+    tags=("pipeline", "sampling"),
+)
+def split_group_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    fold = (
+        hex13_to_long(
+            F.md5(F.concat(F.lit(f"{_FOLD_SEED}|"), F.col("user_id").cast("string")))
+        )
+        % _N_FOLDS
+    ).alias("fold")
+    assigned = events.select("user_id", fold)
+    leak = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .agg(
+            F.sum(F.when(F.col("nf") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("leaked")
+        )
+    )
+    return (
+        assigned.groupBy("fold")
+        .agg(
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.count("*").cast("bigint").alias("n_events"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("fold", "n_users", "n_events", F.col("leaked").alias("leaked_users"))
+    )

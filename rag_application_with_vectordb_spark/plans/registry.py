@@ -64,6 +64,14 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "export_manifest",
     "ann_graph_topk",
     "ann_graph_clustered_recall",
+    "cdc_snapshot_diff",
+    "scd2_customer_status_history",
+    "incremental_agg_merge",
+    "er_blocked_name_pairs",
+    "er_match_clusters",
+    "retrieval_mmr_topk",
+    "text_nb_confusion",
+    "split_group_folds",
     # (c) operator rewritten this round (asof rid-hazard fix) — re-confirm
     "asof_purchase_to_click",
     # (d) oldest-green-first: last green in round 1
@@ -129,6 +137,9 @@ def load_all() -> dict[str, QuerySpec]:
         from . import analytics  # noqa: F401
         from . import pipeline_ops  # noqa: F401
         from . import hybrid_queries  # noqa: F401
+        from . import maintenance_queries  # noqa: F401
+        from . import linkage_queries  # noqa: F401
+        from . import classify_queries  # noqa: F401
 
         ordered = {n: QUERIES[n] for n in DRIVER_WINDOW_PRIORITY if n in QUERIES}
         ordered.update({n: s for n, s in QUERIES.items() if n not in ordered})

@@ -1,0 +1,266 @@
+"""Round-7 operators: warehouse maintenance (CDC / SCD2 / incremental
+aggregate merge), record linkage, MMR diversification, NB classifier,
+leakage-safe grouped split."""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from rag_application_with_vectordb_spark.plans.registry import load_all
+from rag_application_with_vectordb_spark.sources.catalog import load_table
+
+
+def _q(name, spark, sf_dir):
+    return load_all()[name].fn(spark, sf_dir)
+
+
+# --- CDC ------------------------------------------------------------------
+
+
+def test_cdc_diff_matches_construction_rules(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cut1 = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    cut2 = F.lit("2001-01-01 00:00:00").cast("timestamp")
+    v1_keys = {
+        r.o_orderkey
+        for r in orders.filter(F.col("o_orderdate") < cut1).select("o_orderkey").collect()
+    }
+    v2_keys = {
+        r.o_orderkey
+        for r in orders.filter(
+            (F.col("o_orderdate") < cut2) & (F.col("o_orderkey") % 97 != 0)
+        )
+        .select("o_orderkey")
+        .collect()
+    }
+    out = _q("cdc_snapshot_diff", spark, sf_dir).collect()
+    by_type = {t: {r.o_orderkey for r in out if r.change_type == t} for t in "IDU"}
+    assert by_type["I"] == v2_keys - v1_keys
+    assert by_type["D"] == v1_keys - v2_keys
+    # updates: surviving v1 keys whose price was bumped (%13)
+    assert by_type["U"] == {k for k in v1_keys & v2_keys if k % 13 == 0}
+    for r in out:
+        if r.change_type == "I":
+            assert r.old_hash is None and r.new_hash is not None
+        elif r.change_type == "D":
+            assert r.old_hash is not None and r.new_hash is None
+        else:
+            assert r.old_hash is not None and r.new_hash is not None
+            assert r.old_hash != r.new_hash
+
+
+# --- SCD2 -----------------------------------------------------------------
+
+
+def test_scd2_intervals_chain_and_cover(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    out = _q("scd2_customer_status_history", spark, sf_dir).collect()
+    per_cust = {}
+    for r in out:
+        per_cust.setdefault(r.o_custkey, []).append(r)
+    n_orders_expect = {
+        r.o_custkey: r.n
+        for r in orders.groupBy("o_custkey").agg(F.count("*").alias("n")).collect()
+    }
+    for ck, runs in per_cust.items():
+        runs.sort(key=lambda r: (r.valid_from, r.status))
+        # exactly one open-ended current run
+        assert sum(1 for r in runs if r.is_current) == 1
+        assert sum(1 for r in runs if r.valid_to is None) == 1
+        # run counts add up to the customer's orders
+        assert sum(r.n_orders for r in runs) == n_orders_expect[ck]
+        # intervals chain: every non-null valid_to is some run's valid_from
+        froms = {r.valid_from for r in runs}
+        for r in runs:
+            if r.valid_to is not None:
+                assert r.valid_to in froms
+
+
+def test_scd2_adjacent_runs_change_status(spark, sf_dir):
+    out = _q("scd2_customer_status_history", spark, sf_dir)
+    # rebuild adjacency by seq order via (valid_from, n_orders) is lossy;
+    # instead assert via the definition: no two runs of one customer with
+    # the same status share a boundary (valid_to == other's valid_from
+    # with equal status would mean the island split incorrectly)
+    rows = out.collect()
+    per_cust = {}
+    for r in rows:
+        per_cust.setdefault(r.o_custkey, []).append(r)
+    for runs in per_cust.values():
+        for a, b in itertools.combinations(runs, 2):
+            if a.status == b.status:
+                assert a.valid_to != b.valid_from or a.valid_to is None
+
+
+# --- incremental aggregate maintenance -------------------------------------
+
+
+def test_incremental_merge_equals_full_recompute(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    full = {
+        r.month: (r.order_cnt, r.revenue_cents)
+        for r in orders.groupBy(
+            F.date_trunc("month", F.col("o_orderdate")).alias("month")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("order_cnt"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .collect()
+    }
+    merged = {
+        r.month: (r.order_cnt, r.revenue_cents)
+        for r in _q("incremental_agg_merge", spark, sf_dir).collect()
+    }
+    assert merged == full
+
+
+# --- record linkage ---------------------------------------------------------
+
+
+def test_er_pairs_are_blocked_and_counted(spark, sf_dir):
+    part = load_table(spark, sf_dir, "part")
+    name_counts = {
+        r.p_name: r.n for r in part.groupBy("p_name").agg(F.count("*").alias("n")).collect()
+    }
+    out = _q("er_blocked_name_pairs", spark, sf_dir).collect()
+    assert out
+    seen = set()
+    for r in out:
+        assert r.name_a < r.name_b
+        assert r.name_a.split(" ")[1] == r.block == r.name_b.split(" ")[1]
+        assert r.edit_dist >= 1  # distinct names
+        assert r.n_record_pairs == name_counts[r.name_a] * name_counts[r.name_b]
+        seen.add((r.name_a, r.name_b))
+    # completeness: every in-block distinct-name pair is present
+    by_block = {}
+    for n in name_counts:
+        by_block.setdefault(n.split(" ")[1], []).append(n)
+    expect = {
+        (a, b)
+        for names in by_block.values()
+        for a, b in itertools.combinations(sorted(names), 2)
+    }
+    assert seen == expect
+
+
+def test_er_clusters_match_union_find(spark, sf_dir):
+    pairs = _q("er_blocked_name_pairs", spark, sf_dir).collect()
+    part = load_table(spark, sf_dir, "part")
+    name_counts = {
+        r.p_name: r.n for r in part.groupBy("p_name").agg(F.count("*").alias("n")).collect()
+    }
+    parent = {n: n for n in name_counts}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        if r.edit_dist <= 3:
+            ra, rb = find(r.name_a), find(r.name_b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for n in name_counts:
+        rep = find(n)
+        names, recs = expect.get(rep, (0, 0))
+        expect[rep] = (names + 1, recs + name_counts[n])
+    got = {
+        r.cluster_rep: (r.n_names, r.n_records)
+        for r in _q("er_match_clusters", spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+# --- MMR --------------------------------------------------------------------
+
+
+def test_mmr_greedy_invariant(spark, sf_dir):
+    from rag_application_with_vectordb_spark.embedder import hash_embedding_expr
+    from rag_application_with_vectordb_spark.functions.vector import cosine_sim
+    from rag_application_with_vectordb_spark.plans.hybrid_queries import (
+        _DIM,
+        _MMR_CAND,
+        _MMR_LAMBDA,
+        _QTEXT,
+    )
+
+    out = _q("retrieval_mmr_topk", spark, sf_dir).collect()
+    assert [r.mmr_rank for r in sorted(out, key=lambda r: r.mmr_rank)] == [1, 2, 3, 4, 5]
+    assert len({r.doc_id for r in out}) == 5
+    # recompute the greedy selection from the candidate set + exact sims
+    docs = load_table(spark, sf_dir, "documents")
+    emb = hash_embedding_expr(F.col("text"), dim=_DIM)
+    qv = hash_embedding_expr(F.lit(_QTEXT), dim=_DIM)
+    cos = cosine_sim(emb, qv)
+    cand = (
+        docs.select("doc_id", F.round(cos, 6).alias("rel"), emb.alias("e"), cos.alias("o"))
+        .orderBy(F.desc("o"), F.asc("doc_id"))
+        .limit(_MMR_CAND)
+        .drop("o")
+    )
+    a = cand.select(F.col("doc_id").alias("da"), F.col("e").alias("ea"))
+    b = cand.select(F.col("doc_id").alias("db"), F.col("e").alias("eb"))
+    sims = {
+        (r.da, r.db): r.s
+        for r in a.crossJoin(b)
+        .select("da", "db", F.round(cosine_sim(F.col("ea"), F.col("eb")), 6).alias("s"))
+        .collect()
+    }
+    rels = {r.doc_id: r.rel for r in cand.collect()}
+    picked = []
+    while len(picked) < 5:
+        best = None
+        for d, rel in rels.items():
+            if d in picked:
+                continue
+            ms = max((sims[(d, p)] for p in picked), default=0.0)
+            score = _MMR_LAMBDA * rel - round(1.0 - _MMR_LAMBDA, 10) * ms
+            key = (-score, d)
+            if best is None or key < best[0]:
+                best = (key, d)
+        picked.append(best[1])
+    got = [r.doc_id for r in sorted(out, key=lambda r: r.mmr_rank)]
+    assert got == picked
+
+
+def test_mmr_rank1_is_pure_relevance(spark, sf_dir):
+    out = sorted(_q("retrieval_mmr_topk", spark, sf_dir).collect(), key=lambda r: r.mmr_rank)
+    assert out[0].max_sim == 0.0
+    assert abs(out[0].mmr_score - 0.7 * out[0].rel) < 1e-12
+    assert out[0].rel == max(r.rel for r in out)
+
+
+# --- NB classifier -----------------------------------------------------------
+
+
+def test_nb_confusion_covers_all_test_docs(spark, sf_dir):
+    from rag_application_with_vectordb_spark.plans.classify_queries import _split_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_test = docs.filter(_split_col("test")).count()
+    out = _q("text_nb_confusion", spark, sf_dir).collect()
+    assert sum(r.n for r in out) == n_test
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    for r in out:
+        assert r.lang_true in langs and r.lang_pred in langs
+
+
+# --- leakage-safe grouped split ----------------------------------------------
+
+
+def test_split_group_folds_partitions_users(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    out = _q("split_group_folds", spark, sf_dir).collect()
+    assert sum(r.n_events for r in out) == events.count()
+    assert sum(r.n_users for r in out) == events.select("user_id").distinct().count()
+    for r in out:
+        assert r.leaked_users == 0
+        assert 0 <= r.fold < 5
