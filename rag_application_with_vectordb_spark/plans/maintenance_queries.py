@@ -132,6 +132,55 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_apply_roundtrip",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, o_orderpriority,
+      {_CENTS_SQL} + CASE WHEN o_orderkey % {_UPD_MOD} = 0
+                          THEN {_UPD_CENTS} ELSE 0 END AS price_cents
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '{_CUT2}' AND o_orderkey % {_DEL_MOD} <> 0
+    """,
+    doc="The CDC round-trip law as a hash-checked query: "
+    "apply_changes(v1, snapshot_diff(v1, v2)) must equal v2 exactly — "
+    "the oracle IS v2, computed directly, while the Spark side runs "
+    "the diff (full-outer key join, null-safe payload compare) and "
+    "then the apply (anti-join touched keys, union I/U payloads) from "
+    "operators/cdc.py. streaming/maintenance.stream_apply_cdc drives "
+    "the same apply_changes per micro-batch, and "
+    "tests/test_streaming_maintenance.py proves any batch split of "
+    "the change feed converges to this same state.",
+    tags=("maintenance", "cdc"),
+)
+def cdc_apply_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import apply_changes, snapshot_diff
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    payload = ["o_orderstatus", "o_orderpriority", "price_cents"]
+    v1 = orders.filter(F.col("o_orderdate") < F.lit(_CUT1).cast("timestamp")).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        _cents_col().alias("price_cents"),
+    )
+    bump = F.when(F.col("o_orderkey") % _UPD_MOD == 0, F.lit(_UPD_CENTS)).otherwise(
+        F.lit(0)
+    )
+    v2 = (
+        orders.filter(F.col("o_orderdate") < F.lit(_CUT2).cast("timestamp"))
+        .filter(F.col("o_orderkey") % _DEL_MOD != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            (_cents_col() + bump).alias("price_cents"),
+        )
+    )
+    changes = snapshot_diff(v1, v2, "o_orderkey", payload)
+    return apply_changes(v1, changes, "o_orderkey", payload)
+
+
+@register(
     "scd2_customer_status_history",
     oracle="""
     WITH seq AS (

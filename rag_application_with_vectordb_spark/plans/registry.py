@@ -74,6 +74,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "split_group_folds",
     # (c) operator rewritten this round (asof rid-hazard fix) — re-confirm
     "asof_purchase_to_click",
+    "cdc_apply_roundtrip",
     # (d) oldest-green-first: last green in round 1
     "set_nations_customers_and_suppliers",
     "set_union_all_keys",
