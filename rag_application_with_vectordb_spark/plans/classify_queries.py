@@ -30,6 +30,126 @@ from .registry import register
 _SEED = "nb42"
 _TRAIN_PERMILLE = 800  # 80/20 split
 
+_BPE_ROUNDS = 8
+
+
+def _bpe_oracle_sql() -> str:
+    """Unrolled-CTE twin of the BPE training loop: one (pair-count,
+    argmax, merge-apply) CTE triple per round, every stage
+    MATERIALIZED (each round's sequences feed two consumers)."""
+    parts = [
+        r"""
+    wc AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    s0 AS MATERIALIZED (
+      SELECT n, array_to_string(regexp_split_to_array(w, ''), ' ') AS seq FROM wc
+    )"""
+    ]
+    for k in range(1, _BPE_ROUNDS + 1):
+        parts.append(
+            f"""
+    p{k} AS MATERIALIZED (
+      SELECT l, r, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        SELECT n,
+          unnest(list_transform(range(1, len(arr)), j -> arr[j])) AS l,
+          unnest(list_transform(range(1, len(arr)), j -> arr[j+1])) AS r
+        FROM (SELECT n, string_split(seq, ' ') AS arr FROM s{k-1})
+        WHERE len(arr) >= 2
+      ) GROUP BY l, r
+    ),
+    b{k} AS MATERIALIZED (
+      SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+    ),
+    s{k} AS MATERIALIZED (
+      SELECT n, list_reduce(string_split(s{k-1}.seq, ' '),
+        (acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]*$') = b{k}.l
+                          AND x = b{k}.r
+                    THEN acc || b{k}.r ELSE acc || ' ' || x END) AS seq
+      FROM s{k-1} CROSS JOIN b{k}
+    )"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_sym, "
+        f"r AS right_sym, cnt AS pair_count FROM b{k}"
+        for k in range(1, _BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",".join(parts) + " " + union
+
+
+@register(
+    "text_bpe_train_merges",
+    oracle=_bpe_oracle_sql(),
+    doc="Byte-pair-encoding tokenizer TRAINING in the engine (Sennrich "
+    "et al. 2016): learn the first 8 merge rules from the corpus. The "
+    "classic scale trick makes this tractable: training operates on "
+    "the (word, count) relation — one corpus-wide groupBy, after which "
+    "every round touches only the distinct-word vocabulary, never the "
+    "corpus again. Per round: adjacent symbol pairs weighted by word "
+    "count (one aggregate), argmax with (count desc, pair asc) "
+    "tiebreak (a bounded 1-row collect, the k<=64 centroid rule), and "
+    "a left-to-right greedy merge applied via a string-fold lambda — "
+    "bit-identical in Spark (aggregate HOF) and DuckDB (list_reduce), "
+    "proven by the unrolled-CTE oracle. Integer counts and string ops "
+    "only: no float anywhere, so the learned rules are "
+    "partitioning-proof. The learned table feeds the same broadcast "
+    "encode path as text_tokenize_ids.",
+    tags=("text", "classify", "ml"),
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    seqs = wc.select(
+        "n", F.concat_ws(" ", F.split(F.col("w"), "")).alias("seq")
+    ).cache()
+    rules = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        arr = "split(seq, ' ')"
+        pairs = seqs.filter(F.expr(f"size({arr}) >= 2")).select(
+            "n",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size({arr})-1), "
+                    f"j -> struct(element_at({arr}, j) AS l, element_at({arr}, j+1) AS r))"
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("n").cast("bigint").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0].l, best[0].r, best[0].cnt
+        rules.append((k, a, b, cnt))
+        qa, qb = a.replace("'", "''"), b.replace("'", "''")
+        merge = (
+            f"aggregate(slice({arr}, 2, size({arr})-1), element_at({arr}, 1), "
+            f"(acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]*$', 0) = '{qa}' "
+            f"AND x = '{qb}' THEN concat(acc, '{qb}') "
+            f"ELSE concat(acc, ' ', x) END)"
+        )
+        # each round's sequences are a <=|vocab|-row relation; an eager
+        # checkpoint keeps the next round's scan off the k-deep lineage
+        seqs = seqs.select("n", F.expr(merge).alias("seq")).localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        rules, "merge_rank bigint, left_sym string, right_sym string, pair_count bigint"
+    )
+
 
 def _split_sql(which: str) -> str:
     h = duck_hex13_to_long(f"md5('{_SEED}|' || CAST(doc_id AS VARCHAR))")

@@ -72,6 +72,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "retrieval_mmr_topk",
     "text_nb_confusion",
     "split_group_folds",
+    "text_bpe_train_merges",
     # (c) operator rewritten this round (asof rid-hazard fix) — re-confirm
     "asof_purchase_to_click",
     "cdc_apply_roundtrip",

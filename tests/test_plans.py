@@ -309,3 +309,49 @@ def test_anomaly_rolling_z_is_single_keyed_window(spark, sf_dir, specs):
     assert "SinglePartition" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_scd2_windows_all_partition_by_customer(spark, sf_dir, specs):
+    plan = plan_of(specs["scd2_customer_status_history"].fn(spark, sf_dir))
+    import re
+    # every Window operator must be keyed — a global (unpartitioned)
+    # window would single-partition the whole orders table
+    for line in plan.splitlines():
+        if re.search(r"\bWindow\b", line) and "windowspecdefinition" in line:
+            assert "o_custkey" in line
+
+
+def test_cdc_diff_joins_on_the_key_not_broadcast_of_a_snapshot(spark, sf_dir, specs):
+    plan = plan_of(specs["cdc_snapshot_diff"].fn(spark, sf_dir))
+    # both snapshots derive from the big fact; a full-outer join cannot
+    # broadcast either side — it must co-partition on the key
+    assert "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_nb_weight_table_broadcasts_to_the_scoring_join(spark, sf_dir, specs):
+    plan = plan_of(specs["text_nb_confusion"].fn(spark, sf_dir))
+    # scoring = test tokens JOIN weights: the |classes| x |vocab| weight
+    # relation is the broadcast side (fastText serving shape)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_er_pairs_shuffle_on_block_key_no_cartesian(spark, sf_dir, specs):
+    plan = plan_of(specs["er_blocked_name_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_merge_is_partial_agg_then_merge(spark, sf_dir, specs):
+    plan = plan_of(specs["incremental_agg_merge"].fn(spark, sf_dir))
+    # two HashAggregates per branch (partial+final) and a full-outer
+    # merge join; never a re-aggregation over the unioned raw rows
+    assert "FullOuter" in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_split_group_folds_assignment_is_map_side(spark, sf_dir, specs):
+    plan = plan_of(specs["split_group_folds"].fn(spark, sf_dir))
+    # the fold hash recomputes per row: no distinct-users join on the
+    # assignment path (the leak audit aggregates separately)
+    assert "SortMergeJoin" not in plan

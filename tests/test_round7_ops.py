@@ -264,3 +264,66 @@ def test_split_group_folds_partitions_users(spark, sf_dir):
     for r in out:
         assert r.leaked_users == 0
         assert 0 <= r.fold < 5
+
+
+# --- BPE merge training -------------------------------------------------------
+
+
+def test_bpe_merges_match_canonical_reference(spark, sf_dir):
+    """The engine's learned merge table must equal a straightforward
+    Python implementation of Sennrich-style BPE over the same word
+    counts (greedy left-to-right merge application)."""
+    from rag_application_with_vectordb_spark.functions.text import tokens as tok_fn
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = {}
+    for r in (
+        docs.select(F.explode(tok_fn(F.col("text"))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .count()
+        .collect()
+    ):
+        wc[r.w] = r["count"]
+    seqs = {w: list(w) for w in wc}
+    expect = []
+    for rank in range(1, 9):
+        counts = {}
+        for w, seq in seqs.items():
+            for i in range(len(seq) - 1):
+                counts[(seq[i], seq[i + 1])] = counts.get((seq[i], seq[i + 1]), 0) + wc[w]
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, a, b, cnt))
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+    got = [
+        (r.merge_rank, r.left_sym, r.right_sym, r.pair_count)
+        for r in sorted(
+            _q("text_bpe_train_merges", spark, sf_dir).collect(),
+            key=lambda r: r.merge_rank,
+        )
+    ]
+    assert got == expect
+
+
+def test_bpe_merged_symbols_grow(spark, sf_dir):
+    rules = sorted(
+        _q("text_bpe_train_merges", spark, sf_dir).collect(), key=lambda r: r.merge_rank
+    )
+    assert len(rules) == 8
+    # later merges may consume earlier merged symbols (that's the point
+    # of BPE); at least one rule must build on a multi-char symbol
+    assert any(len(r.left_sym) > 1 or len(r.right_sym) > 1 for r in rules)
+    # counts are non-increasing is NOT guaranteed (merges create new
+    # pairs), but every count is positive
+    assert all(r.pair_count > 0 for r in rules)
