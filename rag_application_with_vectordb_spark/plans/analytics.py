@@ -1054,3 +1054,110 @@ _sql_query(
     "anomaly monitor in batch form.",
     tags=("analytics", "window", "monitor"),
 )
+
+
+# --- EWMA smoothing (trailing-20 exponential moving average) -------------------
+
+_sql_query(
+    "events_ewma",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+        collect_list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS win
+      FROM events
+    )
+    SELECT event_id, user_id, ts, value,
+      aggregate(slice(win, 2, size(win)-1), element_at(win, 1),
+                (acc, x) -> CAST(0.75 AS DOUBLE) * acc + CAST(0.25 AS DOUBLE) * x)
+        AS ewma20
+    FROM w
+    """,
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+        list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS win
+      FROM events
+    )
+    SELECT event_id, user_id, ts, value,
+      list_reduce(win, (acc, x) -> 0.75 * acc + 0.25 * x) AS ewma20
+    FROM w
+    """,
+    doc="Exponentially-weighted moving average (alpha=0.25) over each "
+    "user's event stream, trailing-20 frame: the smoothing recursion "
+    "acc = (1-a)*acc + a*x runs as a fold over the ordered window list "
+    "(Spark aggregate HOF / DuckDB list_reduce, first element as "
+    "init), so the fp operations happen in one fixed chronological "
+    "order — bit-identical across engines AND across partitionings, "
+    "which a naive sum-of-weighted-terms formulation cannot "
+    "guarantee. One shuffle on user_id; the bounded frame keeps state "
+    "O(20) per row. The recursive form also avoids the numeric "
+    "blow-up of the closed-form (1-a)^-i prefix trick.",
+    tags=("analytics", "timeseries"),
+)
+
+# --- PSI drift monitor ---------------------------------------------------------
+
+_sql_query(
+    "monitor_psi_price_drift",
+    """
+    WITH b AS (
+      SELECT LEAST(CAST(floor(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+        CAST(SUM(CASE WHEN o_orderdate <  TIMESTAMP '1998-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM orders GROUP BY 1
+    ),
+    t AS (SELECT CAST(SUM(n_a) AS BIGINT) AS t_a, CAST(SUM(n_b) AS BIGINT) AS t_b,
+                 CAST(COUNT(*) AS BIGINT) AS k FROM b)
+    SELECT bucket, n_a, n_b,
+      CAST(round(
+        ((CAST(n_a + 1 AS DOUBLE) / CAST(t_a + k AS DOUBLE))
+         - (CAST(n_b + 1 AS DOUBLE) / CAST(t_b + k AS DOUBLE)))
+        * ln((CAST(n_a + 1 AS DOUBLE) / CAST(t_a + k AS DOUBLE))
+             / (CAST(n_b + 1 AS DOUBLE) / CAST(t_b + k AS DOUBLE)))
+        * 1000000000) AS BIGINT) AS psi_contrib_nano
+    FROM b CROSS JOIN t
+    """,
+    doc="Population-stability-index drift monitor between two order "
+    "periods over fixed price buckets — the standard 'did the "
+    "distribution shift' gate a feature pipeline runs before "
+    "retraining. Laplace +1 smoothing keeps empty buckets finite; "
+    "each bucket's PSI contribution is quantized to integer "
+    "nano-units so the total (sum of BIGINTs) is associative — the "
+    "usual fixed-point trick for the one transcendental (ln). One "
+    "aggregate over the fact, a 10-row broadcast total; PSI >= 0.2 "
+    "on any bucket sum is the conventional re-train trigger.",
+    tags=("analytics", "monitor"),
+)
+
+# --- RFM customer segmentation --------------------------------------------------
+
+_sql_query(
+    "orders_rfm_segments",
+    """
+    WITH m AS (
+      SELECT o_custkey,
+        CAST(max(o_orderdate) AS TIMESTAMP) AS last_order,
+        CAST(COUNT(*) AS BIGINT) AS frequency,
+        CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+      CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT) AS r_bin,
+      CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT) AS f_bin,
+      CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, o_custkey) AS BIGINT) AS m_bin,
+      frequency, monetary_cents
+    FROM m
+    """,
+    doc="RFM (recency / frequency / monetary) customer segmentation: "
+    "one aggregate collapses the fact to customer grain, then ntile(4) "
+    "quartile bins per dimension with full tiebreaks (metric, "
+    "custkey) so bin edges are deterministic. The global ntile sorts "
+    "only the CUSTOMER-grain relation (dimension-sized, not "
+    "fact-sized); at 1e9+ customers the bins would come from "
+    "broadcast approximate quantile bounds instead — the "
+    "length_buckets_approx pattern, one map-side CASE per row, no "
+    "sort. Money is exact integer cents.",
+    tags=("analytics",),
+)

@@ -33,10 +33,12 @@ _TRAIN_PERMILLE = 800  # 80/20 split
 _BPE_ROUNDS = 8
 
 
-def _bpe_oracle_sql() -> str:
+def _bpe_chain_sql() -> str:
     """Unrolled-CTE twin of the BPE training loop: one (pair-count,
     argmax, merge-apply) CTE triple per round, every stage
-    MATERIALIZED (each round's sequences feed two consumers)."""
+    MATERIALIZED (each round's sequences feed two consumers). The
+    chain ends at ``s{_BPE_ROUNDS}``, the trained word→symbols
+    vocabulary, which the encode query joins against."""
     parts = [
         r"""
     wc AS MATERIALIZED (
@@ -46,7 +48,7 @@ def _bpe_oracle_sql() -> str:
       WHERE w <> '' GROUP BY w
     ),
     s0 AS MATERIALIZED (
-      SELECT n, array_to_string(regexp_split_to_array(w, ''), ' ') AS seq FROM wc
+      SELECT w, n, array_to_string(regexp_split_to_array(w, ''), ' ') AS seq FROM wc
     )"""
     ]
     for k in range(1, _BPE_ROUNDS + 1):
@@ -65,19 +67,23 @@ def _bpe_oracle_sql() -> str:
       SELECT l, r, cnt FROM p{k} ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
     ),
     s{k} AS MATERIALIZED (
-      SELECT n, list_reduce(string_split(s{k-1}.seq, ' '),
+      SELECT w, n, list_reduce(string_split(s{k-1}.seq, ' '),
         (acc, x) -> CASE WHEN regexp_extract(acc, '[^ ]*$') = b{k}.l
                           AND x = b{k}.r
                     THEN acc || b{k}.r ELSE acc || ' ' || x END) AS seq
       FROM s{k-1} CROSS JOIN b{k}
     )"""
         )
+    return ",".join(parts)
+
+
+def _bpe_oracle_sql() -> str:
     union = " UNION ALL ".join(
         f"SELECT CAST({k} AS BIGINT) AS merge_rank, l AS left_sym, "
         f"r AS right_sym, cnt AS pair_count FROM b{k}"
         for k in range(1, _BPE_ROUNDS + 1)
     )
-    return "WITH " + ",".join(parts) + " " + union
+    return "WITH " + _bpe_chain_sql() + " " + union
 
 
 @register(
@@ -100,6 +106,24 @@ def _bpe_oracle_sql() -> str:
     tags=("text", "classify", "ml"),
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules, _ = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        rules, "merge_rank bigint, left_sym string, right_sym string, pair_count bigint"
+    )
+
+
+#: trained (rules, vocab-sequences DF) per (session, fixture) — the same
+#: session-keyed cache rule as the persisted IVF / graph-ANN indexes
+_BPE_CACHE: dict[tuple[str, str], tuple[list, DataFrame]] = {}
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the 8-round BPE training loop; returns (rules, seqs) where
+    ``seqs`` is the trained word→symbol-sequence vocabulary relation
+    (w, n, seq). Cached per (session, fixture)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key in _BPE_CACHE:
+        return _BPE_CACHE[key]
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     wc = (
@@ -109,7 +133,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n"))
     )
     seqs = wc.select(
-        "n", F.concat_ws(" ", F.split(F.col("w"), "")).alias("seq")
+        "w", "n", F.concat_ws(" ", F.split(F.col("w"), "")).alias("seq")
     ).cache()
     rules = []
     for k in range(1, _BPE_ROUNDS + 1):
@@ -143,11 +167,63 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # each round's sequences are a <=|vocab|-row relation; an eager
         # checkpoint keeps the next round's scan off the k-deep lineage
-        seqs = seqs.select("n", F.expr(merge).alias("seq")).localCheckpoint(
+        seqs = seqs.select("w", "n", F.expr(merge).alias("seq")).localCheckpoint(
             eager=True
         )
-    return spark.createDataFrame(
-        rules, "merge_rank bigint, left_sym string, right_sym string, pair_count bigint"
+    _BPE_CACHE[key] = (rules, seqs)
+    return rules, seqs
+
+
+@register(
+    "text_bpe_encode_stats",
+    oracle=rf"""
+    WITH {_bpe_chain_sql()},
+    tok AS (
+      SELECT lang, t.w
+      FROM (SELECT lang, regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents),
+           LATERAL (SELECT unnest(ws) AS w) t
+      WHERE t.w <> ''
+    ),
+    sym AS (
+      SELECT w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_sym
+      FROM s{_BPE_ROUNDS}
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(sym.n_sym) AS BIGINT) AS n_bpe_tokens,
+      CAST(SUM(length(tok.w)) AS BIGINT) AS n_chars
+    FROM tok JOIN sym ON sym.w = tok.w
+    GROUP BY lang
+    """,
+    doc="The BPE serving path: encode the corpus with the TRAINED merge "
+    "table and report per-language word / BPE-token / character "
+    "counts (the compression the tokenizer buys). Known words encode "
+    "by a broadcast join against the trained word→symbols vocabulary "
+    "— no per-word merge replay at serving time, which is exactly how "
+    "production tokenizers cache whole-word encodings; at 100 TB the "
+    "vocab relation stays broadcast-sized and encoding is map-side. "
+    "The oracle replays the full 8-round training chain and the same "
+    "join, so train AND encode are bit-reproduced end to end.",
+    tags=("text", "classify", "ml"),
+)
+def text_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    _, seqs = _bpe_train(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(tokens(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    sym = seqs.select(
+        "w", F.size(F.split(F.col("seq"), " ")).cast("bigint").alias("n_sym")
+    )
+    return (
+        tok.join(F.broadcast(sym), "w")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_sym").cast("bigint").alias("n_bpe_tokens"),
+            F.sum(F.length(F.col("w"))).cast("bigint").alias("n_chars"),
+        )
     )
 
 

@@ -73,6 +73,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "text_nb_confusion",
     "split_group_folds",
     "text_bpe_train_merges",
+    "text_bpe_encode_stats",
+    "events_ewma",
+    "monitor_psi_price_drift",
+    "orders_rfm_segments",
     # (c) operator rewritten this round (asof rid-hazard fix) — re-confirm
     "asof_purchase_to_click",
     "cdc_apply_roundtrip",

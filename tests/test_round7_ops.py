@@ -327,3 +327,49 @@ def test_bpe_merged_symbols_grow(spark, sf_dir):
     # counts are non-increasing is NOT guaranteed (merges create new
     # pairs), but every count is positive
     assert all(r.pair_count > 0 for r in rules)
+
+
+def test_bpe_encode_compresses(spark, sf_dir):
+    out = _q("text_bpe_encode_stats", spark, sf_dir).collect()
+    assert out
+    for r in out:
+        # BPE tokens are at most one per char and at least one per word
+        assert r.n_words <= r.n_bpe_tokens <= r.n_chars
+        # 8 merges on a 31-word vocab must compress meaningfully
+        assert r.n_bpe_tokens < r.n_chars
+
+
+def test_ewma_first_event_is_identity_and_bounded(spark, sf_dir):
+    rows = _q("events_ewma", spark, sf_dir).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r.user_id, []).append(r)
+    for user_rows in per_user.values():
+        user_rows.sort(key=lambda r: (r.ts, r.event_id))
+        assert user_rows[0].ewma20 == user_rows[0].value
+        lo = min(r.value for r in user_rows)
+        hi = max(r.value for r in user_rows)
+        for r in user_rows:
+            assert lo - 1e-9 <= r.ewma20 <= hi + 1e-9  # convex combination
+
+
+def test_psi_contributions_nonnegative_and_complete(spark, sf_dir):
+    out = _q("monitor_psi_price_drift", spark, sf_dir).collect()
+    assert len(out) >= 2
+    from rag_application_with_vectordb_spark.sources.catalog import load_table as lt
+    n_orders = lt(spark, sf_dir, "orders").count()
+    assert sum(r.n_a + r.n_b for r in out) == n_orders
+    for r in out:
+        assert r.psi_contrib_nano >= 0  # (p-q)ln(p/q) >= 0 always
+
+
+def test_rfm_bins_are_balanced_quartiles(spark, sf_dir):
+    out = _q("orders_rfm_segments", spark, sf_dir).collect()
+    n = len(out)
+    for col in ("r_bin", "f_bin", "m_bin"):
+        counts = {}
+        for r in out:
+            counts[r[col]] = counts.get(r[col], 0) + 1
+        assert set(counts) == {1, 2, 3, 4}
+        assert max(counts.values()) - min(counts.values()) <= 1  # ntile balance
+    assert n == len({r.o_custkey for r in out})
