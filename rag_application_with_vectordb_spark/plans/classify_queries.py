@@ -405,3 +405,158 @@ def text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang_true", "lang_pred").agg(
         F.count("*").cast("bigint").alias("n")
     )
+
+
+# --- PCA top component via fixed-point power iteration --------------------------
+
+_PCA_DIM = 16  # leading components; keeps the dim^2 pair-aggregate bounded
+_PCA_ROUNDS = 3
+
+
+def _pca_oracle_sql() -> str:
+    parts = [
+        f"""
+    qd AS MATERIALIZED (
+      SELECT vec_id, t.j,
+        CAST(round(CAST(embedding[t.j] AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings, LATERAL (SELECT unnest(range(1, {_PCA_DIM + 1})) AS j) t
+    ),
+    sxy AS MATERIALIZED (
+      SELECT a.j AS i, b.j AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS sxy
+      FROM qd a JOIN qd b USING (vec_id) GROUP BY 1, 2
+    ),
+    sx AS (SELECT j, CAST(SUM(q) AS BIGINT) AS sx FROM qd GROUP BY j),
+    nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM qd),
+    cov AS MATERIALIZED (
+      SELECT sxy.i, sxy.j, nn.n * sxy.sxy - si.sx * sj.sx AS c0
+      FROM sxy JOIN sx si ON si.j = sxy.i JOIN sx sj ON sj.j = sxy.j
+      CROSS JOIN nn
+    ),
+    cm AS (SELECT MAX(ABS(c0)) AS m FROM cov),
+    c AS MATERIALIZED (
+      SELECT i, j, CAST(round(CAST(c0 AS DOUBLE) * 1000000 / CAST(cm.m AS DOUBLE))
+                        AS BIGINT) AS c
+      FROM cov CROSS JOIN cm
+    ),
+    v0 AS (SELECT DISTINCT i AS j, CAST(1000 AS BIGINT) AS v FROM c)"""
+    ]
+    for k in range(1, _PCA_ROUNDS + 1):
+        parts.append(
+            f"""
+    w{k} AS (
+      SELECT c.i, CAST(SUM(c.c * v{k-1}.v) AS BIGINT) AS w
+      FROM c JOIN v{k-1} ON v{k-1}.j = c.j GROUP BY c.i
+    ),
+    m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}),
+    v{k} AS MATERIALIZED (
+      SELECT i AS j, CAST(round(CAST(w AS DOUBLE) * 1000 / CAST(m{k}.m AS DOUBLE))
+                          AS BIGINT) AS v
+      FROM w{k} CROSS JOIN m{k}
+    )"""
+        )
+    last = f"v{_PCA_ROUNDS}"
+    parts.append(
+        f"""
+    ray AS (
+      SELECT CAST(SUM(vi.v * c.c * vj.v) AS BIGINT) AS num
+      FROM c JOIN {last} vi ON vi.j = c.i JOIN {last} vj ON vj.j = c.j
+    ),
+    den AS (SELECT CAST(SUM(v * v) AS BIGINT) AS den FROM {last})"""
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""" SELECT {last}.j AS comp_i, {last}.v AS eig_fixed,
+      ray.num AS rayleigh_num, den.den AS rayleigh_den
+    FROM {last} CROSS JOIN ray CROSS JOIN den"""
+    )
+
+
+@register(
+    "embedding_pca_power",
+    oracle=_pca_oracle_sql(),
+    doc="Dimensionality reduction in the engine: the top principal "
+    "component of the (first-16-dim) embedding covariance via 3 "
+    "fixed-point power-iteration rounds. Components quantize to "
+    "integer milli-units, so the covariance is EXACT integer algebra "
+    "(n*Sxy - Sx*Sy — no fp mean subtraction), renormalized to a "
+    "bounded +-1e6 grid before iterating so C.v stays far from int64 "
+    "overflow at any corpus size. Each round is one 256-row join + "
+    "16-group aggregate; the only corpus-sized work is the single "
+    "pair-moment pass (one shuffle). Renormalizations are single "
+    "correctly-rounded fp divisions (the PageRank/kmeans fixed-point "
+    "trick), so the eigenvector and its Rayleigh quotient are "
+    "bit-identical across engines and partitionings.",
+    tags=("ml", "ann", "classify"),
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qd = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, {_PCA_DIM}), "
+                f"j -> struct(j AS j, CAST(round(CAST(element_at(embedding, j) AS DOUBLE) * 1000) AS BIGINT) AS q))"
+            )
+        ).alias("p"),
+    ).select("vec_id", F.col("p.j").alias("j"), F.col("p.q").alias("q"))
+    a = qd.select("vec_id", F.col("j").alias("i"), F.col("q").alias("qa"))
+    b = qd.select("vec_id", F.col("j").alias("j"), F.col("q").alias("qb"))
+    sxy = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qa") * F.col("qb")).cast("bigint").alias("sxy"))
+    )
+    sx = qd.groupBy("j").agg(F.sum("q").cast("bigint").alias("sx"))
+    nn = qd.agg(F.countDistinct("vec_id").cast("bigint").alias("n"))
+    cov = (
+        sxy.join(sx.select(F.col("j").alias("i"), F.col("sx").alias("sxi")), "i")
+        .join(sx.select("j", F.col("sx").alias("sxj")), "j")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sxy") - F.col("sxi") * F.col("sxj")).alias("c0"),
+        )
+    )
+    cm = cov.agg(F.max(F.abs(F.col("c0"))).alias("m"))
+    c = cov.crossJoin(F.broadcast(cm)).select(
+        "i",
+        "j",
+        F.round(F.col("c0").cast("double") * 1000000 / F.col("m").cast("double"))
+        .cast("bigint")
+        .alias("c"),
+    ).cache()
+    v = c.select(F.col("i").alias("j")).distinct().withColumn(
+        "v", F.lit(1000).cast("bigint")
+    )
+    for _ in range(_PCA_ROUNDS):
+        # materialize each round's 16-row results: w feeds two consumers
+        # (the max and the renorm) and v feeds the next round twice — an
+        # unchecked unroll re-evaluates the whole chain 2^rounds times
+        w = (
+            c.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("c") * F.col("v")).cast("bigint").alias("w"))
+        ).localCheckpoint(eager=True)
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            F.col("i").alias("j"),
+            F.round(F.col("w").cast("double") * 1000 / F.col("m").cast("double"))
+            .cast("bigint")
+            .alias("v"),
+        ).localCheckpoint(eager=True)
+    vi = v.select(F.col("j").alias("i"), F.col("v").alias("vi"))
+    vj = v.select("j", F.col("v").alias("vj"))
+    ray = (
+        c.join(vi, "i")
+        .join(vj, "j")
+        .agg(F.sum(F.col("vi") * F.col("c") * F.col("vj")).cast("bigint").alias("num"))
+    )
+    den = v.agg(F.sum(F.col("v") * F.col("v")).cast("bigint").alias("den"))
+    return (
+        v.select(F.col("j").alias("comp_i"), F.col("v").alias("eig_fixed"))
+        .crossJoin(F.broadcast(ray.select(F.col("num").alias("rayleigh_num"))))
+        .crossJoin(F.broadcast(den.select(F.col("den").alias("rayleigh_den"))))
+    )

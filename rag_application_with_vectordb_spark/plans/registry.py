@@ -77,6 +77,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "events_ewma",
     "monitor_psi_price_drift",
     "orders_rfm_segments",
+    "embedding_pca_power",
     # (c) operator rewritten this round (asof rid-hazard fix) — re-confirm
     "asof_purchase_to_click",
     "cdc_apply_roundtrip",

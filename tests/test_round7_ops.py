@@ -373,3 +373,35 @@ def test_rfm_bins_are_balanced_quartiles(spark, sf_dir):
         assert set(counts) == {1, 2, 3, 4}
         assert max(counts.values()) - min(counts.values()) <= 1  # ntile balance
     assert n == len({r.o_custkey for r in out})
+
+
+def test_pca_eigvec_dominates_random_direction(spark, sf_dir):
+    """The power-iteration output must explain more variance than the
+    all-ones start vector: Rayleigh(v3) >= Rayleigh(v0) in the same
+    fixed-point metric, and the top component is at the +-1000 scale."""
+    out = _q("embedding_pca_power", spark, sf_dir).collect()
+    assert len(out) == 16
+    vs = {r.comp_i: r.eig_fixed for r in out}
+    assert max(abs(v) for v in vs.values()) == 1000  # renormalized
+    num, den = out[0].rayleigh_num, out[0].rayleigh_den
+    assert den > 0
+    # compare against the start vector's quotient using the same scaled
+    # covariance, recomputed via numpy from the fixture
+    import numpy as np
+    from rag_application_with_vectordb_spark.sources.catalog import load_table as lt
+
+    emb = np.array(
+        [r.embedding[:16] for r in lt(spark, sf_dir, "embeddings").collect()],
+        dtype=np.float64,
+    )
+    q = np.round(emb * 1000)
+    n = q.shape[0]
+    cov0 = n * (q.T @ q) - np.outer(q.sum(0), q.sum(0))
+    c = np.round(cov0 * 1_000_000 / np.abs(cov0).max())
+    ones = np.full(16, 1000.0)
+    v = np.array([vs[i + 1] for i in range(16)], dtype=np.float64)
+    r_ones = (ones @ c @ ones) / (ones @ ones)
+    r_v = (v @ c @ v) / (v @ v)
+    assert r_v >= r_ones
+    # engine's quotient agrees with numpy's for the same vector
+    assert abs(num / den - r_v) / abs(r_v) < 1e-9
