@@ -28,6 +28,7 @@ __all__ = [
     "decode_media_stub",
     "resize_media_stub",
     "sample_frames_stub",
+    "phash_stub",
 ]
 
 
@@ -176,3 +177,50 @@ def sample_frames_stub(
             yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(run, schema=schema)
+
+
+def phash_stub(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Perceptual hash over a binary payload: deterministic 64-cell
+    'image' (byte sums at stride 64 — the stand-in for a real
+    decode+resize+DCT), one bit per cell via the integer mean test
+    ``cell*64 > total``, emitted as four 16-bit chunks ``h0..h3`` so
+    downstream Hamming blocking can pigeonhole on chunk equality.
+
+    A real pipeline would decode with PIL, resize to 8x8 grayscale and
+    threshold the DCT lowpass — same schema, same chunked-bits output,
+    swap the numpy body. Arrow-batched mapInPandas; integer-only, so
+    the hash is reproducible anywhere (the DuckDB oracle recomputes it
+    from the payload text).
+    """
+    from ..session import _ship_package
+
+    _ship_package(df.sparkSession)
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("h0", T.LongType()),
+            T.StructField("h1", T.LongType()),
+            T.StructField("h2", T.LongType()),
+            T.StructField("h3", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {id_col: pdf[id_col].astype("int64"), "h0": [], "h1": [], "h2": [], "h3": []}
+            for payload in pdf[bin_col]:
+                b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                cells = np.zeros(64, dtype=np.int64)
+                for k in range(64):
+                    cells[k] = int(b[k::64].sum())
+                total = int(cells.sum())
+                bits = (cells * 64 > total).astype(np.int64)
+                for c in range(4):
+                    out[f"h{c}"].append(int((bits[c * 16 : (c + 1) * 16] << np.arange(16)).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)

@@ -78,6 +78,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "monitor_psi_price_drift",
     "orders_rfm_segments",
     "embedding_pca_power",
+    "multimodal_phash_neardup_pairs",
     # (c) operator rewritten this round (asof rid-hazard fix) — re-confirm
     "asof_purchase_to_click",
     "cdc_apply_roundtrip",

@@ -800,3 +800,113 @@ def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s.getField("tid"),
         ).alias("token_ids"),
     )
+
+
+@register(
+    "multimodal_phash_neardup_pairs",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, substr(text, 1, len(text)-1) || 'q'
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    cells AS (
+      SELECT doc_id, list_transform(range(0, 64), k ->
+        COALESCE(list_sum(list_transform(range(1+k, len(text)+1, 64),
+                                         j -> ord(substr(text, j, 1)))), 0)) AS c
+      FROM aug
+    ),
+    hsh AS MATERIALIZED (
+      SELECT doc_id,
+        list_transform(range(0, 4), ch ->
+          list_sum(list_transform(range(0, 16), k ->
+            CASE WHEN c[ch*16 + k + 1] * 64 > list_sum(c)
+                 THEN 1 << k ELSE 0 END))) AS h
+      FROM cells
+    ),
+    chunks AS (
+      SELECT doc_id, ch, h[ch + 1] AS v
+      FROM hsh, LATERAL (SELECT unnest(range(0, 4)) AS ch)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM chunks a JOIN chunks b
+        ON a.ch = b.ch AND a.v = b.v AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+      CAST(bit_count(xor(ha.h[1], hb.h[1])) + bit_count(xor(ha.h[2], hb.h[2]))
+         + bit_count(xor(ha.h[3], hb.h[3])) + bit_count(xor(ha.h[4], hb.h[4]))
+        AS BIGINT) AS hamming
+    FROM cand c JOIN hsh ha ON ha.doc_id = c.doc_a
+                JOIN hsh hb ON hb.doc_id = c.doc_b
+    WHERE bit_count(xor(ha.h[1], hb.h[1])) + bit_count(xor(ha.h[2], hb.h[2]))
+        + bit_count(xor(ha.h[3], hb.h[3])) + bit_count(xor(ha.h[4], hb.h[4])) <= 3
+    """,
+    doc="Perceptual-hash near-duplicate detection over BINARY media "
+    "payloads — the multimodal twin of dedup_simhash_pairs. The corpus "
+    "is augmented with 1-byte-perturbed copies of every 10th payload "
+    "(the known-dup plant; real corpora bring their own), each payload "
+    "hashes to 64 pHash bits via the Arrow-batched mapInPandas stub "
+    "(integer byte-sum cells + mean test standing in for "
+    "decode/resize/DCT), and pairs within Hamming distance 3 surface "
+    "through 4x16-bit pigeonhole chunk blocking — provably lossless at "
+    "<= 3 (a pair differing in <= 3 bits matches on >= 1 intact "
+    "chunk), never all-pairs. The oracle recomputes the entire hash "
+    "from the payload bytes in integer algebra, making this a "
+    "mapInPandas stage whose OUTPUT is value-hash-checked cross-engine "
+    "— the stub swaps for PIL+DCT with the same schema and plan.",
+    tags=("multimodal", "dedup"),
+)
+def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import phash_stub, with_binary_payload
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    variants = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 10000000).alias("doc_id"),
+            F.concat(
+                F.expr("substring(text, 1, length(text)-1)"), F.lit("q")
+            ).alias("text"),
+        )
+    )
+    aug = docs.select("doc_id", "text").unionByName(variants)
+    hsh = phash_stub(with_binary_payload(aug)).cache()
+    chunks = hsh.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, 3), ch -> struct(ch AS ch, element_at(array(h0, h1, h2, h3), ch + 1) AS v))")
+        ).alias("p"),
+    ).select("doc_id", F.col("p.ch").alias("ch"), F.col("p.v").alias("v"))
+    a = chunks.select(F.col("doc_id").alias("doc_a"), "ch", "v")
+    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("ch").alias("ch_b"), F.col("v").alias("v_b"))
+    cand = (
+        a.join(
+            b,
+            (F.col("ch") == F.col("ch_b"))
+            & (F.col("v") == F.col("v_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = hsh.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{c}").alias(f"a{c}") for c in range(4)],
+    )
+    hb = hsh.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{c}").alias(f"b{c}") for c in range(4)],
+    )
+    dist = sum(
+        F.expr(f"bit_count(a{c} ^ b{c})") for c in range(4)
+    )
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .withColumn("hamming", dist.cast("bigint"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

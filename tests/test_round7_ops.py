@@ -405,3 +405,18 @@ def test_pca_eigvec_dominates_random_direction(spark, sf_dir):
     assert r_v >= r_ones
     # engine's quotient agrees with numpy's for the same vector
     assert abs(num / den - r_v) / abs(r_v) < 1e-9
+
+
+def test_phash_finds_every_planted_variant(spark, sf_dir):
+    from rag_application_with_vectordb_spark.sources.catalog import load_table as lt
+
+    out = _q("multimodal_phash_neardup_pairs", spark, sf_dir).collect()
+    planted = {
+        r.doc_id
+        for r in lt(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0).collect()
+    }
+    found = {(r.doc_a, r.doc_b) for r in out}
+    for d in planted:
+        assert (d, d + 10000000) in found  # every 1-byte perturbation caught
+    for r in out:
+        assert 0 <= r.hamming <= 3
