@@ -79,6 +79,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "orders_rfm_segments",
     "embedding_pca_power",
     "multimodal_phash_neardup_pairs",
+    "zorder_orders_cells",
     # (c) operator rewritten this round (asof rid-hazard fix) — re-confirm
     "asof_purchase_to_click",
     "cdc_apply_roundtrip",
