@@ -106,26 +106,10 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "scalar_date_arithmetic",
     "unpivot_part_measures",
     "window_range_frame_spend",
-    # last green in round 4 (alphabetical; fills the window to 50)
+    # last green in round 4 (alphabetical; trimmed so the window is
+    # exactly 50 — the remaining r4 greens rotate in next round)
     "ann_ivf_firstc_topk",
     "ann_ivf_recall",
-    "ann_lsh_multiprobe_recall",
-    "approx_distinct_kmv",
-    "contamination_check",
-    "dedup_components",
-    "dedup_embedding_lsh_pairs",
-    "dedup_simhash_allpairs_anchor",
-    "events_forward_fill",
-    "events_sessionized",
-    "funnel_signup_click_purchase",
-    "grouping_sets_order_stats",
-    "having_big_orders",
-    "hybrid_rrf_topk",
-    "knn_batch",
-    "knn_topk",
-    "length_buckets",
-    "length_buckets_approx",
-    "pack_sequences_512",
 )
 
 

@@ -144,6 +144,42 @@ ANNOTATED = {
     "events_anomaly_rolling_z": "ONE hash exchange on user_id feeding the "
     "trailing-20 ROWS frame; rolling moments are DECIMAL sums (exact, "
     "order-independent) so the windowed z doubles are engine-identical.",
+    "cdc_snapshot_diff": "Both snapshot derivations push their filters to "
+    "the SAME parquet scan; the diff is a full-outer SortMergeJoin "
+    "co-partitioned on o_orderkey (a full-outer can broadcast neither "
+    "side) comparing md5 row-hashes — wide payloads never travel, only "
+    "key+hash.",
+    "scd2_customer_status_history": "Every Window partitions by o_custkey "
+    "— one hash exchange feeds the two row_number islands, the run "
+    "aggregate, and the lead() validity chain; nothing global-sorts.",
+    "incremental_agg_merge": "Two partial-aggregate branches (base/delta "
+    "filters both pushed to the scan) full-outer-merged on the month key "
+    "— the refresh-from-delta shape: HashAggregate pairs per branch, "
+    "never a re-aggregation of unioned raw rows.",
+    "er_blocked_name_pairs": "GroupBy canonicalizes names FIRST, so the "
+    "quadratic stage runs on distinct names; the self-join shuffles on "
+    "the block key (head noun) — no CartesianProduct anywhere in the "
+    "plan.",
+    "text_nb_confusion": "Training is two aggregates over the exploded "
+    "train tokens; the |classes|x|vocab| weight table BROADCASTs onto "
+    "the test tokens (fastText serving shape); integer micro-log sums "
+    "keep the argmax partition-independent.",
+    "multimodal_phash_neardup_pairs": "ArrowEvalPython appears exactly "
+    "once (the pHash mapInPandas stage, cached); candidate generation "
+    "shuffles on (chunk_idx, chunk_value) — pigeonhole blocking, lossless "
+    "at Hamming <= 3 — and verification joins hashes back by id.",
+    "zorder_orders_cells": "The Morton zval is a pure map-side integer "
+    "expression over the scan (no exchange until the 16-cell aggregate) "
+    "— at scale it feeds repartitionByRange before a write so file "
+    "min/max stats prune BOTH dimensions.",
+    "events_ewma": "One hash exchange on user_id; the trailing-20 "
+    "collect_list window feeds a codegen'd fold (aggregate HOF) — the "
+    "smoothing recursion runs inside the JVM with zero Python and fixed "
+    "fp order.",
+    "retrieval_mmr_topk": "The corpus reduces via TakeOrderedAndProject "
+    "to 20 cached candidate rows; the pair-sim relation is a broadcast "
+    "self-join of those 20; the greedy rerank is driver-side over "
+    "constant-bounded rows (serving-time semantics).",
 }
 
 
