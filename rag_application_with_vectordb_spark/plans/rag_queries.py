@@ -230,3 +230,39 @@ def context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\n---\n",
         ).alias("context")
     )
+
+
+@register(
+    "knn_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+      {duck_cosine('e.embedding', 'q.qvec')} AS similarity
+    FROM embeddings e, q
+    WHERE e.label IN (2, 3) AND e.vec_id % 2 = 0
+    ORDER BY similarity DESC, e.vec_id ASC
+    LIMIT {K}
+    """,
+    doc="Filtered vector search — the metadata-predicate + top-k query "
+    "every production vector store serves (filter by tenant / source / "
+    "label, THEN retrieve) and the reference cannot express "
+    "(vectorDb.ts:11-24 scans everything). Pre-filtering is the "
+    "correct semantics (post-filtering a top-k can return fewer than k "
+    "survivors); in the plan the predicate reaches the parquet scan as "
+    "PushedFilters, so the cosine never evaluates on filtered-out rows "
+    "and TakeOrderedAndProject sees only survivors — with a partitioned "
+    "or z-ordered layout the filter prunes whole files before any "
+    "vector math. The IVF/ANN path composes the same way: the predicate "
+    "applies inside each probed inverted list.",
+    tags=("rag", "ann"),
+)
+def knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    survivors = emb.filter(F.col("label").isin(2, 3) & (F.col("vec_id") % 2 == 0))
+    scored = survivors.crossJoin(F.broadcast(q)).select(
+        "vec_id",
+        F.col("label").cast("bigint").alias("label"),
+        cosine_sim(F.col("embedding"), F.col("qvec")).alias("similarity"),
+    )
+    return scored.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(K)

@@ -355,3 +355,11 @@ def test_split_group_folds_assignment_is_map_side(spark, sf_dir, specs):
     # the fold hash recomputes per row: no distinct-users join on the
     # assignment path (the leak audit aggregates separately)
     assert "SortMergeJoin" not in plan
+
+
+def test_knn_filtered_pushes_predicate_to_scan(spark, sf_dir, specs):
+    plan = plan_of(specs["knn_filtered_topk"].fn(spark, sf_dir))
+    # metadata pre-filter must reach the parquet scan, and the top-k
+    # must still be a TakeOrderedAndProject over survivors only
+    assert "PushedFilters" in plan and "In(label" in plan
+    assert "TakeOrderedAndProject" in plan
