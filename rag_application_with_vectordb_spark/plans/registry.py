@@ -81,6 +81,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_phash_neardup_pairs",
     "zorder_orders_cells",
     "knn_filtered_topk",
+    "approx_distinct_hll_det",
     # (c) operator rewritten this round (asof rid-hazard fix) — re-confirm
     "asof_purchase_to_click",
     "cdc_apply_roundtrip",
@@ -109,7 +110,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "window_range_frame_spend",
     # last green in round 4 (alphabetical; trimmed so the window is
     # exactly 50 — the remaining r4 greens rotate in next round)
-    "ann_ivf_firstc_topk",
 )
 
 

@@ -954,3 +954,113 @@ def feature_winsorize_prices_approx(spark: SparkSession, sf_dir: str) -> DataFra
         " / 4503599627370496.0"
     )
     return spark.sql(_winsorize_sketch_sql(u))
+
+
+# --- deterministic HyperLogLog (value-checkable, unlike the native sketch) ------
+
+_HLL_M = 64          # buckets (6 index bits); 46 rank bits remain of the 52
+_HLL_ALPHA = 0.709   # Flajolet et al. 2007 bias constant for m=64
+
+
+@register(
+    "approx_distinct_hll_det",
+    oracle=f"""
+    WITH v AS (
+      SELECT DISTINCT {duck_hex13_to_long("md5('hll42|' || CAST(o_custkey AS VARCHAR))")} AS h
+      FROM orders
+    ),
+    reg AS (
+      SELECT h % {_HLL_M} AS bucket,
+        MAX(CASE WHEN h // {_HLL_M} = 0 THEN 47
+                 ELSE 47 - length(bin(h // {_HLL_M})) END) AS r
+      FROM v GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+        CAST(SUM(CAST(2 AS BIGINT) ** (47 - r)) AS BIGINT) AS s_present
+      FROM reg
+    ),
+    agg AS (
+      SELECT CAST({_HLL_M} - n_present AS BIGINT) AS n_zero_buckets,
+        CAST(s_present + ({_HLL_M} - n_present)
+             * CAST(CAST(2 AS BIGINT) ** 47 AS BIGINT) AS BIGINT) AS s_fixed
+      FROM s
+    ),
+    est AS (
+      SELECT n_zero_buckets, s_fixed,
+        {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} * (CAST(2 AS BIGINT) ** 47)
+          / CAST(s_fixed AS DOUBLE) AS raw
+      FROM agg
+    ),
+    ex AS (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct FROM orders)
+    SELECT CAST({_HLL_M} AS BIGINT) AS m, n_zero_buckets, s_fixed,
+      round(CASE WHEN raw <= 2.5 * {_HLL_M} AND n_zero_buckets > 0
+                 THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / n_zero_buckets)
+                 ELSE raw END, 6) AS est_hll,
+      exact_distinct
+    FROM est CROSS JOIN ex
+    """,
+    doc="HyperLogLog with a value-checkable ESTIMATE — the upgrade of "
+    "approx_distinct_sketch (rows-only: Spark's and DuckDB's native HLL "
+    "sketches differ) to the engine's deterministic-hash discipline. "
+    "md5-fold gives 52 hash bits: 6 index a register, the max "
+    "leading-zero rank of the remaining 46 is the register value, and "
+    "the harmonic mean is computed EXACTLY as the integer "
+    "sum(2^(47-rank)) over registers (empty registers contribute 2^47) "
+    "before ONE fp division — so the estimate, including the "
+    "small-range linear-counting branch, is bit-identical across "
+    "engines. Registers are 64 bytes of mergeable state: map-side "
+    "partial MAX per bucket, one 64-row shuffle — the same merge "
+    "algebra real HLL uses, with none of the implementation variance.",
+    tags=("relational", "approx"),
+)
+def approx_distinct_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import hex13_to_long
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    h = hex13_to_long(
+        F.md5(F.concat(F.lit("hll42|"), F.col("o_custkey").cast("string")))
+    )
+    v = orders.select(h.alias("h")).distinct()
+    w = (F.col("h") / _HLL_M).cast("bigint")  # h >= 0: floor == truncate
+    rank = F.when(w == 0, F.lit(47)).otherwise(
+        47 - F.length(F.expr(f"bin(CAST(h / {_HLL_M} AS BIGINT))"))
+    )
+    reg = v.select((F.col("h") % _HLL_M).alias("bucket"), rank.alias("r")).groupBy(
+        "bucket"
+    ).agg(F.max("r").alias("r"))
+    s = reg.agg(
+        F.count("*").cast("bigint").alias("n_present"),
+        F.sum(F.expr("CAST(pow(2, 47 - r) AS BIGINT)")).cast("bigint").alias("s_present"),
+    )
+    agg = s.select(
+        (F.lit(_HLL_M) - F.col("n_present")).cast("bigint").alias("n_zero_buckets"),
+        (
+            F.col("s_present")
+            + (F.lit(_HLL_M) - F.col("n_present")) * F.lit(2**47).cast("bigint")
+        ).alias("s_fixed"),
+    )
+    est = agg.select(
+        "n_zero_buckets",
+        "s_fixed",
+        (
+            F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * (2**47))
+            / F.col("s_fixed").cast("double")
+        ).alias("raw"),
+    )
+    ex = orders.agg(F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct"))
+    return est.crossJoin(F.broadcast(ex)).select(
+        F.lit(_HLL_M).cast("bigint").alias("m"),
+        "n_zero_buckets",
+        "s_fixed",
+        F.round(
+            F.when(
+                (F.col("raw") <= 2.5 * _HLL_M) & (F.col("n_zero_buckets") > 0),
+                _HLL_M
+                * F.log(F.lit(float(_HLL_M)) / F.col("n_zero_buckets").cast("double")),
+            ).otherwise(F.col("raw")),
+            6,
+        ).alias("est_hll"),
+        "exact_distinct",
+    )

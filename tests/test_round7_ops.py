@@ -420,3 +420,13 @@ def test_phash_finds_every_planted_variant(spark, sf_dir):
         assert (d, d + 10000000) in found  # every 1-byte perturbation caught
     for r in out:
         assert 0 <= r.hamming <= 3
+
+
+def test_hll_estimate_within_expected_error(spark, sf_dir):
+    out = _q("approx_distinct_hll_det", spark, sf_dir).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.m == 64
+    # standard error for m=64 is ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert abs(r.est_hll - r.exact_distinct) / r.exact_distinct < 0.39
+    assert r.s_fixed > 0 and 0 <= r.n_zero_buckets <= 64
