@@ -73,12 +73,15 @@ class VersionedStore:
             return json.load(f)
 
     def _publish(self, version: int, op: str, dirs: list[str], n_rows: int) -> None:
+        import time
+
         manifest = {
             "version": version,
             "op": op,
             "parent": version - 1 if version > 1 else None,
             "data_dirs": dirs,
             "n_rows": n_rows,
+            "committed_at": time.time(),
         }
         tmp = self._manifest_path(version) + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
@@ -131,6 +134,19 @@ class VersionedStore:
         m = self._read_manifest(v)
         dirs = [os.path.join(self.path, "data", d) for d in m["data_dirs"]]
         return self.spark.read.parquet(*dirs)
+
+    def read_as_of(self, ts: float) -> DataFrame:
+        """AS OF timestamp read: the newest retained version committed at
+        or before ``ts`` (SQL ``FOR TIMESTAMP AS OF`` semantics). Raises
+        if every retained commit is newer."""
+        best = None
+        for v in self.versions():
+            m = self._read_manifest(v)
+            if m["committed_at"] <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise ValueError(f"no retained version committed at or before {ts}")
+        return self.read(best)
 
     def vacuum(self, keep_last: int = 1) -> list[str]:
         """Expire all but the newest ``keep_last`` versions, then delete

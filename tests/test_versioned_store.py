@@ -89,3 +89,22 @@ def test_manifest_records_lineage(spark, tmp_path):
     st.delete_where(F.col("id") == 1)
     m = json.load(open(str(tmp_path / "s" / "manifests" / "v2.json")))
     assert m["op"] == "delete" and m["parent"] == 1 and m["n_rows"] == 0
+
+
+def test_read_as_of_timestamp(spark, tmp_path):
+    import json
+    import os
+
+    st = VersionedStore(spark, str(tmp_path / "s"))
+    st.append(_df(spark, [(1, "a")]))
+    st.append(_df(spark, [(2, "b")]))
+    # pin commit times deterministically (the publish stamps wall time)
+    for v, t in ((1, 100.0), (2, 200.0)):
+        mp = str(tmp_path / "s" / "manifests" / f"v{v}.json")
+        m = json.load(open(mp))
+        m["committed_at"] = t
+        json.dump(m, open(mp, "w"))
+    assert _rows(st.read_as_of(150.0)) == [(1, "a")]
+    assert _rows(st.read_as_of(200.0)) == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError):
+        st.read_as_of(50.0)
