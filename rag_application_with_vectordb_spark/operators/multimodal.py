@@ -224,3 +224,4 @@ def phash_stub(
             yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(run, schema)
+

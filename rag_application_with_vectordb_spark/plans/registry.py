@@ -82,6 +82,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "zorder_orders_cells",
     "knn_filtered_topk",
     "approx_distinct_hll_det",
+    "heavy_hitters_verified",
     # (c) operator rewritten this round (asof rid-hazard fix) — re-confirm
     "asof_purchase_to_click",
     "cdc_apply_roundtrip",
@@ -107,7 +108,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "scalar_array_ops",
     "scalar_date_arithmetic",
     "unpivot_part_measures",
-    "window_range_frame_spend",
     # last green in round 4 (alphabetical; trimmed so the window is
     # exactly 50 — the remaining r4 greens rotate in next round)
 )

@@ -1064,3 +1064,62 @@ def approx_distinct_hll_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("est_hll"),
         "exact_distinct",
     )
+
+
+# --- frequent items: Misra-Gries propose + exact verify ------------------------
+
+_MG_CAP = 8  # sketch capacity -> guaranteed recall above n/(cap+1)
+
+
+@register(
+    "heavy_hitters_verified",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT CASE WHEN event_id % 3 = 0 THEN 'hot'
+                  ELSE CAST(user_id AS VARCHAR) END AS item
+      FROM events
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM keyed)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS exact_count,
+      MAX(n.n_rows) AS n_rows
+    FROM keyed CROSS JOIN n
+    GROUP BY item
+    HAVING COUNT(*) * {_MG_CAP + 1} > MAX(n.n_rows)
+    """,
+    doc="Guaranteed frequent items at constant memory: a per-partition "
+    "Misra-Gries sketch (capacity 8, Arrow-batched mapInPandas) "
+    "PROPOSES candidates, then one exact count over the candidate "
+    "semi-join VERIFIES them against the n/(cap+1) threshold. The "
+    "sketch stage is partition-dependent, but MG guarantees every true "
+    "heavy hitter survives some partition's counters, so the verified "
+    "output is partition-INDEPENDENT — which is why this query can "
+    "value-hash against an oracle that just does the exact GROUP BY. "
+    "At 100 TB the sketch is 8 counters per task and the exact pass "
+    "touches only proposed items (a semi-join, never the full "
+    "distinct-key aggregation); the skewed key here is synthesized "
+    "('hot' = every 3rd event) the same way skew_salted_user_spend "
+    "plants its hot key.",
+    tags=("relational", "approx", "sketch"),
+)
+def heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import misra_gries_candidates
+
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        F.when(F.col("event_id") % 3 == 0, F.lit("hot"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("item")
+    )
+    cand = misra_gries_candidates(keyed, "item", capacity=_MG_CAP).select(
+        F.col("candidate").alias("item")
+    ).distinct()
+    n = keyed.agg(F.count("*").cast("bigint").alias("n_rows"))
+    return (
+        keyed.join(F.broadcast(cand), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("exact_count"))
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("exact_count") * (_MG_CAP + 1) > F.col("n_rows"))
+        .select("item", "exact_count", "n_rows")
+    )

@@ -430,3 +430,27 @@ def test_hll_estimate_within_expected_error(spark, sf_dir):
     # standard error for m=64 is ~1.04/sqrt(64) = 13%; allow 3 sigma
     assert abs(r.est_hll - r.exact_distinct) / r.exact_distinct < 0.39
     assert r.s_fixed > 0 and 0 <= r.n_zero_buckets <= 64
+
+
+def test_heavy_hitters_partition_independent(spark, sf_dir):
+    """The verified output must be identical under different partition
+    layouts even though the MG proposal stage is partition-dependent."""
+    from rag_application_with_vectordb_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+    from rag_application_with_vectordb_spark.sources.catalog import load_table as lt
+
+    out = sorted(tuple(r) for r in _q("heavy_hitters_verified", spark, sf_dir).collect())
+    assert len(out) >= 1
+    for item, cnt, n in out:
+        assert cnt * 9 > n  # above the n/(cap+1) threshold, exactly counted
+    # repartitioned proposal still covers every verified item
+    events = lt(spark, sf_dir, "events")
+    keyed = events.select(
+        F.when(F.col("event_id") % 3 == 0, F.lit("hot"))
+        .otherwise(F.col("user_id").cast("string"))
+        .alias("item")
+    ).repartition(13)
+    cand = {r.candidate for r in misra_gries_candidates(keyed, "item").collect()}
+    for item, _, _ in out:
+        assert item in cand
