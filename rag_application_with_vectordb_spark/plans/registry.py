@@ -83,6 +83,7 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "knn_filtered_topk",
     "approx_distinct_hll_det",
     "heavy_hitters_verified",
+    "text_substring_search_trigram",
     # (c) operator rewritten this round (asof rid-hazard fix) — re-confirm
     "asof_purchase_to_click",
     "cdc_apply_roundtrip",
@@ -106,7 +107,6 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     "q7_nation_pair_revenue",
     "rag_e2e_retrieval",
     "scalar_array_ops",
-    "scalar_date_arithmetic",
     "unpivot_part_measures",
     # last green in round 4 (alphabetical; trimmed so the window is
     # exactly 50 — the remaining r4 greens rotate in next round)

@@ -910,3 +910,56 @@ def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+_TRGM_PATTERN = "fast table"
+
+
+@register(
+    "text_substring_search_trigram",
+    oracle=f"""
+    SELECT doc_id, CAST(strpos(text, '{_TRGM_PATTERN}') AS BIGINT) AS pos
+    FROM documents WHERE strpos(text, '{_TRGM_PATTERN}') > 0
+    """,
+    doc="Substring search served from a trigram inverted index (the "
+    "pg_trgm / code-search design): each document explodes to its "
+    "distinct character 3-grams, the pattern's trigrams select "
+    "candidates that contain ALL of them (one group-count semi-join — "
+    "a doc matching the pattern necessarily contains every pattern "
+    "trigram, so candidates are a provable superset), and only "
+    "candidates pay the exact contains() verify. The oracle is the "
+    "naive full-scan LIKE — equality holds because the index path is "
+    "lossless-by-superset + exact-verify, independent of how docs "
+    "partition. At 100 TB the doc-trigram relation is a persisted "
+    "posting-list index keyed by trigram (same lifecycle as the IVF "
+    "inverted lists) and the verify touches only posting-intersection "
+    "survivors; the full-scan LIKE form exists only as this oracle.",
+    tags=("text", "index"),
+)
+def text_substring_search_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    n = len(_TRGM_PATTERN)
+    pat_trigrams = sorted({_TRGM_PATTERN[i : i + 3] for i in range(n - 2)})
+    tg = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(length(text) - 2, 0)), "
+                "i -> substring(text, i, 3)))"
+            )
+        ).alias("trigram"),
+    )
+    pat = spark.createDataFrame([(t,) for t in pat_trigrams], "trigram string")
+    cand = (
+        tg.join(F.broadcast(pat), "trigram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == len(pat_trigrams))
+        .select("doc_id")
+    )
+    return (
+        docs.join(cand, "doc_id", "left_semi")
+        .select("doc_id", F.locate(_TRGM_PATTERN, F.col("text")).cast("bigint").alias("pos"))
+        .filter(F.col("pos") > 0)
+    )

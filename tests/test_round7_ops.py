@@ -454,3 +454,16 @@ def test_heavy_hitters_partition_independent(spark, sf_dir):
     cand = {r.candidate for r in misra_gries_candidates(keyed, "item").collect()}
     for item, _, _ in out:
         assert item in cand
+
+
+def test_trigram_candidates_are_superset_of_matches(spark, sf_dir):
+    from rag_application_with_vectordb_spark.sources.catalog import load_table as lt
+
+    out = {r.doc_id for r in _q("text_substring_search_trigram", spark, sf_dir).collect()}
+    exact = {
+        r.doc_id
+        for r in lt(spark, sf_dir, "documents")
+        .filter(F.expr("locate('fast table', text) > 0"))
+        .collect()
+    }
+    assert out == exact and len(out) > 0
