@@ -180,6 +180,22 @@ ANNOTATED = {
     "to 20 cached candidate rows; the pair-sim relation is a broadcast "
     "self-join of those 20; the greedy rerank is driver-side over "
     "constant-bounded rows (serving-time semantics).",
+    "knn_filtered_topk": "The metadata predicate reaches the parquet scan "
+    "as PushedFilters (In(label), vec_id%2) so cosine never evaluates on "
+    "filtered-out rows; TakeOrderedAndProject sees survivors only — "
+    "pre-filter semantics, never post-filter.",
+    "approx_distinct_hll_det": "One map-side projection to (bucket, rank), "
+    "a 64-group MAX (mergeable registers), and exact integer harmonic-sum "
+    "arithmetic — the estimate is one fp division at the end, so the "
+    "whole sketch value-checks cross-engine.",
+    "heavy_hitters_verified": "ArrowEvalPython once (the per-partition MG "
+    "sketch, constant memory); the exact pass is a broadcast LEFT SEMI of "
+    "the tiny candidate set onto the fact — never a full distinct-key "
+    "aggregation.",
+    "text_substring_search_trigram": "Doc trigrams explode map-side; "
+    "candidates come from a broadcast semi-join on the pattern's trigrams "
+    "+ a count filter (posting intersection); the exact contains() runs "
+    "on survivors only — the full-scan LIKE exists only in the oracle.",
 }
 
 
