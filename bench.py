@@ -28,12 +28,16 @@ from rag_application_with_vectordb_spark.session import get_spark
 
 #: Headline set: the reference's core query path (knn/chunk/context) plus
 #: the heavyweight relational / dedup / streaming-twin representatives.
+#: Round-7 refresh (comparability note): ``knn_batch`` and ``ann_lsh_topk``
+#: were near-duplicates of the retained ``knn_topk`` / ``ann_ivf_topk``
+#: paths (warm 0.76 + 0.86 s at sf0.1) and were swapped for two round-7
+#: family representatives ``cdc_snapshot_diff`` + ``text_bpe_train_merges``
+#: (warm ~0.7 + ~0.3 s) — warm total comparable round-over-round within
+#: ~0.6 s; cold total grows ~4 s of one-time BPE fold-lambda JIT.
 HEADLINE = [
     "knn_topk",
-    "knn_batch",
     "bench_knn_1m",
     "bench_knn_1m_ivf",
-    "ann_lsh_topk",
     "ann_ivf_topk",
     "rag_e2e_retrieval",
     "chunk_sliding_window",
@@ -56,6 +60,8 @@ HEADLINE = [
     "text_quality_scores",
     "events_tumbling_hourly",
     "events_sessionized",
+    "cdc_snapshot_diff",
+    "text_bpe_train_merges",
 ]
 
 
