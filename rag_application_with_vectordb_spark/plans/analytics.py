@@ -1219,3 +1219,147 @@ _sql_query(
     "locality proof, one aggregate over 16 cells.",
     tags=("analytics", "layout"),
 )
+
+
+# --- CUSUM changepoint screen (round-7 tail) -----------------------------------
+
+_sql_query(
+    "events_cusum_changepoint",
+    """
+    WITH v AS (
+      SELECT user_id, event_id, ts,
+             CAST(round(value * 100) AS BIGINT) - 10000 AS y_cents
+      FROM events
+    ),
+    p AS (
+      SELECT user_id, event_id, ts, y_cents,
+             SUM(y_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS psum
+      FROM v
+    ),
+    s AS (
+      SELECT user_id, event_id, ts,
+             psum - LEAST(MIN(psum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                          0) AS cusum_cents
+      FROM p
+    )
+    SELECT user_id, event_id, ts, CAST(cusum_cents AS BIGINT) AS cusum_cents
+    FROM s WHERE cusum_cents > 5000
+    """,
+    doc="One-sided CUSUM changepoint screen (Page 1954) over each user's "
+    "event-value stream: S_t = max(0, S_{t-1} + (x_t - target - slack)) "
+    "flags sustained upward shifts (here target+slack = 100.00 against "
+    "a ~50 mean, h = 50.00 — flags ~8% of fixture rows). The recursion "
+    "is rewritten in closed form "
+    "S_t = P_t - min(0, min_{j<=t} P_j) — prefix sum minus running "
+    "minimum — so the sequential CUSUM becomes two chained window "
+    "passes over the SAME (user_id; ts, event_id) ordering: one "
+    "shuffle, no fold, no UDF, exact integer cents throughout (every "
+    "output bit reproduces cross-engine). This is the standard "
+    "drift-to-windows rewrite that makes streaming-style changepoint "
+    "detection scale on a batch engine.",
+    tags=("analytics", "timeseries", "monitor"),
+)
+
+
+# --- autocorrelation of the daily revenue series (round-7 tail) ----------------
+
+def _acf_pairs_sql() -> str:
+    return "\n      UNION ALL\n".join(
+        f"""      SELECT {lag} AS lag, a.rev AS x, b.rev AS y
+      FROM d a JOIN d b ON b.day = a.day - INTERVAL {lag} DAY"""
+        for lag in (1, 2, 3, 7)
+    )
+
+
+_sql_query(
+    "events_acf_daily",
+    f"""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    p AS (
+{_acf_pairs_sql()}
+    ),
+    c AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+           CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS DOUBLE) AS acf
+    FROM c
+    """,
+    doc="Autocorrelation (Pearson, lags 1/2/3/7) of the daily purchase-"
+    "revenue series — the seasonality probe run before choosing a "
+    "forecast model; the weekly lag-7 coefficient is the one that "
+    "matters. The fact collapses to day grain FIRST (exact integer "
+    "cents), so the lag self-join touches only the day-sized relation "
+    "(calendar-bounded: 365 rows/year no matter the fact size), "
+    "aligned by DATE - INTERVAL so calendar gaps never mis-pair. The "
+    "correlation is assembled from exact BIGINT co-moments with one "
+    "fp expression at the end — deterministic cross-engine (exact "
+    "integer sums are safe to ~sf50 in cents^2; beyond that the cents "
+    "quantum drops to whole units).",
+    tags=("analytics", "timeseries"),
+)
+
+
+# --- ROC-AUC via the Mann-Whitney histogram identity (round-7 tail) ------------
+
+_sql_query(
+    "eval_auc_doclang",
+    """
+    WITH s AS (
+      SELECT doc_id, n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    h AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS np
+      FROM s GROUP BY score
+    ),
+    c AS (
+      SELECT score, n, np,
+             COALESCE(SUM(n) OVER (ORDER BY score
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_lower
+      FROM h
+    ),
+    a AS (
+      SELECT CAST(SUM(np * (2 * (cum_lower + 1) + n - 1)) AS BIGINT) AS sum_ranks2,
+             CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(n) - SUM(np) AS BIGINT) AS n_neg
+      FROM c
+    )
+    SELECT n_pos, n_neg,
+           CAST((CAST(sum_ranks2 AS DOUBLE)
+                 - CAST(n_pos AS DOUBLE) * (CAST(n_pos AS DOUBLE) + 1.0))
+                / (2.0 * CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE))
+             AS DOUBLE) AS auc
+    FROM a
+    """,
+    doc="ROC-AUC of a score column against a binary label (does document "
+    "length separate English docs?) via the Mann-Whitney rank identity, "
+    "computed in HISTOGRAM form: rows collapse to per-score (n, "
+    "n_positive) counts first, ranks come from a prefix sum over the "
+    "score DOMAIN (bounded: distinct lengths), and tie handling is the "
+    "exact average-rank correction kept in doubled-integer units "
+    "(2*avg_rank is always an integer), so everything up to the final "
+    "division is exact BIGINT — bit-stable cross-engine. This is how "
+    "AUC scales: the naive global rank() sorts the full fact, the "
+    "histogram form sorts only the score domain — the classifier-eval "
+    "step a curation pipeline runs on quality/langid model scores.",
+    tags=("analytics", "eval"),
+)

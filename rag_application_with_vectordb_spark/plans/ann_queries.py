@@ -3063,3 +3063,92 @@ def ann_graph_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_g = _cl_recall5(exact, ap_g, "recall_graph")
     r_i = _cl_recall5(exact, ap_i, "recall_ivf")
     return r_g.join(r_i, "query_id")
+
+
+# --- Johnson-Lindenstrauss random-projection recall (round-7 tail) -------------
+
+_RP_M = 16
+
+
+def _rp_sign_matrix(m: int, dim: int) -> list[list[float]]:
+    """Deterministic Rademacher (±1) projection matrix from the same
+    md5-fold the LSH hyperplanes use (key ``rp|i|j``) — computable
+    identically driver-side, in Spark SQL, and in DuckDB."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if (int(hashlib.md5(f"rp|{i}|{j}".encode()).hexdigest()[:13], 16)
+                / 2**52 * 2.0 - 1.0) >= 0
+            else -1.0
+            for j in range(dim)
+        ]
+        for i in range(m)
+    ]
+
+
+@register(
+    "ann_rp_recall",
+    oracle=f"""
+    WITH rp AS (
+      SELECT CAST(t.i AS INTEGER) AS i,
+             list_transform(range(0, {_DIM}),
+                            j -> CASE WHEN {duck_fold_unit("'rp|' || t.i || '|' || j")} >= 0
+                                      THEN 1.0 ELSE -1.0 END) AS pv
+      FROM (SELECT unnest(range(0, {_RP_M}))) t(i)
+    ),
+    red AS (
+      SELECT e.vec_id,
+             list(list_dot_product(e.embedding::DOUBLE[], rp.pv) ORDER BY rp.i) AS rvec
+      FROM embeddings e CROSS JOIN rp GROUP BY e.vec_id
+    ),
+    qred AS (
+      SELECT e.vec_id AS query_id,
+             list(list_dot_product(e.embedding::DOUBLE[], rp.pv) ORDER BY rp.i) AS qvec
+      FROM embeddings e CROSS JOIN rp WHERE e.vec_id < 10 GROUP BY e.vec_id
+    ),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, r.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {duck_cosine('r.rvec', 'q.qvec')} DESC, r.vec_id) AS rn
+        FROM red r CROSS JOIN qred q
+      ) WHERE rn <= 5
+    ),
+    {_exact_top5_sql('vec_id < 10')}
+    {_RECALL_TAIL_SQL}
+    """,
+    doc=f"Recall@5 of cosine search in a {_RP_M}-dim Johnson-Lindenstrauss "
+    f"random projection of the {_DIM}-dim corpus — the dimensionality-"
+    "reduction lever next to PCA (embedding_pca_power, data-dependent "
+    "training) and PQ (codebooks): a DATA-INDEPENDENT ±1 Rademacher "
+    "matrix (Achlioptas 2003) applied as one map-side matrix-vector "
+    "product, no training pass, no shuffle — at 100 TB the projection "
+    "streams through the scan and cuts every downstream distance "
+    "computation 4x. The matrix derives from the engine's md5-fold "
+    "(key rp|i|j), so Spark, the driver, and DuckDB build the SAME "
+    "matrix and the recall arithmetic itself is value-checked "
+    "cross-engine.",
+    tags=("ann",),
+)
+def ann_rp_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.knn import knn_join
+
+    tune(spark)
+    mat = _rp_sign_matrix(_RP_M, _DIM)
+
+    def _reduce(df: DataFrame, vec: str, idc: str, out_vec: str) -> DataFrame:
+        return df.select(
+            idc,
+            F.array(
+                *[dot(as_double(F.col(vec)), lit_doubles(row)) for row in mat]
+            ).alias(out_vec),
+        )
+
+    def approx(emb: DataFrame, queries: DataFrame) -> DataFrame:
+        red = _reduce(emb, "embedding", "vec_id", "embedding")
+        qred = _reduce(queries, "qvec", "query_id", "qvec")
+        return knn_join(red, qred, k=5).select("query_id", "vec_id")
+
+    return _recall_vs_exact(spark, sf_dir, approx)

@@ -1123,3 +1123,66 @@ def heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("exact_count") * (_MG_CAP + 1) > F.col("n_rows"))
         .select("item", "exact_count", "n_rows")
     )
+
+
+# --- KMV theta-sketch set intersection (round-7 tail) -------------------------
+
+
+def _kmv_intersect_sql(unit_u: str, varchar: str) -> str:
+    """Theta-sketch intersection over two KMV sketches (Dasgupta et al.,
+    the DataSketches theta estimator): theta = min of the two k-th
+    minimum unit hashes, estimate = |{common sketch hashes < theta}| /
+    theta. ``unit_u`` is the engine's md5-fold -> [0,1) unit hash of
+    ``ck`` (the custkey); ``varchar`` is the dialect's string type."""
+    return f"""
+    WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'),
+    b AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'),
+    ua AS (SELECT ck, {unit_u} AS u FROM a),
+    ub AS (SELECT ck, {unit_u} AS u FROM b),
+    ra AS (SELECT u, row_number() OVER (ORDER BY u) AS rn, COUNT(*) OVER () AS n FROM ua),
+    rb AS (SELECT u, row_number() OVER (ORDER BY u) AS rn, COUNT(*) OVER () AS n FROM ub),
+    tha AS (SELECT CASE WHEN MAX(n) < {_KMV_K} THEN 1.0
+                        ELSE MAX(CASE WHEN rn = {_KMV_K} THEN u END) END AS theta FROM ra),
+    thb AS (SELECT CASE WHEN MAX(n) < {_KMV_K} THEN 1.0
+                        ELSE MAX(CASE WHEN rn = {_KMV_K} THEN u END) END AS theta FROM rb),
+    th AS (SELECT LEAST(tha.theta, thb.theta) AS theta FROM tha CROSS JOIN thb),
+    common AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c FROM ra JOIN rb ON ra.u = rb.u
+      CROSS JOIN th
+      WHERE ra.rn <= {_KMV_K} AND rb.rn <= {_KMV_K} AND ra.u < th.theta
+    ),
+    ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+           FROM a JOIN b ON a.ck = b.ck)
+    SELECT common.c AS common_below_theta,
+           CAST(th.theta AS DOUBLE) AS theta,
+           CAST(common.c / th.theta AS DOUBLE) AS est_intersection,
+           ex.exact_intersection
+    FROM common CROSS JOIN th CROSS JOIN ex
+    """
+
+
+@register(
+    "approx_distinct_intersect_kmv",
+    oracle=_kmv_intersect_sql(
+        duck_hex13_to_long("md5(CAST(ck AS VARCHAR))") + " / 4503599627370496.0",
+        "VARCHAR",
+    ),
+    doc="Theta-sketch SET INTERSECTION between two KMV distinct sketches "
+    "(customers with finished vs open orders): each side keeps only its "
+    f"k={_KMV_K} minimum md5-unit hashes, theta = min of the two k-th "
+    "minima, and |A∩B| is estimated as (common sketch hashes below "
+    "theta) / theta — the DataSketches theta estimator, completing the "
+    "sketch set-algebra next to approx_distinct_kmv (cardinality) and "
+    "approx_distinct_kmv_merged (union mergeability). Pure "
+    "deterministic hashing, so the ESTIMATE itself hash-matches DuckDB; "
+    "the exact intersection rides along as the accuracy yardstick. At "
+    "100 TB each sketch is a bounded-heap aggregate (k*8 bytes, "
+    "map-side mergeable) and the intersection touches only the two "
+    "k-row sketches — never the raw key sets.",
+    tags=("relational", "approx", "sketch"),
+)
+def approx_distinct_intersect_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ["orders"])
+    u = "conv(substring(md5(CAST(ck AS STRING)), 1, 13), 16, 10) / 4503599627370496.0"
+    return spark.sql(_kmv_intersect_sql(u, "STRING"))
