@@ -1363,3 +1363,103 @@ _sql_query(
     "step a curation pipeline runs on quality/langid model scores.",
     tags=("analytics", "eval"),
 )
+
+
+# --- pairwise feature correlation matrix (round-7 tail) ------------------------
+
+def _corr_pair_rows() -> str:
+    names = ["quantity", "price_usd", "discount_pct", "tax_pct"]
+    cols = ["q", "p", "d", "t"]
+    rows = []
+    for i in range(4):
+        for j in range(i + 1, 4):
+            a, b = cols[i], cols[j]
+            rows.append(
+                f"      SELECT '{names[i]}' AS var_x, '{names[j]}' AS var_y, n,"
+                f" s{a} AS sx, s{b} AS sy, s{min(a,b)}{max(a,b)} AS sxy,"
+                f" s{a}{a} AS sxx, s{b}{b} AS syy FROM m"
+            )
+    return "\n      UNION ALL\n".join(rows)
+
+
+_sql_query(
+    "feature_corr_matrix",
+    f"""
+    WITH v AS (
+      SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+             CAST(floor(l_extendedprice) AS BIGINT) AS p,
+             CAST(round(l_discount * 100) AS BIGINT) AS d,
+             CAST(round(l_tax * 100) AS BIGINT) AS t
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+             CAST(SUM(d) AS BIGINT) AS sd, CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(q * q) AS BIGINT) AS sqq, CAST(SUM(p * p) AS BIGINT) AS spp,
+             CAST(SUM(d * d) AS BIGINT) AS sdd, CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(p * q) AS BIGINT) AS spq, CAST(SUM(d * q) AS BIGINT) AS sdq,
+             CAST(SUM(q * t) AS BIGINT) AS sqt, CAST(SUM(d * p) AS BIGINT) AS sdp,
+             CAST(SUM(p * t) AS BIGINT) AS spt, CAST(SUM(d * t) AS BIGINT) AS sdt
+      FROM v
+    ),
+    pairs AS (
+{_corr_pair_rows()}
+    )
+    SELECT var_x, var_y, n AS n_rows,
+           CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS DOUBLE) AS corr
+    FROM pairs
+    """,
+    doc="Pairwise Pearson correlation matrix over the four lineitem "
+    "numerics (quantity, price, discount, tax) — the feature-EDA pass "
+    "before modeling. ALL 14 co-moments come from ONE single-row "
+    "aggregate over the fact (map-side partials, no shuffle of rows, "
+    "no per-pair rescan — compare F.corr called 6 times = 6 scans); "
+    "the 6 pair rows then unpivot from that single row. Values are "
+    "quantized to exact integer grids first (whole currency units, "
+    "percent points) so every co-moment is an exact BIGINT — "
+    "bit-stable cross-engine and safe to ~sf100 before the price "
+    "square sum nears the 2^63 bound; the only fp arithmetic is the "
+    "final 6 scalar corr expressions.",
+    tags=("analytics", "eval"),
+)
+
+
+# --- categorical mutual information (round-7 tail) -----------------------------
+
+_sql_query(
+    "feature_mi_lang_source",
+    """
+    WITH c AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM documents GROUP BY lang, source
+    ),
+    mx AS (SELECT lang, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM c GROUP BY lang),
+    my AS (SELECT source, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM c GROUP BY source),
+    t AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM c)
+    SELECT c.lang, c.source, c.n_xy,
+           CAST(round((CAST(c.n_xy AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      * ln((CAST(c.n_xy AS DOUBLE) * CAST(t.n AS DOUBLE))
+                           / (CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE)))
+                      * 1000000000) AS BIGINT) AS mi_contrib_nano
+    FROM c JOIN mx ON c.lang = mx.lang JOIN my ON c.source = my.source
+    CROSS JOIN t
+    """,
+    doc="Mutual information between two categorical columns (lang x "
+    "source) — the dependence probe for stratification / leakage "
+    "checks: MI = sum of p(x,y)*ln(p(x,y)/(p(x)p(y))) over observed "
+    "cells. One groupBy on the pair builds the contingency table; "
+    "marginals roll up from the CELL table (never rescan the fact); "
+    "each cell's contribution is quantized to integer nano-units so "
+    "the total is an associative BIGINT sum — the same fixed-point-ln "
+    "trick as monitor_psi_price_drift. MI near 0 here is the expected "
+    "answer (fixture lang and source are independent) — the query is "
+    "the harness, not the finding.",
+    tags=("analytics", "eval"),
+)
