@@ -1265,14 +1265,6 @@ _sql_query(
 
 # --- autocorrelation of the daily revenue series (round-7 tail) ----------------
 
-def _acf_pairs_sql() -> str:
-    return "\n      UNION ALL\n".join(
-        f"""      SELECT {lag} AS lag, a.rev AS x, b.rev AS y
-      FROM d a JOIN d b ON b.day = a.day - INTERVAL {lag} DAY"""
-        for lag in (1, 2, 3, 7)
-    )
-
-
 _sql_query(
     "events_acf_daily",
     f"""
@@ -1282,7 +1274,10 @@ _sql_query(
       FROM events WHERE event_type = 'purchase' GROUP BY 1
     ),
     p AS (
-{_acf_pairs_sql()}
+      SELECT CAST(l.lag AS BIGINT) AS lag, a.rev AS x, b.rev AS y
+      FROM d a
+      CROSS JOIN (VALUES (1), (2), (3), (7)) AS l(lag)
+      JOIN d b ON b.day = a.day - INTERVAL 1 DAY * l.lag
     ),
     c AS (
       SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
@@ -1291,7 +1286,7 @@ _sql_query(
              CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
       FROM p GROUP BY lag
     )
-    SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+    SELECT lag, n AS n_pairs,
            CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
                 / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
@@ -1307,7 +1302,10 @@ _sql_query(
     "matters. The fact collapses to day grain FIRST (exact integer "
     "cents), so the lag self-join touches only the day-sized relation "
     "(calendar-bounded: 365 rows/year no matter the fact size), "
-    "aligned by DATE - INTERVAL so calendar gaps never mis-pair. The "
+    "aligned by day - INTERVAL*lag so calendar gaps never mis-pair; "
+    "the lag inline table cross-joins BEFORE the self-join so the "
+    "day relation is referenced exactly twice (Spark inlines CTEs — "
+    "a per-lag UNION ALL would rescan the fact 2x per lag). The "
     "correlation is assembled from exact BIGINT co-moments with one "
     "fp expression at the end — deterministic cross-engine (exact "
     "integer sums are safe to ~sf50 in cents^2; beyond that the cents "
@@ -1367,19 +1365,33 @@ _sql_query(
 
 # --- pairwise feature correlation matrix (round-7 tail) ------------------------
 
-def _corr_pair_rows() -> str:
-    names = ["quantity", "price_usd", "discount_pct", "tax_pct"]
-    cols = ["q", "p", "d", "t"]
-    rows = []
-    for i in range(4):
-        for j in range(i + 1, 4):
-            a, b = cols[i], cols[j]
-            rows.append(
-                f"      SELECT '{names[i]}' AS var_x, '{names[j]}' AS var_y, n,"
-                f" s{a} AS sx, s{b} AS sy, s{min(a,b)}{max(a,b)} AS sxy,"
-                f" s{a}{a} AS sxx, s{b}{b} AS syy FROM m"
-            )
-    return "\n      UNION ALL\n".join(rows)
+def _corr_unpivot_sql() -> str:
+    """Unpivot the single co-moment row into 6 pair rows WITHOUT
+    re-referencing ``m`` per pair (Spark inlines CTEs, so a per-pair
+    UNION ALL would rescan the fact 6x): one CROSS JOIN against a
+    6-row pair-descriptor inline table, sums picked by CASE."""
+    names = {"q": "quantity", "p": "price_usd", "d": "discount_pct", "t": "tax_pct"}
+    combos = [("q", "p"), ("q", "d"), ("q", "t"), ("p", "d"), ("p", "t"), ("d", "t")]
+    vals = ",\n             ".join(
+        f"('{names[a]}', '{a}', '{names[b]}', '{b}')" for a, b in combos
+    )
+    sums = {"q": "sq", "p": "sp", "d": "sd", "t": "st"}
+    sqs = {"q": "sqq", "p": "spp", "d": "sdd", "t": "stt"}
+
+    def pick(col: str, mapping: dict[str, str]) -> str:
+        return ("CASE " + " ".join(f"WHEN pr.{col} = '{k}' THEN {v}"
+                                   for k, v in mapping.items()) + " END")
+
+    sxy = ("CASE " + " ".join(
+        f"WHEN pr.cx = '{a}' AND pr.cy = '{b}' THEN s{min(a, b)}{max(a, b)}"
+        for a, b in combos) + " END")
+    return f"""      SELECT pr.var_x, pr.var_y, m.n,
+             {pick('cx', sums)} AS sx,
+             {pick('cy', sums)} AS sy,
+             {sxy} AS sxy,
+             {pick('cx', sqs)} AS sxx,
+             {pick('cy', sqs)} AS syy
+      FROM m CROSS JOIN (VALUES {vals}) AS pr(var_x, cx, var_y, cy)"""
 
 
 _sql_query(
@@ -1404,7 +1416,7 @@ _sql_query(
       FROM v
     ),
     pairs AS (
-{_corr_pair_rows()}
+{_corr_unpivot_sql()}
     )
     SELECT var_x, var_y, n AS n_rows,
            CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
@@ -1421,7 +1433,9 @@ _sql_query(
     "before modeling. ALL 14 co-moments come from ONE single-row "
     "aggregate over the fact (map-side partials, no shuffle of rows, "
     "no per-pair rescan — compare F.corr called 6 times = 6 scans); "
-    "the 6 pair rows then unpivot from that single row. Values are "
+    "the 6 pair rows then unpivot from that single row via one CROSS "
+    "JOIN against a pair-descriptor inline table (plan-asserted single "
+    "fact scan). Values are "
     "quantized to exact integer grids first (whole currency units, "
     "percent points) so every co-moment is an exact BIGINT — "
     "bit-stable cross-engine and safe to ~sf100 before the price "

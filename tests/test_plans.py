@@ -363,3 +363,46 @@ def test_knn_filtered_pushes_predicate_to_scan(spark, sf_dir, specs):
     # must still be a TakeOrderedAndProject over survivors only
     assert "PushedFilters" in plan and "In(label" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cusum_is_single_keyed_window_pass(spark, sf_dir, specs):
+    plan = plan_of(specs["events_cusum_changepoint"].fn(spark, sf_dir))
+    # prefix-sum + running-min chain on the SAME (user_id; ts, event_id)
+    # ordering: exactly one shuffle, never a global window
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_corr_matrix_is_one_scan_one_row_agg(spark, sf_dir, specs):
+    plan = plan_of(specs["feature_corr_matrix"].fn(spark, sf_dir))
+    # all 14 co-moments from ONE pass over lineitem; the pair unpivot
+    # must not re-reference the aggregate (Spark inlines CTEs)
+    assert plan.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_acf_self_join_stays_day_grain(spark, sf_dir, specs):
+    plan = plan_of(specs["events_acf_daily"].fn(spark, sf_dir))
+    # the fact collapses to day grain before the lag join; the inline
+    # lag table keeps the day relation referenced exactly twice
+    assert plan.count("Scan parquet") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_auc_sorts_only_the_score_domain(spark, sf_dir, specs):
+    plan = plan_of(specs["eval_auc_doclang"].fn(spark, sf_dir))
+    # histogram-form Mann-Whitney: the fact aggregates to per-score
+    # counts BEFORE the (domain-sized) global prefix-sum window — in
+    # tree order the Window sits ABOVE a HashAggregate, never directly
+    # over the scan
+    assert plan.count("Scan parquet") == 1
+    assert plan.index("Window") < plan.index("HashAggregate")
+    import re
+    assert re.search(r"Window .*\n\s*\+?-?\s*(Batched)?Scan parquet", plan) is None
+
+
+def test_kmv_intersect_touches_only_sketch_rows(spark, sf_dir, specs):
+    plan = plan_of(specs["approx_distinct_intersect_kmv"].fn(spark, sf_dir))
+    # the A∩B join runs over the two k-row sketches (rn <= k filters
+    # above the windows), never the raw key sets as a cartesian
+    assert "CartesianProduct" not in plan
