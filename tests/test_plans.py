@@ -396,9 +396,11 @@ def test_auc_sorts_only_the_score_domain(spark, sf_dir, specs):
     # tree order the Window sits ABOVE a HashAggregate, never directly
     # over the scan
     assert plan.count("Scan parquet") == 1
-    assert plan.index("Window") < plan.index("HashAggregate")
-    import re
-    assert re.search(r"Window .*\n\s*\+?-?\s*(Batched)?Scan parquet", plan) is None
+    # below the Window (tree prints top-down) there must be a
+    # HashAggregate before the scan — i.e. the window's input is the
+    # per-score count table, not raw document rows
+    below_window = plan[plan.index("Window"):]
+    assert "HashAggregate" in below_window.split("FileScan")[0]
 
 
 def test_kmv_intersect_touches_only_sketch_rows(spark, sf_dir, specs):
