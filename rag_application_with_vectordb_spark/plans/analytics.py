@@ -1228,37 +1228,57 @@ _sql_query(
     """
     WITH v AS (
       SELECT user_id, event_id, ts,
-             CAST(round(value * 100) AS BIGINT) - 10000 AS y_cents
+             CAST(round(value * 100) AS BIGINT) AS cents
       FROM events
     ),
-    p AS (
-      SELECT user_id, event_id, ts, y_cents,
-             SUM(y_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS psum
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(SUM(cents * cents) AS BIGINT) AS sq
       FROM v
     ),
+    k AS (
+      SELECT CAST(floor(CAST(s AS DOUBLE) / n
+                        + 0.5 * SQRT((CAST(sq AS DOUBLE)
+                                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                                     / (n - 1))) AS BIGINT) AS tgt,
+             CAST(floor(5.0 * SQRT((CAST(sq AS DOUBLE)
+                                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                                   / (n - 1))) AS BIGINT) AS h
+      FROM g
+    ),
+    p AS (
+      SELECT v.user_id, v.event_id, v.ts, k.h,
+             SUM(v.cents - k.tgt) OVER (PARTITION BY v.user_id ORDER BY v.ts, v.event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS psum
+      FROM v CROSS JOIN k
+    ),
     s AS (
-      SELECT user_id, event_id, ts,
+      SELECT user_id, event_id, ts, h,
              psum - LEAST(MIN(psum) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                           0) AS cusum_cents
       FROM p
     )
     SELECT user_id, event_id, ts, CAST(cusum_cents AS BIGINT) AS cusum_cents
-    FROM s WHERE cusum_cents > 5000
+    FROM s WHERE cusum_cents > h
     """,
     doc="One-sided CUSUM changepoint screen (Page 1954) over each user's "
-    "event-value stream: S_t = max(0, S_{t-1} + (x_t - target - slack)) "
-    "flags sustained upward shifts (here target+slack = 100.00 against "
-    "a ~50 mean, h = 50.00 — flags ~8% of fixture rows). The recursion "
-    "is rewritten in closed form "
-    "S_t = P_t - min(0, min_{j<=t} P_j) — prefix sum minus running "
-    "minimum — so the sequential CUSUM becomes two chained window "
-    "passes over the SAME (user_id; ts, event_id) ordering: one "
-    "shuffle, no fold, no UDF, exact integer cents throughout (every "
-    "output bit reproduces cross-engine). This is the standard "
-    "drift-to-windows rewrite that makes streaming-style changepoint "
-    "detection scale on a batch engine.",
+    "event-value stream: S_t = max(0, S_{t-1} + (x_t - target)) flags "
+    "sustained upward shifts, SELF-CALIBRATED from the data — target = "
+    "mean + 0.5*sigma (the classic k = delta/2 allowance), decision "
+    "threshold h = 5*sigma, both computed from one exact-BIGINT moment "
+    "pass and FLOORED to integer cents so the per-user prefix sums "
+    "stay exact integers (the fixed-constant form saturated on a "
+    "fixture whose value scale differed 5x). The recursion is "
+    "rewritten in closed form S_t = P_t - min(0, min_{j<=t} P_j) — "
+    "prefix sum minus running minimum — so the sequential CUSUM "
+    "becomes two chained window passes over the SAME (user_id; ts, "
+    "event_id) ordering: one data shuffle plus a broadcast of the "
+    "2-value calibration row, no fold, no UDF, every output bit "
+    "reproducing cross-engine. This is the standard drift-to-windows "
+    "rewrite that makes streaming-style changepoint detection scale "
+    "on a batch engine (cents^2 moments are exact to ~1e12 rows; "
+    "beyond that the calibration quantum drops to whole units).",
     tags=("analytics", "timeseries", "monitor"),
 )
 

@@ -368,9 +368,10 @@ def test_knn_filtered_pushes_predicate_to_scan(spark, sf_dir, specs):
 def test_cusum_is_single_keyed_window_pass(spark, sf_dir, specs):
     plan = plan_of(specs["events_cusum_changepoint"].fn(spark, sf_dir))
     # prefix-sum + running-min chain on the SAME (user_id; ts, event_id)
-    # ordering: exactly one shuffle, never a global window
-    assert plan.count("Exchange") == 1
-    assert "SinglePartition" not in plan
+    # ordering: exactly one DATA shuffle (the calibration row reduces
+    # through a SinglePartition aggregate and broadcasts back)
+    assert plan.count("hashpartitioning") == 1
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
 def test_corr_matrix_is_one_scan_one_row_agg(spark, sf_dir, specs):
