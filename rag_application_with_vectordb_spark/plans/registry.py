@@ -52,6 +52,10 @@ _loaded = False
 # approx_distinct_sketch) stay EXCLUDED from the window — a slot spent
 # recording ``err: no_oracle`` is a slot wasted; they already have their
 # rows-only rows. Entries not named here follow in registration order.
+# Registered after this round-7 window froze (=> lead the round-8
+# rotation alongside the trimmed r4 greens): events_cusum_changepoint,
+# events_acf_daily, eval_auc_doclang, approx_distinct_intersect_kmv,
+# ann_rp_recall, feature_corr_matrix, feature_mi_lang_source.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",

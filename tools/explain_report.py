@@ -196,6 +196,32 @@ ANNOTATED = {
     "candidates come from a broadcast semi-join on the pattern's trigrams "
     "+ a count filter (posting intersection); the exact contains() runs "
     "on survivors only — the full-scan LIKE exists only in the oracle.",
+    "events_cusum_changepoint": "CUSUM's sequential recursion in closed "
+    "form: prefix sum minus running min, two chained windows on ONE "
+    "(user_id) shuffle; the self-calibration row reduces through a "
+    "SinglePartition aggregate and broadcasts back — the fact never "
+    "moves twice.",
+    "events_acf_daily": "The fact collapses to day grain before any "
+    "join; the lag inline table cross-joins the day relation exactly "
+    "twice (a per-lag UNION ALL would rescan the fact 2x per lag — "
+    "Spark inlines CTEs).",
+    "eval_auc_doclang": "Histogram-form Mann-Whitney: one scan "
+    "aggregates to per-score counts; the global prefix-sum window "
+    "runs over the bounded score DOMAIN, never the raw fact.",
+    "approx_distinct_intersect_kmv": "Each side's sketch is a k-row "
+    "windowed selection; the intersection joins sketch against sketch "
+    "(k rows each) — the raw key sets never meet.",
+    "ann_rp_recall": "The ±1 projection matrix enters as literals; the "
+    "16 reduced dims are map-side HOF dots — projection adds zero "
+    "shuffles on top of the exact-scan recall harness.",
+    "feature_corr_matrix": "ONE scan, one single-row co-moment "
+    "aggregate (map-side partials); the 6 pair rows unpivot via a "
+    "CASE cross-join against an inline descriptor table, never "
+    "re-referencing the aggregate.",
+    "feature_mi_lang_source": "One pair groupBy builds the contingency "
+    "cells; marginals roll up from the CELL table; the nano-unit ln "
+    "contribution is map-side arithmetic over broadcast-joined "
+    "marginals.",
 }
 
 
