@@ -963,3 +963,75 @@ def text_substring_search_trigram(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("doc_id", F.locate(_TRGM_PATTERN, F.col("text")).cast("bigint").alias("pos"))
         .filter(F.col("pos") > 0)
     )
+
+
+# --- positional phrase search (round-7 tail) ----------------------------------
+
+_PHRASE = ("scan", "query", "big")
+
+
+@register(
+    "text_phrase_search_positional",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    m AS (
+      SELECT doc_id, CAST(i AS BIGINT) - 1 AS start
+      FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1))) u(i)
+      WHERE w[CAST(i AS INTEGER)] = '{_PHRASE[0]}'
+        AND w[CAST(i AS INTEGER) + 1] = '{_PHRASE[1]}'
+        AND w[CAST(i AS INTEGER) + 2] = '{_PHRASE[2]}'
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(start) AS BIGINT) AS first_pos
+    FROM m GROUP BY doc_id
+    """,
+    doc=f"Positional phrase search ('{' '.join(_PHRASE)}') over a "
+    "token-level inverted index — the IR sibling of "
+    "text_substring_search_trigram (substrings) at word granularity: "
+    "tokens posexplode ONCE, rows matching any phrase word map to "
+    "candidate start positions (pos - offset), and a start that "
+    "collects ALL distinct offsets is a phrase hit — the classic "
+    "positional-postings intersection rewritten as ONE aggregation on "
+    "(doc_id, start), so the engine never rescans per phrase term "
+    "(plan-asserted single scan) and never runs LIKE over raw text. "
+    "At 100 TB the isin() pre-filter prunes the exploded stream to "
+    "the phrase terms' postings before any shuffle, and both "
+    "aggregations are keyed hash aggs. The DuckDB oracle is an "
+    "INDEPENDENT per-doc lateral scan of the token array — two "
+    "different algorithms, hash-identical output.",
+    tags=("text", "search"),
+)
+def text_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    toks = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.posexplode(w).alias("pos", "tok")
+    )
+    # one pass: each posting row yields (start = pos - offset) for every
+    # phrase offset its token matches (handles repeated phrase words)
+    offsets = F.filter(
+        F.array(*[
+            F.struct(F.lit(i).alias("i"), F.lit(t).alias("t"))
+            for i, t in enumerate(_PHRASE)
+        ]),
+        lambda s: s["t"] == F.col("tok"),
+    )
+    contrib = (
+        toks.filter(F.col("tok").isin(*_PHRASE))
+        .select("doc_id", "pos", F.explode(offsets).alias("o"))
+        .select("doc_id", (F.col("pos") - F.col("o.i")).alias("start"), F.col("o.i").alias("i"))
+        .filter(F.col("start") >= 0)
+    )
+    hits = (
+        contrib.groupBy("doc_id", "start")
+        .agg(F.size(F.collect_set("i")).alias("n_offsets"))
+        .filter(F.col("n_offsets") == len(_PHRASE))
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_matches"),
+        F.min("start").cast("bigint").alias("first_pos"),
+    )

@@ -409,3 +409,12 @@ def test_kmv_intersect_touches_only_sketch_rows(spark, sf_dir, specs):
     # the A∩B join runs over the two k-row sketches (rn <= k filters
     # above the windows), never the raw key sets as a cartesian
     assert "CartesianProduct" not in plan
+
+
+def test_phrase_search_is_single_scan_no_like(spark, sf_dir, specs):
+    plan = plan_of(specs["text_phrase_search_positional"].fn(spark, sf_dir))
+    # one explode pass over documents; the per-term "postings" come from
+    # offset arithmetic + aggregation, never a rescan per phrase word,
+    # and the hot path never runs Contains/LIKE over raw text
+    assert plan.count("Scan parquet") == 1
+    assert "Contains" not in plan

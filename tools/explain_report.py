@@ -222,6 +222,11 @@ ANNOTATED = {
     "cells; marginals roll up from the CELL table; the nano-unit ln "
     "contribution is map-side arithmetic over broadcast-joined "
     "marginals.",
+    "text_phrase_search_positional": "Tokens posexplode once; the "
+    "isin() pre-filter prunes to the phrase terms' postings before "
+    "any shuffle; a start collecting ALL distinct offsets is a hit — "
+    "positional-postings intersection as one aggregation, no LIKE, "
+    "no per-term rescan.",
 }
 
 
