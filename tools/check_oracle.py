@@ -13,6 +13,7 @@ from __future__ import annotations
 import datetime as dt
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -60,7 +61,12 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; locally generated scale-up
+        # sets (tools/gen_sf.py) are Spark-written DIRECTORIES of parts
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     failures = []
     for name, spec in sorted(specs.items()):
