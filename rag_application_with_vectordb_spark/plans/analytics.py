@@ -1497,3 +1497,70 @@ _sql_query(
     "the harness, not the finding.",
     tags=("analytics", "eval"),
 )
+
+
+# --- Holt linear-trend smoothing (round-7 tail) --------------------------------
+
+_sql_query(
+    "events_holt_linear",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+        collect_list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS win
+      FROM events
+    ),
+    f AS (
+      SELECT event_id, user_id, ts, value,
+        aggregate(slice(win, 2, size(win) - 1),
+                  array(CAST(element_at(win, 1) AS DOUBLE), CAST(0.0 AS DOUBLE)),
+                  (acc, x) -> array(
+                    CAST(0.25 AS DOUBLE) * x + CAST(0.75 AS DOUBLE) * (acc[0] + acc[1]),
+                    CAST(0.1 AS DOUBLE) * ((CAST(0.25 AS DOUBLE) * x
+                                            + CAST(0.75 AS DOUBLE) * (acc[0] + acc[1]))
+                                           - acc[0])
+                    + CAST(0.9 AS DOUBLE) * acc[1])) AS st
+      FROM w
+    )
+    SELECT event_id, user_id, ts, value,
+           element_at(st, 1) AS level20, element_at(st, 2) AS trend20,
+           element_at(st, 1) + element_at(st, 2) AS forecast_next
+    FROM f
+    """,
+    oracle="""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+        list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS win
+      FROM events
+    ),
+    f AS (
+      SELECT event_id, user_id, ts, value,
+        list_reduce(list_transform(win, x -> [x::DOUBLE, 0.0::DOUBLE]),
+          (acc, x) -> [0.25::DOUBLE * x[1] + 0.75::DOUBLE * (acc[1] + acc[2]),
+                       0.1::DOUBLE * ((0.25::DOUBLE * x[1]
+                                       + 0.75::DOUBLE * (acc[1] + acc[2]))
+                                      - acc[1])
+                       + 0.9::DOUBLE * acc[2]]) AS st
+      FROM w
+    )
+    SELECT event_id, user_id, ts, value,
+           st[1] AS level20, st[2] AS trend20, st[1] + st[2] AS forecast_next
+    FROM f
+    """,
+    doc="Holt linear-trend (double exponential) smoothing over each "
+    "user's event stream, trailing-20 frame: the coupled recursion "
+    "l_t = a*x_t + (1-a)(l+b), b_t = beta*(l_t - l) + (1-beta)*b folds "
+    "over the ordered window list with a TWO-COMPONENT array "
+    "accumulator [level, trend] (alpha=0.25, beta=0.1, init level = "
+    "first value, trend = 0), extending events_ewma's fold idiom to "
+    "vector state; forecast_next = level + trend is the one-step-ahead "
+    "prediction a monitoring pipeline alerts against. The fixed "
+    "chronological fold order makes the fp arithmetic bit-identical "
+    "across engines AND partitionings. Engine note baked into the "
+    "oracle: DuckDB 1.0's list_reduce mis-evaluates STRUCT-typed "
+    "accumulators (second fold step reads stale fields) but is exact "
+    "for LIST-typed ones — the [l, b] array encoding is load-bearing, "
+    "not style. One shuffle on user_id; O(20) state per row.",
+    tags=("analytics", "timeseries"),
+)
