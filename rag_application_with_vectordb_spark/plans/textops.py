@@ -1007,21 +1007,33 @@ _PHRASE = ("scan", "query", "big")
 def text_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, _PHRASE)
+
+
+def phrase_search(docs: DataFrame, phrase: tuple[str, ...] | list[str]) -> DataFrame:
+    """Positional phrase search: per-doc match count + first 0-based
+    token position, one explode pass over ``docs(doc_id, text)``.
+
+    Each posting row yields (start = pos - offset) for EVERY phrase
+    offset its token matches, so repeated phrase words and overlapping
+    occurrences are handled; a start is a hit iff it collects all
+    distinct offsets (for a phrase of n words a window of n consecutive
+    tokens matches iff each offset contributes — repeated words "a b a"
+    included, since offsets 0 and 2 both require 'a' at their shifted
+    positions and each contributes its own offset id)."""
     w = F.split(F.trim(F.col("text")), r"\s+")
     toks = docs.filter(F.length(F.trim(F.col("text"))) > 0).select(
         "doc_id", F.posexplode(w).alias("pos", "tok")
     )
-    # one pass: each posting row yields (start = pos - offset) for every
-    # phrase offset its token matches (handles repeated phrase words)
     offsets = F.filter(
         F.array(*[
             F.struct(F.lit(i).alias("i"), F.lit(t).alias("t"))
-            for i, t in enumerate(_PHRASE)
+            for i, t in enumerate(phrase)
         ]),
         lambda s: s["t"] == F.col("tok"),
     )
     contrib = (
-        toks.filter(F.col("tok").isin(*_PHRASE))
+        toks.filter(F.col("tok").isin(*phrase))
         .select("doc_id", "pos", F.explode(offsets).alias("o"))
         .select("doc_id", (F.col("pos") - F.col("o.i")).alias("start"), F.col("o.i").alias("i"))
         .filter(F.col("start") >= 0)
@@ -1029,7 +1041,7 @@ def text_phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame
     hits = (
         contrib.groupBy("doc_id", "start")
         .agg(F.size(F.collect_set("i")).alias("n_offsets"))
-        .filter(F.col("n_offsets") == len(_PHRASE))
+        .filter(F.col("n_offsets") == len(phrase))
     )
     return hits.groupBy("doc_id").agg(
         F.count("*").cast("bigint").alias("n_matches"),
