@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["running_user_totals", "high_water_marks", "foreach_batch_collector"]
+__all__ = ["running_user_totals", "high_water_marks", "cusum_monitor", "foreach_batch_collector"]
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -95,6 +95,70 @@ def high_water_marks(events: DataFrame) -> DataFrame:
                     {"user_id": key[0], "event_id": row.event_id, "ts": row.ts, "value": v}
                 )
         state.update((hwm,))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def cusum_monitor(events: DataFrame, tgt_cents: int, h_cents: int) -> DataFrame:
+    """Streaming CUSUM changepoint monitor: emit an alert row whenever a
+    user's one-sided CUSUM statistic S_t = max(0, S_{t-1} + (cents_t -
+    tgt_cents)) exceeds ``h_cents``, processing rows in (ts, event_id)
+    order within each micro-batch.
+
+    The streaming twin of the batch catalog query
+    ``events_cusum_changepoint`` (plans/analytics.py), which computes the
+    same statistic via the closed form P_t - min(0, min P_j) in two
+    window passes; with identical calibration constants the emitted
+    (user_id, event_id, cusum_cents) rows are equal — asserted in
+    tests under arbitrary micro-batch splits. In production the
+    constants come from the batch calibration pass (mean + 0.5*sigma /
+    5*sigma over a reference period); recomputing them inside the
+    stream would make the statistic non-stationary.
+
+    State per user: two integers (prefix sum and its running minimum) —
+    bounded by user cardinality, exact (no fp drift over an unbounded
+    stream), checkpointed in the state store.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("cusum_cents", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("psum", T.LongType()), T.StructField("minp", T.LongType())]
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        psum, minp = state.get if state.exists else (0, 0)
+        out: list[dict] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        for row in batch.sort_values(["ts", "event_id"]).itertuples(index=False):
+            psum += int(round(float(row.value) * 100)) - tgt_cents
+            minp = min(minp, psum)
+            cusum = psum - min(minp, 0)
+            if cusum > h_cents:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "event_id": row.event_id,
+                        "ts": row.ts,
+                        "cusum_cents": cusum,
+                    }
+                )
+        state.update((psum, minp))
         if out:
             yield pd.DataFrame(out)
 

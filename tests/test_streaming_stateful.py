@@ -90,3 +90,55 @@ def test_high_water_marks_typed_state_api(spark, sf_dir):
         for r in run_to_completion(stream, "hwm_tws", mode="append").collect()
     }
     assert got == _batch_new_maxima(spark, sf_dir)
+
+
+def _batch_cusum(spark, sf_dir, tgt_cents: int, h_cents: int):
+    # Batch twin with pinned constants: prefix sum minus running min
+    # (the closed form the catalog query events_cusum_changepoint uses).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "y", F.round(F.col("value") * 100).cast("long") - tgt_cents
+    )
+    p = ev.withColumn("psum", F.sum("y").over(w))
+    s = p.withColumn(
+        "cusum_cents", F.col("psum") - F.least(F.min("psum").over(w), F.lit(0))
+    )
+    return {
+        (r["user_id"], r["event_id"], r["cusum_cents"])
+        for r in s.filter(F.col("cusum_cents") > h_cents).collect()
+    }
+
+
+def test_cusum_monitor_matches_batch_closed_form(spark, sf_dir):
+    import math
+
+    from rag_application_with_vectordb_spark.streaming.stateful import cusum_monitor
+
+    # calibration constants computed ONCE (the production pattern: a
+    # batch pass calibrates, the stream applies fixed constants)
+    stats = (
+        load_table(spark, sf_dir, "events")
+        .select(F.round(F.col("value") * 100).cast("long").alias("c"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("sq"),
+        )
+        .collect()[0]
+    )
+    sigma = math.sqrt((stats.sq - stats.s * stats.s / stats.n) / (stats.n - 1))
+    tgt = int(math.floor(stats.s / stats.n + 0.5 * sigma))
+    h = int(math.floor(5.0 * sigma))
+
+    stream = cusum_monitor(read_events_stream(spark, sf_dir), tgt, h)
+    got = {
+        (r["user_id"], r["event_id"], r["cusum_cents"])
+        for r in run_to_completion(stream, "cusum", mode="append").collect()
+    }
+    want = _batch_cusum(spark, sf_dir, tgt, h)
+    assert got == want
+    assert got  # non-vacuous at sf0.001
