@@ -56,7 +56,8 @@ _loaded = False
 # rotation alongside the trimmed r4 greens): events_cusum_changepoint,
 # events_acf_daily, eval_auc_doclang, approx_distinct_intersect_kmv,
 # ann_rp_recall, feature_corr_matrix, feature_mi_lang_source,
-# text_phrase_search_positional, events_holt_linear.
+# text_phrase_search_positional, events_holt_linear,
+# approx_distinct_diff_kmv.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",

@@ -1186,3 +1186,64 @@ def approx_distinct_intersect_kmv(spark: SparkSession, sf_dir: str) -> DataFrame
     register_views(spark, sf_dir, ["orders"])
     u = "conv(substring(md5(CAST(ck AS STRING)), 1, 13), 16, 10) / 4503599627370496.0"
     return spark.sql(_kmv_intersect_sql(u, "STRING"))
+
+
+def _kmv_diff_sql(unit_u: str) -> str:
+    """Theta-sketch A-NOT-B over two KMV sketches: count sketch-A hashes
+    below theta that are absent from sketch B (every B hash < theta is
+    necessarily IN sketch B, since theta <= theta_B — the absence test
+    is exact below theta), estimate = count / theta."""
+    return f"""
+    WITH a AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'),
+    b AS (SELECT DISTINCT o_custkey AS ck FROM orders WHERE o_orderstatus = 'O'),
+    ua AS (SELECT ck, {unit_u} AS u FROM a),
+    ub AS (SELECT ck, {unit_u} AS u FROM b),
+    ra AS (SELECT u, row_number() OVER (ORDER BY u) AS rn, COUNT(*) OVER () AS n FROM ua),
+    rb AS (SELECT u, row_number() OVER (ORDER BY u) AS rn, COUNT(*) OVER () AS n FROM ub),
+    tha AS (SELECT CASE WHEN MAX(n) < {_KMV_K} THEN 1.0
+                        ELSE MAX(CASE WHEN rn = {_KMV_K} THEN u END) END AS theta FROM ra),
+    thb AS (SELECT CASE WHEN MAX(n) < {_KMV_K} THEN 1.0
+                        ELSE MAX(CASE WHEN rn = {_KMV_K} THEN u END) END AS theta FROM rb),
+    th AS (SELECT LEAST(tha.theta, thb.theta) AS theta FROM tha CROSS JOIN thb),
+    d AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS c
+      FROM ra CROSS JOIN th
+      WHERE ra.rn <= {_KMV_K} AND ra.u < th.theta
+        AND NOT EXISTS (SELECT 1 FROM rb WHERE rb.u = ra.u AND rb.rn <= {_KMV_K})
+    ),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_diff
+      FROM a WHERE NOT EXISTS (SELECT 1 FROM b WHERE b.ck = a.ck)
+    )
+    SELECT d.c AS only_a_below_theta,
+           CAST(th.theta AS DOUBLE) AS theta,
+           CAST(d.c / th.theta AS DOUBLE) AS est_diff,
+           ex.exact_diff
+    FROM d CROSS JOIN th CROSS JOIN ex
+    """
+
+
+@register(
+    "approx_distinct_diff_kmv",
+    oracle=_kmv_diff_sql(
+        duck_hex13_to_long("md5(CAST(ck AS VARCHAR))") + " / 4503599627370496.0"
+    ),
+    doc="Theta-sketch SET DIFFERENCE |A \\ B| (customers with finished "
+    "but not open orders), completing the sketch set algebra next to "
+    "cardinality (approx_distinct_kmv), union mergeability "
+    "(_kmv_merged) and intersection (_intersect_kmv): below theta = "
+    "min(theta_A, theta_B) the sketches are EXACT membership oracles "
+    "(every hash of a set below its own theta is necessarily among its "
+    "k minima), so A-not-B counts sketch-A hashes below theta absent "
+    "from sketch B, scaled by 1/theta — the DataSketches a-not-b "
+    "estimator. The anti-membership probe is a NOT EXISTS on the k-row "
+    "sketch relations (anti join), never on the raw key sets; exact "
+    "difference rides along as the yardstick. Deterministic md5 "
+    "hashing makes the estimate itself hash-checkable.",
+    tags=("relational", "approx", "sketch"),
+)
+def approx_distinct_diff_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ["orders"])
+    u = "conv(substring(md5(CAST(ck AS STRING)), 1, 13), 16, 10) / 4503599627370496.0"
+    return spark.sql(_kmv_diff_sql(u))
