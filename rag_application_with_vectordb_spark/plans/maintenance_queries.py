@@ -309,3 +309,91 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("b_cents"), zero) + F.coalesce(F.col("d_cents"), zero)
         ).alias("revenue_cents"),
     )
+
+
+#: Dimension-mutation rule for the join-view maintenance demo:
+#: customers with c_custkey % 31 == 0 move to this segment in v2.
+_SEG_MOD = 31
+_SEG_NEW = "SEG_MOVED"
+
+
+@register(
+    "incremental_join_merge",
+    oracle=f"""
+    WITH cnew AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % {_SEG_MOD} = 0 THEN '{_SEG_NEW}'
+                  ELSE c_mktsegment END AS segment
+      FROM customer
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS order_cnt,
+           CAST(SUM({_CENTS_SQL}) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN cnew c ON o.o_custkey = c.c_custkey
+    GROUP BY segment
+    """,
+    doc="Incremental maintenance of a JOIN view under TWO-SIDED change — "
+    "the delta-rule sibling of incremental_agg_merge: the per-segment "
+    "revenue rollup over orders JOIN customer is refreshed from (a) new "
+    "fact rows joined against the NEW dimension, and (b) dimension "
+    "attribute changes replayed as counting-IVM retractions (the moved "
+    "customer's historical orders enter the delta twice: negative "
+    "counts/cents against the old segment, positive against the new — "
+    "Z-relation / counting multiset maintenance). The merge "
+    "coalesce-adds signed partials per segment; hash equality against "
+    "the oracle (a FULL recompute of orders ⋈ mutated-customer) proves "
+    "merge(base, fact-delta, dim-delta) == recompute, which holds "
+    "because the measures are associative integers and retractions "
+    "cancel exactly. At 100 TB the refresh touches |new orders| + "
+    "|orders of changed customers| (semi-join on the changed keys) + "
+    "|segments| rows — never the join history.",
+    tags=("maintenance", "incremental"),
+)
+def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    cut = F.lit(_CUT2).cast("timestamp")
+
+    c_old = customer.select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    c_new = customer.select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % _SEG_MOD == 0, F.lit(_SEG_NEW))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    o_old = orders.filter(F.col("o_orderdate") < cut)
+    o_new = orders.filter(F.col("o_orderdate") >= cut)
+
+    def partial(o: DataFrame, c: DataFrame, sign: int) -> DataFrame:
+        return (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("segment")
+            .agg(
+                (F.lit(sign) * F.count("*")).cast("bigint").alias("order_cnt"),
+                (F.lit(sign) * F.sum(_cents_col())).cast("bigint").alias("revenue_cents"),
+            )
+        )
+
+    # standing view state: old facts against the old dimension
+    base = partial(o_old, c_old, 1)
+    # fact delta: new orders join the NEW dimension version
+    d_fact = partial(o_new, c_new, 1)
+    # dimension delta: changed customers' historical orders retract from
+    # the old segment and re-insert into the new one
+    changed_keys = customer.filter(F.col("c_custkey") % _SEG_MOD == 0).select("c_custkey")
+    o_changed = o_old.join(
+        F.broadcast(changed_keys), o_old.o_custkey == changed_keys.c_custkey, "left_semi"
+    )
+    d_retract = partial(o_changed, c_old, -1)
+    d_insert = partial(o_changed, c_new, 1)
+
+    merged = base.unionByName(d_fact).unionByName(d_retract).unionByName(d_insert)
+    return (
+        merged.groupBy("segment")
+        .agg(
+            F.sum("order_cnt").cast("bigint").alias("order_cnt"),
+            F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+        .filter(F.col("order_cnt") > 0)
+    )
