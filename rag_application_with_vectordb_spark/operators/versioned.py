@@ -125,6 +125,18 @@ class VersionedStore:
         self._publish(v, "delete", [rel], n)
         return v
 
+    def rollback(self, version: int) -> int:
+        """Restore a retained historical snapshot as a NEW commit (Delta
+        RESTORE semantics): the new manifest references the target
+        version's data directories — no data is copied, history stays
+        linear (the rolled-back-from versions remain readable until
+        vacuumed), and vacuum keeps the referenced directories alive
+        because reachability is computed from retained manifests."""
+        m = self._read_manifest(version)  # raises if vacuumed/never existed
+        v = self.current_version() + 1
+        self._publish(v, f"rollback:{version}", list(m["data_dirs"]), m["n_rows"])
+        return v
+
     def read(self, version: int | None = None) -> DataFrame:
         """Read a snapshot (default: current). Time travel = pass any
         retained version number."""

@@ -108,3 +108,40 @@ def test_read_as_of_timestamp(spark, tmp_path):
     assert _rows(st.read_as_of(200.0)) == [(1, "a"), (2, "b")]
     with pytest.raises(ValueError):
         st.read_as_of(50.0)
+
+
+def test_rollback_restores_by_reference(spark, tmp_path):
+    st = VersionedStore(spark, str(tmp_path / "s"))
+    st.append(_df(spark, [(1, "a")]))
+    v2 = st.append(_df(spark, [(2, "b")]))
+    st.delete_where(F.col("id") == 1)  # v3 drops row 1
+    v4 = st.rollback(v2)
+    assert v4 == 4
+    assert _rows(st.read()) == _rows(st.read(v2)) == [(1, "a"), (2, "b")]
+    # no data was copied: v4's manifest references v2's directories
+    m = json.load(open(str(tmp_path / "s" / "manifests" / "v4.json")))
+    m2 = json.load(open(str(tmp_path / "s" / "manifests" / "v2.json")))
+    assert m["data_dirs"] == m2["data_dirs"]
+    assert m["op"] == "rollback:2"
+
+
+def test_rollback_survives_vacuum(spark, tmp_path):
+    st = VersionedStore(spark, str(tmp_path / "s"))
+    st.append(_df(spark, [(1, "a")]))
+    v2 = st.append(_df(spark, [(2, "b")]))
+    st.delete_where(F.col("id") == 1)
+    st.rollback(v2)
+    st.vacuum(keep_last=1)  # only v4 retained
+    # the rolled-back snapshot's data dirs are reachable from v4, so
+    # vacuum must keep them; the delete commit's rewrite dir is swept
+    assert _rows(st.read()) == [(1, "a"), (2, "b")]
+    assert not os.path.isdir(str(tmp_path / "s" / "data" / "c3"))
+
+
+def test_rollback_to_vacuumed_version_raises(spark, tmp_path):
+    st = VersionedStore(spark, str(tmp_path / "s"))
+    st.append(_df(spark, [(1, "a")]))
+    st.overwrite(_df(spark, [(2, "b")]))
+    st.vacuum(keep_last=1)
+    with pytest.raises(ValueError):
+        st.rollback(1)
