@@ -57,7 +57,8 @@ _loaded = False
 # events_acf_daily, eval_auc_doclang, approx_distinct_intersect_kmv,
 # ann_rp_recall, feature_corr_matrix, feature_mi_lang_source,
 # text_phrase_search_positional, events_holt_linear,
-# approx_distinct_diff_kmv, incremental_join_merge.
+# approx_distinct_diff_kmv, incremental_join_merge,
+# approx_distinct_kmv_cube, split_balance_chi2.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",

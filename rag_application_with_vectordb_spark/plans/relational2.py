@@ -1247,3 +1247,89 @@ def approx_distinct_diff_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ["orders"])
     u = "conv(substring(md5(CAST(ck AS STRING)), 1, 13), 16, 10) / 4503599627370496.0"
     return spark.sql(_kmv_diff_sql(u))
+
+
+def _kmv_cube_sql(unit_u: str) -> str:
+    """Sketch-cube range query: per-month KMV sketches of the active
+    customer set, merged at query time over a month range; the merged
+    estimate must equal the direct sketch over the range (the global
+    k-minima are inside the union of per-month k-minima)."""
+    return f"""
+    WITH d AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+             o_custkey AS ck
+      FROM orders
+      GROUP BY 1, 2
+    ),
+    u AS (SELECT month, ck, {unit_u} AS u FROM d),
+    per_month AS (
+      SELECT month, u FROM (
+        SELECT month, u,
+               row_number() OVER (PARTITION BY month ORDER BY u) AS rn
+        FROM u
+      ) WHERE rn <= {_KMV_K}
+    ),
+    rng AS (
+      SELECT DISTINCT u FROM per_month
+      WHERE month >= TIMESTAMP '1996-01-01 00:00:00'
+        AND month <  TIMESTAMP '1997-01-01 00:00:00'
+    ),
+    merged AS (
+      SELECT u, row_number() OVER (ORDER BY u) AS rn, COUNT(*) OVER () AS n
+      FROM rng
+    ),
+    direct_keys AS (
+      SELECT ck, MIN(u) AS u FROM u
+      WHERE month >= TIMESTAMP '1996-01-01 00:00:00'
+        AND month <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY ck
+    ),
+    direct AS (
+      SELECT u, row_number() OVER (ORDER BY u) AS rn, COUNT(*) OVER () AS n
+      FROM direct_keys
+    ),
+    em AS (
+      SELECT CAST(CASE WHEN MAX(n) < {_KMV_K} THEN CAST(MAX(n) AS DOUBLE)
+                  ELSE {_KMV_K - 1}.0 / MAX(CASE WHEN rn = {_KMV_K} THEN u END) END
+             AS DOUBLE) AS est_merged
+      FROM merged
+    ),
+    ed AS (
+      SELECT CAST(CASE WHEN MAX(n) < {_KMV_K} THEN CAST(MAX(n) AS DOUBLE)
+                  ELSE {_KMV_K - 1}.0 / MAX(CASE WHEN rn = {_KMV_K} THEN u END) END
+             AS DOUBLE) AS est_direct,
+             CAST(MAX(n) AS BIGINT) AS exact_customers
+      FROM direct
+    )
+    SELECT est_merged, est_direct,
+           CAST(CASE WHEN est_merged = est_direct THEN 1 ELSE 0 END AS BIGINT)
+             AS merge_is_lossless,
+           exact_customers
+    FROM em CROSS JOIN ed
+    """
+
+
+@register(
+    "approx_distinct_kmv_cube",
+    oracle=_kmv_cube_sql(
+        duck_hex13_to_long("md5(CAST(ck AS VARCHAR))") + " / 4503599627370496.0"
+    ),
+    doc="Sketch CUBE: pre-aggregated per-month KMV sketches answer an "
+    "arbitrary month-range distinct-customer query by query-time merge "
+    "— the warehouse pattern that turns a 100 TB COUNT(DISTINCT) over "
+    "any date range into a union of 12 k-row sketches (the global "
+    "k-minima over a range are necessarily inside the union of its "
+    "months' k-minima, so the merge is exactly lossless — the "
+    "in-query merge_is_lossless flag must be 1 and the whole "
+    "demonstration hash-matches DuckDB). Extends "
+    "approx_distinct_kmv_merged's executor-shard proof to CALENDAR "
+    "partitions, which is what a real sketch rollup table is keyed "
+    "by. The direct side dedups keys (MIN(u) per key) exactly as the "
+    "sketch union dedups hashes; exact count rides along.",
+    tags=("relational", "approx", "sketch"),
+)
+def approx_distinct_kmv_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ["orders"])
+    u = "conv(substring(md5(CAST(ck AS STRING)), 1, 13), 16, 10) / 4503599627370496.0"
+    return spark.sql(_kmv_cube_sql(u))

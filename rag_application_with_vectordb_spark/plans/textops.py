@@ -18,7 +18,7 @@ from ..operators.multimodal import (
     with_binary_payload,
 )
 from ..session import tune
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, register_views
 from .oracle_dialect import duck_hash_embedding, duck_hex13_to_long
 from .registry import register
 
@@ -1047,3 +1047,58 @@ def phrase_search(docs: DataFrame, phrase: tuple[str, ...] | list[str]) -> DataF
         F.count("*").cast("bigint").alias("n_matches"),
         F.min("start").cast("bigint").alias("first_pos"),
     )
+
+
+# --- split balance audit: chi-square lang x split (round-7 tail) ---------------
+
+def _chi2_split_sql(h13: str) -> str:
+    """``h13`` is the engine's md5-fold-to-integer of 'split42|doc_id' —
+    the same keyed hash as functions.text.hash_split, so this audits the
+    ACTUAL split the pipeline would ship."""
+    exp = ("CAST(mx.n_x AS DOUBLE) * CAST(my.n_y AS DOUBLE) "
+           "/ CAST(t.n AS DOUBLE)")
+    return f"""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN {h13} % 1000 < 900 THEN 'train' ELSE 'heldout' END AS split
+      FROM documents
+    ),
+    c AS (SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_xy
+          FROM s GROUP BY lang, split),
+    mx AS (SELECT lang, CAST(SUM(n_xy) AS BIGINT) AS n_x FROM c GROUP BY lang),
+    my AS (SELECT split, CAST(SUM(n_xy) AS BIGINT) AS n_y FROM c GROUP BY split),
+    t AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM c)
+    SELECT c.lang, c.split, c.n_xy,
+           CAST(round((CAST(c.n_xy AS DOUBLE) - {exp})
+                      * (CAST(c.n_xy AS DOUBLE) - {exp})
+                      / ({exp})
+                      * 1000000000) AS BIGINT) AS chi2_contrib_nano
+    FROM c JOIN mx ON c.lang = mx.lang JOIN my ON c.split = my.split
+    CROSS JOIN t
+    """
+
+
+@register(
+    "split_balance_chi2",
+    oracle=_chi2_split_sql(
+        duck_hex13_to_long("md5('split42|' || CAST(doc_id AS VARCHAR))")
+    ),
+    doc="Chi-square balance audit of the train/heldout hash split "
+    "against the language marginal — the statistical gate a pipeline "
+    "runs before trusting a split: per-cell contribution (obs-exp)^2/"
+    "exp of the lang x split contingency table, in integer nano-units "
+    "(fixed-point, associative sum — the PSI/MI pattern), against the "
+    "SAME seeded md5-permille assignment functions.text.hash_split "
+    "ships (seed split42, 900 permille), so the audit covers the real "
+    "artifact, not a model of it. One groupBy on the pair; marginals "
+    "roll up from the cell table; sum over cells vs chi2(df=4) at "
+    "alpha=0.05 (9.49) is the conventional reject line. Cells with "
+    "zero observed count are absent in BOTH engines (their expected "
+    "mass still shifts the emitted cells' marginals identically).",
+    tags=("text", "sampling", "eval"),
+)
+def split_balance_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ["documents"])
+    h13 = "conv(substring(md5(CONCAT('split42|', CAST(doc_id AS STRING))), 1, 13), 16, 10)"
+    return spark.sql(_chi2_split_sql(h13))
