@@ -227,6 +227,23 @@ ANNOTATED = {
     "any shuffle; a start collecting ALL distinct offsets is a hit — "
     "positional-postings intersection as one aggregation, no LIKE, "
     "no per-term rescan.",
+    "events_holt_linear": "The coupled level/trend recursion folds the "
+    "ordered trailing-20 window with a two-component array "
+    "accumulator — one keyed shuffle, O(20) state per row, fp order "
+    "fixed by the fold so results are partitioning-proof.",
+    "approx_distinct_diff_kmv": "Below theta each k-row sketch is an "
+    "exact membership oracle; the A-not-B probe is an anti join of "
+    "sketch against sketch — the raw key sets never meet.",
+    "approx_distinct_kmv_cube": "Per-month sketches reduce in one "
+    "keyed window pass; the range query merges 12 k-row sketches — "
+    "the fact is scanned once to build the cube, never at query time.",
+    "incremental_join_merge": "Four signed partial aggregates (base, "
+    "fact-delta, retract, re-insert) union and coalesce-add per "
+    "segment; the changed-customer replay is a broadcast semi-join, "
+    "so refresh cost is O(delta), never O(join history).",
+    "split_balance_chi2": "One pair groupBy builds the contingency "
+    "cells; marginals roll up from cells; the chi-square contribution "
+    "is map-side fixed-point arithmetic over broadcast marginals.",
 }
 
 
