@@ -58,7 +58,8 @@ _loaded = False
 # ann_rp_recall, feature_corr_matrix, feature_mi_lang_source,
 # text_phrase_search_positional, events_holt_linear,
 # approx_distinct_diff_kmv, incremental_join_merge,
-# approx_distinct_kmv_cube, split_balance_chi2.
+# approx_distinct_kmv_cube, split_balance_chi2,
+# multimodal_crossmodal_topk.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",

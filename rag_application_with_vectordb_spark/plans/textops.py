@@ -1102,3 +1102,59 @@ def split_balance_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ["documents"])
     h13 = "conv(substring(md5(CONCAT('split42|', CAST(doc_id AS STRING))), 1, 13), 16, 10)"
     return spark.sql(_chi2_split_sql(h13))
+
+
+# --- cross-modal retrieval over binary payloads (round-7 tail) -----------------
+
+_XM_DIM = 16
+_XM_SEED = "m42"
+_XM_QUERY = "vector table scan"
+
+
+def _crossmodal_oracle() -> str:
+    from .oracle_dialect import duck_cosine
+
+    # DuckDB 1.0's md5() takes VARCHAR only; the fabricated payload is
+    # exactly the utf8 bytes of ``text``, so md5(text) is byte-identical
+    # to Spark's md5(payload) over the BLOB
+    mvec = duck_hash_embedding("md5(text)", _XM_DIM, _XM_SEED)
+    qvec = duck_hash_embedding(f"'{_XM_QUERY}'", _XM_DIM, _XM_SEED)
+    sim = duck_cosine("m.mvec", "q.qvec")
+    return f"""
+    WITH m AS (SELECT doc_id, {mvec} AS mvec FROM documents),
+    q AS (SELECT {qvec} AS qvec)
+    SELECT doc_id, similarity FROM (
+      SELECT m.doc_id, {sim} AS similarity,
+             row_number() OVER (ORDER BY {sim} DESC, m.doc_id) AS rn
+      FROM m CROSS JOIN q
+    ) WHERE rn <= 5
+    """
+
+
+@register(
+    "multimodal_crossmodal_topk",
+    oracle=_crossmodal_oracle(),
+    doc="Cross-modal retrieval: media binary payloads and a TEXT query "
+    "meet in one shared embedding space (the CLIP serving pattern) — "
+    "the media side embeds a deterministic canonical key of the "
+    "payload bytes (md5 of the blob; a real deployment embeds decoded "
+    "features through the same mapInPandas stage multimodal_decode_meta "
+    "exercises), the query side embeds the text with the SAME seed and "
+    "dim, and serving is the engine's standard broadcast-query cosine "
+    "top-k (TakeOrderedAndProject, never a corpus sort). Every stage "
+    "is the md5-fold, so the scores value-check cross-engine.",
+    tags=("multimodal", "ann"),
+)
+def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..embedder import hash_embedding_expr
+    from ..functions.vector import cosine_sim
+
+    tune(spark)
+    docs = with_binary_payload(load_table(spark, sf_dir, "documents"))
+    media = docs.select(
+        "doc_id",
+        hash_embedding_expr(F.md5(F.col("payload")), dim=_XM_DIM, seed=_XM_SEED).alias("mvec"),
+    )
+    qvec = hash_embedding_expr(F.lit(_XM_QUERY), dim=_XM_DIM, seed=_XM_SEED)
+    scored = media.select("doc_id", cosine_sim(F.col("mvec"), qvec).alias("similarity"))
+    return scored.orderBy(F.desc("similarity"), F.asc("doc_id")).limit(5)
