@@ -555,9 +555,17 @@ def duplicate_components(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
     edges = edges.persist()
+    # Each round MUST fully materialize and truncate lineage (eager
+    # localCheckpoint). The previous lazy persist() was a latent
+    # deep-graph bug: the limit(1) convergence probe only materialized
+    # the partitions it touched, the prior round was already
+    # unpersisted, and every uncached partition recomputed through a
+    # lineage that doubled per round — OOM at ~15 rounds (found by the
+    # two-star cross-check on a random graph; fixture near-dup graphs
+    # converge in <5 rounds and never hit it).
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).cast("long").alias("label")
-    ).persist()
+    ).localCheckpoint()
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -572,7 +580,7 @@ def duplicate_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -581,7 +589,6 @@ def duplicate_components(
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

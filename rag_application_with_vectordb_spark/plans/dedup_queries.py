@@ -946,3 +946,35 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(2, "exact_dedup_canonical", s2))
         .unionByName(stage(3, "near_dedup_jaccard", s3))
     )
+
+
+# --- two-star connected components (round-7 tail) ------------------------------
+
+
+@register(
+    "graph_wcc_twostar",
+    oracle=None,  # set below: shares dedup_components' recursive-closure oracle
+    doc="Connected components over the SAME near-dup pair graph as "
+    "dedup_components, computed by the alternating large-star/"
+    "small-star contraction (Kiveris et al. 2014, operators/cc.py) "
+    "instead of min-label propagation: per-round cost is one "
+    "groupBy-min + equi-join, but the ROUND COUNT is O(log n) versus "
+    "propagation's O(component diameter) — the variant a 100 TB "
+    "chain-shaped graph (web links, citation chains) needs. Both "
+    "algorithms converge to min-rooted components, so this query "
+    "hash-matches the identical recursive-closure oracle that checks "
+    "dedup_components — a three-way cross-ALGORITHM equality (two-star "
+    "in Spark == label propagation in Spark == transitive closure in "
+    "DuckDB), not just a cross-engine one.",
+    tags=("dedup", "graph", "iterative"),
+)
+def graph_wcc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cc import twostar_components
+
+    tune(spark)
+    aug = _augmented_docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(aug, min_jaccard=0.4)
+    return twostar_components(aug.select("doc_id"), pairs)
+
+
+QUERIES["graph_wcc_twostar"].oracle = QUERIES["dedup_components"].oracle

@@ -59,7 +59,7 @@ _loaded = False
 # text_phrase_search_positional, events_holt_linear,
 # approx_distinct_diff_kmv, incremental_join_merge,
 # approx_distinct_kmv_cube, split_balance_chi2,
-# multimodal_crossmodal_topk.
+# multimodal_crossmodal_topk, graph_wcc_twostar.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
