@@ -244,6 +244,14 @@ ANNOTATED = {
     "split_balance_chi2": "One pair groupBy builds the contingency "
     "cells; marginals roll up from cells; the chi-square contribution "
     "is map-side fixed-point arithmetic over broadcast marginals.",
+    "multimodal_crossmodal_topk": "Payload and text query embed into "
+    "one shared md5-fold space; serving is the engine's standard "
+    "broadcast-query cosine TakeOrderedAndProject — the corpus never "
+    "sorts, the query never shuffles.",
+    "graph_wcc_twostar": "Each two-star alternation is one groupBy-min "
+    "+ one equi-join on the node key, eagerly checkpointed per round "
+    "so the driver loop's plan depth stays O(1); round count is "
+    "O(log n), not O(component diameter).",
 }
 
 
