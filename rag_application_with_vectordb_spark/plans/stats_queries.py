@@ -1,0 +1,359 @@
+r"""Statistics / recommendation / graph-traversal catalog tail: the
+classic analytics shapes that were still missing after round 7 —
+item-item co-occurrence similarity (the collaborative-filtering
+building block), an exact two-sample Kolmogorov–Smirnov statistic,
+k-hop BFS reachability over a derived item graph, and PMI collocation
+ranking (the lexical-association sibling of seq_ngram_lm_counts'
+conditional probabilities).
+
+Scale notes (100 TB posture):
+- item co-occurrence self-joins the distinct (user, item) relation on
+  user_id — the canonical item-CF shuffle. Its cost is bounded by the
+  per-user item-set size, not the event count (DISTINCT first); in a
+  production deployment heavy users are capped (top-N items per user)
+  before the pairing, which this plan's shape accommodates by
+  construction (the DISTINCT aggregate is where the cap would slot in).
+- the KS statistic groups by value first (one shuffle on the measure),
+  then windows over the DISTINCT values — cardinality-bounded, never a
+  sort of the raw rows. The max |ECDF_a − ECDF_b| comparison is done in
+  EXACT integer arithmetic (cross-multiplied counts over the common
+  denominator n_a·n_b) so the argmax and the hash are order-free.
+- BFS rounds iterate over the derived item graph (per-item top-3
+  partners), which is tiny relative to the fact; the expensive pairs
+  aggregate is localCheckpoint'ed once so the 3 unrolled rounds do NOT
+  rescan events per round (the CTE-inlining lesson from NEXT.md).
+- PMI lands each ln() on the 1e-6 integer grid (text_token_entropy's
+  fixed-point move) and keeps the lift ratio itself as a fixed
+  evaluation-order chain of correctly-rounded fp64 ops, so the hash is
+  stable cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..sources.catalog import load_table, register_views, tables_in_sql
+from .registry import register
+
+# Distinct (user, item) interactions: item ids live in events.props as
+# JSON (get_json_object on Spark, json_extract_string on DuckDB — the
+# relational.py:363 dialect split).
+_UI_SPARK = """
+  SELECT DISTINCT user_id, CAST(get_json_object(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type IN ('click', 'purchase')
+"""
+_UI_DUCK = """
+  SELECT DISTINCT user_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+  FROM events WHERE event_type IN ('click', 'purchase')
+"""
+
+
+def _reco_sql(ui: str) -> str:
+    return f"""
+    WITH ui AS ({ui}),
+    cnt AS (SELECT item, COUNT(*) AS n FROM ui GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item <> b.item
+      GROUP BY a.item, b.item
+    ),
+    scored AS (
+      SELECT p.item_a, p.item_b, p.co,
+             CAST(p.co AS DOUBLE) / sqrt(CAST(ca.n AS DOUBLE) * CAST(cb.n AS DOUBLE))
+               AS cosine
+      FROM pairs p
+      JOIN cnt ca ON p.item_a = ca.item
+      JOIN cnt cb ON p.item_b = cb.item
+    ),
+    ranked AS (
+      SELECT item_a, item_b, co, cosine,
+             row_number() OVER (PARTITION BY item_a ORDER BY cosine DESC, item_b ASC)
+               AS rnk
+      FROM scored
+    )
+    SELECT item_a, item_b, CAST(co AS BIGINT) AS co, cosine, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY item_a ASC, rnk ASC
+    """
+
+
+@register(
+    "reco_item_item_topk",
+    oracle=_reco_sql(_UI_DUCK),
+    doc="Item-item collaborative filtering: top-3 most-similar items per "
+    "item by co-occurrence cosine co(a,b)/sqrt(n(a)·n(b)) over distinct "
+    "(user, item) click/purchase interactions. The 'users who engaged "
+    "with A also engaged with B' primitive. DISTINCT bounds the pairing "
+    "by per-user item-set size (the cap point for heavy users at scale); "
+    "one shuffle on user_id for the pairing, one on the item pair for "
+    "the count; the item-count side joins are broadcast-sized. Cosine is "
+    "a fixed chain of correctly-rounded fp64 ops (÷, sqrt, ×) so the "
+    "hash is cross-engine stable; rank ties break on item_b ASC.",
+    tags=("reco", "analytics"),
+)
+def reco_item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_reco_sql(_UI_SPARK))
+
+
+# --- exact two-sample Kolmogorov–Smirnov: doc length, en vs non-en ------------
+
+_KS_SQL = """
+WITH s AS (
+  SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g FROM documents
+),
+tot AS (SELECT SUM(g) AS na, SUM(1 - g) AS nb FROM s),
+byv AS (SELECT v, SUM(g) AS ca, SUM(1 - g) AS cb FROM s GROUP BY v),
+cum AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v ASC) AS cuma,
+         SUM(cb) OVER (ORDER BY v ASC) AS cumb
+  FROM byv
+),
+d AS (
+  SELECT c.v, abs(c.cuma * t.nb - c.cumb * t.na) AS num, t.na, t.nb
+  FROM cum c CROSS JOIN tot t
+)
+SELECT CAST(MAX(num) AS DOUBLE) / (MAX(na) * MAX(nb)) AS ks_stat,
+       CAST(MIN(CASE WHEN num = (SELECT MAX(num) FROM d) THEN v END) AS BIGINT)
+         AS ks_at_v,
+       CAST(MAX(na) AS BIGINT) AS n_en, CAST(MAX(nb) AS BIGINT) AS n_other
+FROM d
+"""
+
+
+@register(
+    "stats_ks_lang_length",
+    oracle=_KS_SQL,
+    doc="Exact two-sample Kolmogorov–Smirnov statistic comparing the "
+    "document-length distribution of lang='en' vs the rest — the "
+    "distribution-shift test a curation pipeline runs when a filter or "
+    "source change might have skewed the corpus (complements PSI, which "
+    "needs binning; KS is binning-free). ECDFs are built by grouping on "
+    "the DISTINCT length values (one shuffle, cardinality-bounded) and "
+    "the sup-difference is maximized in exact integer cross-multiplied "
+    "form |cuma·nb − cumb·na| — the single division to a double happens "
+    "once, after the max, so the statistic and its argmax location are "
+    "order-free and hash-stable. Dialect-shared SQL.",
+    tags=("stats", "analytics"),
+)
+def stats_ks_lang_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, tables_in_sql(_KS_SQL))
+    return spark.sql(_KS_SQL)
+
+
+# --- k-hop BFS reachability over the item co-occurrence graph -----------------
+
+_KHOP_ROUNDS = 3
+_KHOP_SOURCE = 0
+_KHOP_TOP_PARTNERS = 3
+
+_EDGES_SPARK = f"""
+WITH ui AS ({_UI_SPARK}),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item <> b.item
+  GROUP BY a.item, b.item
+),
+ranked AS (
+  SELECT item_a, item_b,
+         row_number() OVER (PARTITION BY item_a ORDER BY co DESC, item_b ASC) AS rnk
+  FROM pairs
+)
+SELECT item_a AS src, item_b AS dst FROM ranked WHERE rnk <= {_KHOP_TOP_PARTNERS}
+UNION
+SELECT item_b AS src, item_a AS dst FROM ranked WHERE rnk <= {_KHOP_TOP_PARTNERS}
+"""
+
+
+def _khop_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for i in range(1, _KHOP_ROUNDS + 1):
+        rounds.append(
+            f"""r{i} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM {prev} d JOIN edges e ON e.src = d.node
+      ) u GROUP BY node
+    )"""
+        )
+        prev = f"r{i}"
+    joined = ",\n    ".join(rounds)
+    return f"""
+    WITH ui AS ({_UI_DUCK}),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item <> b.item
+      GROUP BY a.item, b.item
+    ),
+    ranked AS (
+      SELECT item_a, item_b,
+             row_number() OVER (PARTITION BY item_a ORDER BY co DESC, item_b ASC)
+               AS rnk
+      FROM pairs
+    ),
+    edges AS MATERIALIZED (
+      SELECT item_a AS src, item_b AS dst FROM ranked WHERE rnk <= {_KHOP_TOP_PARTNERS}
+      UNION
+      SELECT item_b AS src, item_a AS dst FROM ranked WHERE rnk <= {_KHOP_TOP_PARTNERS}
+    ),
+    d0 AS (SELECT CAST({_KHOP_SOURCE} AS BIGINT) AS node, 0 AS dist),
+    {joined}
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist AS INT) AS dist
+    FROM {prev} ORDER BY node ASC
+    """
+
+
+@register(
+    "graph_khop_items",
+    oracle=_khop_oracle(),
+    doc=f"Unweighted shortest-path distances (BFS, {_KHOP_ROUNDS} hops) from "
+    f"item {_KHOP_SOURCE} over the item-affinity graph: each item keeps "
+    f"edges to its top-{_KHOP_TOP_PARTNERS} strongest co-occurrence "
+    "partners (scale-free sparsification — the graph stays ~3·|items| "
+    "edges at any SF), symmetrized. Each round is frontier ∪ "
+    "(frontier ⋈ edges)+1 folded by MIN(dist) — one shuffle on node per "
+    "round. The expensive part (the pairs aggregate over events) is "
+    "localCheckpoint'ed ONCE so the unrolled rounds reuse the "
+    "materialized edge list instead of rescanning the fact per round; "
+    "each round's frontier is also checkpointed (the iterative-lineage "
+    "rule from operators/cc.py). Oracle is the same recursion unrolled "
+    "as MATERIALIZED DuckDB CTEs.",
+    tags=("graph", "analytics"),
+)
+def graph_khop_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    edges = spark.sql(_EDGES_SPARK).localCheckpoint()
+    front = spark.range(1).select(
+        F.lit(_KHOP_SOURCE).cast("bigint").alias("node"),
+        F.lit(0).cast("int").alias("dist"),
+    )
+    for _ in range(_KHOP_ROUNDS):
+        step = (
+            front.join(edges, front["node"] == edges["src"])
+            .select(edges["dst"].alias("node"), (front["dist"] + F.lit(1)).alias("dist"))
+        )
+        front = (
+            front.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return front.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("dist").cast("int").alias("dist"),
+    ).orderBy("node")
+
+
+# --- PMI collocations: lexical association over corpus bigrams ----------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 50
+
+
+@register(
+    "text_pmi_collocations",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ),
+    uni AS (
+      SELECT word, COUNT(*) AS c
+      FROM (SELECT unnest(w) AS word FROM t) GROUP BY word
+    ),
+    nu AS (SELECT SUM(c) AS nu FROM uni),
+    bg AS (
+      SELECT w[CAST(i AS INTEGER)] AS w1, w[CAST(i AS INTEGER) + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(range(1, len(w)))) u(i)
+    ),
+    bgc AS (SELECT w1, w2, COUNT(*) AS cxy FROM bg GROUP BY w1, w2),
+    nb AS (SELECT SUM(cxy) AS nb FROM bgc),
+    scored AS (
+      SELECT b.w1, b.w2, b.cxy,
+             (CAST(b.cxy AS DOUBLE) / nb.nb)
+               / ((CAST(u1.c AS DOUBLE) / nu.nu) * (CAST(u2.c AS DOUBLE) / nu.nu))
+               AS lift
+      FROM bgc b
+      JOIN uni u1 ON b.w1 = u1.word
+      JOIN uni u2 ON b.w2 = u2.word
+      CROSS JOIN nu CROSS JOIN nb
+      WHERE b.cxy >= {_PMI_MIN_COUNT}
+    )
+    SELECT w1, w2, CAST(cxy AS BIGINT) AS cxy, lift,
+           CAST(round(ln(lift) * 1000000.0) AS BIGINT) AS pmi_micro
+    FROM scored
+    ORDER BY lift DESC, w1 ASC, w2 ASC
+    LIMIT {_PMI_TOPK}
+    """,
+    doc=f"Pointwise-mutual-information collocation ranking: top-{_PMI_TOPK} "
+    f"adjacent bigrams (count ≥ {_PMI_MIN_COUNT}) by association lift "
+    "p(w1,w2)/(p(w1)·p(w2)) — the phrase-mining / stop-phrase-detection "
+    "primitive next to seq_ngram_lm_counts' conditional probabilities "
+    "(PMI normalizes by BOTH marginals, so frequent-but-independent "
+    "pairs rank low). Tokens explode once; bigrams are a per-row array "
+    "transform (no self-join); the unigram/bigram totals are single-row "
+    "aggregates broadcast back. The lift ratio is a fixed "
+    "evaluation-order fp64 chain, and the PMI itself is reported on the "
+    "1e-6 grid (text_token_entropy's fixed-point move), so the top-k "
+    "boundary and the hash are cross-engine stable.",
+    tags=("text", "stats"),
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    )
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    toks = docs.select(F.explode(w).alias("word"))
+    uni = toks.groupBy("word").agg(F.count("*").alias("c"))
+    nu = uni.agg(F.sum("c").alias("nu"))
+    bigrams = (
+        docs.select(
+            F.explode(
+                F.when(
+                    F.size(w) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(w) - 1),
+                        lambda i: F.struct(
+                            F.element_at(w, i).alias("w1"),
+                            F.element_at(w, i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    bgc = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("cxy"))
+    nb = bgc.agg(F.sum("cxy").alias("nb"))
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    lift = (F.col("cxy").cast("double") / F.col("nb")) / (
+        (F.col("c1").cast("double") / F.col("nu"))
+        * (F.col("c2").cast("double") / F.col("nu"))
+    )
+    return (
+        bgc.filter(F.col("cxy") >= _PMI_MIN_COUNT)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1",
+            "w2",
+            F.col("cxy").cast("bigint").alias("cxy"),
+            lift.alias("lift"),
+            F.round(F.ln(lift) * F.lit(1000000.0)).cast("bigint").alias("pmi_micro"),
+        )
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(_PMI_TOPK)
+    )

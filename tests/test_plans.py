@@ -418,3 +418,42 @@ def test_phrase_search_is_single_scan_no_like(spark, sf_dir, specs):
     # and the hot path never runs Contains/LIKE over raw text
     assert plan.count("Scan parquet") == 1
     assert "Contains" not in plan
+
+
+def test_reco_pairs_push_event_filter_and_prune(spark, sf_dir, specs):
+    plan = plan_of(specs["reco_item_item_topk"].fn(spark, sf_dir))
+    # the event-type predicate reaches every parquet scan, and the scans
+    # read only the 3 needed columns — no full-width fact reads
+    assert "In(event_type, [click,purchase])" in plan
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            schema = line.split("ReadSchema:")[1]
+            assert "value" not in schema and "ts:" not in schema
+    assert "CartesianProduct" not in plan
+
+
+def test_ks_windows_only_the_distinct_value_domain(spark, sf_dir, specs):
+    plan = plan_of(specs["stats_ks_lang_length"].fn(spark, sf_dir))
+    # the global-order window runs AFTER the group-by on v, so its
+    # SinglePartition input is the distinct length domain, not raw docs:
+    # a HashAggregate(keys=[v...]) must sit below the Window
+    lines = plan.splitlines()
+    widx = next(i for i, l in enumerate(lines) if "Window" in l)
+    assert any("HashAggregate" in l and "keys=[v" in l for l in lines[widx:])
+
+
+def test_khop_rounds_do_not_rescan_events(spark, sf_dir, specs):
+    plan = plan_of(specs["graph_khop_items"].fn(spark, sf_dir))
+    # edges are localCheckpoint'ed once; the 3 BFS rounds must join
+    # against the materialized edge RDD, never re-derive it from events
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan
+
+
+def test_pmi_broadcasts_global_totals(spark, sf_dir, specs):
+    plan = plan_of(specs["text_pmi_collocations"].fn(spark, sf_dir))
+    # the single-row Nu/Nb totals broadcast back over the bigram counts
+    # (never a shuffle of the counts against a 1-row side), and the
+    # top-50 is TakeOrdered, not a global sort
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
