@@ -35,7 +35,14 @@ from pyspark.sql import functions as F
 
 from ..session import tune
 from ..sources.catalog import load_table, register_views, tables_in_sql
+from .oracle_dialect import duck_hex13_to_long
 from .registry import register
+
+
+def _spark_hex13(hex_expr: str) -> str:
+    """Spark-SQL twin of functions.text.hex13_to_long (13 md5 hex chars
+    → integer < 2^52, fp64-exact so DuckDB reproduces it)."""
+    return f"CAST(conv(substring({hex_expr}, 1, 13), 16, 10) AS BIGINT)"
 
 # Distinct (user, item) interactions: item ids live in events.props as
 # JSON (get_json_object on Spark, json_extract_string on DuckDB — the
@@ -356,4 +363,256 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
         .limit(_PMI_TOPK)
+    )
+
+
+# --- deterministic Poisson bootstrap: CI for the mean order value -------------
+
+#: Poisson(1) inverse CDF on the permille grid (cum.: .368 .736 .920
+#: .981 .996) — each (replicate, row) draws its resample multiplicity
+#: from a keyed hash, so the bootstrap is a pure function of the data.
+_POISSON_W = (
+    "CASE WHEN u < 368 THEN 0 WHEN u < 736 THEN 1 WHEN u < 920 THEN 2 "
+    "WHEN u < 981 THEN 3 WHEN u < 996 THEN 4 ELSE 5 END"
+)
+_BOOT_B = 100
+
+
+def _bootstrap_sql(hexfn, fanout: str, str_t: str) -> str:
+    key = f"md5(concat('boot42|', CAST(b AS {str_t}), '|', CAST(o_orderkey AS {str_t})))"
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey, CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+      FROM orders
+    ),
+    fan AS (
+      SELECT b, o_orderkey, cents, {hexfn(key)} % 1000 AS u
+      FROM base {fanout}
+    ),
+    w AS (SELECT b, cents, {_POISSON_W} AS w FROM fan),
+    reps AS (
+      SELECT b, CAST(SUM(w * cents) AS DOUBLE) / (100.0 * CAST(SUM(w) AS DOUBLE))
+               AS mean_b
+      FROM w GROUP BY b
+    ),
+    ranked AS (
+      SELECT mean_b, row_number() OVER (ORDER BY mean_b ASC, b ASC) AS rnk FROM reps
+    ),
+    pt AS (SELECT CAST(SUM(cents) AS DOUBLE) / (100.0 * COUNT(*)) AS point FROM base)
+    SELECT pt.point AS point_mean,
+           MAX(CASE WHEN rnk = 3 THEN mean_b END) AS ci_lo,
+           MAX(CASE WHEN rnk = {_BOOT_B - 2} THEN mean_b END) AS ci_hi,
+           CAST({_BOOT_B} AS BIGINT) AS n_replicates
+    FROM ranked CROSS JOIN pt GROUP BY pt.point
+    """
+
+
+@register(
+    "stats_bootstrap_mean_ci",
+    oracle=_bootstrap_sql(
+        duck_hex13_to_long,
+        f"CROSS JOIN (SELECT unnest(range(0, {_BOOT_B})) AS b) r",
+        "VARCHAR",
+    ),
+    doc=f"Percentile-bootstrap 95% CI for the mean order value via the "
+    f"DETERMINISTIC Poisson bootstrap: each of {_BOOT_B} replicates "
+    "draws every row's multiplicity from Poisson(1) inverted on a "
+    "keyed-md5 permille (no RNG state, no resample shuffle — the "
+    "resampling is a pure row-local function, so it is reproducible, "
+    "partitioning-stable, AND single-pass: one scan fans out ×B "
+    "map-side, partial-aggregates per partition, and shuffles only B "
+    "partial rows per task). This is how a bootstrap actually runs at "
+    "100 TB — never B independent passes. Money stays exact-integer "
+    "cents until the final per-replicate division (one fixed fp64 op), "
+    "and the CI bounds are order statistics of the B replicate means "
+    "(rank 3 / rank 98 of 100), so everything hash-matches DuckDB.",
+    tags=("stats", "analytics"),
+)
+def stats_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        _bootstrap_sql(
+            _spark_hex13,
+            f"LATERAL VIEW explode(sequence(0, {_BOOT_B - 1})) r AS b",
+            "STRING",
+        )
+    )
+
+
+# --- jackknife standard error: delete-one-month means -------------------------
+
+_JACKKNIFE_SQL = """
+WITH base AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents
+  FROM orders
+),
+per AS (SELECT m, SUM(cents) AS s, COUNT(*) AS n FROM base GROUP BY m),
+loo AS (
+  -- totals come from windows over the per-month table (M rows), so the
+  -- fact is scanned ONCE — a tot-CTE referenced here would be inlined
+  -- into a second/third scan by Spark
+  SELECT m,
+         CAST(round(10.0 * CAST(SUM(s) OVER () - s AS DOUBLE)
+                    / CAST(SUM(n) OVER () - n AS DOUBLE)) AS BIGINT) AS mu_milli,
+         COUNT(*) OVER () AS mm
+  FROM per
+),
+dev AS (
+  SELECT mu_milli
+           - CAST(round(CAST(SUM(mu_milli) OVER () AS DOUBLE) / mm) AS BIGINT) AS d,
+         mm
+  FROM loo
+)
+SELECT CAST(MAX(mm) AS BIGINT) AS n_groups,
+       sqrt(CAST(MAX(mm) - 1 AS DOUBLE) * CAST(SUM(d * d) AS DOUBLE) / MAX(mm))
+         / (MAX(mm) * 1000.0) AS jackknife_se_dollars
+FROM dev
+"""
+
+
+@register(
+    "stats_jackknife_se",
+    oracle=_JACKKNIFE_SQL,
+    doc="Delete-one-group jackknife standard error of the mean order "
+    "value, groups = order months — the grouped-data uncertainty "
+    "estimate that respects within-month correlation (the block/cluster "
+    "jackknife a pipeline uses when rows aren't i.i.d.). One aggregate "
+    "pass to per-month (sum, count); every leave-one-out mean is then "
+    "derived from the totals by subtraction — M groups never rescan the "
+    "fact. Each LOO mean and their grand mean land on the milli-dollar "
+    "integer grid (one fp op each from exact integers — coarse enough "
+    "that d² sums stay far inside BIGINT range at any SF), deviations "
+    "and the squared-deviation sum are then exact BIGINT — only the "
+    "final sqrt chain is fp64, so the hash is order-free. "
+    "Dialect-shared SQL.",
+    tags=("stats", "analytics"),
+)
+def stats_jackknife_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, tables_in_sql(_JACKKNIFE_SQL))
+    return spark.sql(_JACKKNIFE_SQL)
+
+
+# --- split-conformal prediction intervals -------------------------------------
+
+_CONFORMAL_ALPHA = 0.1  # 90% marginal coverage
+_CONFORMAL_TRAIN_PERMILLE = 700
+
+
+def _conformal_sql(hexfn, str_t: str) -> str:
+    key = f"md5(concat('split42|', CAST(o_orderkey AS {str_t})))"
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
+             CASE WHEN {hexfn(key)} % 1000 < {_CONFORMAL_TRAIN_PERMILLE}
+                  THEN 'train' ELSE 'cal' END AS part
+      FROM orders
+    ),
+    model AS MATERIALIZED (
+      SELECT prio,
+             CAST(round(10000.0 * CAST(SUM(cents) AS DOUBLE) / COUNT(*)) AS BIGINT)
+               AS pred_micro
+      FROM base WHERE part = 'train' GROUP BY prio
+    ),
+    cal AS MATERIALIZED (
+      SELECT abs(b.cents * 10000 - m.pred_micro) AS r
+      FROM base b JOIN model m ON b.prio = m.prio
+      WHERE b.part = 'cal'
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM cal),
+    q AS (
+      SELECT r AS qv FROM (
+        SELECT r, row_number() OVER (ORDER BY r ASC) AS rnk FROM cal
+      ) x CROSS JOIN nn
+      WHERE rnk = CAST(ceil((nn.n + 1) * {1.0 - _CONFORMAL_ALPHA}) AS BIGINT)
+    )
+    SELECT m.prio,
+           CAST(m.pred_micro AS DOUBLE) / 1000000.0 AS pred_dollars,
+           CAST(m.pred_micro - q.qv AS DOUBLE) / 1000000.0 AS lo_dollars,
+           CAST(m.pred_micro + q.qv AS DOUBLE) / 1000000.0 AS hi_dollars,
+           (SELECT CAST(n AS BIGINT) FROM nn) AS n_cal
+    FROM model m CROSS JOIN q
+    ORDER BY m.prio ASC
+    """
+
+
+@register(
+    "stats_conformal_interval",
+    oracle=_conformal_sql(duck_hex13_to_long, "VARCHAR"),
+    doc=f"Split-conformal {int((1 - _CONFORMAL_ALPHA) * 100)}% prediction "
+    "intervals for order value: a per-priority mean 'model' is fit on a "
+    f"keyed-md5 {_CONFORMAL_TRAIN_PERMILLE}‰ train split, absolute "
+    "residuals on the calibration split give the nonconformity scores, "
+    "and the interval half-width is the ⌈(n+1)(1−α)⌉-th order statistic "
+    "— the distribution-free coverage guarantee a model-eval pipeline "
+    "attaches to ANY point predictor. The split is the reproducible "
+    "hash_split primitive (partitioning-stable, no RNG); the model and "
+    "residuals are exact micro-dollar integers; the quantile is an "
+    "order statistic over the calibration residuals (its VALUE is "
+    "tie-insensitive), so the whole thing hash-matches DuckDB. Scale: "
+    "the 5-row model is localCheckpoint'ed so its train aggregate runs "
+    "once and broadcasts (CTE inlining would rescan orders per "
+    "consumer); two fact scans total (train agg + calibration pass), "
+    "plan-asserted. The only global sort is over calibration RESIDUAL "
+    "values — at 100 TB that rank would swap to approx_percentile or a "
+    "two-pass histogram refine, which the plan's shape (residuals as a "
+    "standalone relation) accommodates.",
+    tags=("stats", "analytics"),
+)
+def stats_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    key = "md5(concat('split42|', CAST(o_orderkey AS STRING)))"
+    base = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr("CAST(round(o_totalprice * 100.0) AS BIGINT)").alias("cents"),
+        (F.expr(_spark_hex13(key)) % 1000 < _CONFORMAL_TRAIN_PERMILLE).alias(
+            "is_train"
+        ),
+    )
+    model = (
+        base.filter(F.col("is_train"))
+        .groupBy("prio")
+        .agg(
+            F.expr(
+                "CAST(round(10000.0 * CAST(SUM(cents) AS DOUBLE) / COUNT(*)) AS BIGINT)"
+            ).alias("pred_micro")
+        )
+        .localCheckpoint()
+    )
+    cal = (
+        base.filter(~F.col("is_train"))
+        .join(F.broadcast(model), "prio")
+        .select(F.abs(F.col("cents") * 10000 - F.col("pred_micro")).alias("r"))
+    )
+    ranked = cal.select(
+        "r",
+        F.row_number().over(Window.orderBy(F.asc("r"))).alias("rnk"),
+        F.count("*").over(Window.partitionBy()).alias("n"),
+    )
+    q = ranked.filter(
+        F.col("rnk")
+        == F.ceil((F.col("n") + 1) * F.lit(1.0 - _CONFORMAL_ALPHA)).cast("bigint")
+    ).select(F.col("r").alias("qv"), F.col("n").alias("n_cal"))
+    return (
+        model.crossJoin(F.broadcast(q))
+        .select(
+            "prio",
+            (F.col("pred_micro").cast("double") / F.lit(1000000.0)).alias(
+                "pred_dollars"
+            ),
+            (
+                (F.col("pred_micro") - F.col("qv")).cast("double") / F.lit(1000000.0)
+            ).alias("lo_dollars"),
+            (
+                (F.col("pred_micro") + F.col("qv")).cast("double") / F.lit(1000000.0)
+            ).alias("hi_dollars"),
+            F.col("n_cal").cast("bigint").alias("n_cal"),
+        )
+        .orderBy(F.asc("prio"))
     )

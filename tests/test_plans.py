@@ -457,3 +457,29 @@ def test_pmi_broadcasts_global_totals(spark, sf_dir, specs):
     # top-50 is TakeOrdered, not a global sort
     assert "BroadcastNestedLoopJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bootstrap_is_single_pass_fanout(spark, sf_dir, specs):
+    plan = plan_of(specs["stats_bootstrap_mean_ci"].fn(spark, sf_dir))
+    # the B replicates come from ONE scan fanned out map-side by an
+    # explode generator — never B passes over orders; the replicate
+    # aggregate partials combine before the (tiny, B-row) shuffle
+    assert plan.count("Scan parquet") <= 2  # fan subtree + point-estimate subtree
+    assert "Generate explode" in plan
+
+
+def test_jackknife_never_rescans_per_group(spark, sf_dir, specs):
+    plan = plan_of(specs["stats_jackknife_se"].fn(spark, sf_dir))
+    # leave-one-out means derive from the per-month totals by
+    # subtraction: exactly one scan of orders feeds the whole statistic
+    assert plan.count("Scan parquet") == 1
+
+
+def test_conformal_model_checkpointed_two_fact_scans(spark, sf_dir, specs):
+    plan = plan_of(specs["stats_conformal_interval"].fn(spark, sf_dir))
+    # the 5-row model materializes once (localCheckpoint → ExistingRDD)
+    # and broadcasts into the calibration join; orders is scanned twice
+    # (train aggregate at checkpoint time + calibration pass), never once
+    # per CTE consumer
+    assert plan.count("Scan parquet") == 1  # only the calibration pass is lazy
+    assert "Scan ExistingRDD" in plan
