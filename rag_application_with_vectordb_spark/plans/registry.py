@@ -59,7 +59,10 @@ _loaded = False
 # text_phrase_search_positional, events_holt_linear,
 # approx_distinct_diff_kmv, incremental_join_merge,
 # approx_distinct_kmv_cube, split_balance_chi2,
-# multimodal_crossmodal_topk, graph_wcc_twostar.
+# multimodal_crossmodal_topk, graph_wcc_twostar,
+# reco_item_item_topk, stats_ks_lang_length, graph_khop_items,
+# text_pmi_collocations, stats_bootstrap_mean_ci, stats_jackknife_se,
+# stats_conformal_interval.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
