@@ -616,3 +616,145 @@ def stats_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("prio"))
     )
+
+
+# --- Kaplan–Meier survival: signup → first purchase ----------------------------
+
+
+def _km_sql(epochsec) -> str:
+    """``epochsec(expr)`` renders the engine's timestamp→whole-seconds
+    form (unix_timestamp vs floor(epoch(...))) — the only dialect split."""
+    days = (
+        f"CAST(floor(({epochsec('COALESCE(p_ts, (SELECT MAX(ts) FROM events))')}"
+        f" - {epochsec('s_ts')}) / 86400.0) AS BIGINT)"
+    )
+    return f"""
+    WITH w AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS s_ts
+      FROM events
+    ),
+    per AS (
+      SELECT user_id, MIN(s_ts) AS s_ts,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > s_ts THEN ts END) AS p_ts
+      FROM w WHERE s_ts IS NOT NULL GROUP BY user_id
+    ),
+    dur AS (
+      SELECT user_id,
+             CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS evt,
+             {days} AS t
+      FROM per
+    ),
+    grp AS (SELECT t, SUM(evt) AS d, SUM(1 - evt) AS c FROM dur GROUP BY t),
+    km AS (
+      SELECT t, d, c,
+             SUM(d + c) OVER ()
+               - COALESCE(SUM(d + c) OVER (ORDER BY t ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM grp
+    ),
+    terms AS (
+      SELECT t, d, c, n_risk,
+             CASE WHEN d = 0 THEN 0
+                  WHEN d < n_risk THEN
+                    CAST(round(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1000000.0)
+                         AS BIGINT)
+                  ELSE NULL END AS term_micro,
+             CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS dies_out
+      FROM km
+    ),
+    outp AS (
+      SELECT t, n_risk, d, c,
+             CAST(SUM(term_micro) OVER (ORDER BY t ASC) AS BIGINT) AS logs_micro,
+             SUM(dies_out) OVER (ORDER BY t ASC) AS dead
+      FROM terms
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events, CAST(c AS BIGINT) AS c_censored,
+           CASE WHEN dead > 0 THEN NULL ELSE logs_micro END AS log_surv_micro,
+           CASE WHEN dead > 0 THEN 0.0
+                ELSE CAST(CAST(round(exp(CAST(logs_micro AS DOUBLE) / 1000000.0)
+                                     * 1000000.0) AS BIGINT) AS DOUBLE)
+                     / 1000000.0 END AS survival
+    FROM outp ORDER BY t_days ASC
+    """
+
+
+@register(
+    "survival_km_signup_purchase",
+    oracle=_km_sql(lambda e: f"CAST(floor(epoch({e})) AS BIGINT)"),
+    doc="Kaplan–Meier survival curve for signup → first purchase, users "
+    "without a conversion right-censored at the study end (max event "
+    "ts) — the time-to-event estimator (retention/conversion analysis) "
+    "that handles censoring correctly where a naive conversion-rate "
+    "cut-off biases down. One keyed window pass pins each user's signup "
+    "(shuffle on user_id), the study end is a scalar-subquery map-side "
+    "MAX (never a global window over raw events), and everything after "
+    "the per-user aggregate operates on the distinct-duration table. "
+    "The survival product ∏(1−d/n) is order-free: each factor's ln "
+    "lands on the 1e-6 grid, the cumulative sum is exact BIGINT "
+    "(reported as log_surv_micro), the display survival re-lands exp() "
+    "on the 1e-6 grid (raw exp differs in the last ulp across engines "
+    "— observed at sf0.01), and the curve's zero-crossing (d=n "
+    "exhausts the risk set) is flagged exactly rather than via "
+    "ln(0).",
+    tags=("stats", "analytics"),
+)
+def survival_km_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_km_sql(lambda e: f"unix_timestamp({e})"))
+
+
+# --- forecast evaluation: seasonal-naive MASE / sMAPE --------------------------
+
+_MASE_SQL = """
+WITH daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS cents
+  FROM events GROUP BY day
+),
+lagged AS (
+  SELECT day, cents,
+         lag(cents, 7) OVER (ORDER BY day ASC) AS f_snaive,
+         lag(cents, 1) OVER (ORDER BY day ASC) AS y_prev
+  FROM daily
+),
+err AS (
+  SELECT abs(cents - f_snaive) AS e_f, abs(cents - y_prev) AS e_n,
+         CASE WHEN abs(cents) + abs(f_snaive) = 0 THEN 0
+              ELSE CAST(round(2000000.0 * abs(cents - f_snaive)
+                              / (abs(cents) + abs(f_snaive))) AS BIGINT)
+         END AS smape_micro
+  FROM lagged WHERE f_snaive IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       (CAST(SUM(e_f) AS DOUBLE) / COUNT(*))
+         / (CAST(SUM(e_n) AS DOUBLE) / COUNT(*)) AS mase,
+       CAST(SUM(smape_micro) AS DOUBLE) / (COUNT(*) * 1000000.0) AS smape
+FROM err
+"""
+
+
+@register(
+    "forecast_snaive_mase",
+    oracle=_MASE_SQL,
+    doc="Forecast-evaluation primitives over the daily purchase-revenue "
+    "series: MASE and sMAPE of the weekly seasonal-naive forecast "
+    "y[d−7] against the one-step naive scale y[d−1] — the "
+    "scale-invariant accuracy pair a forecasting pipeline reports "
+    "(MASE < 1 beats the naive baseline). Revenue is per-row exact "
+    "cents BEFORE the daily sum (summing raw doubles would be "
+    "accumulation-order-dependent), absolute errors are exact BIGINT "
+    "from lag windows over the tiny daily series, and each sMAPE term "
+    "lands on the 1e-6 grid before its exact-integer sum — hash-stable "
+    "by construction. One scan, one shuffle on day. Dialect-shared SQL.",
+    tags=("stats", "analytics"),
+)
+def forecast_snaive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, tables_in_sql(_MASE_SQL))
+    return spark.sql(_MASE_SQL)

@@ -483,3 +483,23 @@ def test_conformal_model_checkpointed_two_fact_scans(spark, sf_dir, specs):
     # per CTE consumer
     assert plan.count("Scan parquet") == 1  # only the calibration pass is lazy
     assert "Scan ExistingRDD" in plan
+
+
+def test_km_study_end_is_scalar_subquery_not_global_window(spark, sf_dir, specs):
+    plan = plan_of(specs["survival_km_signup_purchase"].fn(spark, sf_dir))
+    # the censoring horizon comes from a map-side MAX scalar subquery;
+    # the only windows over raw events are keyed by user_id (a global
+    # MAX(ts) OVER () would funnel the fact through one partition)
+    assert "Subquery" in plan
+    lines = plan.splitlines()
+    for i, l in enumerate(lines):
+        if "Window" in l and "user_id" not in l:
+            # windows without a user_id key must sit above the duration
+            # aggregate (t-keyed, tiny), never over raw events
+            below = "\n".join(lines[i:])
+            assert "HashAggregate" in below
+
+
+def test_mase_is_one_scan_day_keyed(spark, sf_dir, specs):
+    plan = plan_of(specs["forecast_snaive_mase"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1

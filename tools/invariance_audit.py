@@ -11,8 +11,11 @@ partitioning-proof; this audit checks that claim MECHANICALLY for the
 whole catalog instead of trusting per-query reasoning.
 
 Usage: python tools/invariance_audit.py [sf_dir] [name-filter...]
-Runs each query under shuffle.partitions=3 and =32 and compares value
-hashes. Exit 1 on any mismatch.
+Runs each query under (shuffle.partitions, AQE) = (3, on), (32, on),
+(32, off) and compares value hashes — the AQE toggle exercises runtime
+re-planning (coalesced partitions, join-strategy flips), which is the
+other channel a cluster deployment varies that local testing doesn't.
+Exit 1 on any mismatch.
 """
 
 from __future__ import annotations
@@ -27,7 +30,8 @@ from tools.check_oracle import value_hash  # noqa: E402
 from rag_application_with_vectordb_spark.plans.registry import load_all  # noqa: E402
 from rag_application_with_vectordb_spark.session import get_spark  # noqa: E402
 
-PARTITION_SETTINGS = ("3", "32")
+# (shuffle.partitions, adaptive.enabled)
+SETTINGS = (("3", "true"), ("32", "true"), ("32", "false"))
 
 
 def main() -> int:
@@ -42,9 +46,15 @@ def main() -> int:
         t0 = time.time()
         hashes = []
         try:
-            for parts in PARTITION_SETTINGS:
+            for parts, aqe in SETTINGS:
                 spark.conf.set("spark.sql.shuffle.partitions", parts)
+                spark.conf.set("spark.sql.adaptive.enabled", aqe)
                 df = spec.fn(spark, sf_dir)
+                # query fns call tune(), which re-pins AQE on — re-apply
+                # the matrix AFTER plan construction; both confs are read
+                # lazily at action time, so this governs the execution
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                spark.conf.set("spark.sql.adaptive.enabled", aqe)
                 hashes.append(value_hash(df.collect(), df.columns))
         except Exception as exc:  # noqa: BLE001 — isolate per query
             skipped.append(name)
@@ -52,11 +62,12 @@ def main() -> int:
             continue
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
         if len(set(hashes)) == 1:
             print(f"ok    {name} [{time.time() - t0:.1f}s]")
         else:
             failures.append(name)
-            print(f"FAIL  {name}: hash differs across partitionings {PARTITION_SETTINGS}")
+            print(f"FAIL  {name}: hash differs across settings {SETTINGS}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     if skipped:
         print(f"{len(skipped)} errored (investigate separately): {skipped}")
