@@ -252,6 +252,43 @@ ANNOTATED = {
     "+ one equi-join on the node key, eagerly checkpointed per round "
     "so the driver loop's plan depth stays O(1); round count is "
     "O(log n), not O(component diameter).",
+    "reco_item_item_topk": "Item-CF pairing shuffles the DISTINCT "
+    "(user, item) relation on user_id once; item-count sides broadcast "
+    "onto the pair counts; per-item top-3 is a keyed window over the "
+    "pair aggregate, never a global sort; event-type filter pushed to "
+    "every scan (plan-asserted).",
+    "stats_ks_lang_length": "Group-by-value first: the global-order "
+    "ECDF window runs over the DISTINCT length domain, not raw docs "
+    "(plan-asserted HashAggregate below the Window); the sup-difference "
+    "is exact cross-multiplied BIGINT, divided once after the max.",
+    "graph_khop_items": "The events-derived edge list localCheckpoints "
+    "once; the 3 unrolled BFS rounds join the materialized RDD "
+    "(plan-asserted zero parquet scans) with one node-keyed shuffle "
+    "per round.",
+    "text_pmi_collocations": "Tokens explode once; bigrams are a "
+    "per-row array transform (no self-join); Nu/Nb single-row totals "
+    "broadcast back over the bigram counts (plan-asserted BNLJ) and "
+    "the top-50 is TakeOrderedAndProject.",
+    "stats_bootstrap_mean_ci": "Single-pass Poisson bootstrap: one "
+    "scan fans out x100 via Generate explode, replicate aggregates "
+    "partial-combine before a 100-row shuffle; keyed-md5 multiplicity "
+    "means no RNG state and no resample pass per replicate "
+    "(plan-asserted <= 2 scans).",
+    "stats_jackknife_se": "Leave-one-out means derive from windowed "
+    "totals over the per-month aggregate — exactly one fact scan "
+    "(plan-asserted; a tot-CTE here would be inlined into 3 more "
+    "scans by Spark).",
+    "stats_conformal_interval": "The 5-row train model localCheckpoints "
+    "and broadcasts (CTE inlining would rescan orders per consumer); "
+    "the only global sort ranks calibration residual values.",
+    "survival_km_signup_purchase": "One user_id-keyed window pass pins "
+    "signup per user; censoring horizon is a map-side MAX scalar "
+    "subquery (never a global window over raw events); the KM product "
+    "is a BIGINT ln-grid cumulative sum over the distinct-duration "
+    "table.",
+    "forecast_snaive_mase": "One scan into the day-keyed aggregate "
+    "(per-row exact cents before the sum); lag windows run over the "
+    "tiny daily series; single-row output.",
 }
 
 
