@@ -62,7 +62,8 @@ _loaded = False
 # multimodal_crossmodal_topk, graph_wcc_twostar,
 # reco_item_item_topk, stats_ks_lang_length, graph_khop_items,
 # text_pmi_collocations, stats_bootstrap_mean_ci, stats_jackknife_se,
-# stats_conformal_interval.
+# stats_conformal_interval, survival_km_signup_purchase,
+# forecast_snaive_mase, audit_benford_prices, ab_test_spend_welch.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",

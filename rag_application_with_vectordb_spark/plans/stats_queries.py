@@ -758,3 +758,121 @@ def forecast_snaive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_views(spark, sf_dir, tables_in_sql(_MASE_SQL))
     return spark.sql(_MASE_SQL)
+
+
+# --- Benford first-digit audit ------------------------------------------------
+
+#: round(log10(1 + 1/d) * 1e6) for d = 1..9, emitted as exact literals
+#: into BOTH dialects so no engine evaluates log10 at all.
+_BENFORD_EXP_MICRO = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def _benford_sql(str_t: str) -> str:
+    vals = ", ".join(f"({d}, {m})" for d, m in _BENFORD_EXP_MICRO.items())
+    return f"""
+    WITH base AS (
+      SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders
+      WHERE o_totalprice > 0
+    ),
+    digs AS (
+      SELECT CAST(substr(CAST(cents AS {str_t}), 1, 1) AS BIGINT) AS d, COUNT(*) AS c
+      FROM base GROUP BY d
+    ),
+    expd AS (SELECT * FROM (VALUES {vals}) AS t(d, exp_micro)),
+    joined AS (
+      SELECT e.d, COALESCE(g.c, 0) AS c, e.exp_micro,
+             SUM(COALESCE(g.c, 0)) OVER () AS n
+      FROM expd e LEFT JOIN digs g ON e.d = g.d
+    )
+    SELECT CAST(d AS BIGINT) AS digit, CAST(c AS BIGINT) AS n_obs,
+           CAST(round(1000000.0 * c / n) AS BIGINT) AS obs_micro,
+           CAST(exp_micro AS BIGINT) AS exp_micro,
+           CAST(abs(CAST(round(1000000.0 * c / n) AS BIGINT) - exp_micro) AS BIGINT)
+             AS absdev_micro
+    FROM joined ORDER BY digit ASC
+    """
+
+
+@register(
+    "audit_benford_prices",
+    oracle=_benford_sql("VARCHAR"),
+    doc="Benford's-law first-digit audit over order prices — the "
+    "fabricated-data / unit-mixing screen a data-quality pipeline runs "
+    "on any money or measurement column (synthetic uniform prices fail "
+    "it loudly, which is itself the point of an audit statistic). The "
+    "leading digit comes from exact integer-to-string conversion of "
+    "cents (LOG10 on a double would be last-ulp-unstable at power-of-10 "
+    "boundaries), the expected Benford mass is emitted as shared "
+    "1e-6-grid literals so neither engine evaluates log10 at all, and "
+    "observed frequencies land on the same grid. One scan, one "
+    "9-bucket aggregate; the digit histogram is all that shuffles.",
+    tags=("stats", "analytics"),
+)
+def audit_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(_benford_sql("STRING"))
+
+
+# --- A/B test: Welch t over per-user spend ------------------------------------
+
+
+def _ab_welch_sql(hexfn, str_t: str) -> str:
+    key = f"md5(concat('ab42|', CAST(user_id AS {str_t})))"
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN {hexfn(key)} % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS cents
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb,
+             SUM(CASE WHEN arm = 'A' THEN cents ELSE 0 END) AS sa,
+             SUM(CASE WHEN arm = 'B' THEN cents ELSE 0 END) AS sb,
+             SUM(CASE WHEN arm = 'A' THEN cents * cents ELSE 0 END) AS qa,
+             SUM(CASE WHEN arm = 'B' THEN cents * cents ELSE 0 END) AS qb
+      FROM per_user
+    ),
+    stats AS (
+      SELECT na, nb,
+             CAST(sa AS DOUBLE) / (100.0 * na) AS mean_a,
+             CAST(sb AS DOUBLE) / (100.0 * nb) AS mean_b,
+             (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1) AS va,
+             (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) AS vb
+      FROM agg
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           mean_a AS mean_spend_a, mean_b AS mean_spend_b,
+           mean_a - mean_b AS uplift_dollars,
+           (mean_a - mean_b) / (sqrt(va / na + vb / nb) / 100.0) AS t_welch,
+           (va / na + vb / nb) * (va / na + vb / nb)
+             / ((va / na) * (va / na) / (na - 1) + (vb / nb) * (vb / nb) / (nb - 1))
+             AS df_welch
+    FROM stats
+    """
+
+
+@register(
+    "ab_test_spend_welch",
+    oracle=_ab_welch_sql(duck_hex13_to_long, "VARCHAR"),
+    doc="A/B experiment read-out: users assigned to arms by keyed md5 "
+    "(the reproducible randomization unit — assignment is recomputable "
+    "from the user id alone, the property a real experiment platform "
+    "needs for exposure logging), compared on mean per-user purchase "
+    "spend with Welch's unequal-variance t and Welch–Satterthwaite df. "
+    "Sums, counts, and sums-of-squares are exact BIGINT cents per arm "
+    "(one user-keyed aggregate + one 6-number roll-up — nothing else "
+    "shuffles at any SF), and every downstream statistic is a fixed "
+    "fp64 chain from those exact integers, so it hash-matches DuckDB.",
+    tags=("stats", "analytics"),
+)
+def ab_test_spend_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ab_welch_sql(_spark_hex13, "STRING"))
