@@ -108,9 +108,10 @@ def reco_item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact two-sample Kolmogorov–Smirnov: doc length, en vs non-en ------------
 
-_KS_SQL = """
+def _ks_sql(group_pred: str = "lang = 'en'") -> str:
+    return f"""
 WITH s AS (
-  SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g FROM documents
+  SELECT n_chars AS v, CASE WHEN {group_pred} THEN 1 ELSE 0 END AS g FROM documents
 ),
 tot AS (SELECT SUM(g) AS na, SUM(1 - g) AS nb FROM s),
 byv AS (SELECT v, SUM(g) AS ca, SUM(1 - g) AS cb FROM s GROUP BY v),
@@ -134,7 +135,7 @@ FROM d
 
 @register(
     "stats_ks_lang_length",
-    oracle=_KS_SQL,
+    oracle=_ks_sql(),
     doc="Exact two-sample Kolmogorov–Smirnov statistic comparing the "
     "document-length distribution of lang='en' vs the rest — the "
     "distribution-shift test a curation pipeline runs when a filter or "
@@ -149,8 +150,8 @@ FROM d
 )
 def stats_ks_lang_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    register_views(spark, sf_dir, tables_in_sql(_KS_SQL))
-    return spark.sql(_KS_SQL)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_ks_sql())
 
 
 # --- k-hop BFS reachability over the item co-occurrence graph -----------------
@@ -501,23 +502,32 @@ _CONFORMAL_ALPHA = 0.1  # 90% marginal coverage
 _CONFORMAL_TRAIN_PERMILLE = 700
 
 
-def _conformal_sql(hexfn, str_t: str) -> str:
+def _conformal_sql(
+    hexfn,
+    str_t: str,
+    alpha: float = _CONFORMAL_ALPHA,
+    train_permille: int = _CONFORMAL_TRAIN_PERMILLE,
+    mat: str = "MATERIALIZED ",
+) -> str:
+    """``mat`` is DuckDB's CTE-materialization hint (DuckDB inlines CTEs
+    referenced more than once — the NEXT.md lesson); pass "" to render
+    Spark-parseable SQL."""
     key = f"md5(concat('split42|', CAST(o_orderkey AS {str_t})))"
     return f"""
     WITH base AS (
       SELECT o_orderkey, o_orderpriority AS prio,
              CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents,
-             CASE WHEN {hexfn(key)} % 1000 < {_CONFORMAL_TRAIN_PERMILLE}
+             CASE WHEN {hexfn(key)} % 1000 < {train_permille}
                   THEN 'train' ELSE 'cal' END AS part
       FROM orders
     ),
-    model AS MATERIALIZED (
+    model AS {mat}(
       SELECT prio,
              CAST(round(10000.0 * CAST(SUM(cents) AS DOUBLE) / COUNT(*)) AS BIGINT)
                AS pred_micro
       FROM base WHERE part = 'train' GROUP BY prio
     ),
-    cal AS MATERIALIZED (
+    cal AS {mat}(
       SELECT abs(b.cents * 10000 - m.pred_micro) AS r
       FROM base b JOIN model m ON b.prio = m.prio
       WHERE b.part = 'cal'
@@ -527,7 +537,7 @@ def _conformal_sql(hexfn, str_t: str) -> str:
       SELECT r AS qv FROM (
         SELECT r, row_number() OVER (ORDER BY r ASC) AS rnk FROM cal
       ) x CROSS JOIN nn
-      WHERE rnk = CAST(ceil((nn.n + 1) * {1.0 - _CONFORMAL_ALPHA}) AS BIGINT)
+      WHERE rnk = CAST(ceil((nn.n + 1) * {1.0 - alpha}) AS BIGINT)
     )
     SELECT m.prio,
            CAST(m.pred_micro AS DOUBLE) / 1000000.0 AS pred_dollars,
@@ -770,12 +780,12 @@ _BENFORD_EXP_MICRO = {
 }
 
 
-def _benford_sql(str_t: str) -> str:
+def _benford_sql(str_t: str, min_price: float = 0.0) -> str:
     vals = ", ".join(f"({d}, {m})" for d, m in _BENFORD_EXP_MICRO.items())
     return f"""
     WITH base AS (
       SELECT CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents FROM orders
-      WHERE o_totalprice > 0
+      WHERE o_totalprice > {min_price}
     ),
     digs AS (
       SELECT CAST(substr(CAST(cents AS {str_t}), 1, 1) AS BIGINT) AS d, COUNT(*) AS c

@@ -96,3 +96,70 @@ def test_running_window_frame_parity(spark, duck, frame, mod):
     FROM orders WHERE o_orderkey % {mod} = 0
     """
     assert _spark_rows(spark, sql) == _duck_rows(duck, sql)
+
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@given(langs=st.sets(st.sampled_from(_LANGS), min_size=1, max_size=4))
+@FUZZ
+def test_ks_statistic_parity(spark, duck, langs):
+    # exact two-sample KS with a fuzzed group split: any lang subset vs
+    # the rest. The sup-difference and its argmax are exact
+    # cross-multiplied integers, so equality is exact even though the
+    # final statistic is a double.
+    from rag_application_with_vectordb_spark.plans.stats_queries import _ks_sql
+
+    inlist = ", ".join(f"'{l}'" for l in sorted(langs))
+    sql = _ks_sql(f"lang IN ({inlist})")
+    duck.execute(f"CREATE OR REPLACE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").createOrReplaceTempView("documents")
+    assert sorted(tuple(r) for r in spark.sql(sql).collect()) == sorted(
+        tuple(r) for r in duck.execute(sql).fetchall()
+    )
+
+
+@given(min_price=st.integers(0, 400000).map(lambda c: c / 100.0))
+@FUZZ
+def test_benford_cutoff_parity(spark, duck, min_price):
+    # Benford digit histogram under a fuzzed price floor — exercises the
+    # integer-to-string leading digit and the 1e-6 frequency grid at
+    # every selectivity, including digits with zero observations (the
+    # LEFT JOIN against the expected-mass table must keep all 9 rows)
+    from rag_application_with_vectordb_spark.plans.stats_queries import _benford_sql
+
+    duck.execute(f"CREATE OR REPLACE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").createOrReplaceTempView("orders")
+    srows = spark.sql(_benford_sql("STRING", min_price)).collect()
+    orows = duck.execute(_benford_sql("VARCHAR", min_price)).fetchall()
+    assert sorted(tuple(r) for r in srows) == sorted(tuple(r) for r in orows)
+    assert len(srows) == 9  # all digits present even at 100% selectivity loss
+
+
+@given(
+    alpha_pct=st.integers(1, 50),
+    train_permille=st.integers(100, 900),
+)
+@FUZZ
+def test_conformal_quantile_boundary_parity(spark, duck, alpha_pct, train_permille):
+    # split-conformal order-statistic boundary: ceil((n+1)(1-alpha)) must
+    # pick the same calibration residual in both engines for any alpha
+    # and split ratio — the ceil/rank edge is where off-by-one bugs live.
+    # (The catalog's Spark side is the checkpointed-API form; this fuzzes
+    # the shared SQL template both dialects render from.)
+    from rag_application_with_vectordb_spark.plans.stats_queries import (
+        _conformal_sql,
+        _spark_hex13,
+    )
+    from rag_application_with_vectordb_spark.plans.oracle_dialect import (
+        duck_hex13_to_long,
+    )
+
+    alpha = alpha_pct / 100.0
+    duck.execute(f"CREATE OR REPLACE VIEW orders AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").createOrReplaceTempView("orders")
+    ssql = _conformal_sql(_spark_hex13, "STRING", alpha, train_permille, mat="")
+    dsql = _conformal_sql(duck_hex13_to_long, "VARCHAR", alpha, train_permille)
+    assert sorted(tuple(r) for r in spark.sql(ssql).collect()) == sorted(
+        tuple(r) for r in duck.execute(dsql).fetchall()
+    )
