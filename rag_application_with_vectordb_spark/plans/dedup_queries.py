@@ -2,10 +2,16 @@ r"""Deduplication query catalog.
 
 The fixture corpus is 500 distinct word-salad documents, so the dedup
 demos run over an *augmented* corpus — the originals plus, for
-``doc_id < 20``, an exact copy (id + 10000) and a suffixed near-copy
-(id + 20000). The augmentation is plain relational algebra, expressed
+``doc_id < 20``, an exact copy (id + 1e12) and a suffixed near-copy
+(id + 2e12). The augmentation is plain relational algebra, expressed
 identically on the Spark and DuckDB sides, so results stay
 hash-checkable while actually exercising the duplicate-detection paths.
+
+The offsets sit FAR beyond any plausible corpus id space: the original
++10000/+20000 offsets collided with real doc_ids at sf1.0 (50k docs),
+planting two different texts under one id — violating the operators'
+id-uniqueness precondition and silently breaking cross-engine parity
+(caught by the full-catalog sf1.0 oracle sweep).
 """
 
 from __future__ import annotations
@@ -32,10 +38,15 @@ from .registry import QUERIES, register
 
 _NEAR_SUFFIX = " spark engine near duplicate suffix"
 
+#: Synthetic-copy id offsets — must never collide with real ids at ANY
+#: corpus size a fixture or deployment could present.
+_AUG_EXACT_OFF = 1_000_000_000_000
+_AUG_NEAR_OFF = 2_000_000_000_000
+
 _AUG_SQL = f"""
       SELECT doc_id, text FROM documents
-      UNION ALL SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 20
-      UNION ALL SELECT doc_id + 20000 AS doc_id, text || '{_NEAR_SUFFIX}' AS text
+      UNION ALL SELECT doc_id + {_AUG_EXACT_OFF} AS doc_id, text FROM documents WHERE doc_id < 20
+      UNION ALL SELECT doc_id + {_AUG_NEAR_OFF} AS doc_id, text || '{_NEAR_SUFFIX}' AS text
                 FROM documents WHERE doc_id < 20
 """
 
@@ -74,9 +85,9 @@ _JACCARD_SQL = rf"""
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     head = docs.filter(F.col("doc_id") < 20)
-    exact = head.select((F.col("doc_id") + 10000).alias("doc_id"), F.col("text"))
+    exact = head.select((F.col("doc_id") + _AUG_EXACT_OFF).alias("doc_id"), F.col("text"))
     near = head.select(
-        (F.col("doc_id") + 20000).alias("doc_id"),
+        (F.col("doc_id") + _AUG_NEAR_OFF).alias("doc_id"),
         F.concat(F.col("text"), F.lit(_NEAR_SUFFIX)).alias("text"),
     )
     return docs.unionByName(exact).unionByName(near)
@@ -253,7 +264,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash_allpairs_anchor",
     oracle=f"""
     WITH sigs_all AS ({_simhash_oracle(32)}),
-    sigs AS (SELECT * FROM sigs_all WHERE doc_id % 10000 < 100)
+    sigs AS (SELECT * FROM sigs_all WHERE doc_id % {_AUG_EXACT_OFF} < 100)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
@@ -261,7 +272,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="BOUNDED ORACLE ANCHOR, not a scale path: brute-force all-pairs "
     "SimHash Hamming ≤ 6 over an explicit 100-doc sub-corpus slice "
-    "(doc_id % 10000 < 100). Exists to exercise the quadratic "
+    "(doc_id % 1e12 < 100). Exists to exercise the quadratic "
     "simhash_pairs operator against an independent oracle at a size "
     "where O(n²) is harmless; the full-corpus pairs query is "
     "dedup_simhash_pairs (pigeonhole-blocked, sub-quadratic).",
@@ -269,7 +280,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_allpairs_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    docs = _augmented_docs(spark, sf_dir).filter(F.col("doc_id") % 10000 < 100)
+    docs = _augmented_docs(spark, sf_dir).filter(F.col("doc_id") % _AUG_EXACT_OFF < 100)
     pairs = simhash_pairs(docs, max_hamming=6)
     return pairs.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
 
@@ -435,7 +446,7 @@ def _sd_aug_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 as_double(F.col("embedding")), noise, lambda a, b: a + F.lit(_SD_NOISE) * b
             ).alias("embedding"),
         )
-        .select((F.col("vec_id") + 10000).alias("vec_id"), "embedding")
+        .select((F.col("vec_id") + _AUG_EXACT_OFF).alias("vec_id"), "embedding")
     )
     return emb.select("vec_id", as_double(F.col("embedding")).alias("embedding")).unionByName(near)
 
@@ -445,7 +456,7 @@ _SD_NOISE_FOLD = duck_fold_unit("'sd42|' || j || '|' || CAST(vec_id AS VARCHAR)"
 _SD_AUG_SQL = f"""aug AS MATERIALIZED (
       SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
       UNION ALL
-      SELECT vec_id + 10000 AS vec_id,
+      SELECT vec_id + {_AUG_EXACT_OFF} AS vec_id,
              list_transform(range(0, {_SD_DIM}), j ->
                CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE)
                + CAST({_SD_NOISE} AS DOUBLE) * {_SD_NOISE_FOLD}) AS embedding
@@ -794,8 +805,8 @@ def _decon_grams_sql(pred: str, distinct: bool = False) -> str:
     "decontaminate_train_docs",
     oracle=rf"""
     WITH aug AS ({_AUG_SQL}),
-    tg AS (SELECT * FROM {_decon_grams_sql("doc_id < 10000")}),
-    eg AS (SELECT * FROM {_decon_grams_sql("doc_id >= 10000", distinct=True)}),
+    tg AS (SELECT * FROM {_decon_grams_sql(f"doc_id < {_AUG_EXACT_OFF}")}),
+    eg AS (SELECT * FROM {_decon_grams_sql(f"doc_id >= {_AUG_EXACT_OFF}", distinct=True)}),
     counts AS (SELECT doc_id, COUNT(*) AS n_grams FROM tg GROUP BY doc_id),
     hits AS (
       SELECT doc_id, COUNT(*) AS contam_grams
@@ -812,7 +823,7 @@ def _decon_grams_sql(pred: str, distinct: bool = False) -> str:
     "set, as a distributed hash join — n-grams travel as md5 keys, the "
     "eval side is a distinct hash set (bounded by the eval corpus), the "
     "hit count is a left-semi join, no all-pairs, no sort. On the "
-    "planted corpus the eval set (doc_id >= 10000: exact + near copies "
+    "planted corpus the eval set (doc_id >= 1e12: exact + near copies "
     "of base docs 0-19) leaks exactly those 20 base docs, so the "
     "expected output is deterministic and the fractions measure how "
     "much of each doc leaked. At 100 TB: the standard pre-training "
@@ -829,8 +840,8 @@ def decontaminate_train_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     aug = _augmented_docs(spark, sf_dir)
     return decontaminate(
-        aug.filter(F.col("doc_id") < 10000),
-        aug.filter(F.col("doc_id") >= 10000),
+        aug.filter(F.col("doc_id") < _AUG_EXACT_OFF),
+        aug.filter(F.col("doc_id") >= _AUG_EXACT_OFF),
         n=_DECON_N,
     )
 

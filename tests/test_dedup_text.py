@@ -192,16 +192,21 @@ def test_simhash_blocked_rejects_uneven_chunks(docs):
 def test_duplicate_components_merge_planted_triples(spark, sf_dir):
     from rag_application_with_vectordb_spark.plans.registry import load_all
 
+    from rag_application_with_vectordb_spark.plans.dedup_queries import (
+        _AUG_EXACT_OFF,
+        _AUG_NEAR_OFF,
+    )
+
     rows = {r.doc_id: r for r in load_all()["dedup_components"].fn(spark, sf_dir).collect()}
-    # planted: doc d<20 has an exact copy (d+10000) and a near copy
-    # (d+20000); all three must land in one component whose canonical
-    # (min) id is the original
+    # planted: doc d<20 has an exact copy (d+_AUG_EXACT_OFF) and a near
+    # copy (d+_AUG_NEAR_OFF); all three must land in one component whose
+    # canonical (min) id is the original
     for d in range(20):
-        assert rows[d + 10000].component_id == rows[d].component_id
-        assert rows[d + 20000].component_id == rows[d].component_id
+        assert rows[d + _AUG_EXACT_OFF].component_id == rows[d].component_id
+        assert rows[d + _AUG_NEAR_OFF].component_id == rows[d].component_id
         assert rows[d].component_id <= d
-        assert rows[d + 10000].is_canonical == 0
-        assert rows[d + 20000].is_canonical == 0
+        assert rows[d + _AUG_EXACT_OFF].is_canonical == 0
+        assert rows[d + _AUG_NEAR_OFF].is_canonical == 0
     # component_size consistent with membership counts
     from collections import Counter
 
