@@ -47,11 +47,13 @@ def test_percentile_sketch_tracks_exact(spark, sf_dir, specs):
 
 
 def test_semdedup_drops_exactly_the_planted_copies(spark, sf_dir, specs):
+    from rag_application_with_vectordb_spark.plans.dedup_queries import _AUG_EXACT_OFF
+
     rows = specs["dedup_semantic_semdedup"].fn(spark, sf_dir).collect()
     dropped = {r["dropped_id"] for r in rows}
-    assert dropped == {10000 + i for i in range(20)}
+    assert dropped == {_AUG_EXACT_OFF + i for i in range(20)}
     for r in rows:
-        assert r["kept_id"] == r["dropped_id"] - 10000  # keeper is the source
+        assert r["kept_id"] == r["dropped_id"] - _AUG_EXACT_OFF  # keeper is the source
         assert r["similarity"] > 0.98
 
 
