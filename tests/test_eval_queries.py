@@ -1,0 +1,161 @@
+"""Round-7 continuation: eval/experimentation/profiling queries checked
+against independent numpy/python re-implementations (the oracle gate
+already cross-checks DuckDB; these tests verify the SEMANTICS against a
+third implementation and pin the internal invariants)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import numpy as np
+
+from rag_application_with_vectordb_spark.plans.eval_queries import (
+    _NDCG_CUM,
+    _NDCG_W,
+    _RANKEVAL_K,
+    _RANKEVAL_N_PROBES,
+)
+from rag_application_with_vectordb_spark.plans.registry import load_all
+
+
+def _q(name, spark, sf_dir):
+    return load_all()[name].fn(spark, sf_dir)
+
+
+def _emb_numpy(sf_dir):
+    df = duckdb.sql(
+        f"SELECT vec_id, embedding, label FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).df()
+    return (
+        df.vec_id.to_numpy(),
+        np.array([np.array(e, dtype=np.float64) for e in df.embedding]),
+        df.label.to_numpy(),
+    )
+
+
+def test_ndcg_weights_are_the_rounded_log2_discounts():
+    for i, w in enumerate(_NDCG_W):
+        assert w == round(1e6 / math.log2(i + 2))
+    assert _NDCG_CUM == [sum(_NDCG_W[:k]) for k in range(11)]
+
+
+def test_retrieval_ranking_matches_numpy(spark, sf_dir):
+    ids, X, labels = _emb_numpy(sf_dir)
+    norms = np.linalg.norm(X, axis=1)
+    rows = {r.query_id: r for r in _q("eval_retrieval_ranking", spark, sf_dir).collect()}
+    assert len(rows) == _RANKEVAL_N_PROBES
+    label_counts = {lab: int((labels == lab).sum()) for lab in set(labels.tolist())}
+    for qi in range(_RANKEVAL_N_PROBES):
+        q = X[qi]
+        sims = X @ q / (norms * norms[qi])
+        order = sorted(
+            (int(i) for i in ids if i != qi),
+            key=lambda i: (-sims[i], i),
+        )[:_RANKEVAL_K]
+        rel = [1 if labels[i] == labels[qi] else 0 for i in order]
+        r = rows[qi]
+        n_rel = label_counts[labels[qi]] - 1
+        dcg = sum(rv * _NDCG_W[pos] for pos, rv in enumerate(rel))
+        idcg = _NDCG_CUM[min(n_rel, _RANKEVAL_K)]
+        assert r.n_rel == n_rel
+        assert r.hits_at_10 == sum(rel)
+        assert r.dcg_micro == dcg
+        assert r.idcg_micro == idcg
+        assert r.ndcg_at_10 == (dcg / idcg if idcg else 0.0)
+        first = next((pos + 1 for pos, rv in enumerate(rel) if rv), 0)
+        assert r.rr_rank == first
+        assert r.mrr_at_10 == (1.0 / first if first else 0.0)
+
+
+def test_calibration_bins_partition_and_bound(spark, sf_dir):
+    rows = _q("eval_calibration_bins", spark, sf_dir).collect()
+    total = duckdb.sql(
+        f"SELECT COUNT(*) n, SUM(CASE WHEN lang='en' THEN 1 ELSE 0 END) p "
+        f"FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()
+    assert sum(r.n_docs for r in rows) == total[0]
+    assert sum(r.n_pos for r in rows) == total[1]
+    assert all(0 <= r.bin <= 9 for r in rows)
+    assert all(0.0 <= r.pos_rate <= 1.0 for r in rows)
+    # mean scores must be monotone across equal-width bins
+    means = [r.mean_score for r in sorted(rows, key=lambda r: r.bin)]
+    assert means == sorted(means)
+
+
+def test_regression_matches_numpy_lstsq(spark, sf_dir):
+    per_user = duckdb.sql(
+        f"""SELECT COUNT(*) AS x,
+                   SUM(CASE WHEN event_type='purchase'
+                            THEN CAST(round(value*100.0) AS BIGINT) ELSE 0 END) AS y
+            FROM '{sf_dir}/events.parquet' GROUP BY user_id"""
+    ).df()
+    x = per_user.x.to_numpy(float)
+    y = per_user.y.to_numpy(float) / 100.0
+    slope, intercept = np.polyfit(x, y, 1)
+    r = _q("regress_spend_on_activity", spark, sf_dir).collect()[0]
+    assert r.n_users == len(x)
+    assert abs(r.slope_dollars_per_event - slope) < 1e-9 * max(1.0, abs(slope))
+    assert abs(r.intercept_dollars - intercept) < 1e-9 * max(1.0, abs(intercept))
+    corr = np.corrcoef(x, y)[0, 1]
+    assert abs(r.r_squared - corr * corr) < 1e-9
+
+
+def test_permutation_test_agrees_with_welch_uplift(spark, sf_dir):
+    perm = _q("stats_permutation_test", spark, sf_dir).collect()[0]
+    welch = _q("ab_test_spend_welch", spark, sf_dir).collect()[0]
+    # b=0 reuses the Welch arm assignment, so the observed uplift is shared
+    assert abs(perm.uplift_dollars - welch.uplift_dollars) < 1e-9
+    assert perm.n_permutations == 199
+    assert perm.p_value == (1 + perm.n_as_extreme) / 200.0
+    assert 0.0 < perm.p_value <= 1.0
+
+
+def test_seasonal_decompose_matches_numpy(spark, sf_dir):
+    daily = duckdb.sql(
+        f"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   SUM(CASE WHEN event_type='purchase'
+                            THEN CAST(round(value*100.0) AS BIGINT) ELSE 0 END) AS cents
+            FROM '{sf_dir}/events.parquet' GROUP BY 1 ORDER BY day"""
+    ).df()
+    cents = daily.cents.to_numpy(np.int64)
+    days = daily.day.to_numpy()
+    epoch_days = (days - np.datetime64("1970-01-01")).astype("timedelta64[D]").astype(int)
+    got = {r.dow_num: r for r in _q("forecast_seasonal_decompose", spark, sf_dir).collect()}
+    sums, counts = {}, {}
+    for i in range(3, len(cents) - 3):
+        detr7 = 7 * int(cents[i]) - int(cents[i - 3 : i + 4].sum())
+        d = int(epoch_days[i]) % 7
+        sums[d] = sums.get(d, 0) + detr7
+        counts[d] = counts.get(d, 0) + 1
+    assert set(got) == set(sums)
+    for d, r in got.items():
+        assert r.sum_detr7_cents == sums[d]
+        assert r.n_days == counts[d]
+        assert r.seasonal_dollars == sums[d] / (7.0 * counts[d]) / 100.0
+
+
+def test_ams_f2_exact_side_and_consistency(spark, sf_dir):
+    r = _q("sketch_ams_f2", spark, sf_dir).collect()[0]
+    f2 = duckdb.sql(
+        f"""SELECT SUM(cnt*cnt) FROM (
+              SELECT COUNT(*) AS cnt FROM '{sf_dir}/events.parquet' GROUP BY user_id)"""
+    ).fetchone()[0]
+    assert r.f2_exact == f2
+    assert r.n_estimators == 16
+    assert r.f2_est > 0
+    assert r.rel_err_micro == round(1e6 * (r.f2_est - f2) / f2)
+    # 16 averaged estimators should land within ~3 std errors of exact
+    assert abs(r.f2_est - f2) / f2 < 1.5
+
+
+def test_column_profile_shape_and_keys(spark, sf_dir):
+    rows = {r.column_name: r for r in _q("audit_column_profile", spark, sf_dir).collect()}
+    assert set(rows) == {"doc_id", "text", "lang", "source", "n_chars"}
+    n = {r.n_rows for r in rows.values()}
+    assert len(n) == 1  # every branch sees the same row count
+    assert rows["doc_id"].n_distinct == rows["doc_id"].n_rows  # primary key
+    assert rows["lang"].n_distinct < 30
+    for r in rows.values():
+        assert r.n_nonnull <= r.n_rows
+        assert r.min_value <= r.max_value or r.n_nonnull == 0
