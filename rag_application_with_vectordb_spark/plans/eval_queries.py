@@ -339,16 +339,22 @@ def _perm_sql(hexfn, str_t: str, series: str) -> str:
                / CAST(SUM(1 - in_a) AS DOUBLE) AS d
       FROM fanned GROUP BY b
     ),
-    obs AS (SELECT d AS d_obs FROM diffs WHERE b = 0)
+    tagged AS (
+      -- one empty-frame window over the 200-row diffs relation pins
+      -- d_obs next to every replicate WITHOUT referencing diffs twice
+      -- (Spark inlines CTEs per reference -> a second reference would
+      -- rescan the fact)
+      SELECT b, d, MAX(CASE WHEN b = 0 THEN d END) OVER () AS d_obs
+      FROM diffs
+    )
     SELECT CAST({_PERM_B} AS BIGINT) AS n_permutations,
-           d_obs / 100.0 AS uplift_dollars,
-           CAST(SUM(CASE WHEN d.b > 0 AND abs(d.d) >= abs(o.d_obs)
+           MAX(d_obs) / 100.0 AS uplift_dollars,
+           CAST(SUM(CASE WHEN b > 0 AND abs(d) >= abs(d_obs)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_as_extreme,
-           CAST(1 + SUM(CASE WHEN d.b > 0 AND abs(d.d) >= abs(o.d_obs)
+           CAST(1 + SUM(CASE WHEN b > 0 AND abs(d) >= abs(d_obs)
                              THEN 1 ELSE 0 END) AS DOUBLE)
              / CAST({_PERM_B} + 1 AS DOUBLE) AS p_value
-    FROM diffs d CROSS JOIN obs o
-    GROUP BY o.d_obs
+    FROM tagged
     """
 
 

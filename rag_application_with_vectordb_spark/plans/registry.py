@@ -63,7 +63,10 @@ _loaded = False
 # reco_item_item_topk, stats_ks_lang_length, graph_khop_items,
 # text_pmi_collocations, stats_bootstrap_mean_ci, stats_jackknife_se,
 # stats_conformal_interval, survival_km_signup_purchase,
-# forecast_snaive_mase, audit_benford_prices, ab_test_spend_welch.
+# forecast_snaive_mase, audit_benford_prices, ab_test_spend_welch,
+# eval_retrieval_ranking, eval_calibration_bins,
+# regress_spend_on_activity, stats_permutation_test,
+# forecast_seasonal_decompose, sketch_ams_f2, audit_column_profile.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",

@@ -503,3 +503,37 @@ def test_km_study_end_is_scalar_subquery_not_global_window(spark, sf_dir, specs)
 def test_mase_is_one_scan_day_keyed(spark, sf_dir, specs):
     plan = plan_of(specs["forecast_snaive_mase"].fn(spark, sf_dir))
     assert plan.count("Scan parquet") == 1
+
+
+def test_permutation_test_is_single_fact_scan(spark, sf_dir, specs):
+    # the x200 fan and the d_obs tagging must never re-reference the
+    # fact: one parquet scan, permutations broadcast from OneRowRelation
+    plan = plan_of(specs["stats_permutation_test"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1
+    assert "OneRowRelation" in plan
+
+
+def test_column_profile_branches_prune_to_one_column(spark, sf_dir, specs):
+    import re
+
+    plan = plan_of(specs["audit_column_profile"].fn(spark, sf_dir))
+    # each UNION branch's scan must project exactly one column
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert len(scans) == 5
+    assert all("," not in cols for cols in scans), scans
+
+
+def test_ranking_eval_broadcasts_probes_never_shuffles_corpus(spark, sf_dir, specs):
+    plan = plan_of(specs["eval_retrieval_ranking"].fn(spark, sf_dir))
+    # probes broadcast against the corpus scan; the only hash exchange of
+    # scored rows is the per-query window partitioning (query-keyed)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "hashpartitioning(query_id" in plan
+
+
+def test_ams_sketch_shuffles_only_seed_partials(spark, sf_dir, specs):
+    plan = plan_of(specs["sketch_ams_f2"].fn(spark, sf_dir))
+    # two scans by design (sketch fan + exact side), both pruned to user_id
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert len(scans) == 2
+    assert all("struct<user_id:bigint>" in l for l in scans)

@@ -289,6 +289,32 @@ ANNOTATED = {
     "forecast_snaive_mase": "One scan into the day-keyed aggregate "
     "(per-row exact cents before the sum); lag windows run over the "
     "tiny daily series; single-row output.",
+    "eval_retrieval_ranking": "50 probes broadcast against ONE corpus "
+    "scan (BroadcastNestedLoopJoin, corpus never shuffles); per-query "
+    "window over scored triples only; NDCG discounts are literal CASE "
+    "arms inside whole-stage codegen — no transcendental, no join "
+    "against a weights table.",
+    "stats_permutation_test": "The fact collapses to the per-user "
+    "grain once; the x200 permutation fan is a map-side explode over "
+    "that user-sized relation with partial aggregation before the "
+    "200-row shuffle — fact read exactly once.",
+    "regress_spend_on_activity": "One user-keyed aggregate + a "
+    "6-number co-moment roll-up; the normal-equation arithmetic is a "
+    "single projection over one row.",
+    "forecast_seasonal_decompose": "Day-grain aggregate first, then "
+    "the centered MA window runs over the calendar-sized series (the "
+    "single-partition window is bounded by days, not facts); the "
+    "7-row day-of-week aggregate ends it.",
+    "sketch_ams_f2": "One fact scan fanned x16 by a generator explode "
+    "(stateless md5 sign per seed) with map-side partial sums — the "
+    "16 BIGINT partials are the only shuffle payload; the exact-F2 "
+    "side is one user-keyed aggregate.",
+    "audit_column_profile": "Five UNION branches, each scanning ONE "
+    "column (ReadSchema prunes to it) with its own distinct "
+    "aggregate — no 5-way expand, no row replication.",
+    "eval_calibration_bins": "Scalar-subquery min/max broadcast to a "
+    "single-pass bin projection; the 10-row bin aggregate is all that "
+    "shuffles.",
 }
 
 
