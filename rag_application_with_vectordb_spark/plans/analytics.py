@@ -1564,3 +1564,190 @@ _sql_query(
     "not style. One shuffle on user_id; O(20) state per row.",
     tags=("analytics", "timeseries"),
 )
+
+
+# --- one-way ANOVA across language groups (round-7 continuation) ---------------
+
+_sql_query(
+    "stats_anova_lang_length",
+    """
+    WITH g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(n_chars) AS BIGINT) AS s_g,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS q_g
+      FROM documents GROUP BY lang
+    ),
+    t AS (
+      -- per-group between-term on the 1e-6 grid BEFORE the cross-group
+      -- sum: summing raw doubles across groups would be
+      -- accumulation-order-dependent; BIGINT micro-units are order-free
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(SUM(q_g) AS BIGINT) AS q,
+             CAST(SUM(CAST(round(1000000.0 * CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                                 / CAST(n_g AS DOUBLE)) AS BIGINT)) AS BIGINT)
+               AS sum_term_micro
+      FROM g
+    ),
+    ss AS (
+      SELECT k, n,
+             sum_term_micro
+               - CAST(round(1000000.0 * CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE)) AS BIGINT) AS ssb_micro,
+             1000000 * q - sum_term_micro AS ssw_micro
+      FROM t
+    )
+    SELECT k AS k_groups, n AS n_docs,
+           CAST(ssb_micro AS DOUBLE) / 1000000.0 AS ss_between,
+           CAST(ssw_micro AS DOUBLE) / 1000000.0 AS ss_within,
+           (CAST(ssb_micro AS DOUBLE) / CAST(k - 1 AS DOUBLE))
+             / (CAST(ssw_micro AS DOUBLE) / CAST(n - k AS DOUBLE)) AS f_stat,
+           CAST(ssb_micro AS DOUBLE)
+             / (CAST(ssb_micro AS DOUBLE) + CAST(ssw_micro AS DOUBLE))
+             AS eta_squared
+    FROM ss
+    """,
+    doc="One-way ANOVA of document length across language groups — the "
+    "k-group generalization of ab_test_spend_welch's two-sample "
+    "comparison (and the parametric sibling of stats_ks_lang_length). "
+    "Group moments are exact BIGINT; each group's between-term "
+    "s_g^2/n_g lands on the 1e-6 grid BEFORE the cross-group sum (a "
+    "raw double sum across groups would be accumulation-order-"
+    "dependent — the same trick as survival_km's ln-grid cumsum), so "
+    "SSB/SSW are exact integers and F / eta^2 are one fixed fp chain. "
+    "One scan, one k-row aggregate, one 1-row roll-up.",
+    tags=("stats", "analytics"),
+)
+
+
+# --- leakage-safe leave-one-out target encoding ---------------------------------
+
+_sql_query(
+    "feature_target_encode_loo",
+    """
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM documents
+    ),
+    enc AS (
+      SELECT doc_id, source, y,
+             SUM(y) OVER (PARTITION BY source) AS s,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM d
+    )
+    SELECT doc_id, source, CAST(y AS BIGINT) AS y,
+           CASE WHEN n = 1 THEN NULL
+                ELSE CAST(s - y AS DOUBLE) / CAST(n - 1 AS DOUBLE)
+           END AS loo_encoding
+    FROM enc
+    """,
+    doc="Leakage-safe leave-one-out target encoding of the source "
+    "categorical against the is-English target: each row's encoding is "
+    "the target mean of its category EXCLUDING the row itself, "
+    "(sum_cat - y_i)/(n_cat - 1) — the standard high-cardinality "
+    "categorical feature for tree/linear models that a naive "
+    "category-mean join would leak. One category-keyed window pass "
+    "(sum+count per category, no self-join), exact integer numerators, "
+    "NULL for singleton categories rather than a fabricated prior. "
+    "Scales as one shuffle on the category key at any corpus size.",
+    tags=("analytics", "pipeline"),
+)
+
+
+# --- Pareto / ABC inventory classification --------------------------------------
+
+_sql_query(
+    "parts_pareto_abc",
+    """
+    WITH rev AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem GROUP BY l_partkey
+    ),
+    w AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey ASC) AS cum,
+             SUM(r) OVER () AS total
+      FROM rev
+    ),
+    cls AS (
+      SELECT l_partkey, r, total,
+             CASE WHEN cum * 100 <= total * 80 THEN 'A'
+                  WHEN cum * 100 <= total * 95 THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM w
+    )
+    SELECT abc AS abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(r) AS DOUBLE) AS class_revenue,
+           CAST(SUM(r) AS DOUBLE) / CAST(MAX(total) AS DOUBLE) AS revenue_share
+    FROM cls GROUP BY abc ORDER BY abc_class ASC
+    """,
+    doc="Pareto / ABC classification of parts by revenue (A = first 80% "
+    "of cumulative revenue, B = next 15%, C = tail) — the inventory-"
+    "prioritization cut behind every 'top SKUs' dashboard. Revenue is "
+    "exact DECIMAL per part; the running total orders by (revenue "
+    "DESC, partkey ASC) so ties are deterministic; class boundaries "
+    "compare cum*100 <= total*K in EXACT decimal arithmetic (a "
+    "cum/total double ratio would flap at the boundary in the last "
+    "ulp). The fact collapses to the part grain first — the global "
+    "cumulative window sorts the PART domain, which is the bounded "
+    "dimension (the 100-TB fact never sorts).",
+    tags=("analytics",),
+)
+
+
+# --- per-user rolling median of purchase amounts --------------------------------
+
+
+def _rollmed_sql(collect: str, sort: str, elem, idiv) -> str:
+    over = ("OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC "
+            "ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)")
+    return f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100.0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    w AS (
+      SELECT event_id, user_id, ts, cents,
+             {sort}({collect}(cents) {over}) AS win
+      FROM p
+    )
+    SELECT event_id, user_id, ts, cents,
+           CAST({elem('win', idiv('(n_win + 1)', 2))}
+                + {elem('win', idiv('n_win', 2) + ' + 1')} AS BIGINT)
+             AS median2_cents,
+           CAST(({elem('win', idiv('(n_win + 1)', 2))}
+                 + {elem('win', idiv('n_win', 2) + ' + 1')}) AS DOUBLE) / 200.0
+             AS rolling_median_dollars
+    FROM (SELECT *, CAST({'len' if collect == 'list' else 'size'}(win) AS BIGINT)
+                      AS n_win FROM w) t
+    """
+
+
+_sql_query(
+    "events_rolling_median",
+    _rollmed_sql(
+        "collect_list", "array_sort",
+        lambda a, i: f"element_at({a}, CAST({i} AS INT))",
+        lambda n, d: f"({n} div {d})",
+    ),
+    oracle=_rollmed_sql(
+        "list", "list_sort",
+        lambda a, i: f"{a}[CAST({i} AS BIGINT)]",
+        lambda n, d: f"({n} // {d})",
+    ),
+    doc="Per-user trailing-7 rolling MEDIAN of purchase amounts — the "
+    "robust companion to events_ewma's mean smoothing (a single "
+    "fat-finger purchase moves the mean for 7 rows but the median not "
+    "at all; pairs with robust_outliers_mad). The window list is "
+    "sorted per row and the median read as exact order statistics "
+    "((n+1)/2 and n/2+1, summed in exact cents so even-length windows "
+    "never average in fp) — deterministic cross-engine. Keyed by "
+    "user_id with a full (ts, event_id) tiebreak: one shuffle, O(7) "
+    "state per row, no global sort at any scale. Dialect split is "
+    "syntax-only (collect_list/array_sort vs list/list_sort).",
+    tags=("analytics", "timeseries"),
+)

@@ -159,3 +159,68 @@ def test_column_profile_shape_and_keys(spark, sf_dir):
     for r in rows.values():
         assert r.n_nonnull <= r.n_rows
         assert r.min_value <= r.max_value or r.n_nonnull == 0
+
+
+# --- analytics tail: ANOVA / target encoding / ABC / rolling median -----------
+
+
+def test_anova_matches_scipy_formula(spark, sf_dir):
+    import pandas as pd
+
+    df = duckdb.sql(
+        f"SELECT lang, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).df()
+    groups = [g.n_chars.to_numpy(float) for _, g in df.groupby("lang")]
+    n = sum(len(g) for g in groups)
+    k = len(groups)
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f_np = (ssb / (k - 1)) / (ssw / (n - k))
+    r = _q("stats_anova_lang_length", spark, sf_dir).collect()[0]
+    assert r.k_groups == k and r.n_docs == n
+    assert abs(r.ss_between - ssb) < 1e-3  # 1e-6 grid rounding
+    assert abs(r.ss_within - ssw) < 1e-3
+    assert abs(r.f_stat - f_np) < 1e-6 * max(1.0, abs(f_np))
+    assert 0.0 <= r.eta_squared <= 1.0
+
+
+def test_target_encoding_is_leave_one_out(spark, sf_dir):
+    rows = _q("feature_target_encode_loo", spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        s = sum(r.y for r in rs)
+        n = len(rs)
+        for r in rs:
+            if n == 1:
+                assert r.loo_encoding is None
+            else:
+                assert r.loo_encoding == (s - r.y) / (n - 1)
+
+
+def test_pareto_abc_classes_partition_revenue(spark, sf_dir):
+    rows = {r.abc_class: r for r in _q("parts_pareto_abc", spark, sf_dir).collect()}
+    assert set(rows) <= {"A", "B", "C"}
+    total_share = sum(r.revenue_share for r in rows.values())
+    assert abs(total_share - 1.0) < 1e-12
+    # A holds at most 80% + one part's worth; shares ordered A > B-boundary
+    assert rows["A"].revenue_share <= 0.8 + 0.2  # boundary part inclusive
+    n_parts = duckdb.sql(
+        f"SELECT COUNT(DISTINCT l_partkey) FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()[0]
+    assert sum(r.n_parts for r in rows.values()) == n_parts
+
+
+def test_rolling_median_matches_numpy(spark, sf_dir):
+    rows = _q("events_rolling_median", spark, sf_dir).collect()
+    per_user = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        hist = per_user.setdefault(r.user_id, [])
+        hist.append(r.cents)
+        win = sorted(hist[-7:])
+        n = len(win)
+        lo, hi = win[(n + 1) // 2 - 1], win[n // 2]
+        assert r.median2_cents == lo + hi
+        assert r.rolling_median_dollars == (lo + hi) / 200.0
