@@ -29,6 +29,7 @@ __all__ = [
     "resize_media_stub",
     "sample_frames_stub",
     "phash_stub",
+    "audio_frames_stub",
 ]
 
 
@@ -225,3 +226,59 @@ def phash_stub(
 
     return df.select(id_col, bin_col).mapInPandas(run, schema)
 
+
+
+def audio_frames_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+    frame: int = 64,
+) -> DataFrame:
+    """Audio frame analysis over a binary payload: treat the bytes as
+    8-bit unsigned PCM (recentred at 128, the WAV u8 convention), cut
+    into fixed ``frame``-sample windows (last frame partial), and emit
+    per-frame integer features — sample count, energy (sum of squared
+    amplitudes), and peak amplitude.
+
+    A real pipeline would decode with soundfile/librosa and compute the
+    same per-frame features over fp32 PCM — same schema, same
+    one-row-per-frame fan-out, swap the numpy body. Integer-only here so
+    the output is value-checkable cross-engine (the DuckDB oracle
+    recomputes it from the payload text). Arrow-batched ``mapInPandas``;
+    the frame fan-out happens inside the batch, so a long recording
+    never materializes per-frame rows on the driver.
+    """
+    from ..session import _ship_package
+
+    _ship_package(df.sparkSession)
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("peak", T.LongType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fids, ns, en, pk = [], [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                s = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64) - 128
+                for f in range(0, max(len(s), 1), frame):
+                    w = s[f : f + frame]
+                    if len(w) == 0:
+                        continue
+                    ids.append(int(doc_id))
+                    fids.append(f // frame)
+                    ns.append(len(w))
+                    en.append(int((w * w).sum()))
+                    pk.append(int(np.abs(w).max()))
+            yield pd.DataFrame(
+                {id_col: ids, "frame_id": fids, "n_samples": ns, "energy": en, "peak": pk}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)

@@ -886,3 +886,126 @@ def ab_test_spend_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_ab_welch_sql(_spark_hex13, "STRING"))
+
+
+# --- weighted shortest paths (bounded Bellman-Ford) over the item graph --------
+#
+# The min-plus sibling of graph_khop_items' BFS: edges carry an integer
+# COST inversely proportional to co-occurrence strength (micro-units,
+# floor(1e6/co) — strong affinities are cheap to traverse), and each
+# round relaxes dist' = MIN(dist, dist(u) + w(u,v)). Three rounds =
+# cheapest path using <= 3 edges; costs stay exact BIGINT throughout so
+# the min-fold is order-free.
+
+_WSP_ROUNDS = 3
+_WSP_SOURCE = 0
+
+_WSP_EDGES_SPARK = f"""
+WITH ui AS ({_UI_SPARK}),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co
+  FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item <> b.item
+  GROUP BY a.item, b.item
+),
+ranked AS (
+  SELECT item_a, item_b, co,
+         row_number() OVER (PARTITION BY item_a ORDER BY co DESC, item_b ASC) AS rnk
+  FROM pairs
+),
+kept AS (SELECT item_a, item_b, co FROM ranked WHERE rnk <= {_KHOP_TOP_PARTNERS})
+SELECT src, dst, CAST(floor(1000000.0 / co) AS BIGINT) AS w_micro FROM (
+  SELECT item_a AS src, item_b AS dst, co FROM kept
+  UNION
+  SELECT item_b AS src, item_a AS dst, co FROM kept
+) e
+"""
+
+
+def _wsp_oracle() -> str:
+    rounds = []
+    prev = "d0"
+    for i in range(1, _WSP_ROUNDS + 1):
+        rounds.append(
+            f"""r{i} AS (
+      SELECT node, MIN(dist_micro) AS dist_micro FROM (
+        SELECT node, dist_micro FROM {prev}
+        UNION ALL
+        SELECT e.dst AS node, d.dist_micro + e.w_micro AS dist_micro
+        FROM {prev} d JOIN edges e ON e.src = d.node
+      ) u GROUP BY node
+    )"""
+        )
+        prev = f"r{i}"
+    joined = ",\n    ".join(rounds)
+    return f"""
+    WITH ui AS ({_UI_DUCK}),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item <> b.item
+      GROUP BY a.item, b.item
+    ),
+    ranked AS (
+      SELECT item_a, item_b, co,
+             row_number() OVER (PARTITION BY item_a ORDER BY co DESC, item_b ASC)
+               AS rnk
+      FROM pairs
+    ),
+    kept AS (SELECT item_a, item_b, co FROM ranked WHERE rnk <= {_KHOP_TOP_PARTNERS}),
+    edges AS MATERIALIZED (
+      SELECT src, dst, CAST(floor(1000000.0 / co) AS BIGINT) AS w_micro FROM (
+        SELECT item_a AS src, item_b AS dst, co FROM kept
+        UNION
+        SELECT item_b AS src, item_a AS dst, co FROM kept
+      ) e
+    ),
+    d0 AS (SELECT CAST({_WSP_SOURCE} AS BIGINT) AS node,
+                  CAST(0 AS BIGINT) AS dist_micro),
+    {joined}
+    SELECT CAST(node AS BIGINT) AS node, CAST(dist_micro AS BIGINT) AS dist_micro,
+           CAST(dist_micro AS DOUBLE) / 1000000.0 AS dist_cost
+    FROM {prev} ORDER BY node ASC
+    """
+
+
+@register(
+    "graph_shortest_path_weighted",
+    oracle=_wsp_oracle(),
+    doc=f"Weighted shortest-path costs (bounded Bellman-Ford, "
+    f"{_WSP_ROUNDS} relaxation rounds) from item {_WSP_SOURCE} over the "
+    "item-affinity graph — graph_khop_items' BFS generalized to the "
+    "min-plus semiring: edge cost = floor(1e6/co) micro-units (strong "
+    "co-occurrence = cheap hop), dist' = MIN(dist, dist(u)+w) per "
+    "round, so a 2-hop path through strong partners can beat a weak "
+    "direct edge — which hop counts cannot express. Costs are exact "
+    "BIGINT micro-units end to end (the min-fold is order-free; no fp "
+    "accumulates), the sparsified edge list (top-3 partners per item) "
+    "is localCheckpoint'ed once, and every round is one shuffle on "
+    "node over the frontier — the standard iterative-relaxation shape "
+    "that scales to any graph that fits its own edge list. Oracle: "
+    "identical recursion unrolled as MATERIALIZED DuckDB CTEs.",
+    tags=("graph", "analytics"),
+)
+def graph_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    edges = spark.sql(_WSP_EDGES_SPARK).localCheckpoint()
+    front = spark.range(1).select(
+        F.lit(_WSP_SOURCE).cast("bigint").alias("node"),
+        F.lit(0).cast("bigint").alias("dist_micro"),
+    )
+    for _ in range(_WSP_ROUNDS):
+        step = front.join(edges, front["node"] == edges["src"]).select(
+            edges["dst"].alias("node"),
+            (front["dist_micro"] + edges["w_micro"]).alias("dist_micro"),
+        )
+        front = (
+            front.unionByName(step)
+            .groupBy("node")
+            .agg(F.min("dist_micro").alias("dist_micro"))
+            .localCheckpoint()
+        )
+    return front.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("dist_micro").cast("bigint").alias("dist_micro"),
+        (F.col("dist_micro").cast("double") / F.lit(1000000.0)).alias("dist_cost"),
+    ).orderBy("node")

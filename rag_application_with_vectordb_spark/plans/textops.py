@@ -1158,3 +1158,47 @@ def multimodal_crossmodal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qvec = hash_embedding_expr(F.lit(_XM_QUERY), dim=_XM_DIM, seed=_XM_SEED)
     scored = media.select("doc_id", cosine_sim(F.col("mvec"), qvec).alias("similarity"))
     return scored.orderBy(F.desc("similarity"), F.asc("doc_id")).limit(5)
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle="""
+    WITH sel AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+    ),
+    frames AS (
+      SELECT doc_id, CAST(f.f AS BIGINT) AS frame_id,
+             list_transform(
+               range(CAST(f.f * 64 + 1 AS BIGINT),
+                     CAST(least(len(text), f.f * 64 + 64) + 1 AS BIGINT)),
+               j -> ord(substr(text, CAST(j AS INTEGER), 1)) - 128) AS s
+      FROM sel, LATERAL (SELECT unnest(range(0, CAST(ceil(len(text) / 64.0) AS BIGINT))) AS f) f
+    )
+    SELECT doc_id, frame_id,
+           CAST(len(s) AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(s, v -> v * v)) AS BIGINT) AS energy,
+           CAST(list_max(list_transform(s, v -> abs(v))) AS BIGINT) AS peak
+    FROM frames
+    """,
+    doc="Audio frame-energy extraction over BINARY payloads: every 20th "
+    "document's payload read as 8-bit unsigned PCM (recentred at 128), "
+    "cut into 64-sample frames (last frame partial), per-frame energy "
+    "= sum of squared amplitudes and peak = max |amplitude| — the "
+    "windowed feature pass every audio pipeline starts with (VAD, "
+    "silence trimming, loudness normalization all consume exactly this "
+    "shape). Runs as an Arrow-batched mapInPandas stage "
+    "(operators/multimodal.py: audio_frames_stub) whose integer OUTPUT "
+    "is value-hash-checked cross-engine — the DuckDB oracle recomputes "
+    "every frame from the payload bytes; swap the numpy body for a "
+    "real decoder (soundfile/librosa) with the same schema and plan. "
+    "The frame fan-out happens inside each Arrow batch, so rows never "
+    "collect on the driver and a 100 TB audio corpus processes "
+    "partition-parallel.",
+    tags=("multimodal",),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_frames_stub, with_binary_payload
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    return audio_frames_stub(with_binary_payload(docs.select("doc_id", "text")))

@@ -357,3 +357,22 @@ def test_decontaminate_flags_planted_leaks(spark, sf_dir):
     # contamination is rare outside the planted leaks (word-salad corpus)
     accidental = [d for d in rows if d >= 20]
     assert len(accidental) < len(rows) / 2
+
+
+def test_audio_frames_exact_features_and_partial_last_frame(spark):
+    from rag_application_with_vectordb_spark.operators.multimodal import (
+        audio_frames_stub,
+    )
+
+    text = "A" * 64 + "z" * 10  # one full frame + a 10-sample partial
+    df = spark.createDataFrame([(1, text), (2, "")], "doc_id long, text string")
+    rows = sorted(
+        audio_frames_stub(with_binary_payload(df)).collect(),
+        key=lambda r: (r.doc_id, r.frame_id),
+    )
+    # empty payload -> no frames at all
+    assert [r.doc_id for r in rows] == [1, 1]
+    f0, f1 = rows
+    a, z = ord("A") - 128, ord("z") - 128
+    assert (f0.n_samples, f0.energy, f0.peak) == (64, 64 * a * a, abs(a))
+    assert (f1.frame_id, f1.n_samples, f1.energy, f1.peak) == (1, 10, 10 * z * z, abs(z))

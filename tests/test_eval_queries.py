@@ -224,3 +224,48 @@ def test_rolling_median_matches_numpy(spark, sf_dir):
         lo, hi = win[(n + 1) // 2 - 1], win[n // 2]
         assert r.median2_cents == lo + hi
         assert r.rolling_median_dollars == (lo + hi) / 200.0
+
+
+def test_weighted_shortest_paths_match_python_bellman_ford(spark, sf_dir):
+    edges = duckdb.sql(
+        f"""
+        WITH ui AS (
+          SELECT DISTINCT user_id,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+          FROM '{sf_dir}/events.parquet'
+          WHERE event_type IN ('click', 'purchase')
+        ),
+        pairs AS (
+          SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS co
+          FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item <> b.item
+          GROUP BY a.item, b.item
+        ),
+        ranked AS (
+          SELECT item_a, item_b, co,
+                 row_number() OVER (PARTITION BY item_a
+                                    ORDER BY co DESC, item_b ASC) AS rnk
+          FROM pairs
+        ),
+        kept AS (SELECT item_a, item_b, co FROM ranked WHERE rnk <= 3)
+        SELECT src, dst, CAST(floor(1000000.0 / co) AS BIGINT) AS w FROM (
+          SELECT item_a AS src, item_b AS dst, co FROM kept
+          UNION
+          SELECT item_b AS src, item_a AS dst, co FROM kept
+        ) e
+        """
+    ).fetchall()
+    dist = {0: 0}
+    for _ in range(3):
+        nxt = dict(dist)
+        for src, dst, w in edges:
+            if src in dist and dist[src] + w < nxt.get(dst, float("inf")):
+                nxt[dst] = dist[src] + w
+        dist = nxt
+    rows = {r.node: r for r in _q("graph_shortest_path_weighted", spark, sf_dir).collect()}
+    assert set(rows) == set(dist)
+    for node, r in rows.items():
+        assert r.dist_micro == dist[node]
+        assert r.dist_cost == dist[node] / 1e6
+    # same reachable set as the unweighted BFS over the same edges
+    khop = {r.node for r in _q("graph_khop_items", spark, sf_dir).collect()}
+    assert set(rows) == khop
