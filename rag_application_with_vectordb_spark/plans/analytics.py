@@ -1751,3 +1751,254 @@ _sql_query(
     "syntax-only (collect_list/array_sort vs list/list_sort).",
     tags=("analytics", "timeseries"),
 )
+
+
+# --- DAU / WAU / MAU: rolling DISTINCT actives via interval sweep --------------
+#
+# Rolling COUNT DISTINCT has no window form in either engine, and the
+# naive calendar x user-days range join replicates every user-day 7/30x.
+# The scalable identity: a user counts toward the W-day active window of
+# day d iff their latest active day a <= d satisfies a >= d-W+1 — i.e.
+# each ACTIVE day a contributes the interval [a, min(a+W-1, next_a-1)]
+# of observation days. Emitting +1/-1 boundary deltas per interval and
+# prefix-summing over the calendar turns rolling-distinct into one
+# sorted pass over the DAY domain (calendar-bounded at any fact size).
+
+
+def _active_users_sql(calendar: str, dadd) -> str:
+    return f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM events
+    ),
+    b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM ud),
+    cal AS ({calendar}),
+    dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+    iv AS (
+      SELECT user_id, day AS s,
+             lead(day) OVER (PARTITION BY user_id ORDER BY day ASC) AS nxt
+      FROM ud
+    ),
+    deltas AS (
+      SELECT w.w, s AS day, 1 AS d
+      FROM iv CROSS JOIN (VALUES (7), (30)) AS w(w)
+      UNION ALL
+      SELECT w.w,
+             {dadd(f"least({dadd('s', 'w.w - 1')}, "
+                   f"COALESCE({dadd('nxt', '-1')}, {dadd('s', 'w.w - 1')}))", '1')}
+               AS day,
+             -1 AS d
+      FROM iv CROSS JOIN (VALUES (7), (30)) AS w(w)
+    ),
+    g AS (SELECT w, day, SUM(d) AS d FROM deltas GROUP BY w, day),
+    merged AS (
+      SELECT wd.w, c.day, COALESCE(g.d, 0) AS d
+      FROM cal c CROSS JOIN (VALUES (7), (30)) AS wd(w)
+      LEFT JOIN g ON g.w = wd.w AND g.day = c.day
+    ),
+    cum AS (
+      SELECT w, day, SUM(d) OVER (PARTITION BY w ORDER BY day ASC) AS actives
+      FROM merged
+    )
+    SELECT c.day,
+           COALESCE(dau.dau, 0) AS dau,
+           CAST(MAX(CASE WHEN c2.w = 7 THEN c2.actives END) AS BIGINT) AS wau,
+           CAST(MAX(CASE WHEN c2.w = 30 THEN c2.actives END) AS BIGINT) AS mau
+    FROM cal c
+    JOIN cum c2 ON c2.day = c.day
+    LEFT JOIN dau ON dau.day = c.day
+    GROUP BY c.day, dau.dau
+    ORDER BY c.day ASC
+    """
+
+
+@register(
+    "events_active_users",
+    oracle=_active_users_sql(
+        "SELECT unnest(range(b.lo, b.hi + INTERVAL 1 DAY, INTERVAL 1 DAY))::DATE AS day FROM b",
+        lambda d, n: f"({d} + ({n}))",
+    ),
+    doc="DAU / WAU / MAU per calendar day — the engagement dashboard "
+    "triple, with the rolling 7- and 30-day DISTINCT user counts "
+    "computed by INTERVAL SWEEP instead of a rolling count-distinct "
+    "(which has no window form) or a calendar-range join (which "
+    "replicates every user-day 30x): each distinct user-day "
+    "contributes a [start, end] presence interval bounded by the "
+    "user's next active day, the +1/-1 boundary deltas aggregate per "
+    "day, and one prefix sum over the calendar yields the exact "
+    "rolling-distinct series. Everything after the (user, day) dedup "
+    "is day-domain-sized; the sweep is proven equal to the brute "
+    "count-distinct in pytest. Dialect split is calendar generation "
+    "and date arithmetic syntax only.",
+    tags=("analytics", "timeseries"),
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        _active_users_sql(
+            "SELECT explode(sequence(b.lo, b.hi, interval 1 day)) AS day FROM b",
+            lambda d, n: f"date_add({d}, {n})",
+        )
+    )
+
+
+# --- Zipf's-law fit over the word-frequency head --------------------------------
+
+def _zipf_sql(words: str) -> str:
+    return f"""
+    WITH freq AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ({words}) t
+      GROUP BY word
+    ),
+    head AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, word ASC) AS rnk
+      FROM freq ORDER BY c DESC, word ASC LIMIT 1000
+    ),
+    pts AS (
+      -- both coordinates land on the 1e-6 ln grid -> exact BIGINT sums
+      SELECT CAST(round(ln(CAST(rnk AS DOUBLE)) * 1000000.0) AS BIGINT) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0) AS BIGINT) AS y
+      FROM head
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM pts
+    )
+    SELECT n AS n_words,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS zipf_exponent,
+           (CAST(sy AS DOUBLE) - CAST(sx AS DOUBLE)
+              * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+           / (CAST(n AS DOUBLE) * 1000000.0) AS intercept_ln,
+           ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+           / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r_squared
+    FROM m
+    """
+
+
+# Spark SQL string literals consume one backslash level ('\s' -> 's'),
+# so the regex needs doubling there; DuckDB literals are verbatim.
+_ZIPF_WORDS_SPARK = (
+    r"SELECT explode(split(trim(text), '\\s+')) AS word "
+    "FROM documents WHERE length(trim(text)) > 0"
+)
+_ZIPF_WORDS_DUCK = (
+    r"SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word "
+    "FROM documents WHERE length(trim(text)) > 0"
+)
+
+
+@register(
+    "text_zipf_fit",
+    oracle=_zipf_sql(_ZIPF_WORDS_DUCK),
+    doc="Zipf's-law fit over the top-1000 word-frequency head: OLS of "
+    "ln(freq) on ln(rank) — the corpus-health diagnostic (natural text "
+    "slopes near -1; synthetic or templated corpora flatten, which is "
+    "itself the signal). Both log coordinates land on the 1e-6 grid "
+    "BEFORE the co-moment sums, so the regression inputs are exact "
+    "BIGINT (the 1000-row head bounds the squared-sum magnitude) and "
+    "slope/intercept/R^2 are one fixed fp chain — the same exact-"
+    "moments discipline as regress_spend_on_activity. The rank window "
+    "runs over the LIMITed head only, never the full vocabulary; the "
+    "vocabulary aggregate itself is one explode + one shuffle on word. "
+    "Dialect split is tokenization syntax only (explode(split()) vs "
+    "unnest(regexp_split_to_array())).",
+    tags=("text", "stats"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_zipf_sql(_ZIPF_WORDS_SPARK))
+
+
+# --- A/B experiment power / minimum-detectable-effect read-out -----------------
+
+def _power_sql(hex_arm: str) -> str:
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN {hex_arm} % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100.0) AS BIGINT) ELSE 0 END) AS cents
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS nb,
+             SUM(CASE WHEN arm = 'A' THEN cents ELSE 0 END) AS sa,
+             SUM(CASE WHEN arm = 'B' THEN cents ELSE 0 END) AS sb,
+             SUM(CASE WHEN arm = 'A' THEN cents * cents ELSE 0 END) AS qa,
+             SUM(CASE WHEN arm = 'B' THEN cents * cents ELSE 0 END) AS qb
+      FROM per_user
+    ),
+    s AS (
+      SELECT na, nb,
+             (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1) AS va,
+             (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1) AS vb,
+             CAST(sa AS DOUBLE) / (100.0 * na)
+               - CAST(sb AS DOUBLE) / (100.0 * nb) AS uplift
+      FROM agg
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           uplift AS observed_uplift_dollars,
+           -- z_{0.975} + z_{0.80} on the 1e-6 grid, shared literals
+           (1.959964 + 0.841621) * sqrt(va / na + vb / nb) / 100.0
+             AS mde_dollars,
+           CASE WHEN uplift = 0.0 THEN NULL
+                ELSE (1.959964 + 0.841621) * (1.959964 + 0.841621)
+                     * (va + vb) / ((uplift * 100.0) * (uplift * 100.0))
+           END AS n_per_arm_for_observed
+    FROM s
+    """
+
+
+def _power_hex(hexfn, str_t: str) -> str:
+    return hexfn(f"md5(concat('ab42|', CAST(user_id AS {str_t})))")
+
+
+@register(
+    "ab_test_power_mde",
+    oracle=None,  # assembled below (needs the duck hex13 helper)
+    doc="Experiment power read-out for the ab_test_spend_welch setup: "
+    "the minimum detectable effect at 80% power / 5% two-sided alpha "
+    "given the CURRENT arm sizes and variances, and the per-arm sample "
+    "size that would make the observed uplift detectable — the two "
+    "numbers an experimentation platform prints next to every "
+    "non-significant test (was it null, or just underpowered?). The "
+    "z-quantiles are shared 1e-6-grid literals (neither engine "
+    "evaluates an inverse normal CDF), variances come from the same "
+    "exact BIGINT cents moments as the Welch read-out, and everything "
+    "downstream is a fixed fp chain. One user-keyed aggregate + one "
+    "6-number roll-up. The keyed-md5 arm expression is the only "
+    "dialect split (conv() vs the hex13 list fold).",
+    tags=("stats", "analytics"),
+)
+def ab_test_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    spark_hex = "CAST(conv(substring({h}, 1, 13), 16, 10) AS BIGINT)"
+    return spark.sql(_power_sql(_power_hex(lambda h: spark_hex.format(h=h), "STRING")))
+
+
+from .oracle_dialect import duck_hex13_to_long as _duck_hex13  # noqa: E402
+from .registry import QUERIES as _QUERIES  # noqa: E402
+
+_QUERIES["ab_test_power_mde"].oracle = _power_sql(
+    _power_hex(_duck_hex13, "VARCHAR")
+)

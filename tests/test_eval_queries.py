@@ -269,3 +269,64 @@ def test_weighted_shortest_paths_match_python_bellman_ford(spark, sf_dir):
     # same reachable set as the unweighted BFS over the same edges
     khop = {r.node for r in _q("graph_khop_items", spark, sf_dir).collect()}
     assert set(rows) == khop
+
+
+def test_active_users_sweep_equals_brute_count_distinct(spark, sf_dir):
+    rows = {r.day: r for r in _q("events_active_users", spark, sf_dir).collect()}
+    brute = duckdb.sql(
+        f"""
+        WITH ud AS (
+          SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+          FROM '{sf_dir}/events.parquet'
+        ),
+        cal AS (
+          SELECT unnest(range(CAST((SELECT MIN(day) FROM ud) AS DATE),
+                              CAST((SELECT MAX(day) FROM ud) AS DATE) + INTERVAL 1 DAY,
+                              INTERVAL 1 DAY))::DATE AS day
+        )
+        SELECT c.day,
+               COUNT(DISTINCT CASE WHEN u.day = c.day THEN u.user_id END) AS dau,
+               COUNT(DISTINCT CASE WHEN u.day >= c.day - 6 THEN u.user_id END) AS wau,
+               COUNT(DISTINCT u.user_id) AS mau
+        FROM cal c LEFT JOIN ud u ON u.day BETWEEN c.day - 29 AND c.day
+        GROUP BY c.day ORDER BY c.day
+        """
+    ).fetchall()
+    assert len(rows) == len(brute)
+    for day, dau, wau, mau in brute:
+        r = rows[day]
+        assert (r.dau, r.wau, r.mau) == (dau, wau, mau), day
+
+
+def test_zipf_fit_matches_numpy_on_grid_points(spark, sf_dir):
+    head = duckdb.sql(
+        rf"""
+        WITH freq AS (
+          SELECT word, COUNT(*) AS c FROM (
+            SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+            FROM '{sf_dir}/documents.parquet' WHERE length(trim(text)) > 0)
+          GROUP BY word
+        )
+        SELECT c FROM freq ORDER BY c DESC, word ASC LIMIT 1000
+        """
+    ).fetchall()
+    x = np.array([round(np.log(i + 1) * 1e6) for i in range(len(head))])
+    y = np.array([round(np.log(c[0]) * 1e6) for c in head])
+    slope, intercept = np.polyfit(x.astype(float), y.astype(float), 1)
+    r = _q("text_zipf_fit", spark, sf_dir).collect()[0]
+    assert r.n_words == len(head)
+    assert abs(r.zipf_exponent - slope) < 1e-9
+    assert abs(r.intercept_ln - intercept / 1e6) < 1e-9
+    corr = np.corrcoef(x.astype(float), y.astype(float))[0, 1]
+    assert abs(r.r_squared - corr * corr) < 1e-9
+
+
+def test_power_mde_consistent_with_welch(spark, sf_dir):
+    p = _q("ab_test_power_mde", spark, sf_dir).collect()[0]
+    w = _q("ab_test_spend_welch", spark, sf_dir).collect()[0]
+    assert (p.n_a, p.n_b) == (w.n_a, w.n_b)
+    assert abs(p.observed_uplift_dollars - w.uplift_dollars) < 1e-12
+    # mde = (z_a + z_b) * SE and t = uplift / SE  =>  mde * t = 2.801585 * uplift
+    z = 1.959964 + 0.841621
+    assert abs(p.mde_dollars * w.t_welch - z * w.uplift_dollars) < 1e-9
+    assert p.mde_dollars > 0
