@@ -543,3 +543,89 @@ def audit_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_views(spark, sf_dir, ("documents",))
     return spark.sql(_profile_sql("STRING"))
+
+
+# --- privacy / governance audits -------------------------------------------------
+
+_sql_query(
+    "audit_k_anonymity",
+    """
+    WITH q AS (
+      SELECT lang, source,
+             CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) AS len_bucket
+      FROM documents
+    ),
+    g AS (
+      SELECT lang, source, len_bucket, CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM q GROUP BY lang, source, len_bucket
+    )
+    SELECT lang, source, len_bucket, group_size
+    FROM g WHERE group_size < 5
+    ORDER BY group_size ASC, lang ASC, source ASC, len_bucket ASC
+    """,
+    doc="k-anonymity audit over the (lang, source, length-bucket) "
+    "quasi-identifier tuple: every equivalence class smaller than k=5 "
+    "— the re-identification screen a governance pipeline runs before "
+    "a dataset leaves the boundary (a group of 1 means those QI values "
+    "uniquely fingerprint a document/user). One hash aggregate on the "
+    "QI tuple; only the violating classes (bounded by the QI domain, "
+    "not the fact) come back. The length bucket coarsens the "
+    "continuous column the way a real QI treatment would.",
+    tags=("analytics", "audit", "privacy"),
+)
+
+
+_DP_EPS = 1.0
+
+
+def _dp_sql(hexfn, str_t: str) -> str:
+    key = f"md5(concat('dp42|', lang))"
+    u = f"(CAST(({hexfn(key)}) % 999999 AS DOUBLE) + 1.0) / 1000001.0"
+    return f"""
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS true_count FROM documents GROUP BY lang
+    ),
+    n AS (
+      SELECT lang, true_count, {u} AS u FROM c
+    ),
+    noise AS (
+      SELECT lang, true_count,
+             CAST(round(1000000.0 *
+               (CASE WHEN u < 0.5 THEN ln(2.0 * u) ELSE -ln(2.0 * (1.0 - u)) END)
+               / {_DP_EPS}) AS BIGINT) AS noise_micro
+      FROM n
+    )
+    SELECT lang, true_count,
+           noise_micro,
+           CAST(true_count AS DOUBLE) + CAST(noise_micro AS DOUBLE) / 1000000.0
+             AS noisy_count
+    FROM noise ORDER BY lang ASC
+    """
+
+
+@register(
+    "private_counts_laplace",
+    oracle=None,  # assembled below
+    doc="Differentially-private per-language counts: Laplace(1/eps) "
+    "noise (eps=1) added to each group count, with the noise draw "
+    "DERIVED from a keyed md5 uniform instead of RNG state — the same "
+    "determinism move as the bootstrap/permutation machinery, which "
+    "makes a DP release pipeline reproducible and auditable (same key "
+    "-> same noise; rotate the key per release). The inverse-CDF "
+    "noise lands on the 1e-6 grid so both engines emit identical "
+    "values; the group aggregate is the only shuffle. NOTE: the "
+    "true_count column is exposed here for the correctness oracle — a "
+    "production release projects it away (and a keyed-hash noise "
+    "source trades formal DP guarantees for reproducibility unless "
+    "the key stays secret; documented tradeoff).",
+    tags=("analytics", "privacy"),
+)
+def private_counts_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(_dp_sql(_spark_hex13, "STRING"))
+
+
+from .registry import QUERIES as _QUERIES  # noqa: E402
+
+_QUERIES["private_counts_laplace"].oracle = _dp_sql(duck_hex13_to_long, "VARCHAR")

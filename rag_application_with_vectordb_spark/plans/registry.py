@@ -66,7 +66,11 @@ _loaded = False
 # forecast_snaive_mase, audit_benford_prices, ab_test_spend_welch,
 # eval_retrieval_ranking, eval_calibration_bins,
 # regress_spend_on_activity, stats_permutation_test,
-# forecast_seasonal_decompose, sketch_ams_f2, audit_column_profile.
+# forecast_seasonal_decompose, sketch_ams_f2, audit_column_profile,
+# stats_anova_lang_length, feature_target_encode_loo, parts_pareto_abc,
+# events_rolling_median, multimodal_audio_energy,
+# graph_shortest_path_weighted, events_active_users, text_zipf_fit,
+# ab_test_power_mde.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",

@@ -330,3 +330,30 @@ def test_power_mde_consistent_with_welch(spark, sf_dir):
     z = 1.959964 + 0.841621
     assert abs(p.mde_dollars * w.t_welch - z * w.uplift_dollars) < 1e-9
     assert p.mde_dollars > 0
+
+
+def test_k_anonymity_flags_exactly_the_small_groups(spark, sf_dir):
+    rows = _q("audit_k_anonymity", spark, sf_dir).collect()
+    brute = duckdb.sql(
+        f"""SELECT lang, source, CAST(floor(n_chars / 100.0) AS BIGINT) AS b,
+                   COUNT(*) AS n
+            FROM '{sf_dir}/documents.parquet' GROUP BY 1, 2, 3"""
+    ).fetchall()
+    small = {(l, s, b): n for l, s, b, n in brute if n < 5}
+    assert {(r.lang, r.source, r.len_bucket): r.group_size for r in rows} == small
+    assert all(r.group_size < 5 for r in rows)
+
+
+def test_dp_counts_noise_is_keyed_and_bounded(spark, sf_dir):
+    rows = _q("private_counts_laplace", spark, sf_dir).collect()
+    true = dict(duckdb.sql(
+        f"SELECT lang, COUNT(*) FROM '{sf_dir}/documents.parquet' GROUP BY lang"
+    ).fetchall())
+    assert {r.lang: r.true_count for r in rows} == true
+    for r in rows:
+        # noisy = true + noise on the 1e-6 grid, reproducible per key
+        assert r.noisy_count == r.true_count + r.noise_micro / 1e6
+        # Laplace(1) noise: |noise| beyond 15 has probability ~3e-7
+        assert abs(r.noise_micro) < 15_000_000
+    # keyed noise: distinct languages draw distinct noise (u collision-free)
+    assert len({r.noise_micro for r in rows}) == len(rows)
