@@ -50,6 +50,7 @@ __all__ = [
     "duplicated_span_coverage",
     "prefix_filter_jaccard_pairs",
     "decontaminate",
+    "plan_lsh_bands",
 ]
 
 
@@ -968,3 +969,48 @@ def decontaminate(
             "contam_fraction"
         ),
     )
+
+
+def plan_lsh_bands(threshold: float, num_hashes: int) -> tuple[int, int]:
+    """Choose the LSH banding ``(bands, rows_per_band)`` for a target
+    Jaccard ``threshold`` given a ``num_hashes``-long MinHash signature.
+
+    The collision probability of a pair with true similarity ``s``
+    under ``b`` bands of ``r`` rows is ``p(s) = 1 - (1 - s^r)^b`` (MMDS
+    ch.3). The planner enumerates every exact factorization ``b*r ==
+    num_hashes`` and picks the one minimizing the symmetric error mass
+    of the S-curve against the ideal step at ``threshold``::
+
+        err(b, r) = integral_0^t p(s) ds  +  integral_t^1 (1 - p(s)) ds
+                    (false-positive mass)    (false-negative mass)
+
+    evaluated on a fixed 1/1000 grid — pure driver-side arithmetic,
+    deterministic, no data touched. Callers feed the result to
+    :func:`minhash_lsh_pairs` / :func:`minhash_band_keys`; the classic
+    rule-of-thumb threshold of a plan is ``(1/b)**(1/r)``, which the
+    planner's choice tracks (pytest pins both properties).
+
+    At 100 TB this is the knob that matters: r too small floods the
+    band-key shuffle with false-positive candidates (the verify stage
+    pays |candidates| Jaccards); r too large silently drops true
+    near-dups. Planning from the target threshold instead of
+    hand-picking (12, 3-vs-4) makes the tradeoff explicit.
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0,1), got {threshold}")
+    if num_hashes < 2:
+        raise ValueError(f"num_hashes must be >= 2, got {num_hashes}")
+    best: tuple[float, int, int] | None = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        err = 0.0
+        for i in range(1, 1000):
+            s = i / 1000.0
+            p = 1.0 - (1.0 - s**r) ** b
+            err += p if s < threshold else (1.0 - p)
+        if best is None or err < best[0] or (err == best[0] and b < best[1]):
+            best = (err, b, r)
+    assert best is not None
+    return best[1], best[2]

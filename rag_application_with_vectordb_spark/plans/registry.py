@@ -70,7 +70,7 @@ _loaded = False
 # stats_anova_lang_length, feature_target_encode_loo, parts_pareto_abc,
 # events_rolling_median, multimodal_audio_energy,
 # graph_shortest_path_weighted, events_active_users, text_zipf_fit,
-# ab_test_power_mde.
+# ab_test_power_mde, audit_k_anonymity, private_counts_laplace.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",

@@ -376,3 +376,30 @@ def test_audio_frames_exact_features_and_partial_last_frame(spark):
     a, z = ord("A") - 128, ord("z") - 128
     assert (f0.n_samples, f0.energy, f0.peak) == (64, 64 * a * a, abs(a))
     assert (f1.frame_id, f1.n_samples, f1.energy, f1.peak) == (1, 10, 10 * z * z, abs(z))
+
+
+def test_plan_lsh_bands_minimizes_step_error():
+    from rag_application_with_vectordb_spark.operators.dedup import plan_lsh_bands
+
+    def err(b, r, t):
+        tot = 0.0
+        for i in range(1, 1000):
+            s = i / 1000.0
+            p = 1.0 - (1.0 - s**r) ** b
+            tot += p if s < t else (1.0 - p)
+        return tot
+
+    for t in (0.3, 0.5, 0.7, 0.9):
+        for n in (12, 64, 128):
+            b, r = plan_lsh_bands(t, n)
+            assert b * r == n
+            chosen = err(b, r, t)
+            for r2 in range(1, n + 1):
+                if n % r2 == 0:
+                    assert chosen <= err(n // r2, r2, t) + 1e-12
+    # steeper similarity targets need more rows per band (monotone in t)
+    rows = [plan_lsh_bands(t, 64)[1] for t in (0.3, 0.5, 0.7, 0.9)]
+    assert rows == sorted(rows)
+    # the engine's default catalog plan (12 hashes, 4 bands of 3) is the
+    # planner's own choice for a ~0.5 target — pin that correspondence
+    assert plan_lsh_bands(0.5, 12) == (4, 3)
