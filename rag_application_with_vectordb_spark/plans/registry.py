@@ -52,25 +52,24 @@ _loaded = False
 # approx_distinct_sketch) stay EXCLUDED from the window — a slot spent
 # recording ``err: no_oracle`` is a slot wasted; they already have their
 # rows-only rows. Entries not named here follow in registration order.
-# Registered after this round-7 window froze (=> lead the round-8
-# rotation alongside the trimmed r4 greens): events_cusum_changepoint,
-# events_acf_daily, eval_auc_doclang, approx_distinct_intersect_kmv,
-# ann_rp_recall, feature_corr_matrix, feature_mi_lang_source,
-# text_phrase_search_positional, events_holt_linear,
-# approx_distinct_diff_kmv, incremental_join_merge,
-# approx_distinct_kmv_cube, split_balance_chi2,
-# multimodal_crossmodal_topk, graph_wcc_twostar,
-# reco_item_item_topk, stats_ks_lang_length, graph_khop_items,
-# text_pmi_collocations, stats_bootstrap_mean_ci, stats_jackknife_se,
-# stats_conformal_interval, survival_km_signup_purchase,
-# forecast_snaive_mase, audit_benford_prices, ab_test_spend_welch,
-# eval_retrieval_ranking, eval_calibration_bins,
-# regress_spend_on_activity, stats_permutation_test,
-# forecast_seasonal_decompose, sketch_ams_f2, audit_column_profile,
-# stats_anova_lang_length, feature_target_encode_loo, parts_pareto_abc,
-# events_rolling_median, multimodal_audio_energy,
-# graph_shortest_path_weighted, events_active_users, text_zipf_fit,
-# ab_test_power_mde, audit_k_anonymity, private_counts_laplace.
+# Late-round-7 rotation: section (d) swaps the r1/r3 stale-green
+# re-confirmation slots for 19 continuation-session queries that had
+# never been driver-checked (each re-verified green via
+# tools/check_oracle.py at sf0.01 immediately before the swap) —
+# first-proof beats re-confirmation, and the displaced greens were all
+# re-verified catalog-wide by tools/invariance_audit.py this round.
+# Still never-driver-checked after this window (=> lead the round-8
+# rotation, alongside the displaced r1/r3/r4 stale greens):
+# events_acf_daily, ann_rp_recall, feature_corr_matrix,
+# feature_mi_lang_source, text_phrase_search_positional,
+# events_holt_linear, approx_distinct_diff_kmv, incremental_join_merge,
+# approx_distinct_kmv_cube, split_balance_chi2, text_pmi_collocations,
+# stats_jackknife_se, audit_benford_prices, ab_test_spend_welch,
+# eval_calibration_bins, regress_spend_on_activity,
+# forecast_seasonal_decompose, sketch_ams_f2, stats_anova_lang_length,
+# feature_target_encode_loo, parts_pareto_abc, events_rolling_median,
+# events_active_users, text_zipf_fit, ab_test_power_mde, plus anything
+# registered after this point in round 7.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
@@ -106,29 +105,31 @@ DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (c) operator rewritten this round (asof rid-hazard fix) — re-confirm
     "asof_purchase_to_click",
     "cdc_apply_roundtrip",
-    # (d) oldest-green-first: last green in round 1
-    "set_nations_customers_and_suppliers",
-    "set_union_all_keys",
-    "window_running_spend",
-    # last green in round 3
-    "ann_ivf_topk",
-    "calendar_dim_order_counts",
-    "dedup_minhash_lsh_pairs",
-    "knn_topk_prenormed",
-    "pivot_status_by_priority",
-    "q10_returned_items",
-    "q13_customer_distribution",
-    "q16_supplier_part_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q21_sole_late_supplier",
-    "q4_order_priority",
-    "q7_nation_pair_revenue",
-    "rag_e2e_retrieval",
-    "scalar_array_ops",
-    "unpivot_part_measures",
-    # last green in round 4 (alphabetical; trimmed so the window is
-    # exactly 50 — the remaining r4 greens rotate in next round)
+    # (d) round-7 continuation-session queries, never driver-checked
+    # (all re-verified green via tools/check_oracle.py at sf0.01 before
+    # this rotation). First-proof beats stale-green re-confirmation: the
+    # r1/r3 greens these displace were re-verified catalog-wide by
+    # tools/invariance_audit.py at sf0.01 this round, so their staleness
+    # risk is bounded; they rotate back in round 8.
+    "multimodal_audio_energy",
+    "multimodal_crossmodal_topk",
+    "graph_shortest_path_weighted",
+    "graph_wcc_twostar",
+    "graph_khop_items",
+    "reco_item_item_topk",
+    "stats_ks_lang_length",
+    "stats_bootstrap_mean_ci",
+    "stats_conformal_interval",
+    "stats_permutation_test",
+    "survival_km_signup_purchase",
+    "forecast_snaive_mase",
+    "eval_retrieval_ranking",
+    "eval_auc_doclang",
+    "audit_column_profile",
+    "audit_k_anonymity",
+    "private_counts_laplace",
+    "approx_distinct_intersect_kmv",
+    "events_cusum_changepoint",
 )
 
 
