@@ -155,6 +155,7 @@ def load_all() -> dict[str, QuerySpec]:
         from . import classify_queries  # noqa: F401
         from . import stats_queries  # noqa: F401
         from . import eval_queries  # noqa: F401
+        from . import feature_queries  # noqa: F401
 
         ordered = {n: QUERIES[n] for n in DRIVER_WINDOW_PRIORITY if n in QUERIES}
         ordered.update({n: s for n, s in QUERIES.items() if n not in ordered})
