@@ -18,11 +18,11 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import tune
-from ..sources.catalog import register_views, tables_in_sql
+from ..sources.catalog import load_table, register_views, tables_in_sql
 from .registry import register
 
 
@@ -2002,3 +2002,92 @@ from .registry import QUERIES as _QUERIES  # noqa: E402
 _QUERIES["ab_test_power_mde"].oracle = _power_sql(
     _power_hex(_duck_hex13, "VARCHAR")
 )
+
+
+# --- clickstream path mining: top session-opening action paths ------------------
+
+_PATH_LEN = 5
+_PATH_TOPK = 20
+
+_PATH_ORACLE = f"""
+WITH x AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL 4 HOUR
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM x
+),
+r AS (
+  SELECT user_id, session_id, event_type,
+    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                       ORDER BY ts, event_id) AS rn
+  FROM s
+),
+p AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM r WHERE rn <= {_PATH_LEN}
+  GROUP BY user_id, session_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT {_PATH_TOPK}
+"""
+
+
+@register(
+    "events_top_paths",
+    oracle=_PATH_ORACLE,
+    doc=f"Clickstream path mining: the top-{_PATH_TOPK} session-opening "
+    f"action sequences (first {_PATH_LEN} events per 4-hour-gap session, "
+    "'>'-joined) by session count — the navigation-pattern summary next "
+    "to events_markov_transitions' one-step view (a path ranks whole "
+    "prefixes, so it catches multi-step flows a transition matrix "
+    "averages away). Same keyed sessionization as events_sessionized "
+    "(lag + cumulative sum, (ts, event_id) total order); the per-session "
+    "prefix is a keyed window + filter; the path aggregate shuffles one "
+    "short string per session; top-k is TakeOrdered. No driver-side "
+    "loops, no global sort of the fact.",
+    tags=("analytics", "streaming"),
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    events = load_table(spark, sf_dir, "events")
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(order)
+    is_new = F.when(gap_us > 4 * 3600 * 1_000_000, F.lit(1)).otherwise(F.lit(0))
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = events.withColumn("session_id", F.sum(is_new).over(cum))
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    )
+    prefix = sess.withColumn("rn", rn).filter(F.col("rn") <= _PATH_LEN)
+    paths = (
+        prefix.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                    ),
+                    lambda e: e.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").cast("bigint").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(_PATH_TOPK)
+    )

@@ -629,3 +629,74 @@ def private_counts_laplace(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .registry import QUERIES as _QUERIES  # noqa: E402
 
 _QUERIES["private_counts_laplace"].oracle = _dp_sql(duck_hex13_to_long, "VARCHAR")
+
+
+# --- isotonic calibration (PAVA via the minimax identity) -----------------------
+#
+# The pool-adjacent-violators solution has the closed minimax form
+#   iso[k] = max_{i<=k} min_{j>=k} pooled_rate(i..j)
+# (Ayer et al. 1955; Robertson/Wright/Dykstra §1.2), which turns an
+# inherently sequential algorithm into three relational steps over the
+# BINNED relation: interval pooled rates from prefix sums, a min over
+# j>=k, a max over i<=k. O(B^3) tuples for B bins — B=10, so ~220
+# interval rows regardless of corpus size: the fact is touched ONCE (the
+# same scan/aggregate as eval_calibration_bins); everything isotonic
+# happens on a bin-sized relation. Pooled rates are fp64 divisions of
+# exact BIGINT prefix sums, so min/max/hash are cross-engine stable.
+
+_sql_query(
+    "eval_calibration_isotonic",
+    """
+    WITH s AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    b AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM s),
+    binned AS (
+      SELECT CAST(floor(CAST((s.score - b.lo) * 10 AS DOUBLE)
+                        / CAST(b.hi - b.lo + 1 AS DOUBLE)) AS BIGINT) AS bin,
+             s.pos
+      FROM s CROSS JOIN b
+    ),
+    g AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+      FROM binned GROUP BY bin
+    ),
+    pre AS (
+      SELECT bin, n, p,
+             CAST(SUM(n) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+             CAST(SUM(p) OVER (ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp
+      FROM g
+    ),
+    iv AS (
+      SELECT a.bin AS i, z.bin AS j,
+             CAST(z.cp - a.cp + a.p AS DOUBLE)
+               / CAST(z.cn - a.cn + a.n AS DOUBLE) AS r
+      FROM pre a JOIN pre z ON z.bin >= a.bin
+    ),
+    mn AS (
+      SELECT iv.i, k.bin AS k, MIN(iv.r) AS m
+      FROM iv JOIN g k ON iv.j >= k.bin AND iv.i <= k.bin
+      GROUP BY iv.i, k.bin
+    ),
+    fit AS (SELECT k AS bin, MAX(m) AS iso_rate FROM mn GROUP BY k)
+    SELECT g.bin, g.n AS n_docs, g.p AS n_pos,
+           CAST(g.p AS DOUBLE) / CAST(g.n AS DOUBLE) AS pos_rate,
+           fit.iso_rate
+    FROM g JOIN fit ON g.bin = fit.bin
+    ORDER BY g.bin ASC
+    """,
+    doc="Isotonic (monotone) calibration of the reliability curve: the "
+    "PAVA fit over eval_calibration_bins' decile bins via the minimax "
+    "identity iso[k] = max_{i<=k} min_{j>=k} pooled_rate(i..j) — the "
+    "post-hoc calibrator (Zadrozny & Elkan's isotonic recalibration) "
+    "that turns a monotone-ish score into usable probabilities without "
+    "assuming Platt's sigmoid shape. The fact scans once into the "
+    "10-row binned relation; the O(B^3) minimax runs on ~220 interval "
+    "tuples, so the operator costs the same at any corpus size. "
+    "Weighted by bin counts (pooled rates, not rate-of-rates).",
+    tags=("analytics", "eval"),
+)

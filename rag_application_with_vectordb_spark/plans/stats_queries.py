@@ -1009,3 +1009,83 @@ def graph_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dist_micro").cast("bigint").alias("dist_micro"),
         (F.col("dist_micro").cast("double") / F.lit(1000000.0)).alias("dist_cost"),
     ).orderBy("node")
+
+
+# --- Theil-Sen robust trend: median of pairwise slopes -------------------------
+#
+# Daily 1995 revenue (365 calendar points) against the day index: slope =
+# median over all C(365,2) ~= 66k day pairs of (y_j - y_i)/(x_j - x_i),
+# intercept = median of y - slope*x. The pair count is CALENDAR-bounded
+# (366 rows after the first aggregate no matter the fact size), so the
+# O(n^2) lives on a fixed-size relation — the fact itself scans once
+# into exact DECIMAL day sums. Slopes are fp64 divisions of exact cent/
+# day integers (bit-identical cross-engine), and the median is a rank
+# select (lower median, floor((n+1)/2)) — no averaging, no fp drift at
+# the boundary. The global ROW_NUMBER sorts 66k 8-byte values: bounded,
+# documented SinglePartition.
+
+def _theil_sen_sql(dayx: str) -> str:
+    return f"""
+    WITH d AS (
+      SELECT {dayx} AS x,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS y_cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1996-01-01'
+      GROUP BY 1
+    ),
+    pairs AS (
+      SELECT CAST(b.y_cents - a.y_cents AS DOUBLE)
+               / CAST(b.x - a.x AS DOUBLE) AS slope
+      FROM d a JOIN d b ON b.x > a.x
+    ),
+    ranked AS (
+      SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+             COUNT(*) OVER () AS np
+      FROM pairs
+    ),
+    med AS (
+      SELECT slope AS m FROM ranked
+      WHERE rn = CAST(floor((CAST(np AS DOUBLE) + 1.0) / 2.0) AS BIGINT)
+    ),
+    resid AS (
+      SELECT CAST(d.y_cents AS DOUBLE) - med.m * CAST(d.x AS DOUBLE) AS r,
+             med.m AS m
+      FROM d CROSS JOIN med
+    ),
+    rr AS (
+      SELECT r, m, ROW_NUMBER() OVER (ORDER BY r) AS rn,
+             COUNT(*) OVER () AS nd
+      FROM resid
+    )
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_days,
+           m AS slope_cents_per_day,
+           r AS intercept_cents
+    FROM rr
+    WHERE rn = CAST(floor((CAST(nd AS DOUBLE) + 1.0) / 2.0) AS BIGINT)
+    """
+
+
+@register(
+    "regress_theil_sen",
+    oracle=_theil_sen_sql(
+        "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
+    ),
+    doc="Theil-Sen robust trend of daily 1995 order revenue: the median "
+    "of all pairwise day-pair slopes (and the median-residual "
+    "intercept) — the estimator with a 29% breakdown point that "
+    "regress_spend_on_activity's OLS lacks (one corrupted day drags "
+    "OLS; Theil-Sen shrugs). The fact collapses to 365 calendar rows "
+    "first, so the O(n^2) pair join (~66k rows) is CONSTANT-size at "
+    "any sf; slopes are fp64 ratios of exact cents/day integers and "
+    "both medians are rank selects (no interpolation) — hash-stable "
+    "cross-engine. The global rank over 66k slopes is a documented, "
+    "bounded SinglePartition.",
+    tags=("stats", "analytics"),
+)
+def regress_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        _theil_sen_sql("datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')")
+    )

@@ -1,0 +1,103 @@
+"""Isotonic calibration / Theil-Sen / path mining: semantics verified
+against independent pure-python re-implementations (PAVA by actual
+pooling, Theil-Sen by brute pairwise slopes, sessionization replayed
+row by row)."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import duckdb
+
+from rag_application_with_vectordb_spark.plans.registry import load_all
+
+
+def _q(name, spark, sf_dir):
+    return load_all()[name].fn(spark, sf_dir)
+
+
+def _pava(pos, n):
+    """Classic sequential pool-adjacent-violators on [sum_pos, weight,
+    span] blocks — merges any adjacent pair whose rates violate
+    monotonicity, then expands each pooled block back to its bins."""
+    merged = []
+    for p, w in zip(pos, n):
+        merged.append([p, w, 1])
+        while len(merged) > 1 and (
+            merged[-2][0] / merged[-2][1] >= merged[-1][0] / merged[-1][1]
+        ):
+            p2, w2, s2 = merged.pop()
+            merged[-1][0] += p2
+            merged[-1][1] += w2
+            merged[-1][2] += s2
+    rates = []
+    for p, w, s in merged:
+        rates.extend([p / w] * s)
+    return rates
+
+
+def test_isotonic_equals_true_pava_and_is_monotone(spark, sf_dir):
+    rows = sorted(_q("eval_calibration_isotonic", spark, sf_dir).collect(),
+                  key=lambda r: r.bin)
+    expect = _pava([r.n_pos for r in rows], [r.n_docs for r in rows])
+    for r, e in zip(rows, expect):
+        assert abs(r.iso_rate - e) < 1e-12
+    # monotone non-decreasing by construction
+    for a, b in zip(rows, rows[1:]):
+        assert a.iso_rate <= b.iso_rate + 1e-15
+    # pooling preserves the weighted mean (isotonic fit is a projection)
+    tot_fit = sum(r.iso_rate * r.n_docs for r in rows)
+    tot_obs = sum(r.n_pos for r in rows)
+    assert abs(tot_fit - tot_obs) < 1e-6
+    # and where the raw curve is already monotone, the fit equals it
+    raw = [r.pos_rate for r in rows]
+    if raw == sorted(raw):
+        assert all(abs(r.iso_rate - r.pos_rate) < 1e-12 for r in rows)
+
+
+def test_theil_sen_matches_brute_pairwise_median(spark, sf_dir):
+    row = _q("regress_theil_sen", spark, sf_dir).collect()[0]
+    daily = duckdb.sql(
+        f"""SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS y
+            FROM '{sf_dir}/orders.parquet'
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+              AND o_orderdate < TIMESTAMP '1996-01-01'
+            GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    assert row.n_days == len(daily)
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(daily)
+        for (x2, y2) in daily[i + 1:]
+    )
+    m = slopes[(len(slopes) + 1) // 2 - 1]  # lower median, 1-based floor((n+1)/2)
+    assert row.slope_cents_per_day == m
+    resid = sorted(y - m * x for x, y in daily)
+    assert row.intercept_cents == resid[(len(resid) + 1) // 2 - 1]
+
+
+def test_top_paths_match_replayed_sessionization(spark, sf_dir):
+    rows = _q("events_top_paths", spark, sf_dir).collect()
+    ev = duckdb.sql(
+        f"""SELECT user_id, ts, event_id, event_type
+            FROM '{sf_dir}/events.parquet' ORDER BY user_id, ts, event_id"""
+    ).fetchall()
+    by_user = defaultdict(list)
+    for u, ts, eid, et in ev:
+        by_user[u].append((ts, eid, et))
+    paths = Counter()
+    for u, evs in by_user.items():
+        sess, last = [], None
+        for ts, eid, et in evs:
+            if last is not None and (ts - last).total_seconds() > 4 * 3600:
+                paths[">".join(sess[:5])] += 1
+                sess = []
+            sess.append(et)
+            last = ts
+        if sess:
+            paths[">".join(sess[:5])] += 1
+    expect = sorted(paths.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.path, r.n_sessions) for r in rows] == expect
+    # every path is a '>'-joined prefix of at most 5 event types
+    assert all(1 <= len(r.path.split(">")) <= 5 for r in rows)
