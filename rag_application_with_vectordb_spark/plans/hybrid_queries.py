@@ -29,7 +29,7 @@ from ..embedder import hash_embedding_expr
 from ..functions.text import tokens
 from ..functions.vector import cosine_sim
 from ..session import tune
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, register_views
 from .oracle_dialect import duck_cosine, duck_hash_embedding
 from .registry import register
 
@@ -455,3 +455,185 @@ def hybrid_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "doc_id", "maxsim_score")
     )
+
+
+# --- pseudo-relevance feedback (RM-style query expansion) ----------------------
+#
+# Stage 1 scores the corpus for the original terms, takes the top-10
+# pseudo-relevant set R; stage 2 picks 3 expansion terms from R by an
+# integer-only selection key (R-doc coverage desc, corpus df asc, term
+# asc — rarer terms win coverage ties, i.e. a Robertson-selection-value
+# shape without fp); stage 3 rescores with originals at weight 1.0 and
+# expansions at 0.5. Both stages share ONE generic scorer: per-(doc,
+# term) BM25 contributions rounded to 1e-6 micro-integers FIRST, then
+# summed as exact BIGINTs — an unordered fp SUM over the term set would
+# be summation-order-dependent across engines; the integer sum is not.
+#
+# Scale shape: tokens explode once into the (doc, term) tf relation;
+# every downstream join hits it with a broadcast-sized build (the term
+# sets are 3-6 rows, R is 10 rows, stats is 1 row), so the corpus never
+# shuffles — the same posture as text_bm25_topk, kept through BOTH
+# retrieval rounds.
+
+_PRF_MIN_DF = 5
+_PRF_EXPANSION_K = 3
+_PRF_EXP_WEIGHT = 0.5
+
+
+def _prf_sql() -> str:
+    orig = ", ".join(f"('{t}')" for t in _TERMS)
+    return rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
+    tok AS (SELECT doc_id, unnest(w) AS word FROM t),
+    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+    dfs AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
+    q1 (word) AS (VALUES {orig}),
+    s1 AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(round(1000000.0 *
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                         / (CAST(d.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * {_K1 + 1.0})
+               / (CAST(tf.tf AS DOUBLE) + {_K1} * ({1.0 - _B} + {_B}
+                  * CAST(dls.dl AS DOUBLE)
+                  / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+             ) AS BIGINT)) AS BIGINT) AS score_micro
+      FROM tf
+      JOIN q1 ON tf.word = q1.word
+      JOIN dfs d ON tf.word = d.word
+      JOIN dls ON tf.doc_id = dls.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    ),
+    r AS (SELECT doc_id FROM s1 ORDER BY score_micro DESC, doc_id ASC LIMIT 10),
+    exp AS (
+      SELECT tf.word,
+             CAST(COUNT(*) AS BIGINT) AS r_docs,
+             CAST(MIN(d.df) AS BIGINT) AS df
+      FROM tf JOIN r ON tf.doc_id = r.doc_id
+      JOIN dfs d ON tf.word = d.word
+      WHERE tf.word NOT IN ({", ".join(f"'{t}'" for t in _TERMS)})
+        AND d.df >= {_PRF_MIN_DF}
+      GROUP BY tf.word
+    ),
+    picked AS (
+      SELECT word, r_docs, df,
+             ROW_NUMBER() OVER (ORDER BY r_docs DESC, df ASC, word ASC) AS rn
+      FROM exp
+    )
+"""
+
+
+_sql_shared = _prf_sql()
+
+
+@register(
+    "retrieval_prf_terms",
+    oracle=_sql_shared + f"""
+    SELECT word, r_docs, df FROM picked WHERE rn <= {_PRF_EXPANSION_K}
+    ORDER BY rn ASC
+    """,
+    doc=f"Pseudo-relevance-feedback term selection: the {_PRF_EXPANSION_K} "
+    "expansion terms chosen from the BM25 top-10 pseudo-relevant set by "
+    "an integer-only key (R-doc coverage desc, corpus df asc, term asc "
+    f"— rarer terms win ties; df >= {_PRF_MIN_DF} floors out noise). "
+    "Exposes the selection itself so the expansion policy is "
+    "value-checked separately from the rescoring.",
+    tags=("text", "retrieval"),
+)
+def retrieval_prf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("documents",))
+    return spark.sql(
+        _sql_shared.replace("regexp_split_to_array", "split").replace(
+            r"'\s+'", r"'\\s+'"
+        ).replace("len(w)", "size(w)").replace(
+            "unnest(w)", "explode(w)"
+        )
+        + f"""
+    SELECT word, r_docs, df FROM picked WHERE rn <= {_PRF_EXPANSION_K}
+    ORDER BY rn ASC
+    """
+    )
+
+
+@register(
+    "retrieval_prf_expanded_topk",
+    oracle=_sql_shared + f"""
+    , q2 AS (
+      SELECT word, 1.0 AS wt FROM q1
+      UNION ALL
+      SELECT word, {_PRF_EXP_WEIGHT} AS wt FROM picked WHERE rn <= {_PRF_EXPANSION_K}
+    ),
+    s2 AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(round(1000000.0 * q2.wt *
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                         / (CAST(d.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * {_K1 + 1.0})
+               / (CAST(tf.tf AS DOUBLE) + {_K1} * ({1.0 - _B} + {_B}
+                  * CAST(dls.dl AS DOUBLE)
+                  / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+             ) AS BIGINT)) AS BIGINT) AS score_micro
+      FROM tf
+      JOIN q2 ON tf.word = q2.word
+      JOIN dfs d ON tf.word = d.word
+      JOIN dls ON tf.doc_id = dls.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score_micro FROM s2
+    ORDER BY score_micro DESC, doc_id ASC LIMIT 10
+    """,
+    doc="Pseudo-relevance-feedback retrieval (RM/Rocchio shape): rescore "
+    "the corpus with the original terms at weight 1.0 plus "
+    f"retrieval_prf_terms' expansions at {_PRF_EXP_WEIGHT} — the "
+    "classic two-round lexical recall recovery (docs sharing the "
+    "pseudo-relevant set's vocabulary surface even when they miss the "
+    "original terms). Per-(doc,term) BM25 contributions land on the "
+    "1e-6 grid BEFORE the per-doc sum, so the score is an exact BIGINT "
+    "(an unordered fp sum over the term set would be summation-order-"
+    "dependent); ranking key is (score_micro, doc_id). The corpus "
+    "explodes once; every join build side is <= 10 rows.",
+    tags=("text", "retrieval"),
+)
+def retrieval_prf_expanded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("documents",))
+    sql = (
+        _sql_shared.replace("regexp_split_to_array", "split").replace(
+            r"'\s+'", r"'\\s+'"
+        ).replace("len(w)", "size(w)").replace("unnest(w)", "explode(w)")
+        + f"""
+    , q2 AS (
+      SELECT word, 1.0 AS wt FROM q1
+      UNION ALL
+      SELECT word, {_PRF_EXP_WEIGHT} AS wt FROM picked WHERE rn <= {_PRF_EXPANSION_K}
+    ),
+    s2 AS (
+      SELECT tf.doc_id,
+             CAST(SUM(CAST(round(1000000.0 * q2.wt *
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                         / (CAST(d.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * {_K1 + 1.0})
+               / (CAST(tf.tf AS DOUBLE) + {_K1} * ({1.0 - _B} + {_B}
+                  * CAST(dls.dl AS DOUBLE)
+                  / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
+             ) AS BIGINT)) AS BIGINT) AS score_micro
+      FROM tf
+      JOIN q2 ON tf.word = q2.word
+      JOIN dfs d ON tf.word = d.word
+      JOIN dls ON tf.doc_id = dls.doc_id
+      CROSS JOIN stats s
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score_micro FROM s2
+    ORDER BY score_micro DESC, doc_id ASC LIMIT 10
+    """
+    )
+    return spark.sql(sql)

@@ -101,3 +101,60 @@ def test_top_paths_match_replayed_sessionization(spark, sf_dir):
     assert [(r.path, r.n_sessions) for r in rows] == expect
     # every path is a '>'-joined prefix of at most 5 event types
     assert all(1 <= len(r.path.split(">")) <= 5 for r in rows)
+
+
+def _bm25_micro(docs, terms_w):
+    """Python recomputation of the PRF scorer: per-(doc,term) BM25
+    contributions rounded to micro-integers, summed exactly."""
+    import math
+
+    toks = {d: t.strip().split() for d, t in docs.items()}
+    dl = {d: len(w) for d, w in toks.items()}
+    n, sum_dl = len(docs), sum(dl.values())
+    avgdl = sum_dl / n
+    tf = {d: Counter(w) for d, w in toks.items()}
+    df = Counter()
+    for d, c in tf.items():
+        df.update(c.keys())
+    scores = Counter()
+    for d, c in tf.items():
+        s = 0
+        for t, wt in terms_w.items():
+            if c[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            part = (c[t] * 2.2) / (c[t] + 1.2 * (0.25 + 0.75 * dl[d] / avgdl))
+            s += int(round(1e6 * wt * idf * part))
+        if s:
+            scores[d] = s
+    return scores, tf, df
+
+
+def test_prf_terms_and_rescoring_match_python(spark, sf_dir):
+    docs = dict(
+        duckdb.sql(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    )
+    orig = ("table", "join", "vector")
+    s1, tf, df = _bm25_micro(docs, {t: 1.0 for t in orig})
+    r = [d for d, _ in sorted(s1.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
+    cand = Counter()
+    for d in r:
+        for w in tf[d]:
+            if w not in orig and df[w] >= 5:
+                cand[w] += 1
+    picked = sorted(cand.items(), key=lambda kv: (-kv[1], df[kv[0]], kv[0]))[:3]
+
+    trows = _q("retrieval_prf_terms", spark, sf_dir).collect()
+    assert [(t.word, t.r_docs, t.df) for t in trows] == [
+        (w, c, df[w]) for w, c in picked
+    ]
+
+    terms_w = {t: 1.0 for t in orig} | {w: 0.5 for w, _ in picked}
+    s2, _, _ = _bm25_micro(docs, terms_w)
+    top = sorted(s2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    rows = _q("retrieval_prf_expanded_topk", spark, sf_dir).collect()
+    assert [(x.doc_id, x.score_micro) for x in rows] == top
+    # expansion can only add mass: every expanded score >= its stage-1 score
+    assert all(s2[d] >= s1[d] for d, _ in top)
