@@ -31,6 +31,7 @@ from ..operators.dedup import (
     simhash_signatures,
     simhash_pairs,
 )
+from ..operators.cc import twostar_components
 from ..session import tune
 from ..sources.catalog import load_table
 from .oracle_dialect import duck_cosine, duck_fold_unit, duck_hex13_to_long
@@ -989,3 +990,131 @@ def graph_wcc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["graph_wcc_twostar"].oracle = QUERIES["dedup_components"].oracle
+
+
+# --- grid-density clustering (DBSCAN-lite over the embedding space) ------------
+#
+# The density-based clustering family next to the catalog's centroid
+# family (kmeans/IVF): bin each vector by two fixed embedding
+# coordinates into h x h grid cells, call a cell dense at >= minPts
+# points, and connect dense cells through 8-neighborhood adjacency —
+# grid-DBSCAN (the GriDBSCAN/"cell-based DBSCAN" simplification: density
+# attachment via fixed cells instead of per-point eps-balls, which
+# removes the all-pairs distance step entirely). Sparse-cell points
+# report as one noise row (cluster_id = -1), DBSCAN's defining output.
+#
+# Scale shape: one scan bins points (stateless arithmetic), one keyed
+# aggregate counts cells, and everything after — adjacency join, CC,
+# cluster roll-up — runs on the DENSE-CELL relation, whose size is
+# bounded by the grid (~(range/h)^2), not the corpus. CC reuses
+# duplicate_components (min-label propagation, eager localCheckpoint
+# per round); cluster diameters are bounded by the grid diagonal.
+
+_GRID_H = 0.1
+_GRID_MINPTS = 10
+_GRID_BIAS = 50
+_GRID_ENC = 100000
+
+
+def _grid_cell_sql(col: str, one_based_brackets: bool = True) -> str:
+    # Spark's arr[i] is 0-based where DuckDB's is 1-based — use
+    # element_at on the Spark side (1-based in both the API and SQL).
+    e1 = f"{col}[1]" if one_based_brackets else f"element_at({col}, 1)"
+    e2 = f"{col}[2]" if one_based_brackets else f"element_at({col}, 2)"
+    return (
+        f"((CAST(floor(CAST({e1} AS DOUBLE) / {_GRID_H}) AS BIGINT) + {_GRID_BIAS})"
+        f" * {_GRID_ENC}"
+        f" + (CAST(floor(CAST({e2} AS DOUBLE) / {_GRID_H}) AS BIGINT) + {_GRID_BIAS}))"
+    )
+
+
+@register(
+    "cluster_grid_density",
+    oracle=f"""
+    WITH RECURSIVE pts AS (
+      SELECT {_grid_cell_sql('embedding')} AS cell FROM embeddings
+    ),
+    counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM pts GROUP BY cell),
+    dense AS (SELECT cell, n FROM counts WHERE n >= {_GRID_MINPTS}),
+    offs(dx, dy) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+    edges AS (
+      SELECT a.cell AS src, b.cell AS dst
+      FROM dense a JOIN offs o ON TRUE
+      JOIN dense b ON b.cell = a.cell + o.dx * {_GRID_ENC} + o.dy
+    ),
+    reach(a, b) AS (
+      SELECT cell, cell FROM dense
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    comp AS (SELECT a AS cell, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    agg AS (
+      SELECT CAST(c.cluster_id AS BIGINT) AS cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(SUM(d.n) AS BIGINT) AS n_points
+      FROM comp c JOIN dense d USING (cell) GROUP BY 1
+    ),
+    noise AS (
+      SELECT CAST(-1 AS BIGINT) AS cluster_id, CAST(0 AS BIGINT) AS n_cells,
+             CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_points
+      FROM counts WHERE n < {_GRID_MINPTS}
+    )
+    SELECT * FROM agg UNION ALL SELECT * FROM noise
+    ORDER BY n_points DESC, cluster_id ASC
+    """,
+    doc=f"Grid-density clustering (DBSCAN-lite): {_GRID_H}-cells over two "
+    f"fixed embedding coordinates, dense at >= {_GRID_MINPTS} points, "
+    "8-neighbor dense cells merged by connected components "
+    "(duplicate_components' min-label propagation) — the density "
+    "family's answer to kmeans_fit's centroids: arbitrary-shape "
+    "clusters plus an explicit noise row (cluster_id = -1), no k "
+    "chosen in advance. The corpus scans once into per-cell counts; "
+    "adjacency, CC, and the roll-up all run on the grid-bounded "
+    "dense-cell relation. Oracle walks the same cell graph with a "
+    "recursive CTE.",
+    tags=("ann", "iterative"),
+)
+def cluster_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cell = F.expr(_grid_cell_sql("embedding", one_based_brackets=False))
+    counts = emb.select(cell.alias("cell")).groupBy("cell").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    counts = counts.localCheckpoint()  # feeds dense CC + noise; scan once
+    dense = counts.filter(F.col("n") >= _GRID_MINPTS)
+    offs = F.expr(
+        "array(" + ", ".join(
+            f"struct({dx} AS dx, {dy} AS dy)"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+        ) + ")"
+    )
+    cand = dense.select(
+        F.col("cell"), F.explode(offs).alias("o")
+    ).select(
+        F.col("cell").alias("doc_a"),
+        (F.col("cell") + F.col("o.dx") * _GRID_ENC + F.col("o.dy")).alias("doc_b"),
+    )
+    other = dense.select(F.col("cell").alias("doc_b"))
+    pairs = cand.join(other, "doc_b").filter(F.col("doc_a") < F.col("doc_b"))
+    # two-star contraction, not min-label propagation: the dense-cell
+    # graph's diameter grows with the grid side (sf1.0's wider embedding
+    # range already exceeds 20 label-propagation rounds), while two-star
+    # closes any diameter in O(log n) rounds.
+    comp = twostar_components(
+        dense.select(F.col("cell").alias("doc_id")), pairs
+    )
+    agg = (
+        comp.join(dense, comp.doc_id == dense.cell)
+        .groupBy(F.col("component_id").alias("cluster_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum("n").cast("bigint").alias("n_points"),
+        )
+    )
+    noise = counts.filter(F.col("n") < _GRID_MINPTS).agg(
+        F.lit(-1).cast("bigint").alias("cluster_id"),
+        F.lit(0).cast("bigint").alias("n_cells"),
+        F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_points"),
+    )
+    return agg.unionByName(noise).orderBy(F.desc("n_points"), F.asc("cluster_id"))

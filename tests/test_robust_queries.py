@@ -158,3 +158,42 @@ def test_prf_terms_and_rescoring_match_python(spark, sf_dir):
     assert [(x.doc_id, x.score_micro) for x in rows] == top
     # expansion can only add mass: every expanded score >= its stage-1 score
     assert all(s2[d] >= s1[d] for d, _ in top)
+
+
+def test_grid_density_separates_planted_blobs(spark, tmp_path):
+    """Two far-apart dense blobs (one spanning two adjacent cells) plus
+    scattered noise: exactly two clusters with the planted sizes, and
+    the adjacent dense cells merge through 8-neighbor CC."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def vec(x, y):
+        return [float(x), float(y)] + [0.0] * 62
+
+    rows = []
+    # blob A: 10 points in cell (0,0) + 10 in adjacent cell (0,1) -> one
+    # cluster, n_cells=2, n_points=20
+    for i in range(10):
+        rows.append(vec(0.015 + 0.001 * i, 0.05))
+        rows.append(vec(0.015 + 0.001 * i, 0.15))
+    # blob B: 15 points in cell (30,30)
+    for i in range(15):
+        rows.append(vec(3.015 + 0.001 * i, 3.05))
+    # noise: 5 isolated points in distinct sparse cells
+    for i in range(5):
+        rows.append(vec(-2.05 - 0.2 * i, -2.05))
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(rows)), pa.int64()),
+        "embedding": pa.array(rows, pa.list_(pa.float32())),
+        "label": pa.array([0] * len(rows), pa.int32()),
+    })
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    out = _q("cluster_grid_density", spark, str(tmp_path)).collect()
+    got = {(r.cluster_id, r.n_cells, r.n_points) for r in out}
+    enc = lambda cx, cy: (cx + 50) * 100000 + (cy + 50)
+    assert got == {
+        (enc(0, 0), 2, 20),   # blob A: two adjacent dense cells merged
+        (enc(30, 30), 1, 15), # blob B
+        (-1, 0, 5),           # noise
+    }
