@@ -68,8 +68,13 @@ _loaded = False
 # eval_calibration_bins, regress_spend_on_activity,
 # forecast_seasonal_decompose, sketch_ams_f2, stats_anova_lang_length,
 # feature_target_encode_loo, parts_pareto_abc, events_rolling_median,
-# events_active_users, text_zipf_fit, ab_test_power_mde, plus anything
-# registered after this point in round 7.
+# events_active_users, text_zipf_fit, ab_test_power_mde, plus the
+# post-rotation round-7 additions (all check_oracle-verified at
+# sf0.001/0.01/1.0): feature_woe_iv, feature_hash_buckets,
+# audit_l_diversity, text_distinct_ngram_ratio,
+# eval_calibration_isotonic, regress_theil_sen, events_top_paths,
+# retrieval_prf_terms, retrieval_prf_expanded_topk,
+# cluster_grid_density.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
