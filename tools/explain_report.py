@@ -315,6 +315,43 @@ ANNOTATED = {
     "eval_calibration_bins": "Scalar-subquery min/max broadcast to a "
     "single-pass bin projection; the 10-row bin aggregate is all that "
     "shuffles.",
+    "feature_woe_iv": "One hash aggregate on the category (target "
+    "indicator folds into SUM(CASE)); totals are a single-row "
+    "cross-join broadcast; the gridded ln runs on the category-sized "
+    "relation.",
+    "feature_hash_buckets": "Stateless per-row md5 bucket/sign — no "
+    "vocabulary build, no broadcast; the only shuffle is the final "
+    "16-row bucket aggregate (the property that makes the hashing "
+    "trick survive unbounded category domains).",
+    "audit_l_diversity": "One aggregate on the QI tuple with "
+    "COUNT(DISTINCT sensitive) inside; result bounded by the QI "
+    "domain, not the fact.",
+    "text_distinct_ngram_ratio": "Tokens and bigrams explode once; "
+    "the distinct counts shuffle (lang, gram) pairs — the TF-IDF "
+    "vocabulary-build shape; ratios are single fp64 divisions of "
+    "exact BIGINTs.",
+    "eval_calibration_isotonic": "The fact scans once into the 10-row "
+    "binned relation; the O(B^3) PAVA minimax (intervals from prefix "
+    "sums, min over j>=k, max over i<=k) runs on ~220 interval "
+    "tuples — constant cost at any corpus size.",
+    "regress_theil_sen": "Fact collapses to 365 calendar rows before "
+    "the O(n^2) pair join (~66k rows, constant at any sf); medians "
+    "are rank selects over a bounded, documented SinglePartition.",
+    "events_top_paths": "Keyed sessionization (lag + cumsum windows "
+    "partitioned by user), per-session prefix window, one path "
+    "aggregate; top-k is TakeOrdered — the fact never globally sorts.",
+    "retrieval_prf_terms": "The corpus tokenizes/explodes once into "
+    "the (doc, term) tf relation; the pseudo-relevant set (10 rows), "
+    "term lists (3-6 rows) and corpus stats (1 row) are the only "
+    "join build sides — broadcast all the way.",
+    "retrieval_prf_expanded_topk": "Both retrieval rounds share the "
+    "exploded tf relation; per-(doc,term) BM25 contributions land on "
+    "the 1e-6 grid before the per-doc BIGINT sum, so the rescore "
+    "aggregate shuffles exact integers; final top-10 is TakeOrdered.",
+    "cluster_grid_density": "One scan bins points statelessly; cell "
+    "counts are the only fact-sized shuffle; adjacency join, "
+    "two-star CC, and the roll-up all run on the grid-bounded "
+    "dense-cell relation.",
 }
 
 
