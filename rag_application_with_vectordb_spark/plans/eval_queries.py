@@ -644,25 +644,24 @@ _QUERIES["private_counts_laplace"].oracle = _dp_sql(duck_hex13_to_long, "VARCHAR
 # happens on a bin-sized relation. Pooled rates are fp64 divisions of
 # exact BIGINT prefix sums, so min/max/hash are cross-engine stable.
 
-_sql_query(
-    "eval_calibration_isotonic",
-    """
-    WITH s AS (
-      SELECT n_chars AS score,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
-      FROM documents
-    ),
-    b AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM s),
-    binned AS (
-      SELECT CAST(floor(CAST((s.score - b.lo) * 10 AS DOUBLE)
-                        / CAST(b.hi - b.lo + 1 AS DOUBLE)) AS BIGINT) AS bin,
-             s.pos
-      FROM s CROSS JOIN b
-    ),
-    g AS (
+_ISO_BINNED_SQL = """
       SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
-      FROM binned GROUP BY bin
-    ),
+      FROM (
+        SELECT CAST(floor(CAST((s.score - b.lo) * 10 AS DOUBLE)
+                          / CAST(b.hi - b.lo + 1 AS DOUBLE)) AS BIGINT) AS bin,
+               s.pos
+        FROM (SELECT n_chars AS score,
+                     CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+              FROM documents) s
+        CROSS JOIN (SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents) b
+      ) binned GROUP BY bin
+"""
+
+
+def _iso_sql(g_sql: str) -> str:
+    """PAVA minimax over a 10-row binned relation ``g(bin, n, p)``."""
+    return f"""
+    WITH g AS ({g_sql}),
     pre AS (
       SELECT bin, n, p,
              CAST(SUM(n) OVER (ORDER BY bin
@@ -688,15 +687,28 @@ _sql_query(
            fit.iso_rate
     FROM g JOIN fit ON g.bin = fit.bin
     ORDER BY g.bin ASC
-    """,
+    """
+
+
+@register(
+    "eval_calibration_isotonic",
+    oracle=_iso_sql(_ISO_BINNED_SQL),
     doc="Isotonic (monotone) calibration of the reliability curve: the "
     "PAVA fit over eval_calibration_bins' decile bins via the minimax "
     "identity iso[k] = max_{i<=k} min_{j>=k} pooled_rate(i..j) — the "
     "post-hoc calibrator (Zadrozny & Elkan's isotonic recalibration) "
     "that turns a monotone-ish score into usable probabilities without "
-    "assuming Platt's sigmoid shape. The fact scans once into the "
-    "10-row binned relation; the O(B^3) minimax runs on ~220 interval "
-    "tuples, so the operator costs the same at any corpus size. "
-    "Weighted by bin counts (pooled rates, not rate-of-rates).",
+    "assuming Platt's sigmoid shape. The fact scans ONCE into a "
+    "localCheckpoint'ed 10-row binned relation (Spark inlines CTEs per "
+    "reference — the SQL form's five references to the bin relation "
+    "re-scanned the corpus 16 times); the O(B^3) minimax runs on ~220 "
+    "interval tuples, so the operator costs the same at any corpus "
+    "size. Weighted by bin counts (pooled rates, not rate-of-rates).",
     tags=("analytics", "eval"),
 )
+def eval_calibration_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("documents",))
+    g = spark.sql(_ISO_BINNED_SQL).localCheckpoint()
+    g.createOrReplaceTempView("iso_binned")
+    return spark.sql(_iso_sql("SELECT bin, n, p FROM iso_binned"))

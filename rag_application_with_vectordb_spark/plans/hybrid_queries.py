@@ -469,44 +469,66 @@ def hybrid_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # summed as exact BIGINTs — an unordered fp SUM over the term set would
 # be summation-order-dependent across engines; the integer sum is not.
 #
-# Scale shape: tokens explode once into the (doc, term) tf relation;
-# every downstream join hits it with a broadcast-sized build (the term
-# sets are 3-6 rows, R is 10 rows, stats is 1 row), so the corpus never
-# shuffles — the same posture as text_bm25_topk, kept through BOTH
-# retrieval rounds.
+# Scale shape: the corpus tokenizes/explodes ONCE into a
+# localCheckpoint'ed (doc, term, tf, dl) relation — Spark inlines CTEs
+# per reference, so the pure-SQL form re-exploded the corpus for every
+# reference (20 parquet scans in the stage-3 plan; the ACF/corr-matrix
+# gotcha). The index relation plus vocab-sized df and 1-row stats
+# frames back three probe rounds; every join build side downstream is
+# <= 10 rows. This mirrors what a real two-round retrieval does: build
+# the inverted index once, probe it per round.
 
 _PRF_MIN_DF = 5
 _PRF_EXPANSION_K = 3
 _PRF_EXP_WEIGHT = 0.5
 
-
-def _prf_sql() -> str:
-    orig = ", ".join(f"('{t}')" for t in _TERMS)
-    return rf"""
-    WITH t AS (
+#: Oracle-side base CTEs: build tfx/dfs/stats from the raw corpus.
+_PRF_BASE_DUCK = rf"""
+    t AS (
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
     ),
     dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM t),
     tok AS (SELECT doc_id, unnest(w) AS word FROM t),
-    tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
-    dfs AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    tfr AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY 1, 2),
+    tfx AS (SELECT tfr.doc_id, tfr.word, tfr.tf, dls.dl
+            FROM tfr JOIN dls ON tfr.doc_id = dls.doc_id),
+    dfs AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tfr GROUP BY 1),
     stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls),
-    q1 (word) AS (VALUES {orig}),
-    s1 AS (
-      SELECT tf.doc_id,
-             CAST(SUM(CAST(round(1000000.0 *
+                     CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dls)
+"""
+
+#: Spark-side base CTEs: the same three relations, but served from the
+#: localCheckpoint'ed temp views built in _prf_views.
+_PRF_BASE_SPARK = """
+    tfx AS (SELECT doc_id, word, tf, dl FROM prf_tf),
+    dfs AS (SELECT word, df FROM prf_dfs),
+    stats AS (SELECT n_docs, sum_dl FROM prf_stats)
+"""
+
+
+def _prf_contrib(weight_expr: str) -> str:
+    """One (doc, term) BM25 contribution on the 1e-6 grid, weighted."""
+    return f"""CAST(round(1000000.0 * {weight_expr} *
                ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
                          / (CAST(d.df AS DOUBLE) + 0.5))
                * (CAST(tf.tf AS DOUBLE) * {_K1 + 1.0})
                / (CAST(tf.tf AS DOUBLE) + {_K1} * ({1.0 - _B} + {_B}
-                  * CAST(dls.dl AS DOUBLE)
+                  * CAST(tf.dl AS DOUBLE)
                   / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
-             ) AS BIGINT)) AS BIGINT) AS score_micro
-      FROM tf
+             ) AS BIGINT)"""
+
+
+def _prf_sql(base: str) -> str:
+    orig = ", ".join(f"('{t}')" for t in _TERMS)
+    return f"""
+    WITH {base},
+    q1 (word) AS (VALUES {orig}),
+    s1 AS (
+      SELECT tf.doc_id, CAST(SUM({_prf_contrib("1.0")}) AS BIGINT) AS score_micro
+      FROM tfx tf
       JOIN q1 ON tf.word = q1.word
       JOIN dfs d ON tf.word = d.word
-      JOIN dls ON tf.doc_id = dls.doc_id
       CROSS JOIN stats s
       GROUP BY tf.doc_id
     ),
@@ -515,7 +537,7 @@ def _prf_sql() -> str:
       SELECT tf.word,
              CAST(COUNT(*) AS BIGINT) AS r_docs,
              CAST(MIN(d.df) AS BIGINT) AS df
-      FROM tf JOIN r ON tf.doc_id = r.doc_id
+      FROM tfx tf JOIN r ON tf.doc_id = r.doc_id
       JOIN dfs d ON tf.word = d.word
       WHERE tf.word NOT IN ({", ".join(f"'{t}'" for t in _TERMS)})
         AND d.df >= {_PRF_MIN_DF}
@@ -529,67 +551,83 @@ def _prf_sql() -> str:
 """
 
 
-_sql_shared = _prf_sql()
-
-
-@register(
-    "retrieval_prf_terms",
-    oracle=_sql_shared + f"""
+_PRF_TERMS_TAIL = f"""
     SELECT word, r_docs, df FROM picked WHERE rn <= {_PRF_EXPANSION_K}
     ORDER BY rn ASC
-    """,
-    doc=f"Pseudo-relevance-feedback term selection: the {_PRF_EXPANSION_K} "
-    "expansion terms chosen from the BM25 top-10 pseudo-relevant set by "
-    "an integer-only key (R-doc coverage desc, corpus df asc, term asc "
-    f"— rarer terms win ties; df >= {_PRF_MIN_DF} floors out noise). "
-    "Exposes the selection itself so the expansion policy is "
-    "value-checked separately from the rescoring.",
-    tags=("text", "retrieval"),
-)
-def retrieval_prf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tune(spark)
-    register_views(spark, sf_dir, ("documents",))
-    return spark.sql(
-        _sql_shared.replace("regexp_split_to_array", "split").replace(
-            r"'\s+'", r"'\\s+'"
-        ).replace("len(w)", "size(w)").replace(
-            "unnest(w)", "explode(w)"
-        )
-        + f"""
-    SELECT word, r_docs, df FROM picked WHERE rn <= {_PRF_EXPANSION_K}
-    ORDER BY rn ASC
-    """
-    )
+"""
 
-
-@register(
-    "retrieval_prf_expanded_topk",
-    oracle=_sql_shared + f"""
+_PRF_RESCORE_TAIL = f"""
     , q2 AS (
       SELECT word, 1.0 AS wt FROM q1
       UNION ALL
       SELECT word, {_PRF_EXP_WEIGHT} AS wt FROM picked WHERE rn <= {_PRF_EXPANSION_K}
     ),
     s2 AS (
-      SELECT tf.doc_id,
-             CAST(SUM(CAST(round(1000000.0 * q2.wt *
-               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-                         / (CAST(d.df AS DOUBLE) + 0.5))
-               * (CAST(tf.tf AS DOUBLE) * {_K1 + 1.0})
-               / (CAST(tf.tf AS DOUBLE) + {_K1} * ({1.0 - _B} + {_B}
-                  * CAST(dls.dl AS DOUBLE)
-                  / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
-             ) AS BIGINT)) AS BIGINT) AS score_micro
-      FROM tf
+      SELECT tf.doc_id, CAST(SUM({_prf_contrib("q2.wt")}) AS BIGINT) AS score_micro
+      FROM tfx tf
       JOIN q2 ON tf.word = q2.word
       JOIN dfs d ON tf.word = d.word
-      JOIN dls ON tf.doc_id = dls.doc_id
       CROSS JOIN stats s
       GROUP BY tf.doc_id
     )
     SELECT doc_id, score_micro FROM s2
     ORDER BY score_micro DESC, doc_id ASC LIMIT 10
-    """,
+"""
+
+
+def _prf_views(spark: SparkSession, sf_dir: str) -> None:
+    """Build the inverted-index relations once: (doc, term, tf, dl)
+    localCheckpoint'ed (one corpus scan + explode), plus the vocab-sized
+    df table and the 1-row corpus stats, each as a temp view."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    tok = docs.select(
+        "doc_id", F.size(w).cast("bigint").alias("dl"), F.explode(w).alias("word")
+    )
+    tf = (
+        tok.groupBy("doc_id", "word")
+        .agg(F.count("*").cast("bigint").alias("tf"), F.min("dl").alias("dl"))
+        .localCheckpoint()
+    )
+    tf.createOrReplaceTempView("prf_tf")
+    dfs = (
+        tf.groupBy("word").agg(F.count("*").cast("bigint").alias("df")).localCheckpoint()
+    )
+    dfs.createOrReplaceTempView("prf_dfs")
+    stats = (
+        tf.groupBy("doc_id")
+        .agg(F.min("dl").alias("dl"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        )
+        .localCheckpoint()
+    )
+    stats.createOrReplaceTempView("prf_stats")
+
+
+@register(
+    "retrieval_prf_terms",
+    oracle=_prf_sql(_PRF_BASE_DUCK) + _PRF_TERMS_TAIL,
+    doc=f"Pseudo-relevance-feedback term selection: the {_PRF_EXPANSION_K} "
+    "expansion terms chosen from the BM25 top-10 pseudo-relevant set by "
+    "an integer-only key (R-doc coverage desc, corpus df asc, term asc "
+    f"— rarer terms win ties; df >= {_PRF_MIN_DF} floors out noise). "
+    "Exposes the selection itself so the expansion policy is "
+    "value-checked separately from the rescoring. The corpus explodes "
+    "once into a checkpointed inverted-index relation (see module "
+    "comment); stage joins build from <= 10-row sides.",
+    tags=("text", "retrieval"),
+)
+def retrieval_prf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    _prf_views(spark, sf_dir)
+    return spark.sql(_prf_sql(_PRF_BASE_SPARK) + _PRF_TERMS_TAIL)
+
+
+@register(
+    "retrieval_prf_expanded_topk",
+    oracle=_prf_sql(_PRF_BASE_DUCK) + _PRF_RESCORE_TAIL,
     doc="Pseudo-relevance-feedback retrieval (RM/Rocchio shape): rescore "
     "the corpus with the original terms at weight 1.0 plus "
     f"retrieval_prf_terms' expansions at {_PRF_EXP_WEIGHT} — the "
@@ -599,41 +637,11 @@ def retrieval_prf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1e-6 grid BEFORE the per-doc sum, so the score is an exact BIGINT "
     "(an unordered fp sum over the term set would be summation-order-"
     "dependent); ranking key is (score_micro, doc_id). The corpus "
-    "explodes once; every join build side is <= 10 rows.",
+    "explodes ONCE into a checkpointed inverted-index relation probed "
+    "by all three rounds; every join build side is <= 10 rows.",
     tags=("text", "retrieval"),
 )
 def retrieval_prf_expanded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    register_views(spark, sf_dir, ("documents",))
-    sql = (
-        _sql_shared.replace("regexp_split_to_array", "split").replace(
-            r"'\s+'", r"'\\s+'"
-        ).replace("len(w)", "size(w)").replace("unnest(w)", "explode(w)")
-        + f"""
-    , q2 AS (
-      SELECT word, 1.0 AS wt FROM q1
-      UNION ALL
-      SELECT word, {_PRF_EXP_WEIGHT} AS wt FROM picked WHERE rn <= {_PRF_EXPANSION_K}
-    ),
-    s2 AS (
-      SELECT tf.doc_id,
-             CAST(SUM(CAST(round(1000000.0 * q2.wt *
-               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
-                         / (CAST(d.df AS DOUBLE) + 0.5))
-               * (CAST(tf.tf AS DOUBLE) * {_K1 + 1.0})
-               / (CAST(tf.tf AS DOUBLE) + {_K1} * ({1.0 - _B} + {_B}
-                  * CAST(dls.dl AS DOUBLE)
-                  / (CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))
-             ) AS BIGINT)) AS BIGINT) AS score_micro
-      FROM tf
-      JOIN q2 ON tf.word = q2.word
-      JOIN dfs d ON tf.word = d.word
-      JOIN dls ON tf.doc_id = dls.doc_id
-      CROSS JOIN stats s
-      GROUP BY tf.doc_id
-    )
-    SELECT doc_id, score_micro FROM s2
-    ORDER BY score_micro DESC, doc_id ASC LIMIT 10
-    """
-    )
-    return spark.sql(sql)
+    _prf_views(spark, sf_dir)
+    return spark.sql(_prf_sql(_PRF_BASE_SPARK) + _PRF_RESCORE_TAIL)

@@ -1024,16 +1024,19 @@ def graph_shortest_path_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the boundary. The global ROW_NUMBER sorts 66k 8-byte values: bounded,
 # documented SinglePartition.
 
-def _theil_sen_sql(dayx: str) -> str:
-    return f"""
-    WITH d AS (
-      SELECT {dayx} AS x,
+_THEIL_SEN_DAILY = """
+      SELECT date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS x,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS y_cents
       FROM orders
       WHERE o_orderdate >= TIMESTAMP '1995-01-01'
         AND o_orderdate < TIMESTAMP '1996-01-01'
       GROUP BY 1
-    ),
+"""
+
+
+def _theil_sen_sql(d_sql: str) -> str:
+    return f"""
+    WITH d AS ({d_sql}),
     pairs AS (
       SELECT CAST(b.y_cents - a.y_cents AS DOUBLE)
                / CAST(b.x - a.x AS DOUBLE) AS slope
@@ -1068,9 +1071,7 @@ def _theil_sen_sql(dayx: str) -> str:
 
 @register(
     "regress_theil_sen",
-    oracle=_theil_sen_sql(
-        "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))"
-    ),
+    oracle=_theil_sen_sql(_THEIL_SEN_DAILY),
     doc="Theil-Sen robust trend of daily 1995 order revenue: the median "
     "of all pairwise day-pair slopes (and the median-residual "
     "intercept) — the estimator with a 29% breakdown point that "
@@ -1085,7 +1086,28 @@ def _theil_sen_sql(dayx: str) -> str:
 )
 def regress_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    register_views(spark, sf_dir, ("orders",))
-    return spark.sql(
-        _theil_sen_sql("datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')")
+    orders = load_table(spark, sf_dir, "orders")
+    # Materialize the 365-row daily relation ONCE: Spark inlines CTEs
+    # per reference, so the SQL form's five references to `d` re-scan
+    # the fact five times (8 parquet scans total in the physical plan —
+    # the ACF/corr-matrix gotcha). One scan + a localCheckpoint'ed
+    # calendar-sized frame instead; everything downstream runs on it.
+    daily = (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+            ).alias("x")
+        )
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(14,2)")) * 100)
+            .cast("bigint")
+            .alias("y_cents")
+        )
+        .localCheckpoint()
     )
+    daily.createOrReplaceTempView("theil_sen_daily")
+    return spark.sql(_theil_sen_sql("SELECT x, y_cents FROM theil_sen_daily"))

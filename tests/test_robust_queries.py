@@ -197,3 +197,23 @@ def test_grid_density_separates_planted_blobs(spark, tmp_path):
         (enc(30, 30), 1, 15), # blob B
         (-1, 0, 5),           # noise
     }
+
+
+def test_checkpointed_queries_have_zero_parquet_scans_in_final_plan(spark, sf_dir):
+    """These queries materialize their base relation ONCE (Spark inlines
+    CTEs per reference — the pure-SQL forms re-scanned the corpus 8-20
+    times); the final plan must probe only checkpointed RDDs."""
+    import io
+    from contextlib import redirect_stdout
+
+    for name in (
+        "regress_theil_sen",
+        "eval_calibration_isotonic",
+        "retrieval_prf_terms",
+        "retrieval_prf_expanded_topk",
+    ):
+        df = _q(name, spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        assert buf.getvalue().count("Scan parquet") == 0, name
