@@ -2091,3 +2091,149 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), F.asc("path"))
         .limit(_PATH_TOPK)
     )
+
+
+# --- period-over-period: monthly revenue MoM / YoY ------------------------------
+
+_YOY_TAIL = """
+    SELECT c.yr, c.mo, c.rev_cents,
+           p.rev_cents AS prev_month_cents,
+           y.rev_cents AS prev_year_cents,
+           CASE WHEN p.rev_cents IS NOT NULL AND p.rev_cents <> 0
+                THEN CAST(c.rev_cents - p.rev_cents AS DOUBLE)
+                     / CAST(p.rev_cents AS DOUBLE) END AS mom_pct,
+           CASE WHEN y.rev_cents IS NOT NULL AND y.rev_cents <> 0
+                THEN CAST(c.rev_cents - y.rev_cents AS DOUBLE)
+                     / CAST(y.rev_cents AS DOUBLE) END AS yoy_pct
+    FROM m c
+    LEFT JOIN m p ON p.mi = c.mi - 1
+    LEFT JOIN m y ON y.mi = c.mi - 12
+    ORDER BY c.mi ASC
+"""
+
+_YOY_MONTHLY = """
+      SELECT (year(o_orderdate) * 12 + month(o_orderdate)) AS mi,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "sales_yoy_mom",
+    oracle=f"WITH m AS ({_YOY_MONTHLY}) {_YOY_TAIL}",
+    doc="Period-over-period revenue: monthly totals with aligned "
+    "previous-month (MoM) and same-month-previous-year (YoY) "
+    "comparisons — the board-deck view every warehouse serves. "
+    "Alignment is by linear month index self-joins (mi-1 / mi-12), "
+    "which stays correct across year boundaries and missing months "
+    "where a lag(12) over a dense window silently misaligns. The fact "
+    "collapses ONCE into a localCheckpoint'ed calendar-sized monthly "
+    "relation (Spark inlines CTEs per reference — the SQL form's three "
+    "references would triple-scan orders); revenue is exact DECIMAL "
+    "cents; percent changes are single fp64 divisions of exact BIGINTs.",
+    tags=("analytics",),
+)
+def sales_yoy_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("orders",))
+    m = spark.sql(_YOY_MONTHLY).localCheckpoint()
+    m.createOrReplaceTempView("yoy_monthly")
+    return spark.sql(
+        f"WITH m AS (SELECT mi, yr, mo, rev_cents FROM yoy_monthly) {_YOY_TAIL}"
+    )
+
+
+# --- interval union / coverage (merge overlapping intervals) --------------------
+
+_COV_WINDOW_DAYS = 7
+
+
+def _coverage_sql(dayx: str) -> str:
+    return f"""
+    WITH iv AS (
+      SELECT l_suppkey AS s, {dayx} AS a, {dayx} + {_COV_WINDOW_DAYS - 1} AS b
+      FROM lineitem
+    ),
+    ord AS (
+      SELECT s, a, b,
+             MAX(b) OVER (PARTITION BY s ORDER BY a ASC, b ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM iv
+    ),
+    isl AS (
+      SELECT s, a, b,
+             SUM(CASE WHEN prev_max IS NULL OR a > prev_max + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY s ORDER BY a ASC, b ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM ord
+    ),
+    g AS (
+      SELECT s, island, MIN(a) AS ia, MAX(b) AS ib,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM isl GROUP BY s, island
+    )
+    SELECT s AS suppkey,
+           CAST(SUM(n) AS BIGINT) AS n_intervals,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(ib - ia + 1) AS BIGINT) AS covered_days
+    FROM g GROUP BY s ORDER BY suppkey ASC
+    """
+
+
+#: Oracle: an INDEPENDENT window-free formulation — explode each
+#: interval into its 7 covered days, dedupe, then covered = distinct-day
+#: count, islands = covered days whose predecessor day is uncovered
+#: (anti join). Deliberately not the Spark plan's shape: (a) a stronger
+#: cross-check than same-shape SQL, and (b) DuckDB 1.0's multi-threaded
+#: chained-window execution returns WRONG running-max results on this
+#: data size (covered_days inflated for ~23 of 10k suppliers at sf1.0;
+#: correct with SET threads=1 — reproduced and pinned in
+#: tests/test_robust_queries.py::test_coverage_matches_python_replay).
+_COVERAGE_ORACLE = f"""
+    WITH iv AS (
+      SELECT l_suppkey AS s,
+             date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS a
+      FROM lineitem
+    ),
+    days AS (
+      SELECT DISTINCT s, a + CAST(o AS BIGINT) AS d
+      FROM iv, LATERAL (SELECT unnest(range(0, {_COV_WINDOW_DAYS}))) u(o)
+    ),
+    starts AS (
+      SELECT d1.s, CAST(COUNT(*) AS BIGINT) AS n_islands
+      FROM days d1 LEFT JOIN days d0 ON d0.s = d1.s AND d0.d = d1.d - 1
+      WHERE d0.d IS NULL GROUP BY d1.s
+    ),
+    cov AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS covered_days FROM days GROUP BY s),
+    cnt AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n_intervals FROM iv GROUP BY s)
+    SELECT cnt.s AS suppkey, cnt.n_intervals, starts.n_islands, cov.covered_days
+    FROM cnt JOIN starts ON cnt.s = starts.s JOIN cov ON cnt.s = cov.s
+    ORDER BY suppkey ASC
+    """
+
+
+@register(
+    "intervals_coverage_supplier",
+    oracle=_COVERAGE_ORACLE,
+    doc=f"Interval union / coverage: each shipment opens a "
+    f"{_COV_WINDOW_DAYS}-day activity window; per supplier, merge the "
+    "overlapping windows (classic gaps-and-islands: running-max end "
+    "vs next start, island id by cumulative sum) and report interval/"
+    "island counts plus total covered days — the merge-overlapping-"
+    "intervals operator behind uptime, on-call coverage, and session "
+    "stitching. All windows are keyed by supplier (one shuffle, no "
+    "global sort); island decisions are order-free under (a, b) ties "
+    "because a tied start can never exceed the running max that "
+    "includes its twin's end. Day arithmetic is exact integers.",
+    tags=("analytics",),
+)
+def intervals_coverage_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(
+        _coverage_sql("datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01')")
+    )

@@ -217,3 +217,45 @@ def test_checkpointed_queries_have_zero_parquet_scans_in_final_plan(spark, sf_di
         with redirect_stdout(buf):
             df.explain("formatted")
         assert buf.getvalue().count("Scan parquet") == 0, name
+
+
+def test_coverage_matches_python_replay(spark, sf_dir):
+    """Day-set replay of the interval union — also the pin for the
+    DuckDB 1.0 multi-threaded chained-window bug this query's oracle
+    deliberately avoids (the window form returned inflated
+    covered_days for ~23/10k suppliers at sf1.0; threads=1 correct)."""
+    rows = _q("intervals_coverage_supplier", spark, sf_dir).collect()
+    ship = duckdb.sql(
+        f"""SELECT l_suppkey,
+                   date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+            FROM '{sf_dir}/lineitem.parquet'"""
+    ).fetchall()
+    days, n = defaultdict(set), Counter()
+    for s, a in ship:
+        n[s] += 1
+        days[s].update(range(a, a + 7))
+    for r in rows:
+        d = days[r.suppkey]
+        assert r.n_intervals == n[r.suppkey]
+        assert r.covered_days == len(d)
+        assert r.n_islands == sum(1 for x in d if x - 1 not in d)
+    assert {r.suppkey for r in rows} == set(days)
+
+
+def test_yoy_mom_alignment_matches_python(spark, sf_dir):
+    rows = _q("sales_yoy_mom", spark, sf_dir).collect()
+    monthly = dict(duckdb.sql(
+        f"""SELECT year(o_orderdate) * 12 + month(o_orderdate),
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT)
+            FROM '{sf_dir}/orders.parquet' GROUP BY 1"""
+    ).fetchall())
+    assert len(rows) == len(monthly)
+    for r in rows:
+        mi = r.yr * 12 + r.mo
+        assert r.rev_cents == monthly[mi]
+        assert r.prev_month_cents == monthly.get(mi - 1)
+        assert r.prev_year_cents == monthly.get(mi - 12)
+        if r.prev_month_cents:
+            assert r.mom_pct == (r.rev_cents - r.prev_month_cents) / r.prev_month_cents
+        if r.prev_year_cents:
+            assert r.yoy_pct == (r.rev_cents - r.prev_year_cents) / r.prev_year_cents
