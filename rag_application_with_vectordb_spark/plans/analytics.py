@@ -2237,3 +2237,86 @@ def intervals_coverage_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _coverage_sql("datediff(CAST(l_shipdate AS DATE), DATE '1992-01-01')")
     )
+
+
+# --- deadline-constrained funnel with step latencies ----------------------------
+
+_FUNNEL_DEADLINE_H = 48
+
+
+def _funnel_deadline_sql(micros: str) -> str:
+    h = _FUNNEL_DEADLINE_H
+    return f"""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, s.signup_ts, min(e.ts) AS click_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+        AND e.ts <= s.signup_ts + INTERVAL {h} HOUR
+      GROUP BY e.user_id, s.signup_ts
+    ),
+    p AS (
+      SELECT e.user_id, c.click_ts, min(e.ts) AS purchase_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+        AND e.ts <= c.click_ts + INTERVAL {h} HOUR
+      GROUP BY e.user_id, c.click_ts
+    ),
+    lat AS (
+      SELECT 2 AS step_no, {micros("click_ts")} - {micros("signup_ts")} AS us FROM c
+      UNION ALL
+      SELECT 3 AS step_no, {micros("purchase_ts")} - {micros("click_ts")} AS us FROM p
+    ),
+    ranked AS (
+      SELECT step_no, us,
+             ROW_NUMBER() OVER (PARTITION BY step_no ORDER BY us ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY step_no) AS n
+      FROM lat
+    ),
+    med AS (
+      SELECT step_no, us AS median_latency_us FROM ranked
+      WHERE rn = CAST(floor((CAST(n AS DOUBLE) + 1.0) / 2.0) AS BIGINT)
+    ),
+    steps AS (
+      SELECT 1 AS step_no, 'signup' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM s
+      UNION ALL
+      SELECT 2 AS step_no, 'click' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM c
+      UNION ALL
+      SELECT 3 AS step_no, 'purchase' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM p
+    )
+    SELECT CAST(st.step_no AS BIGINT) AS step_no, st.step, st.users,
+           CAST(m.median_latency_us AS BIGINT) AS median_latency_us
+    FROM steps st LEFT JOIN med m ON st.step_no = m.step_no
+    ORDER BY step_no ASC
+    """
+
+
+@register(
+    "funnel_deadline_48h",
+    oracle=None,  # assembled below (dialect-split epoch-micros fn)
+    doc=f"Deadline-constrained conversion funnel: signup → click within "
+    f"{_FUNNEL_DEADLINE_H} h → purchase within {_FUNNEL_DEADLINE_H} h of "
+    "the click, with the MEDIAN step latency per transition — the "
+    "attribution-window form of funnel_signup_click_purchase (an "
+    "unconstrained funnel credits conversions that happen weeks later; "
+    "a deadline makes step rates comparable across cohorts and is what "
+    "marketing attribution actually uses). Step joins stay keyed on "
+    "user_id with monotonically shrinking inputs; medians are exact "
+    "rank selects over the two transition partitions; latencies are "
+    "exact microsecond integers.",
+    tags=("analytics",),
+)
+def funnel_deadline_48h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_funnel_deadline_sql(lambda col: f"unix_micros({col})"))
+
+
+from .registry import QUERIES as _Q_FD  # noqa: E402
+
+_Q_FD["funnel_deadline_48h"].oracle = _funnel_deadline_sql(
+    lambda col: f"epoch_us({col})"
+)

@@ -259,3 +259,42 @@ def test_yoy_mom_alignment_matches_python(spark, sf_dir):
             assert r.mom_pct == (r.rev_cents - r.prev_month_cents) / r.prev_month_cents
         if r.prev_year_cents:
             assert r.yoy_pct == (r.rev_cents - r.prev_year_cents) / r.prev_year_cents
+
+
+def test_funnel_deadline_matches_python_replay(spark, sf_dir):
+    rows = {r.step_no: r for r in _q("funnel_deadline_48h", spark, sf_dir).collect()}
+    ev = duckdb.sql(
+        f"""SELECT user_id, event_type, ts FROM '{sf_dir}/events.parquet'
+            WHERE event_type IN ('signup', 'click', 'purchase')"""
+    ).fetchall()
+    by_user = defaultdict(lambda: defaultdict(list))
+    for u, t, ts in ev:
+        by_user[u][t].append(ts)
+    H = 48 * 3600
+    signups, clicks, purchases, lat2, lat3 = 0, 0, 0, [], []
+    for u, evs in by_user.items():
+        if not evs["signup"]:
+            continue
+        signups += 1
+        s = min(evs["signup"])
+        cands = [t for t in evs["click"] if t > s and (t - s).total_seconds() <= H]
+        if not cands:
+            continue
+        clicks += 1
+        c = min(cands)
+        lat2.append(round((c - s).total_seconds() * 1e6))
+        pc = [t for t in evs["purchase"] if t > c and (t - c).total_seconds() <= H]
+        if not pc:
+            continue
+        purchases += 1
+        p = min(pc)
+        lat3.append(round((p - c).total_seconds() * 1e6))
+    assert (rows[1].users, rows[2].users, rows[3].users) == (signups, clicks, purchases)
+    assert rows[1].median_latency_us is None
+    for step, lat in ((2, lat2), (3, lat3)):
+        lat.sort()
+        assert rows[step].median_latency_us == lat[(len(lat) + 1) // 2 - 1]
+    # a deadline can only shrink each step relative to the open funnel
+    open_rows = {r.step_no: r.users
+                 for r in _q("funnel_signup_click_purchase", spark, sf_dir).collect()}
+    assert rows[2].users <= open_rows[2] and rows[3].users <= open_rows[3]
