@@ -2320,3 +2320,49 @@ from .registry import QUERIES as _Q_FD  # noqa: E402
 _Q_FD["funnel_deadline_48h"].oracle = _funnel_deadline_sql(
     lambda col: f"epoch_us({col})"
 )
+
+
+# --- 2-d skyline (Pareto frontier) ---------------------------------------------
+
+_sql_query(
+    "skyline_parts_price_size",
+    """
+    WITH q0 AS (
+      SELECT p_retailprice AS qp, p_size AS qs
+      FROM part ORDER BY p_retailprice + CAST(p_size AS DOUBLE) ASC, p_partkey ASC
+      LIMIT 1
+    ),
+    surv AS (
+      SELECT p.p_partkey, p.p_retailprice AS price, CAST(p.p_size AS BIGINT) AS size
+      FROM part p CROSS JOIN q0
+      WHERE NOT (p.p_retailprice >= q0.qp AND p.p_size >= q0.qs
+                 AND (p.p_retailprice > q0.qp OR p.p_size > q0.qs))
+    ),
+    g AS (SELECT price, MIN(size) AS gmin FROM surv GROUP BY price),
+    r AS (
+      SELECT price, gmin,
+             MIN(gmin) OVER (ORDER BY price ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS m1
+      FROM g
+    ),
+    sky AS (SELECT price, gmin FROM r WHERE m1 IS NULL OR m1 > gmin)
+    SELECT s.p_partkey AS partkey, s.price AS price, s.size AS size
+    FROM surv s JOIN sky ON s.price = sky.price AND s.size = sky.gmin
+    ORDER BY s.price ASC, s.p_partkey ASC
+    """,
+    doc="2-d skyline / Pareto frontier: the parts no other part beats on "
+    "BOTH price and size (ties: equal points don't dominate each other, "
+    "so duplicates of a frontier point all surface) — the "
+    "multi-objective shortlist operator (cheapest-and-smallest here; "
+    "parts_pareto_abc is the 1-d cumulative-share cousin). Sort-based "
+    "algorithm: collapse to one row per distinct price (keyed "
+    "aggregate), then a running min of group-min size over "
+    "strictly-cheaper prices marks dominance — one bounded-by-distinct-"
+    "prices sorted window, no all-pairs join. A sound single-point "
+    "prefilter (drop everything strictly dominated by the best "
+    "price+size point, one broadcast compare) bounds the sorted set at "
+    "scale; for anti-correlated dimensions the frontier itself is the "
+    "lower bound of any algorithm.",
+    tags=("analytics",),
+)

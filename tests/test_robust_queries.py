@@ -298,3 +298,24 @@ def test_funnel_deadline_matches_python_replay(spark, sf_dir):
     open_rows = {r.step_no: r.users
                  for r in _q("funnel_signup_click_purchase", spark, sf_dir).collect()}
     assert rows[2].users <= open_rows[2] and rows[3].users <= open_rows[3]
+
+
+def test_skyline_matches_brute_force_dominance(spark, sf_dir):
+    rows = _q("skyline_parts_price_size", spark, sf_dir).collect()
+    pts = duckdb.sql(
+        f"SELECT p_partkey, p_retailprice, p_size FROM '{sf_dir}/part.parquet'"
+    ).fetchall()
+    sky = [
+        (k, pr, sz)
+        for k, pr, sz in pts
+        if not any(
+            (p2 <= pr and s2 <= sz and (p2 < pr or s2 < sz))
+            for _, p2, s2 in pts
+        )
+    ]
+    sky.sort(key=lambda t: (t[1], t[0]))
+    assert [(r.partkey, r.price, r.size) for r in rows] == sky
+    # frontier law: strictly increasing size as price decreases
+    by_price = sorted({(r.price, r.size) for r in rows})
+    sizes = [s for _, s in by_price]
+    assert sizes == sorted(sizes, reverse=True)
