@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..session import tune
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, register_views
 from .registry import register
 
 
@@ -178,3 +178,105 @@ def er_match_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_parts").cast("bigint").alias("n_records"),
         )
     )
+
+
+# --- fuzzy string matching: character-trigram Jaccard against a probe list -----
+
+_FUZZY_PROBES = (
+    "cold widgit",   # transposition-ish typo of 'cold widget'
+    "blu rod",       # too-short overlap: lands BELOW threshold (J=0.375)
+    "large blot",    # scrambled 'bolt': right AT the boundary (J=5/11)
+    "smal widget",   # dropped letter
+    "xyzzy qux",     # garbage: must NOT match anything
+)
+_FUZZY_MIN_J = 0.45
+
+
+def _fuzzy_sql(trigrams) -> str:
+    probes = ", ".join(f"('{p}')" for p in _FUZZY_PROBES)
+    return f"""
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    nt AS (
+      SELECT name, {trigrams('name')} AS tris FROM names
+    ),
+    probes (probe) AS (VALUES {probes}),
+    pt AS (
+      SELECT probe, {trigrams('probe')} AS tris FROM probes
+    ),
+    npost AS (SELECT name, {{unnest}} AS tri FROM nt),
+    ppost AS (SELECT probe, {{unnest}} AS tri FROM pt),
+    inter AS (
+      SELECT p.probe, n.name, CAST(COUNT(*) AS BIGINT) AS i
+      FROM ppost p JOIN npost n ON p.tri = n.tri
+      GROUP BY p.probe, n.name
+    ),
+    sizes AS (
+      SELECT i.probe, i.name, i.i,
+             CAST({{psize}} AS BIGINT) AS pa, CAST({{nsize}} AS BIGINT) AS nb
+      FROM inter i
+      JOIN pt ON i.probe = pt.probe
+      JOIN nt ON i.name = nt.name
+    ),
+    scored AS (
+      SELECT probe, name, i AS shared_trigrams,
+             CAST(i AS DOUBLE) / CAST(pa + nb - i AS DOUBLE) AS jaccard
+      FROM sizes
+    ),
+    best AS (
+      SELECT probe, name, shared_trigrams, jaccard,
+             ROW_NUMBER() OVER (PARTITION BY probe
+                                ORDER BY jaccard DESC, name ASC) AS rn
+      FROM scored WHERE jaccard >= {_FUZZY_MIN_J}
+    )
+    SELECT probe, name AS matched_name, shared_trigrams, jaccard
+    FROM best WHERE rn = 1
+    ORDER BY probe ASC
+    """
+
+
+def _fuzzy_duck() -> str:
+    tri = lambda c: (
+        f"list_distinct(list_transform(range(1, greatest(length({c}) - 2, 1) + 1), "
+        f"i -> substr({c}, CAST(i AS INTEGER), 3)))"
+    )
+    return (
+        _fuzzy_sql(tri)
+        .replace("{unnest}", "unnest(tris)")
+        .replace("{psize}", "len(pt.tris)")
+        .replace("{nsize}", "len(nt.tris)")
+    )
+
+
+def _fuzzy_spark() -> str:
+    tri = lambda c: (
+        f"array_distinct(transform(sequence(1, greatest(length({c}) - 2, 1)), "
+        f"i -> substring({c}, i, 3)))"
+    )
+    return (
+        _fuzzy_sql(tri)
+        .replace("{unnest}", "explode(tris)")
+        .replace("{psize}", "size(pt.tris)")
+        .replace("{nsize}", "size(nt.tris)")
+    )
+
+
+@register(
+    "er_fuzzy_trigram_match",
+    oracle=_fuzzy_duck(),
+    doc=f"Fuzzy string matching: each probe (typo'd product name) links "
+    "to its best catalog name by character-trigram Jaccard >= "
+    f"{_FUZZY_MIN_J} — the dirty-input lookup beside "
+    "er_blocked_name_pairs' Levenshtein canonicalization (trigram "
+    "blocking needs NO edit-distance scan: candidates come from an "
+    "inverted-index equi-join on shared trigrams, so a probe never "
+    "compares against names it shares nothing with — the PPJoin-family "
+    "shape at the character level). Garbage probes fall below the "
+    "threshold and return no row. Name relation collapses to DISTINCT "
+    "first (bounded by the catalog's name domain); jaccard is one fp64 "
+    "ratio of exact BIGINTs; best-match ties break on name ASC.",
+    tags=("linkage", "text"),
+)
+def er_fuzzy_trigram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("part",))
+    return spark.sql(_fuzzy_spark())

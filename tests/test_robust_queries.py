@@ -319,3 +319,34 @@ def test_skyline_matches_brute_force_dominance(spark, sf_dir):
     by_price = sorted({(r.price, r.size) for r in rows})
     sizes = [s for _, s in by_price]
     assert sizes == sorted(sizes, reverse=True)
+
+
+def test_fuzzy_trigram_match_replays_in_python(spark, sf_dir):
+    rows = _q("er_fuzzy_trigram_match", spark, sf_dir).collect()
+    names = {r[0] for r in duckdb.sql(
+        f"SELECT DISTINCT p_name FROM '{sf_dir}/part.parquet'"
+    ).fetchall()}
+    probes = ["cold widgit", "blu rod", "large blot", "smal widget", "xyzzy qux"]
+
+    def tris(s):
+        return {s[i:i + 3] for i in range(max(len(s) - 2, 1))}
+
+    expect = []
+    for p in probes:
+        tp = tris(p)
+        best = None
+        for n in sorted(names):
+            tn = tris(n)
+            i = len(tp & tn)
+            if i == 0:
+                continue
+            j = i / (len(tp) + len(tn) - i)
+            if j >= 0.45 and (best is None or j > best[3]):
+                best = (p, n, i, j)
+        if best:
+            expect.append(best)
+    assert [(r.probe, r.matched_name, r.shared_trigrams, r.jaccard) for r in rows] \
+        == sorted(expect)
+    # threshold honesty: the garbage probe and the too-far typo are absent
+    got_probes = {r.probe for r in rows}
+    assert "xyzzy qux" not in got_probes and "blu rod" not in got_probes
