@@ -75,7 +75,8 @@ _loaded = False
 # eval_calibration_isotonic, regress_theil_sen, events_top_paths,
 # retrieval_prf_terms, retrieval_prf_expanded_topk,
 # cluster_grid_density, sales_yoy_mom, intervals_coverage_supplier,
-# funnel_deadline_48h, skyline_parts_price_size.
+# funnel_deadline_48h, skyline_parts_price_size,
+# er_fuzzy_trigram_match.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
