@@ -645,3 +645,137 @@ def retrieval_prf_expanded_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     _prf_views(spark, sf_dir)
     return spark.sql(_prf_sql(_PRF_BASE_SPARK) + _PRF_RESCORE_TAIL)
+
+
+# --- WAND / max-score top-k pruning ---------------------------------------------
+#
+# The candidates list called for WAND-style top-k pruning (Broder et al.
+# 2003 "Efficient query evaluation using a two-level retrieval process";
+# the relational form here is the max-score variant, Turtle & Flood
+# 1995): compute a per-term UPPER BOUND on its BM25 contribution from
+# the postings, exactly score only the documents containing the
+# highest-bound ("essential") term, and use the k-th best of those as a
+# threshold theta that prunes every remaining document whose SUMMED
+# term bounds cannot reach it. Sound by construction: a pruned doc's
+# true score <= its bound < theta <= the current k-th score, so the
+# pruned set cannot intersect the true top-k (ties at theta are KEPT —
+# the prune predicate is strict <). tests/test_hybrid.py proves the
+# output row-identical to the unpruned full scoring, and the fixture's
+# skewed vocabulary ('dup' df~5% vs ~79% for everything else) makes the
+# pruning real: ~95% of candidate docs are never exactly scored.
+#
+# Scale shape: this is the serving plan for lexical top-k at 100 TB —
+# the corpus tokenizes once into the checkpointed inverted index
+# (shared with the PRF queries), the per-query postings for the 3 query
+# terms are one probe of that index (checkpointed too, so the WAND
+# dataflow's 6 references to it do not re-probe), and everything after
+# the postings probe is bounded by |postings|, never |corpus|. theta is
+# a 1-row broadcast; the essential-docs semi-join keys on doc_id.
+
+_WAND_TERMS = ("dup", "join", "vector")
+_WAND_K = 10
+
+
+def _wand_tail(post_cte: str, mat: str = "") -> str:
+    """Shared WAND dataflow from the per-query postings relation on.
+
+    ``post_cte`` supplies ``post(doc_id, word, c)`` — per-(doc, term)
+    BM25 contributions on the 1e-6 grid (exact BIGINT, the PRF rule:
+    round each contribution BEFORE any sum so no fp sum order exists).
+    ``mat`` is ``" MATERIALIZED"`` for DuckDB (which inlines CTEs per
+    reference — the MMR/ACF gotcha); Spark side reads checkpointed
+    temp views so re-derivation is already cheap.
+    """
+    return f"""
+    {post_cte},
+    ub AS{mat} (SELECT word, CAST(MAX(c) AS BIGINT) AS ub FROM post GROUP BY word),
+    ess AS{mat} (SELECT word FROM ub ORDER BY ub DESC, word ASC LIMIT 1),
+    essdocs AS{mat} (SELECT DISTINCT p.doc_id FROM post p JOIN ess e ON p.word = e.word),
+    d1 AS{mat} (
+      SELECT p.doc_id, CAST(SUM(p.c) AS BIGINT) AS score_micro
+      FROM post p JOIN essdocs ed ON p.doc_id = ed.doc_id
+      GROUP BY p.doc_id
+    ),
+    theta AS{mat} (
+      SELECT CASE WHEN (SELECT COUNT(*) FROM d1) >= {_WAND_K}
+                  THEN (SELECT CAST(MIN(tk.score_micro) AS BIGINT)
+                        FROM (SELECT d1.score_micro FROM d1
+                              ORDER BY d1.score_micro DESC, d1.doc_id ASC
+                              LIMIT {_WAND_K}) tk)
+                  ELSE CAST(0 AS BIGINT) END AS th
+    ),
+    d2ub AS{mat} (
+      SELECT p.doc_id, CAST(SUM(u.ub) AS BIGINT) AS ubd
+      FROM post p JOIN ub u ON p.word = u.word
+      LEFT JOIN essdocs ed ON p.doc_id = ed.doc_id
+      WHERE ed.doc_id IS NULL
+      GROUP BY p.doc_id
+    ),
+    surv AS{mat} (SELECT d2ub.doc_id FROM d2ub CROSS JOIN theta WHERE d2ub.ubd >= theta.th),
+    d2 AS{mat} (
+      SELECT p.doc_id, CAST(SUM(p.c) AS BIGINT) AS score_micro
+      FROM post p JOIN surv ON p.doc_id = surv.doc_id
+      GROUP BY p.doc_id
+    ),
+    allsc AS{mat} (SELECT d1.doc_id, d1.score_micro FROM d1
+                   UNION ALL SELECT d2.doc_id, d2.score_micro FROM d2),
+    prune AS{mat} (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM allsc) AS scored_docs,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM d2ub CROSS JOIN theta
+              WHERE d2ub.ubd < theta.th) AS pruned_docs
+    )
+    SELECT t.doc_id, t.score_micro, prune.scored_docs, prune.pruned_docs
+    FROM (SELECT allsc.doc_id, allsc.score_micro FROM allsc
+          ORDER BY allsc.score_micro DESC, allsc.doc_id ASC LIMIT {_WAND_K}) t
+    CROSS JOIN prune
+    """
+
+
+def _wand_post_sql() -> str:
+    """The per-query postings probe: (doc, term) -> micro contribution."""
+    q = ", ".join(f"('{t}')" for t in _WAND_TERMS)
+    return f"""
+    q (word) AS (VALUES {q}),
+    post AS MATERIALIZED (
+      SELECT tf.doc_id, tf.word, {_prf_contrib("1.0")} AS c
+      FROM tfx tf JOIN q ON tf.word = q.word
+      JOIN dfs d ON tf.word = d.word
+      CROSS JOIN stats s
+    )"""
+
+
+@register(
+    "retrieval_wand_topk",
+    oracle=f"WITH {_PRF_BASE_DUCK},{_wand_tail(_wand_post_sql(), ' MATERIALIZED')}",
+    doc="WAND / max-score top-k pruning for BM25 (Broder et al. 2003; "
+    "Turtle & Flood 1995): per-term contribution upper bounds from the "
+    "postings, exact scoring only for docs containing the top-bound "
+    "essential term, theta = their k-th score, and every other doc "
+    "whose SUMMED bounds fall below theta is pruned without scoring — "
+    "sound (true score <= bound; strict-< prune keeps theta ties), "
+    "proven row-identical to unpruned scoring in pytest. Contributions "
+    "land on the 1e-6 grid before every sum (exact BIGINT — no fp "
+    "summation order), so scores, theta, and the pruned/scored counts "
+    "in the output all hash-match cross-engine. On the fixture's "
+    "skewed vocabulary ('dup' df ~5%) ~95% of candidate docs are "
+    "pruned; when fewer than k docs contain the essential term, theta "
+    "collapses to 0 and the query degrades gracefully to full scoring.",
+    tags=("text", "retrieval"),
+)
+def retrieval_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    _prf_views(spark, sf_dir)
+    qrows = [(t,) for t in _WAND_TERMS]
+    spark.createDataFrame(qrows, "word string").createOrReplaceTempView("wand_q")
+    post = spark.sql(
+        f"""
+        SELECT tf.doc_id, tf.word, {_prf_contrib("1.0")} AS c
+        FROM prf_tf tf JOIN wand_q q ON tf.word = q.word
+        JOIN prf_dfs d ON tf.word = d.word
+        CROSS JOIN prf_stats s
+        """
+    ).localCheckpoint()
+    post.createOrReplaceTempView("wand_post")
+    return spark.sql(
+        "WITH" + _wand_tail("post AS (SELECT doc_id, word, c FROM wand_post)")
+    )

@@ -50,3 +50,57 @@ def test_rrf_plan_has_no_corpus_wide_window(spark, sf_dir):
     plan = load_all()["hybrid_rrf_topk"].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     # each retriever reduces via TakeOrderedAndProject before any window
     assert "TakeOrderedAndProject" in plan
+
+
+# --- WAND / max-score pruning ---------------------------------------------------
+
+def _wand_full_scores(spark, sf_dir):
+    """Unpruned reference: exact micro scores for every doc containing
+    at least one query term, via the same contribution expression."""
+    from rag_application_with_vectordb_spark.plans.hybrid_queries import (
+        _WAND_TERMS,
+        _prf_contrib,
+        _prf_views,
+    )
+
+    _prf_views(spark, sf_dir)
+    spark.createDataFrame([(t,) for t in _WAND_TERMS], "word string").createOrReplaceTempView(
+        "wand_full_q"
+    )
+    return {
+        r.doc_id: r.score_micro
+        for r in spark.sql(
+            f"""
+            SELECT tf.doc_id, CAST(SUM({_prf_contrib("1.0")}) AS BIGINT) AS score_micro
+            FROM prf_tf tf JOIN wand_full_q q ON tf.word = q.word
+            JOIN prf_dfs d ON tf.word = d.word
+            CROSS JOIN prf_stats s
+            GROUP BY tf.doc_id
+            """
+        ).collect()
+    }
+
+
+def test_wand_matches_unpruned_topk(spark, sf_dir):
+    from rag_application_with_vectordb_spark.plans.hybrid_queries import _WAND_K
+
+    out = load_all()["retrieval_wand_topk"].fn(spark, sf_dir).collect()
+    full = _wand_full_scores(spark, sf_dir)
+    expect = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:_WAND_K]
+    got = [(r.doc_id, r.score_micro) for r in out]
+    assert got == expect
+    # the pruning bookkeeping is consistent: every candidate doc is
+    # either exactly scored or pruned
+    assert out[0].scored_docs + out[0].pruned_docs == len(full)
+
+
+def test_wand_prunes_on_skewed_vocabulary(spark):
+    # at sf0.01 the 'dup' essential term appears in ~5% of docs, so the
+    # bound check must prune most of the other candidates
+    out = load_all()["retrieval_wand_topk"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert out[0].pruned_docs > 0
+    assert out[0].scored_docs < (out[0].scored_docs + out[0].pruned_docs) * 0.25
+    # and the pruned result still equals the unpruned top-k
+    full = _wand_full_scores(spark, "/root/testdata/sf0.01")
+    expect = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r.doc_id, r.score_micro) for r in out] == expect
