@@ -1202,3 +1202,126 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
     return audio_frames_stub(with_binary_payload(docs.select("doc_id", "text")))
+
+
+# --- winnowing fingerprints (Schleimer/Wilkerson/Aiken 2003) -------------------
+#
+# The MOSS fingerprint-selection algorithm: hash every word k-gram,
+# slide a window of w consecutive gram hashes over each document, and
+# keep the MINIMUM hash of each window (rightmost position on ties) —
+# the selected (position, hash) pairs are the document's fingerprints.
+# Guarantees: any shared substring of >= k+w-1 tokens between two docs
+# yields at least one shared fingerprint (the detection threshold), and
+# the expected density is 2/(w+1) — an ~8x sketch here — while staying
+# position-aware (unlike MinHash, matches localize to offsets).
+#
+# Relational form: the per-window argmin is ONE keyed window MIN over a
+# combined key ``hash * 2^20 + (2^20 - pos)`` (min hash first, then max
+# position — the rightmost-tie rule — decoded exactly afterwards; doc
+# length < 2^20 tokens and 32-bit gram hashes keep the key < 2^52,
+# fp64/BIGINT-exact in both engines). Everything is keyed by doc_id:
+# gram explode, window, distinct — no global shuffle, no UDF. The
+# DuckDB oracle computes the same window via a bounded pos-range
+# self-join (window-free: sidesteps DuckDB 1.0's multithreaded-window
+# hazards the intervals query hit).
+
+_WIN_K = 4  # words per gram
+_WIN_W = 4  # grams per window
+_WIN_PMOD = 1 << 20
+
+
+def _duck_hex8_to_long(hex_expr: str) -> str:
+    """First 8 md5 hex chars -> BIGINT < 2^32 (DuckDB twin of Spark
+    ``conv(substring(h, 1, 8), 16, 10)``)."""
+    return (
+        f"CAST(list_sum(list_transform(range(1, 9), j -> "
+        f"(strpos('0123456789abcdef', substr({hex_expr}, CAST(j AS INTEGER), 1)) - 1) "
+        f"* 2.0 ** (4 * (8 - j)))) AS BIGINT)"
+    )
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(ix.i AS BIGINT) AS pos,
+             {_duck_hex8_to_long(f"md5(array_to_string(list_slice(w, ix.i, ix.i + {_WIN_K - 1}), ' '))")} AS gh
+      FROM t, LATERAL (SELECT unnest(range(1, len(w) - {_WIN_K - 2})) AS i) ix
+      WHERE len(w) >= {_WIN_K}
+    ),
+    c AS (
+      SELECT doc_id, pos, gh * {_WIN_PMOD} + ({_WIN_PMOD} - pos) AS comb FROM g
+    ),
+    winmin AS (
+      SELECT a.doc_id, a.pos AS wend, MIN(b.comb) AS sel
+      FROM c a JOIN c b ON b.doc_id = a.doc_id
+                       AND b.pos BETWEEN a.pos - {_WIN_W - 1} AND a.pos
+      WHERE a.pos >= {_WIN_W}
+      GROUP BY a.doc_id, a.pos
+    ),
+    s AS (SELECT DISTINCT doc_id, sel FROM winmin)
+    SELECT doc_id,
+           CAST({_WIN_PMOD} - (sel % {_WIN_PMOD}) AS BIGINT) AS pos,
+           CAST(sel // {_WIN_PMOD} AS BIGINT) AS gram_hash
+    FROM s
+    """,
+    doc=f"Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS "
+    f"algorithm): word {_WIN_K}-gram hashes, window w={_WIN_W}, keep each "
+    "window's min hash (rightmost on ties) — the position-aware ~8x "
+    "document sketch whose guarantee is that any shared run of >= "
+    f"{_WIN_K + _WIN_W - 1} tokens produces a shared fingerprint. One "
+    "keyed window MIN over the combined (hash, rightmost-pos) integer "
+    "key; per-doc dataflow end to end. Docs shorter than "
+    f"{_WIN_K + _WIN_W - 1} tokens have no complete window and are "
+    "excluded (fixture min length is 10).",
+    tags=("text", "dedup"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    grams = (
+        docs.filter(F.size(w) >= _WIN_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - (_WIN_K - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, _WIN_K)),
+                )
+            ).alias("p0", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("bigint").alias("pos"),
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("gh"),
+        )
+    )
+    comb = grams.select(
+        "doc_id",
+        "pos",
+        (F.col("gh") * _WIN_PMOD + (F.lit(_WIN_PMOD) - F.col("pos"))).alias("comb"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    sel = (
+        comb.withColumn("sel", F.min("comb").over(win))
+        .filter(F.col("pos") >= _WIN_W)
+        .select("doc_id", "sel")
+        .distinct()
+    )
+    return sel.select(
+        "doc_id",
+        (F.lit(_WIN_PMOD) - F.col("sel") % _WIN_PMOD).cast("bigint").alias("pos"),
+        F.expr(f"sel DIV {_WIN_PMOD}").cast("bigint").alias("gram_hash"),
+    )

@@ -467,3 +467,53 @@ def test_trigram_candidates_are_superset_of_matches(spark, sf_dir):
         .collect()
     }
     assert out == exact and len(out) > 0
+
+
+# --- winnowing fingerprints ----------------------------------------------
+
+
+def test_winnow_matches_python_recompute(spark, sf_dir):
+    import hashlib
+
+    K, W, PMOD = 4, 4, 1 << 20
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expect = set()
+    for r in docs:
+        words = r.text.strip().split()
+        if len(words) < K:
+            continue
+        grams = [
+            int(hashlib.md5(" ".join(words[i : i + K]).encode()).hexdigest()[:8], 16)
+            for i in range(len(words) - K + 1)
+        ]
+        combs = [gh * PMOD + (PMOD - (i + 1)) for i, gh in enumerate(grams)]
+        for j in range(W - 1, len(combs)):
+            sel = min(combs[j - W + 1 : j + 1])
+            expect.add((r.doc_id, PMOD - sel % PMOD, sel // PMOD))
+    got = {
+        (r.doc_id, r.pos, r.gram_hash)
+        for r in _q("text_winnow_fingerprints", spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    # two docs sharing a run of >= k+w-1 tokens must share a fingerprint
+    shared = "alpha beta gamma delta epsilon zeta eta"  # 7 = k+w-1 tokens
+    rows = [
+        (1, "xx yy " + shared + " zz ww qq rr ss tt"),
+        (2, "aa bb cc dd " + shared + " ee ff gg hh"),
+        (3, "no overlap here at all just filler words one two three four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        fp = _q("text_winnow_fingerprints", spark, d).collect()
+    by_doc = {}
+    for r in fp:
+        by_doc.setdefault(r.doc_id, set()).add(r.gram_hash)
+    assert by_doc[1] & by_doc[2], "shared 7-token run must yield a shared fingerprint"
+    assert not (by_doc[1] & by_doc[2] & by_doc[3])
