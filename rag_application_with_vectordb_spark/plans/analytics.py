@@ -2366,3 +2366,55 @@ _sql_query(
     "lower bound of any algorithm.",
     tags=("analytics",),
 )
+
+
+# --- cross-correlation (lead-lag) between two event series ---------------------
+
+_sql_query(
+    "events_ccf_click_purchase",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS xn,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS yn
+      FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1
+    ),
+    p AS (
+      SELECT CAST(l.lag AS BIGINT) AS lag, a.xn AS x, b.yn AS y
+      FROM d a
+      CROSS JOIN (VALUES (-7), (-3), (-1), (0), (1), (3), (7)) AS l(lag)
+      JOIN d b ON b.day = a.day + INTERVAL 1 DAY * l.lag
+    ),
+    c AS (
+      SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY lag
+    )
+    SELECT lag, n AS n_pairs,
+           CAST((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS DOUBLE) AS ccf
+    FROM c
+    """,
+    doc="Cross-correlation function between the daily click series (x) "
+    "and the daily purchase series (y) at lags -7..+7: ccf(L) = "
+    "Pearson corr(x_t, y_{t+L}), so a peak at positive L means clicks "
+    "LEAD purchases by L days — the lead-lag probe run before "
+    "attributing one series' movements to the other (the two-series "
+    "sibling of events_acf_daily). One fact scan collapses both "
+    "series to a shared day grid (exact integer counts; a day with "
+    "clicks but no purchases is a true zero — only fully silent days "
+    "drop out, and the fixture calendar is dense), the lag descriptor "
+    "cross-joins BEFORE the calendar-bounded self-join (day-sized "
+    "relation referenced exactly twice — Spark inlines CTEs), days "
+    "align by day + INTERVAL*lag so calendar gaps never mis-pair, and "
+    "each lag's correlation assembles from exact BIGINT co-moments "
+    "with one final fp expression — bit-stable cross-engine.",
+    tags=("analytics", "timeseries"),
+)

@@ -517,3 +517,35 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
         by_doc.setdefault(r.doc_id, set()).add(r.gram_hash)
     assert by_doc[1] & by_doc[2], "shared 7-token run must yield a shared fingerprint"
     assert not (by_doc[1] & by_doc[2] & by_doc[3])
+
+
+# --- cross-correlation lead-lag ------------------------------------------
+
+
+def test_ccf_matches_numpy_recompute(spark, sf_dir):
+    import numpy as np
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type").collect()
+    days = defaultdict(lambda: [0, 0])
+    for r in ev:
+        if r.event_type == "click":
+            days[r.ts.date()][0] += 1
+        elif r.event_type == "purchase":
+            days[r.ts.date()][1] += 1
+    out = {r.lag: (r.n_pairs, r.ccf) for r in _q("events_ccf_click_purchase", spark, sf_dir).collect()}
+    import datetime
+
+    for lag in (-7, -3, -1, 0, 1, 3, 7):
+        pairs = [
+            (v[0], days[d + datetime.timedelta(days=lag)][1])
+            for d, v in days.items()
+            if d + datetime.timedelta(days=lag) in days
+        ]
+        n, (xs, ys) = len(pairs), zip(*pairs)
+        xs, ys = np.array(xs, dtype=float), np.array(ys, dtype=float)
+        r_np = np.corrcoef(xs, ys)[0, 1]
+        assert out[lag][0] == n
+        assert abs(out[lag][1] - r_np) < 1e-9, (lag, out[lag][1], r_np)
+    # lag 0 must correlate a day with itself consistently: n_pairs equals day count
+    assert out[0][0] == len(days)
