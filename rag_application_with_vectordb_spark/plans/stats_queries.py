@@ -1111,3 +1111,121 @@ def regress_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     daily.createOrReplaceTempView("theil_sen_daily")
     return spark.sql(_theil_sen_sql("SELECT x, y_cents FROM theil_sen_daily"))
+
+
+# --- label-propagation community detection over the item graph -----------------
+#
+# Synchronous LPA (Raghavan et al. 2007) on the same sparsified
+# item-affinity graph as graph_khop_items, but WEIGHTED: each node
+# starts as its own community and per round adopts the label with the
+# largest summed edge weight among its neighbors (tie-break: weight
+# DESC then label ASC — the deterministic rule that makes synchronous
+# LPA reproducible; a fixed round count sidesteps LPA's classic
+# bipartite oscillation non-termination). Every round is one keyed
+# shuffle: edges ⋈ labels on dst, (src, label) weight-vote aggregate,
+# per-src argmax window. The vote relation is bounded by |edges| (the
+# graph is top-3-sparsified, so ~6·|items| rows at any SF) and each
+# round's label table is localCheckpoint'ed (the iterative-lineage
+# rule). Oracle = same rounds unrolled as MATERIALIZED DuckDB CTEs.
+
+_LPA_ROUNDS = 4
+_LPA_TOP = 3
+
+
+def _lpa_edges(ui: str) -> str:
+    return f"""
+    ui AS ({ui}),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS co
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item <> b.item
+      GROUP BY a.item, b.item
+    ),
+    ranked AS (
+      SELECT item_a, item_b, co,
+             row_number() OVER (PARTITION BY item_a ORDER BY co DESC, item_b ASC)
+               AS rnk
+      FROM pairs
+    ),
+    edges AS (
+      SELECT item_a AS src, item_b AS dst, co FROM ranked WHERE rnk <= {_LPA_TOP}
+      UNION
+      SELECT item_b AS src, item_a AS dst, co FROM ranked WHERE rnk <= {_LPA_TOP}
+    )"""
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT e.src AS node, p.label, SUM(e.co) AS wsum,
+               row_number() OVER (PARTITION BY e.src
+                                  ORDER BY SUM(e.co) DESC, p.label ASC) AS rn
+        FROM edges e JOIN {prev} p ON p.node = e.dst
+        GROUP BY e.src, p.label
+      ) t WHERE rn = 1
+    )"""
+        )
+        prev = f"l{i}"
+    joined = ",\n    ".join(rounds)
+    return f"""
+    WITH {_lpa_edges(_UI_DUCK)},
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {joined}
+    SELECT CAST(l.node AS BIGINT) AS node, CAST(l.label AS BIGINT) AS community,
+           s.csize
+    FROM {prev} l
+    JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS csize
+          FROM {prev} GROUP BY label) s ON s.label = l.label
+    """
+
+
+@register(
+    "graph_lpa_communities",
+    oracle=_lpa_oracle(),
+    doc=f"Weighted label-propagation community detection ({_LPA_ROUNDS} "
+    "synchronous rounds, Raghavan et al. 2007) over the "
+    f"top-{_LPA_TOP}-sparsified item co-occurrence graph: each item "
+    "adopts the neighbor label with the largest summed co-occurrence "
+    "weight (weight DESC, label ASC tie-break — fully deterministic). "
+    "Complements the min-label connected components in operators/cc.py: "
+    "CC finds reachability islands, LPA finds DENSITY communities "
+    "inside one connected island. Each round is one keyed shuffle over "
+    "the ~6·|items| edge relation; the fact is scanned once into the "
+    "checkpointed edge list.",
+    tags=("graph", "analytics"),
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    edges = spark.sql("WITH " + _lpa_edges(_UI_SPARK) + " SELECT src, dst, co FROM edges").localCheckpoint()
+    labels = (
+        edges.select(F.col("src").cast("bigint").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("wsum"), F.asc("label"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .groupBy(edges["src"].alias("node"), labels["label"])
+            .agg(F.sum("co").alias("wsum"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").cast("bigint").alias("csize"))
+    return labels.join(sizes, "label").select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("community"),
+        "csize",
+    )

@@ -549,3 +549,59 @@ def test_ccf_matches_numpy_recompute(spark, sf_dir):
         assert abs(out[lag][1] - r_np) < 1e-9, (lag, out[lag][1], r_np)
     # lag 0 must correlate a day with itself consistently: n_pairs equals day count
     assert out[0][0] == len(days)
+
+
+# --- label propagation communities ---------------------------------------
+
+
+def test_lpa_matches_python_recompute(spark, sf_dir):
+    import json
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "props").collect()
+    ui = {
+        (r.user_id, int(json.loads(r.props)["k"]))
+        for r in ev
+        if r.event_type in ("click", "purchase")
+    }
+    co = defaultdict(int)
+    by_user = defaultdict(set)
+    for u, i in ui:
+        by_user[u].add(i)
+    for items in by_user.values():
+        for a in items:
+            for b in items:
+                if a != b:
+                    co[(a, b)] += 1
+    # top-3 sparsify + symmetrize
+    by_src = defaultdict(list)
+    for (a, b), c in co.items():
+        by_src[a].append((c, b))
+    edges = defaultdict(int)
+    for a, lst in by_src.items():
+        for c, b in sorted(lst, key=lambda t: (-t[0], t[1]))[:3]:
+            edges[(a, b)] = c
+            edges[(b, a)] = c
+    nbrs = defaultdict(list)
+    for (a, b), c in edges.items():
+        nbrs[a].append((b, c))
+    labels = {n: n for n in nbrs}
+    for _ in range(4):
+        new = {}
+        for n, nb in nbrs.items():
+            votes = defaultdict(int)
+            for b, c in nb:
+                votes[labels[b]] += c
+            new[n] = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    sizes = defaultdict(int)
+    for lab in labels.values():
+        sizes[lab] += 1
+    expect = {(n, lab, sizes[lab]) for n, lab in labels.items()}
+    got = {
+        (r.node, r.community, r.csize)
+        for r in _q("graph_lpa_communities", spark, sf_dir).collect()
+    }
+    assert got == expect
+    # LPA must coarsen: fewer communities than nodes
+    assert len({c for _, c, _ in got}) < len(got)
