@@ -2418,3 +2418,204 @@ _sql_query(
     "with one final fp expression — bit-stable cross-engine.",
     tags=("analytics", "timeseries"),
 )
+
+
+# --- precision-recall curve over the score domain ------------------------------
+
+_sql_query(
+    "eval_pr_curve",
+    """
+    WITH s AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    h AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS np
+      FROM s GROUP BY score
+    ),
+    t AS (SELECT CAST(SUM(np) AS BIGINT) AS p FROM h),
+    c AS (
+      SELECT score,
+             SUM(n) OVER (ORDER BY score DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pred_pos,
+             SUM(np) OVER (ORDER BY score DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+      FROM h
+    )
+    SELECT c.score AS threshold,
+           CAST(c.tp AS BIGINT) AS tp,
+           CAST(c.pred_pos - c.tp AS BIGINT) AS fp,
+           CAST(t.p - c.tp AS BIGINT) AS fn,
+           CAST(c.tp AS DOUBLE) / CAST(c.pred_pos AS DOUBLE) AS prec,
+           CAST(c.tp AS DOUBLE) / CAST(t.p AS DOUBLE) AS rec,
+           2.0 * CAST(c.tp AS DOUBLE) / CAST(c.pred_pos + t.p AS DOUBLE) AS f1
+    FROM c CROSS JOIN t
+    """,
+    doc="Precision-recall curve of a score column against a binary label "
+    "(document length vs lang='en' — the same probe eval_auc_doclang "
+    "ranks): one PR point per distinct score threshold (predict "
+    "positive when score >= t), built in HISTOGRAM form like the AUC "
+    "query — rows collapse to per-score (n, n_pos) counts first, "
+    "TP/FP/FN come from one prefix sum over the bounded score DOMAIN, "
+    "and precision/recall/F1 are single divisions of exact BIGINTs "
+    "(F1 uses the 2TP/(pred+P) identity — no fp chaining). The "
+    "classifier-eval companion a curation pipeline uses to PICK the "
+    "quality-score threshold (AUC says whether the score separates; "
+    "the PR curve says where to cut).",
+    tags=("analytics", "eval"),
+)
+
+
+# --- maximum drawdown of the daily net cash flow -------------------------------
+
+_sql_query(
+    "events_max_drawdown",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE -CAST(round(value * 100) AS BIGINT) END)
+               AS BIGINT) AS net
+      FROM events WHERE event_type IN ('purchase', 'error') GROUP BY 1
+    ),
+    c AS (
+      SELECT day, SUM(net) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS bal
+      FROM d
+    ),
+    p AS (
+      SELECT day, bal, MAX(bal) OVER (ORDER BY day
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+      FROM c
+    ),
+    dd AS (SELECT day, CAST(peak - bal AS BIGINT) AS draw, peak, bal FROM p)
+    SELECT CAST(MAX(draw) AS BIGINT) AS max_drawdown_cents,
+           CAST(MIN(CASE WHEN draw = (SELECT MAX(draw) FROM dd) THEN day END) AS DATE)
+             AS trough_day,
+           CAST(MIN(CASE WHEN draw = (SELECT MAX(draw) FROM dd) THEN peak END) AS BIGINT)
+             AS peak_cents,
+           CAST(MIN(CASE WHEN draw = (SELECT MAX(draw) FROM dd) THEN bal END) AS BIGINT)
+             AS trough_cents
+    FROM dd
+    """,
+    doc="Maximum drawdown of the daily net cash balance (purchase revenue "
+    "minus error losses, cumulated): drawdown_t = running_peak_t - "
+    "balance_t, reported at its maximum with the trough day (earliest "
+    "on ties), peak and trough balances — the risk statistic behind "
+    "'how far under water did this stream go'. Two chained windows "
+    "(prefix sum, running max) over the calendar-bounded day relation "
+    "— the fact collapses to day grain first (exact integer cents), so "
+    "the unpartitioned windows touch 365 rows/year regardless of fact "
+    "size (the ACF/CUSUM precedent). Deterministic: all integers until "
+    "the final casts; the argmax day uses MIN on ties.",
+    tags=("analytics", "timeseries"),
+)
+
+
+# --- Mann-Kendall trend test over the daily revenue series ---------------------
+
+_sql_query(
+    "stats_mann_kendall",
+    """
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(CAST(sign(b.rev - a.rev) AS BIGINT)) AS BIGINT) AS s_stat
+      FROM d a JOIN d b ON b.day > a.day
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    ties AS (
+      SELECT COALESCE(CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT), 0) AS tie18
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM d GROUP BY rev) g
+      WHERE t > 1
+    ),
+    v AS (
+      SELECT s.s_stat, n.n,
+             CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie18 AS BIGINT) AS var18
+      FROM s CROSS JOIN n CROSS JOIN ties
+    )
+    SELECT s_stat, n AS n_days, var18 AS var_s_x18,
+           CAST(s_stat AS DOUBLE) / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0)
+             AS tau,
+           CASE WHEN s_stat > 0
+                THEN (CAST(s_stat AS DOUBLE) - 1.0) / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                WHEN s_stat < 0
+                THEN (CAST(s_stat AS DOUBLE) + 1.0) / SQRT(CAST(var18 AS DOUBLE) / 18.0)
+                ELSE 0.0 END AS z
+    FROM v
+    """,
+    doc="Mann-Kendall nonparametric trend test on the daily purchase-"
+    "revenue series: S = sum of sign(x_j - x_i) over all day pairs i<j "
+    "(exact BIGINT via the calendar-bounded self-join — the Theil-Sen "
+    "shape; Theil-Sen estimates the slope, Mann-Kendall tests its "
+    "significance), Kendall's tau-a, and the continuity-corrected "
+    "normal z with the exact tie correction (variance kept as the "
+    "integer 18*Var(S) = n(n-1)(2n+5) - sum t(t-1)(2t+5); the two "
+    "divisions and sqrt happen once at the end). The "
+    "monotonic-drift screen a monitoring pipeline runs where "
+    "regression slopes would be distorted by outliers.",
+    tags=("analytics", "stats", "timeseries"),
+)
+
+
+# --- t-closeness audit (completes the k-anonymity / l-diversity trio) ----------
+
+_sql_query(
+    "audit_t_closeness",
+    """
+    WITH q AS (
+      SELECT lang,
+             CAST(floor(CAST(n_chars AS DOUBLE) / 100.0) AS BIGINT) AS len_bucket,
+             source
+      FROM documents
+    ),
+    cv AS (
+      SELECT lang, len_bucket, source, CAST(COUNT(*) AS BIGINT) AS n_cv
+      FROM q GROUP BY lang, len_bucket, source
+    ),
+    c AS (
+      SELECT lang, len_bucket, CAST(SUM(n_cv) AS BIGINT) AS n_c
+      FROM cv GROUP BY lang, len_bucket
+    ),
+    v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_v FROM q GROUP BY source),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+    pairs AS (
+      SELECT c.lang, c.len_bucket, c.n_c, v.source, v.n_v,
+             COALESCE(cv.n_cv, CAST(0 AS BIGINT)) AS n_cv
+      FROM c CROSS JOIN v
+      LEFT JOIN cv ON cv.lang = c.lang AND cv.len_bucket = c.len_bucket
+                  AND cv.source = v.source
+    ),
+    e AS (
+      SELECT pairs.lang, pairs.len_bucket, pairs.n_c, t.n,
+             CAST(SUM(abs(pairs.n_cv * t.n - pairs.n_v * pairs.n_c)) AS BIGINT) AS num
+      FROM pairs CROSS JOIN tot t
+      GROUP BY pairs.lang, pairs.len_bucket, pairs.n_c, t.n
+    )
+    SELECT lang, len_bucket, n_c AS class_size,
+           CAST(num AS DOUBLE) / (2.0 * CAST(n_c AS DOUBLE) * CAST(n AS DOUBLE))
+             AS t_closeness
+    FROM e
+    ORDER BY t_closeness DESC, lang ASC, len_bucket ASC
+    """,
+    doc="t-closeness audit (Li et al. 2007) over the same "
+    "(lang, length-bucket) quasi-identifier classes as "
+    "audit_k_anonymity, with source as the sensitive attribute: per "
+    "class, the total-variation distance between the class's source "
+    "distribution and the global one — the screen that catches what "
+    "k-anonymity and l-diversity both miss (a large, diverse class "
+    "whose distribution still skews toward one sensitive value leaks "
+    "probabilistic information). TVD = 0.5*sum|p - q| assembled in "
+    "exact cross-multiplied BIGINT form |n_cv*N - n_v*n_c| (zero "
+    "cells materialized by the class x value cross join, bounded by "
+    "the QI x sensitive domain), one division at the end. Completes "
+    "the k-anonymity -> l-diversity -> t-closeness governance ladder.",
+    tags=("analytics", "audit", "privacy"),
+)

@@ -605,3 +605,97 @@ def test_lpa_matches_python_recompute(spark, sf_dir):
     assert got == expect
     # LPA must coarsen: fewer communities than nodes
     assert len({c for _, c, _ in got}) < len(got)
+
+
+# --- PR curve / drawdown / Mann-Kendall / t-closeness --------------------
+
+
+def test_pr_curve_matches_python_recompute(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("n_chars", "lang").collect()
+    pts = sorted(((r.n_chars, 1 if r.lang == "en" else 0) for r in docs), reverse=True)
+    p_total = sum(lab for _, lab in pts)
+    out = {r.threshold: r for r in _q("eval_pr_curve", spark, sf_dir).collect()}
+    thresholds = sorted({s for s, _ in pts}, reverse=True)
+    for t in thresholds:
+        tp = sum(lab for s, lab in pts if s >= t)
+        pred = sum(1 for s, _ in pts if s >= t)
+        r = out[t]
+        assert (r.tp, r.fp, r.fn) == (tp, pred - tp, p_total - tp)
+        assert abs(r.prec - tp / pred) < 1e-12
+        assert abs(r.rec - tp / p_total) < 1e-12
+        assert abs(r.f1 - 2 * tp / (pred + p_total)) < 1e-12
+    # recall is monotone nonincreasing in threshold
+    recs = [out[t].rec for t in thresholds]
+    assert recs == sorted(recs)
+
+
+def test_max_drawdown_matches_python_recompute(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value").collect()
+    net = defaultdict(int)
+    for r in ev:
+        if r.event_type == "purchase":
+            net[r.ts.date()] += round(r.value * 100)
+        elif r.event_type == "error":
+            net[r.ts.date()] -= round(r.value * 100)
+    bal, peak, best = 0, None, (-1, None)
+    for d in sorted(net):
+        bal += net[d]
+        peak = bal if peak is None else max(peak, bal)
+        draw = peak - bal
+        if draw > best[0]:
+            best = (draw, d)
+    out = _q("events_max_drawdown", spark, sf_dir).collect()[0]
+    assert out.max_drawdown_cents == best[0]
+    assert out.trough_day == best[1]
+    assert out.peak_cents - out.trough_cents == out.max_drawdown_cents
+
+
+def test_mann_kendall_matches_python_recompute(spark, sf_dir):
+    from collections import defaultdict
+    import math
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value").collect()
+    rev = defaultdict(int)
+    for r in ev:
+        if r.event_type == "purchase":
+            rev[r.ts.date()] += round(r.value * 100)
+    xs = [rev[d] for d in sorted(rev)]
+    n = len(xs)
+    s = sum(
+        (0 if xs[j] == xs[i] else (1 if xs[j] > xs[i] else -1))
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    from collections import Counter
+
+    tie18 = sum(t * (t - 1) * (2 * t + 5) for t in Counter(xs).values() if t > 1)
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    out = _q("stats_mann_kendall", spark, sf_dir).collect()[0]
+    assert (out.s_stat, out.n_days, out.var_s_x18) == (s, n, var18)
+    assert abs(out.tau - s / (n * (n - 1) / 2)) < 1e-12
+    zexp = 0.0 if s == 0 else (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18.0)
+    assert abs(out.z - zexp) < 1e-12
+
+
+def test_t_closeness_matches_python_recompute(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars", "source").collect()
+    rows = [(r.lang, r.n_chars // 100, r.source) for r in docs]
+    global_v = Counter(src for _, _, src in rows)
+    total = len(rows)
+    by_class = defaultdict(Counter)
+    for lang, b, src in rows:
+        by_class[(lang, b)][src] += 1
+    out = {(r.lang, r.len_bucket): r for r in _q("audit_t_closeness", spark, sf_dir).collect()}
+    assert set(out) == set(by_class)
+    for key, cnt in by_class.items():
+        n_c = sum(cnt.values())
+        tvd = sum(abs(cnt[v] * total - global_v[v] * n_c) for v in global_v) / (
+            2.0 * n_c * total
+        )
+        assert out[key].class_size == n_c
+        assert abs(out[key].t_closeness - tvd) < 1e-12
+        assert 0.0 <= out[key].t_closeness <= 1.0
