@@ -2619,3 +2619,60 @@ _sql_query(
     "the k-anonymity -> l-diversity -> t-closeness governance ladder.",
     tags=("analytics", "audit", "privacy"),
 )
+
+
+# --- CUPED variance reduction read-out -----------------------------------------
+
+_sql_query(
+    "ab_test_cuped",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           AND ts < CAST('2024-01-16 00:00:00' AS TIMESTAMP)
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           AND ts >= CAST('2024-01-16 00:00:00' AS TIMESTAMP)
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM per_user
+    ),
+    d AS (
+      SELECT n,
+             CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covn,
+             CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varxn,
+             CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS varyn
+      FROM m
+    )
+    SELECT n AS n_users,
+           covn / varxn AS theta,
+           varyn / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * 10000.0)
+             AS var_y_dollars2,
+           (varyn - covn * covn / varxn)
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * 10000.0)
+             AS var_cuped_dollars2,
+           (covn * covn) / (varxn * varyn) AS var_reduction_frac
+    FROM d
+    """,
+    doc="CUPED variance reduction read-out (Deng et al. 2013): per-user "
+    "pre-period purchase spend (before Jan 16) as the covariate X, "
+    "experiment-period spend as the metric Y; theta = cov(X,Y)/var(X), "
+    "adjusted metric variance var(Y - theta*X) = var(Y)*(1 - rho^2), "
+    "and the variance-reduction fraction rho^2 — the statistic that "
+    "says how much smaller an experiment this metric could run with "
+    "pre-period adjustment (the standard lever when per-user spend is "
+    "heavy-tailed). One user-keyed aggregate (exact BIGINT cents "
+    "co-moments) + one 6-number roll-up; every reported value is a "
+    "fixed fp64 chain from exact integers — the Welch-query pattern "
+    "extended to covariances.",
+    tags=("analytics", "stats"),
+)

@@ -266,3 +266,38 @@ def knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_sim(F.col("embedding"), F.col("qvec")).alias("similarity"),
     )
     return scored.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(K)
+
+
+_RADIUS_TAU = 0.15
+
+
+@register(
+    "knn_radius",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, {duck_cosine('e.embedding', 'q.qvec')} AS similarity
+    FROM embeddings e, q
+    WHERE {duck_cosine('e.embedding', 'q.qvec')} >= {_RADIUS_TAU}
+    ORDER BY similarity DESC, e.vec_id ASC
+    """,
+    doc=f"Range (radius) vector search: every vector with cosine >= "
+    f"{_RADIUS_TAU} to the query — the similarity-threshold companion "
+    "to top-k (top-k answers 'the best k whatever they are'; radius "
+    "answers 'everything at least this similar', the form dedup and "
+    "recall-oriented retrieval want). Same broadcast-query scan as "
+    "knn_topk but the predicate replaces the limit, so the filter "
+    "evaluates inside whole-stage codegen and the result size is "
+    "data-dependent. The fixture's near-uniform vectors put most "
+    "similarities in (-0.3, 0.3), so the threshold returns a real "
+    "tail, not the whole corpus.",
+    tags=("rag",),
+)
+def knn_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", cosine_sim(F.col("embedding"), F.col("qvec")).alias("similarity")
+    )
+    return scored.filter(F.col("similarity") >= _RADIUS_TAU).orderBy(
+        F.desc("similarity"), F.asc("vec_id")
+    )

@@ -1229,3 +1229,104 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("community"),
         "csize",
     )
+
+
+# --- k-core decomposition (iterative peeling) over the co-purchase graph -------
+#
+# The density-peel companion to LPA: repeatedly delete nodes whose
+# degree within the SURVIVING subgraph is < k until a fixpoint — what
+# remains is the k-core, the standard "dense nucleus" screen run on
+# interaction graphs before community/recommendation work (parts with
+# thin co-purchase support drop out; the core is where co-occurrence
+# signal is trustworthy). Substrate: graph_pagerank's co-purchase part
+# graph (pairs sharing >= 2 orders) — its long-tailed degrees give a
+# real core/periphery split (the near-regular top-T item graph peels
+# trivially). Peeling is monotone (survivor sets only shrink), so a
+# FIXED round count R is sound whenever the peel converges within R
+# rounds — tests/test_round7_ops.py asserts the fixpoint (one more
+# peel changes nothing) on the fixtures; each round is one keyed
+# aggregate over the checkpointed edge relation.
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 12
+
+#: ``{mat}`` becomes `` MATERIALIZED`` in the DuckDB oracle — without it
+#: DuckDB inlines ``edges`` (and the basket self-join under it) into
+#: every unrolled peel round (the MMR/ACF CTE-inlining gotcha; measured
+#: 410 s -> ~5 s at sf1.0). Spark side passes ``mat=""`` and
+#: localCheckpoints instead.
+_COPURCHASE_EDGES = """
+    op AS{mat} (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS{mat} (SELECT pa AS src, pb AS dst FROM prs
+              UNION ALL SELECT pb AS src, pa AS dst FROM prs)"""
+
+
+def _kcore_oracle() -> str:
+    rounds = []
+    prev = "c0"
+    for i in range(1, _KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""c{i} AS MATERIALIZED (
+      SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+      FROM edges e
+      JOIN {prev} a ON a.node = e.src
+      JOIN {prev} b ON b.node = e.dst
+      GROUP BY e.src
+      HAVING COUNT(*) >= {_KCORE_K}
+    )"""
+        )
+        prev = f"c{i}"
+    joined = ",\n    ".join(rounds)
+    return f"""
+    WITH {_COPURCHASE_EDGES.format(mat=" MATERIALIZED")},
+    c0 AS MATERIALIZED (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS deg FROM edges),
+    {joined}
+    SELECT CAST(node AS BIGINT) AS node, deg AS core_degree
+    FROM {prev} ORDER BY node ASC
+    """
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(),
+    doc=f"{_KCORE_K}-core decomposition of the co-purchase part graph "
+    f"(pairs sharing >= 2 orders, symmetrized) by iterative peeling "
+    f"({_KCORE_ROUNDS} rounds, fixpoint pytest-asserted): each round "
+    f"keeps nodes with >= {_KCORE_K} surviving neighbors, recomputing "
+    "degrees within the surviving subgraph only — at sf0.01 the peel "
+    "runs 10 rounds and keeps ~half the parts, a real core/periphery "
+    "split. Each round is one keyed aggregate over the checkpointed "
+    "edge list semi-joined against the (shrinking) survivor set — the "
+    "Pregel peel shape; the fact is scanned once.",
+    tags=("graph", "analytics"),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("lineitem",))
+    edges = spark.sql(
+        "WITH " + _COPURCHASE_EDGES.format(mat="") + " SELECT src, dst FROM edges"
+    ).localCheckpoint()
+    surv = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        a = surv.select(F.col("node").alias("sa"))
+        b = surv.select(F.col("node").alias("sb"))
+        deg = (
+            edges.join(a, edges["src"] == a["sa"])
+            .join(b, edges["dst"] == b["sb"])
+            .groupBy(edges["src"].alias("node"))
+            .agg(F.count("*").cast("bigint").alias("deg"))
+            .filter(F.col("deg") >= _KCORE_K)
+            .localCheckpoint()
+        )
+        surv = deg.select("node")
+    return deg.select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("deg").alias("core_degree"),
+    ).orderBy("node")

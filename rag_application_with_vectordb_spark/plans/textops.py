@@ -1325,3 +1325,121 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_WIN_PMOD) - F.col("sel") % _WIN_PMOD).cast("bigint").alias("pos"),
         F.expr(f"sel DIV {_WIN_PMOD}").cast("bigint").alias("gram_hash"),
     )
+
+
+# --- TextRank keyword extraction (PageRank over word co-occurrence) ------------
+
+_TR_ITERS, _TR_SCALE = 3, 1_000_000_000
+_TR_BASE = 15 * _TR_SCALE // 100
+_TR_WIN = 2  # co-occurrence window: tokens at distance 1..2
+_TR_MIN_CO = 5
+_TR_TOPK = 20
+
+
+def _textrank_oracle() -> str:
+    parts = [
+        rf"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+    tok AS MATERIALIZED (
+      SELECT doc_id, CAST(ix.i AS BIGINT) AS pos, w[CAST(ix.i AS INTEGER)] AS word
+      FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) ix
+    ),
+    prs AS (
+      SELECT least(a.word, b.word) AS wa, greatest(a.word, b.word) AS wb,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+                           AND b.pos - a.pos IN (1, {_TR_WIN})
+                           AND a.word <> b.word
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_TR_MIN_CO}
+    ),
+    edges AS MATERIALIZED (
+      SELECT wa AS src, wb AS dst, w FROM prs
+      UNION ALL SELECT wb AS src, wa AS dst, w FROM prs
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS part, CAST(COUNT(*) AS BIGINT) AS outdeg,
+             CAST(SUM(w) AS BIGINT) AS outw
+      FROM edges GROUP BY src
+    ),
+    pr0 AS (SELECT part, CAST({_TR_SCALE} AS BIGINT) AS pr FROM deg)"""
+    ]
+    for t in range(1, _TR_ITERS + 1):
+        parts.append(
+            f"""in{t} AS (
+      SELECT e.dst AS part, SUM((p.pr * e.w) // d.outw) AS s
+      FROM edges e JOIN pr{t - 1} p ON p.part = e.src
+                   JOIN deg d ON d.part = e.src
+      GROUP BY e.dst
+    ),
+    pr{t} AS MATERIALIZED (
+      SELECT d.part,
+             CAST({_TR_BASE} + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
+      FROM deg d LEFT JOIN in{t} i USING (part)
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT d.part AS word, d.outdeg,
+           CAST(p.pr AS DOUBLE) / {_TR_SCALE}.0 AS textrank
+    FROM deg d JOIN pr{_TR_ITERS} p USING (part)
+    ORDER BY p.pr DESC, d.part ASC LIMIT {_TR_TOPK}
+    """
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_textrank_oracle(),
+    doc=f"TextRank keyword extraction (Mihalcea & Tarau 2004): weighted "
+    f"PageRank ({_TR_ITERS} iterations, damping 0.85) over the word "
+    f"co-occurrence graph — tokens within distance {_TR_WIN} in any "
+    f"document, pair support >= {_TR_MIN_CO} (vocabulary-bounded at "
+    "any SF) — reporting the top-"
+    f"{_TR_TOPK} words by rank. Reuses operators/graph.pagerank_fp "
+    "verbatim (the rank is fixed-point BIGINT with integer shares "
+    "(pr*w) div W_u, so the iterative walk is bit-exact against the "
+    "unrolled DuckDB twin); the corpus tokenizes once, the word graph "
+    "shuffles on the word key, and the rank vector never touches the "
+    "driver. The unsupervised keyword stage run on corpora where no "
+    "labels exist — the graph sibling of TF-IDF term ranking.",
+    tags=("text", "graph", "iterative"),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_fp
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    tok = docs.select(
+        "doc_id", F.posexplode(w).alias("p0", "word")
+    ).select("doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "word")
+    a, b = tok.alias("a"), tok.alias("b")
+    prs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") - F.col("a.pos")).isin(1, _TR_WIN)
+            & (F.col("a.word") != F.col("b.word")),
+        )
+        .groupBy(
+            F.least(F.col("a.word"), F.col("b.word")).alias("wa"),
+            F.greatest(F.col("a.word"), F.col("b.word")).alias("wb"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .filter(F.col("w") >= _TR_MIN_CO)
+    )
+    edges = prs.select(F.col("wa").alias("src"), F.col("wb").alias("dst"), "w").unionAll(
+        prs.select(F.col("wb").alias("src"), F.col("wa").alias("dst"), "w")
+    )
+    ranked = pagerank_fp(edges, iterations=_TR_ITERS, scale=_TR_SCALE, weight_col="w")
+    return (
+        ranked.select(
+            F.col("part").alias("word"),
+            "outdeg",
+            (F.col("pr").cast("double") / F.lit(float(_TR_SCALE))).alias("textrank"),
+            F.col("pr").alias("__pr"),
+        )
+        .orderBy(F.desc("__pr"), F.asc("word"))
+        .limit(_TR_TOPK)
+        .drop("__pr")
+    )

@@ -699,3 +699,134 @@ def test_t_closeness_matches_python_recompute(spark, sf_dir):
         assert out[key].class_size == n_c
         assert abs(out[key].t_closeness - tvd) < 1e-12
         assert 0.0 <= out[key].t_closeness <= 1.0
+
+
+# --- radius search / CUPED / k-core / TextRank ---------------------------
+
+
+def test_knn_radius_matches_brute_force(spark, sf_dir):
+    import math
+
+    emb = {r.vec_id: r.embedding for r in load_table(spark, sf_dir, "embeddings").collect()}
+    q = emb[0]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return 0.0 if na == 0 or nb == 0 else dot / (na * nb)
+
+    expect = {vid for vid, v in emb.items() if cos(v, q) >= 0.15}
+    out = _q("knn_radius", spark, sf_dir).collect()
+    assert {r.vec_id for r in out} == expect
+    assert all(r.similarity >= 0.15 for r in out)
+    sims = [r.similarity for r in out]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_cuped_matches_numpy_recompute(spark, sf_dir):
+    import datetime
+
+    import numpy as np
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value").collect()
+    cut = datetime.datetime(2024, 1, 16)
+    xs, ys = defaultdict(int), defaultdict(int)
+    users = set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            (xs if r.ts < cut else ys)[r.user_id] += round(r.value * 100)
+    x = np.array([xs[u] for u in sorted(users)], dtype=float)
+    y = np.array([ys[u] for u in sorted(users)], dtype=float)
+    cov = np.cov(x, y, ddof=1)
+    theta = cov[0, 1] / cov[0, 0]
+    rho2 = cov[0, 1] ** 2 / (cov[0, 0] * cov[1, 1])
+    out = _q("ab_test_cuped", spark, sf_dir).collect()[0]
+    assert out.n_users == len(users)
+    assert abs(out.theta - theta) < 1e-9
+    assert abs(out.var_y_dollars2 - cov[1, 1] / 10000.0) < 1e-6
+    assert abs(out.var_cuped_dollars2 - cov[1, 1] * (1 - rho2) / 10000.0) < 1e-6
+    assert abs(out.var_reduction_frac - rho2) < 1e-12
+    # CUPED can only reduce variance
+    assert out.var_cuped_dollars2 <= out.var_y_dollars2
+
+
+def _kcore_python(spark, sf_dir, k):
+    from collections import defaultdict
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct().collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    co = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                co[(a, b)] += 1
+    nbr = defaultdict(set)
+    for (a, b), c in co.items():
+        if c >= 2:
+            nbr[a].add(b)
+            nbr[b].add(a)
+    surv = set(nbr)
+    while True:
+        drop = {n for n in surv if len(nbr[n] & surv) < k}
+        if not drop:
+            break
+        surv -= drop
+    return {n: len(nbr[n] & surv) for n in surv}
+
+
+def test_kcore_reaches_fixpoint_and_matches_python(spark, sf_dir):
+    expect = _kcore_python(spark, sf_dir, 3)
+    got = {r.node: r.core_degree for r in _q("graph_kcore", spark, sf_dir).collect()}
+    assert got == expect
+    # fixpoint: every surviving node keeps >= k surviving neighbors
+    assert all(d >= 3 for d in got.values()) or not got
+
+
+def test_kcore_fixpoint_at_sf001(spark):
+    # the SF where the peel actually runs ~10 rounds and splits the graph
+    sf = "/root/testdata/sf0.01"
+    expect = _kcore_python(spark, sf, 3)
+    got = {r.node: r.core_degree for r in _q("graph_kcore", spark, sf).collect()}
+    assert got == expect
+    assert 0 < len(got)  # non-trivial core survives at sf0.01
+
+
+def test_textrank_matches_python_recompute(spark, sf_dir):
+    from collections import defaultdict
+
+    docs = load_table(spark, sf_dir, "documents").select("text").collect()
+    co = defaultdict(int)
+    for r in docs:
+        ws = r.text.strip().split()
+        for i, a in enumerate(ws):
+            for d in (1, 2):
+                if i + d < len(ws) and ws[i + d] != a:
+                    key = tuple(sorted((a, ws[i + d])))
+                    co[key] += 1
+    edges = defaultdict(dict)
+    for (a, b), c in co.items():
+        if c >= 5:
+            edges[a][b] = c
+            edges[b][a] = c
+    SCALE = 1_000_000_000
+    outw = {n: sum(ws.values()) for n, ws in edges.items()}
+    pr = {n: SCALE for n in edges}
+    for _ in range(3):
+        inflow = defaultdict(int)
+        for u, ws in edges.items():
+            for v, w in ws.items():
+                inflow[v] += (pr[u] * w) // outw[u]
+        pr = {n: 15 * SCALE // 100 + (85 * inflow[n]) // 100 for n in edges}
+    top = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    expect = [(w, len(edges[w]), p / SCALE) for w, p in top]
+    got = [
+        (r.word, r.outdeg, r.textrank)
+        for r in _q("text_textrank_keywords", spark, sf_dir).collect()
+    ]
+    assert got == expect
