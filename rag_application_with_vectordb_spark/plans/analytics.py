@@ -2676,3 +2676,203 @@ _sql_query(
     "extended to covariances.",
     tags=("analytics", "stats"),
 )
+
+
+# --- Spearman rank correlation (histogram-form average ranks) ------------------
+
+_sql_query(
+    "stats_spearman_activity_spend",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    hx AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS n FROM per_user GROUP BY x
+    ),
+    rx AS (
+      SELECT x,
+             2 * COALESCE(SUM(n) OVER (ORDER BY x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS r2
+      FROM hx
+    ),
+    hy AS (
+      SELECT y, CAST(COUNT(*) AS BIGINT) AS n FROM per_user GROUP BY y
+    ),
+    ry AS (
+      SELECT y,
+             2 * COALESCE(SUM(n) OVER (ORDER BY y
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + n + 1 AS r2
+      FROM hy
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM per_user),
+    j AS (
+      SELECT rx.r2 - (nn.n + 1) AS a, ry.r2 - (nn.n + 1) AS b
+      FROM per_user u JOIN rx ON rx.x = u.x JOIN ry ON ry.y = u.y CROSS JOIN nn
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(a * b) AS BIGINT) AS sab,
+             CAST(SUM(a * a) AS BIGINT) AS saa, CAST(SUM(b * b) AS BIGINT) AS sbb
+      FROM j
+    )
+    SELECT n AS n_users,
+           CAST(CAST(sab AS DOUBLE)
+                / (SQRT(CAST(saa AS DOUBLE)) * SQRT(CAST(sbb AS DOUBLE)))
+             AS DOUBLE) AS spearman_rho
+    FROM m
+    """,
+    doc="Spearman rank correlation between per-user activity (event "
+    "count) and per-user purchase spend — the monotone-association "
+    "probe that is robust to the heavy right tail Pearson chokes on. "
+    "Tie-corrected average ranks are built in HISTOGRAM form (the AUC "
+    "trick): group each variable on its DISTINCT values, a prefix sum "
+    "over the value DOMAIN gives 2*avg_rank = 2*cum_lower + ties + 1 "
+    "(always an integer), and Spearman = Pearson over the doubled "
+    "ranks — co-moments stay exact BIGINT to the final division. "
+    "The doubled ranks are CENTERED by their exact integer mean n+1 "
+    "before the products, so the co-moments are plain sums of "
+    "~n^3-magnitude integers (no n*Sxy - Sx*Sy cancellation blowup) — "
+    "exact BIGINT to ~2e6 users; beyond that switch ranks to the "
+    "1e-3-quantile grid. Nothing sorts the user relation: two "
+    "domain-sized rank maps join back by value (broadcast-sized), the "
+    "fact shuffles once to user grain.",
+    tags=("analytics", "stats"),
+)
+
+
+# --- survey raking / iterative proportional fitting ----------------------------
+#
+# IPF (Deming & Stephan 1940): find per-cell weights over the
+# (lang, source) contingency table so the weighted marginals match
+# TARGET margins (uniform across langs and across sources here — the
+# "rebalance the corpus" variant of survey post-stratification; the
+# mix_rebalance queries adjust one dimension, raking fits BOTH
+# simultaneously). Weighted counts are carried as integer shares of
+# 1e9 (c = round-down share of the total), and each scaling step is
+# pure floor arithmetic c * T // S — bit-identical across engines at
+# ANY corpus size (shares are scale-free: c*T <= 1e18 regardless of N).
+# Three row/column rounds; the cell relation is bounded by the
+# |lang| x |source| domain, so every step after the one fact aggregate
+# is constant-size. Spark runs the rounds as a checkpointed DataFrame
+# loop (a pure-SQL CTE chain would re-derive the fact aggregate
+# 2^rounds times — the PCA/duplicate-components lineage rule); the
+# oracle unrolls the same arithmetic as MATERIALIZED CTEs.
+
+_IPF_SCALE = 1_000_000_000
+_IPF_ROUNDS = 3
+
+
+def _ipf_oracle() -> str:
+    S = _IPF_SCALE
+    parts = [
+        f"""cells AS MATERIALIZED (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS MATERIALIZED (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl,
+             CAST(COUNT(DISTINCT source) AS BIGINT) AS ns
+      FROM cells
+    ),
+    c0 AS MATERIALIZED (
+      SELECT lang, source, n_docs,
+             CAST((n_docs * {S}) // t.n AS BIGINT) AS c
+      FROM cells CROSS JOIN tot t
+    )"""
+    ]
+    prev = "c0"
+    for r in range(1, _IPF_ROUNDS + 1):
+        parts.append(
+            f"""r{r} AS MATERIALIZED (
+      SELECT p.lang, p.source, p.n_docs,
+             CAST((p.c * ({S} // t.nl)) // sl.s AS BIGINT) AS c
+      FROM {prev} p
+      JOIN (SELECT lang, CAST(SUM(c) AS BIGINT) AS s FROM {prev} GROUP BY lang) sl
+        ON sl.lang = p.lang
+      CROSS JOIN tot t
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT p.lang, p.source, p.n_docs,
+             CAST((p.c * ({S} // t.ns)) // sc.s AS BIGINT) AS c
+      FROM r{r} p
+      JOIN (SELECT source, CAST(SUM(c) AS BIGINT) AS s FROM r{r} GROUP BY source) sc
+        ON sc.source = p.source
+      CROSS JOIN tot t
+    )"""
+        )
+        prev = f"s{r}"
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT f.lang, f.source, f.n_docs,
+           CAST(f.c AS DOUBLE) / CAST(c0.c AS DOUBLE) AS raked_weight,
+           CAST(f.c AS DOUBLE) / {S}.0 AS raked_share
+    FROM {prev} f JOIN c0 ON c0.lang = f.lang AND c0.source = f.source
+    ORDER BY f.lang ASC, f.source ASC
+    """
+
+
+@register(
+    "weights_raking_ipf",
+    oracle=_ipf_oracle(),
+    doc=f"Survey raking / iterative proportional fitting "
+    f"({_IPF_ROUNDS} row/column rounds) of per-cell weights over the "
+    "(lang, source) table toward UNIFORM lang and source margins — the "
+    "two-dimensional corpus rebalancing a training-data pipeline runs "
+    "when both language and source mix must hit targets at once. "
+    "Integer 1e9-share arithmetic throughout (see module comment): "
+    "scale-free, overflow-proof, bit-identical across engines; "
+    "tests/test_round7_ops.py proves the fitted margins land within "
+    "the floor-rounding tolerance of the targets.",
+    tags=("analytics", "stats"),
+)
+def weights_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rag_application_with_vectordb_spark.sources.catalog import load_table
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    S = _IPF_SCALE
+    cells = (
+        docs.groupBy("lang", "source")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .localCheckpoint()
+    )
+    tot = cells.agg(
+        F.sum("n_docs").cast("bigint").alias("n"),
+        F.countDistinct("lang").cast("bigint").alias("nl"),
+        F.countDistinct("source").cast("bigint").alias("ns"),
+    ).collect()[0]
+    n, t_l, t_s = int(tot.n), S // int(tot.nl), S // int(tot.ns)
+    c0 = cells.withColumn("c", F.expr(f"(n_docs * {S}) div {n}")).localCheckpoint()
+    c = c0
+    for _ in range(_IPF_ROUNDS):
+        sl = c.groupBy("lang").agg(F.sum("c").cast("bigint").alias("s"))
+        c = (
+            c.join(sl, "lang")
+            .withColumn("c", F.expr(f"(c * {t_l}) div s"))
+            .drop("s")
+        )
+        sc = c.groupBy("source").agg(F.sum("c").cast("bigint").alias("s"))
+        c = (
+            c.join(sc, "source")
+            .withColumn("c", F.expr(f"(c * {t_s}) div s"))
+            .drop("s")
+            .localCheckpoint()
+        )
+    return (
+        c.select("lang", "source", "n_docs", F.col("c").alias("cf"))
+        .join(c0.select("lang", "source", F.col("c").alias("ci")), ["lang", "source"])
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            (F.col("cf").cast("double") / F.col("ci").cast("double")).alias("raked_weight"),
+            (F.col("cf").cast("double") / F.lit(float(S))).alias("raked_share"),
+        )
+        .orderBy(F.asc("lang"), F.asc("source"))
+    )

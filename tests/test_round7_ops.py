@@ -830,3 +830,59 @@ def test_textrank_matches_python_recompute(spark, sf_dir):
         for r in _q("text_textrank_keywords", spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+# --- Spearman / IPF raking -----------------------------------------------
+
+
+def test_spearman_matches_scipy_style_recompute(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value").collect()
+    act, spend = defaultdict(int), defaultdict(int)
+    for r in ev:
+        act[r.user_id] += 1
+        if r.event_type == "purchase":
+            spend[r.user_id] += round(r.value * 100)
+    users = sorted(act)
+    xs = [act[u] for u in users]
+    ys = [spend[u] for u in users]
+
+    def avg_ranks(vals):
+        import collections
+
+        cnt = collections.Counter(vals)
+        cum, r2 = 0, {}
+        for v in sorted(cnt):
+            r2[v] = 2 * cum + cnt[v] + 1
+            cum += cnt[v]
+        return [r2[v] for v in vals]
+
+    import numpy as np
+
+    ra, rb = np.array(avg_ranks(xs), dtype=float), np.array(avg_ranks(ys), dtype=float)
+    rho = np.corrcoef(ra, rb)[0, 1]
+    out = _q("stats_spearman_activity_spend", spark, sf_dir).collect()[0]
+    assert out.n_users == len(users)
+    assert abs(out.spearman_rho - rho) < 1e-9
+
+
+def test_ipf_margins_converge_to_uniform(spark, sf_dir):
+    from collections import defaultdict
+
+    rows = _q("weights_raking_ipf", spark, sf_dir).collect()
+    langs, sources = defaultdict(float), defaultdict(float)
+    for r in rows:
+        langs[r.lang] += r.raked_share
+        sources[r.source] += r.raked_share
+        assert r.raked_weight > 0
+    # after 3 rounds each margin is within rounding slack of uniform
+    for share in langs.values():
+        assert abs(share - 1.0 / len(langs)) < 0.01
+    for share in sources.values():
+        assert abs(share - 1.0 / len(sources)) < 0.01
+    # raking must upweight rare cells relative to common ones per lang
+    total = sum(r.n_docs for r in rows)
+    assert any(r.raked_weight > 1.0 for r in rows) and any(
+        r.raked_weight < 1.0 for r in rows
+    ), total
