@@ -2876,3 +2876,193 @@ def weights_raking_ipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("lang"), F.asc("source"))
     )
+
+
+# --- sample-ratio-mismatch (SRM) guardrail -------------------------------------
+
+
+def _srm_sql(hexfn, str_t: str) -> str:
+    key = f"md5(concat('ab42|', CAST(user_id AS {str_t})))"
+    return f"""
+    WITH per_user AS (
+      SELECT user_id FROM events GROUP BY user_id
+    ),
+    armed AS (
+      SELECT CASE WHEN {hexfn(key)} % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      FROM per_user
+    ),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+             CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM armed
+    )
+    SELECT na AS n_a, nb AS n_b,
+           CAST((na - nb) * (na - nb) AS DOUBLE) / CAST(na + nb AS DOUBLE)
+             AS chi2_srm,
+           CASE WHEN CAST((na - nb) * (na - nb) AS DOUBLE)
+                     / CAST(na + nb AS DOUBLE) > 3.841458820694124
+                THEN TRUE ELSE FALSE END AS srm_flag
+    FROM counts
+    """
+
+
+def _register_srm():
+    from .oracle_dialect import duck_hex13_to_long
+    from .stats_queries import _spark_hex13
+
+    @register(
+        "ab_test_srm",
+        oracle=_srm_sql(duck_hex13_to_long, "VARCHAR"),
+        doc="Sample-ratio-mismatch guardrail for the ab_test_spend_welch "
+        "setup: chi-square goodness-of-fit of the md5-keyed arm counts "
+        "against the designed 50/50 split — (na-nb)^2/(na+nb) for two "
+        "cells — flagged at the 95% critical value (shared literal; "
+        "neither engine evaluates the chi-square quantile). SRM is the "
+        "FIRST check an experiment platform runs: a significant imbalance "
+        "means assignment or logging is broken and every downstream "
+        "read-out is invalid. One user-distinct aggregate and a 2-cell "
+        "roll-up; all integers until the final division.",
+        tags=("analytics", "stats"),
+    )
+    def ab_test_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune(spark)
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(_srm_sql(_spark_hex13, "STRING"))
+
+    return ab_test_srm
+
+
+_register_srm()
+
+
+# --- degree assortativity of the co-purchase graph -----------------------------
+
+_sql_query(
+    "graph_assortativity",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (SELECT pa AS src, pb AS dst FROM prs
+              UNION ALL SELECT pb AS src, pa AS dst FROM prs),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    ed AS (
+      SELECT ds.d AS j, dd.d AS k
+      FROM edges e JOIN deg ds ON ds.node = e.src
+                   JOIN deg dd ON dd.node = e.dst
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(j) AS BIGINT) AS sj, CAST(SUM(k) AS BIGINT) AS sk,
+             CAST(SUM(j * k) AS BIGINT) AS sjk,
+             CAST(SUM(j * j) AS BIGINT) AS sjj, CAST(SUM(k * k) AS BIGINT) AS skk
+      FROM ed
+    )
+    SELECT m AS n_directed_edges,
+           CAST((CAST(m AS DOUBLE) * CAST(sjk AS DOUBLE)
+                 - CAST(sj AS DOUBLE) * CAST(sk AS DOUBLE))
+                / (SQRT(CAST(m AS DOUBLE) * CAST(sjj AS DOUBLE)
+                        - CAST(sj AS DOUBLE) * CAST(sj AS DOUBLE))
+                   * SQRT(CAST(m AS DOUBLE) * CAST(skk AS DOUBLE)
+                          - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)))
+             AS DOUBLE) AS assortativity
+    FROM m
+    """,
+    doc="Degree assortativity coefficient (Newman 2002) of the "
+    "co-purchase part graph: Pearson correlation of endpoint degrees "
+    "over the symmetrized directed edge list — positive means hubs "
+    "link to hubs (social-network-like), negative means hub-periphery "
+    "(retail baskets typically skew negative). Degrees join onto the "
+    "edge relation from one keyed aggregate; co-moments over edges "
+    "are exact BIGINT with the one fp expression at the end — the "
+    "same moment discipline as the ACF/CCF family, applied to graph "
+    "structure. Complements graph_kcore (which EXTRACTS the core this "
+    "statistic detects the existence of).",
+    tags=("analytics", "graph"),
+)
+
+
+# --- OLS influence diagnostics (leverage + Cook's distance) --------------------
+
+_sql_query(
+    "regress_influence_cooks",
+    """
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS yc
+      FROM events GROUP BY user_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(yc * yc) AS BIGINT) AS syy,
+             CAST(SUM(x * yc) AS BIGINT) AS sxy
+      FROM per_user
+    ),
+    b AS (
+      SELECT n, sx, sy, sxx,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta1,
+             (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS sxx_c,
+             (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE) AS syy_c,
+             (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE) AS sxy_c
+      FROM m
+    ),
+    g AS (
+      SELECT n, sx, sxx_c, beta1,
+             (CAST(sy AS DOUBLE) - beta1 * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+               AS beta0,
+             (syy_c - beta1 * sxy_c) / (CAST(n AS DOUBLE) - 2.0) AS s2
+      FROM b
+    ),
+    scored AS (
+      SELECT u.user_id, u.x, u.yc,
+             CAST(u.yc AS DOUBLE) - g.beta0 - g.beta1 * CAST(u.x AS DOUBLE) AS resid,
+             1.0 / CAST(g.n AS DOUBLE)
+               + (CAST(u.x AS DOUBLE) - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))
+                 * (CAST(u.x AS DOUBLE) - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))
+                 / g.sxx_c AS h,
+             g.s2
+      FROM per_user u CROSS JOIN g
+    ),
+    cooks AS (
+      SELECT user_id, x, yc, resid, h,
+             CAST(round(1000000.0 * (resid * resid / (2.0 * s2))
+                        * (h / ((1.0 - h) * (1.0 - h)))) AS BIGINT) AS cooks_micro
+      FROM scored
+    )
+    SELECT user_id, x AS n_events, yc AS spend_cents,
+           round(resid / 100.0, 6) AS resid_dollars,
+           round(h, 6) AS leverage,
+           CAST(cooks_micro AS DOUBLE) / 1000000.0 AS cooks_d
+    FROM cooks
+    ORDER BY cooks_micro DESC, user_id ASC
+    LIMIT 10
+    """,
+    doc="OLS influence diagnostics for the spend ~ activity regression "
+    "(regress_spend_on_activity's model): per-user leverage h_i = 1/n "
+    "+ (x-xbar)^2/Sxx and Cook's distance D_i = e_i^2/(2 s^2) * "
+    "h_i/(1-h_i)^2, reporting the 10 most influential users — the "
+    "'which rows move my model' audit run before trusting any fitted "
+    "slope on heavy-tailed data. SSE comes from the algebraic "
+    "identity Syy_c - beta1*Sxy_c (exact co-moments; NO per-row fp "
+    "residual sum, which would be summation-order-dependent), each "
+    "row's D is one fixed fp chain from exact integers, and the "
+    "ranking key is D on the 1e-6 grid with user_id tiebreak (the "
+    "BM25 rounding rule) so top-10 membership can't flap on a last "
+    "ulp. Two fact scans (per-user grain feeds both the moment "
+    "roll-up and the scoring pass — the ACF twice-referenced-relation "
+    "shape); top-10 via TakeOrdered.",
+    tags=("analytics", "stats"),
+)

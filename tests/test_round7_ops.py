@@ -886,3 +886,75 @@ def test_ipf_margins_converge_to_uniform(spark, sf_dir):
     assert any(r.raked_weight > 1.0 for r in rows) and any(
         r.raked_weight < 1.0 for r in rows
     ), total
+
+
+# --- SRM / assortativity / Cook's distance -------------------------------
+
+
+def test_srm_counts_match_welch_arms(spark, sf_dir):
+    out = _q("ab_test_srm", spark, sf_dir).collect()[0]
+    welch = _q("ab_test_spend_welch", spark, sf_dir).collect()[0]
+    assert (out.n_a, out.n_b) == (welch.n_a, welch.n_b)
+    exp = (out.n_a - out.n_b) ** 2 / (out.n_a + out.n_b)
+    assert abs(out.chi2_srm - exp) < 1e-12
+    assert out.srm_flag == (exp > 3.841458820694124)
+
+
+def test_assortativity_matches_python_recompute(spark, sf_dir):
+    from collections import defaultdict
+
+    import numpy as np
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct().collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    co = defaultdict(int)
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                co[(a, b)] += 1
+    edges = []
+    nbr = defaultdict(set)
+    for (a, b), c in co.items():
+        if c >= 2:
+            edges += [(a, b), (b, a)]
+            nbr[a].add(b)
+            nbr[b].add(a)
+    deg = {n: len(v) for n, v in nbr.items()}
+    js = np.array([deg[a] for a, _ in edges], dtype=float)
+    ks = np.array([deg[b] for _, b in edges], dtype=float)
+    out = _q("graph_assortativity", spark, sf_dir).collect()[0]
+    assert out.n_directed_edges == len(edges)
+    assert abs(out.assortativity - np.corrcoef(js, ks)[0, 1]) < 1e-9
+
+
+def test_cooks_matches_numpy_recompute(spark, sf_dir):
+    from collections import defaultdict
+
+    import numpy as np
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value").collect()
+    act, spend = defaultdict(int), defaultdict(int)
+    for r in ev:
+        act[r.user_id] += 1
+        if r.event_type == "purchase":
+            spend[r.user_id] += round(r.value * 100)
+    users = sorted(act)
+    x = np.array([act[u] for u in users], dtype=float)
+    y = np.array([spend[u] for u in users], dtype=float)
+    n = len(users)
+    b1 = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
+    b0 = y.mean() - b1 * x.mean()
+    resid = y - b0 - b1 * x
+    sxx = ((x - x.mean()) ** 2).sum()
+    h = 1.0 / n + (x - x.mean()) ** 2 / sxx
+    s2 = ((y - y.mean()) ** 2).sum() * (1 - ((x - x.mean()) * (y - y.mean())).sum() ** 2 / (sxx * ((y - y.mean()) ** 2).sum())) / (n - 2)
+    d = resid**2 / (2 * s2) * h / (1 - h) ** 2
+    ranked = sorted(zip(users, d), key=lambda kv: (-round(kv[1] * 1e6), kv[0]))[:10]
+    out = _q("regress_influence_cooks", spark, sf_dir).collect()
+    assert [r.user_id for r in out] == [u for u, _ in ranked]
+    for r, (_, dd) in zip(out, ranked):
+        assert abs(r.cooks_d - dd) < 1e-5
+        assert 0 < r.leverage < 1
