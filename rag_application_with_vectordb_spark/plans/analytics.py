@@ -3066,3 +3066,140 @@ _sql_query(
     "shape); top-10 via TakeOrdered.",
     tags=("analytics", "stats"),
 )
+
+
+# --- quantile normalization of per-source length distributions -----------------
+
+_sql_query(
+    "feature_quantile_normalize",
+    """
+    WITH d AS (
+      SELECT doc_id, source, n_chars FROM documents
+    ),
+    ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM d GROUP BY source),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    r AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY d.source
+                                     ORDER BY d.n_chars ASC, d.doc_id ASC) AS BIGINT)
+               AS rnk,
+             ns.n_s
+      FROM d JOIN ns ON ns.source = d.source
+    ),
+    h AS (
+      SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT v, SUM(c) OVER (ORDER BY v ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM h
+    ),
+    keyed AS (
+      SELECT doc_id, source, n_chars, rnk,
+             CAST((((2 * rnk - 1) * nt.n + n_s)
+                    - (((2 * rnk - 1) * nt.n + n_s) % (2 * n_s)))
+                   / (2 * n_s) AS BIGINT) AS k
+      FROM r CROSS JOIN nt
+    )
+    SELECT k2.doc_id, k2.source, k2.n_chars, k2.rnk AS source_rank,
+           CAST(MIN(cum.v) AS BIGINT) AS normalized_chars
+    FROM keyed k2 JOIN cum ON cum.cc >= k2.k
+    GROUP BY k2.doc_id, k2.source, k2.n_chars, k2.rnk
+    """,
+    doc="Quantile normalization: each document's length is replaced by "
+    "the POOLED distribution's value at the same quantile its rank "
+    "holds WITHIN its source — the transform that forces every "
+    "source's feature distribution onto a common shape (the "
+    "bioinformatics/array-normalization classic, used in curation to "
+    "neutralize per-source length bias before mixing). Exact integer "
+    "construction: within-source ranks from one keyed window "
+    "(PARTITION BY source — never a global sort), pooled quantile "
+    "rank k = round-half-up midpoint scaling (2r-1)n/(2n_s) as an "
+    "EXPLICIT floor division (a - a%b)/b — a bare CAST(a/b AS BIGINT) "
+    "truncates in Spark but rounds half-even in DuckDB, the classic "
+    "cross-engine trap; the exact-multiple quotient is fp64-exact in "
+    "both. The rank->value lookup is MIN(v) over "
+    "the cumulative histogram of the bounded length DOMAIN (the "
+    "AUC/KS histogram discipline) — the fanout is |domain| per doc "
+    "at worst and the broadcast side is domain-sized. Fully "
+    "deterministic: ranks tiebreak on doc_id, everything is BIGINT.",
+    tags=("analytics", "feature"),
+)
+
+
+# --- difference-in-differences read-out ----------------------------------------
+
+
+def _did_sql(hexfn, str_t: str) -> str:
+    key = f"md5(concat('ab42|', CAST(user_id AS {str_t})))"
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN {hexfn(key)} % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           AND ts < CAST('2024-01-16 00:00:00' AS TIMESTAMP)
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS pre_cents,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           AND ts >= CAST('2024-01-16 00:00:00' AS TIMESTAMP)
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS post_cents
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(post_cents - pre_cents) AS BIGINT) AS sd,
+             CAST(SUM((post_cents - pre_cents) * (post_cents - pre_cents)) AS BIGINT)
+               AS sdd
+      FROM per_user GROUP BY arm
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN arm = 'A' THEN n END) AS na,
+        MAX(CASE WHEN arm = 'B' THEN n END) AS nb,
+        MAX(CASE WHEN arm = 'A' THEN sd END) AS sda,
+        MAX(CASE WHEN arm = 'B' THEN sd END) AS sdb,
+        MAX(CASE WHEN arm = 'A' THEN sdd END) AS sdda,
+        MAX(CASE WHEN arm = 'B' THEN sdd END) AS sddb
+      FROM agg
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           CAST(sda AS DOUBLE) / (100.0 * na) AS delta_a_dollars,
+           CAST(sdb AS DOUBLE) / (100.0 * nb) AS delta_b_dollars,
+           CAST(sda AS DOUBLE) / (100.0 * na)
+             - CAST(sdb AS DOUBLE) / (100.0 * nb) AS did_dollars,
+           SQRT(((CAST(sdda AS DOUBLE) - CAST(sda AS DOUBLE) * sda / na) / (na - 1)) / na
+                + ((CAST(sddb AS DOUBLE) - CAST(sdb AS DOUBLE) * sdb / nb) / (nb - 1)) / nb)
+             / 100.0 AS se_dollars
+    FROM w
+    """
+
+
+def _register_did():
+    from .oracle_dialect import duck_hex13_to_long
+    from .stats_queries import _spark_hex13
+
+    @register(
+        "ab_test_diff_in_diff",
+        oracle=_did_sql(duck_hex13_to_long, "VARCHAR"),
+        doc="Difference-in-differences read-out on the md5-keyed arms: "
+        "per-user spend delta (post minus pre period, the CUPED split) "
+        "averaged per arm, DiD = delta_A - delta_B with its standard "
+        "error from exact per-arm delta moments — the quasi-"
+        "experimental estimator used when arms differ at baseline "
+        "(plain post-period comparison confounds pre-existing level "
+        "differences; differencing each user against their own "
+        "pre-period removes them). One user-keyed aggregate (exact "
+        "BIGINT cents), a 2-row arm roll-up pivoted by MAX(CASE), and "
+        "a fixed fp64 chain — the Welch/CUPED moment discipline.",
+        tags=("analytics", "stats"),
+    )
+    def ab_test_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune(spark)
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(_did_sql(_spark_hex13, "STRING"))
+
+    return ab_test_diff_in_diff
+
+
+_register_did()

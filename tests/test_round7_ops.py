@@ -958,3 +958,44 @@ def test_cooks_matches_numpy_recompute(spark, sf_dir):
     for r, (_, dd) in zip(out, ranked):
         assert abs(r.cooks_d - dd) < 1e-5
         assert 0 < r.leverage < 1
+
+
+# --- quantile normalization / DiD ----------------------------------------
+
+
+def test_quantile_normalize_matches_python_recompute(spark, sf_dir):
+    from collections import defaultdict
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars").collect()
+    pooled = sorted(r.n_chars for r in docs)
+    n = len(pooled)
+    by_src = defaultdict(list)
+    for r in docs:
+        by_src[r.source].append((r.n_chars, r.doc_id))
+    expect = {}
+    for src, rows in by_src.items():
+        rows.sort()
+        ns = len(rows)
+        for i, (_, did) in enumerate(rows, start=1):
+            k = ((2 * i - 1) * n + ns) // (2 * ns)
+            expect[did] = (src, i, pooled[k - 1])
+    out = _q("feature_quantile_normalize", spark, sf_dir).collect()
+    assert len(out) == len(docs)
+    for r in out:
+        src, rnk, norm = expect[r.doc_id]
+        assert (r.source, r.source_rank, r.normalized_chars) == (src, rnk, norm)
+    # normalization preserves within-source order
+    for src, rows in by_src.items():
+        got = sorted(
+            (r.source_rank, r.normalized_chars) for r in out if r.source == src
+        )
+        vals = [v for _, v in got]
+        assert vals == sorted(vals)
+
+
+def test_did_consistent_with_cuped_split(spark, sf_dir):
+    out = _q("ab_test_diff_in_diff", spark, sf_dir).collect()[0]
+    welch = _q("ab_test_spend_welch", spark, sf_dir).collect()[0]
+    assert (out.n_a, out.n_b) == (welch.n_a, welch.n_b)
+    assert abs(out.did_dollars - (out.delta_a_dollars - out.delta_b_dollars)) < 1e-9
+    assert out.se_dollars > 0
