@@ -76,7 +76,16 @@ _loaded = False
 # retrieval_prf_terms, retrieval_prf_expanded_topk,
 # cluster_grid_density, sales_yoy_mom, intervals_coverage_supplier,
 # funnel_deadline_48h, skyline_parts_price_size,
-# er_fuzzy_trigram_match.
+# er_fuzzy_trigram_match; and the extension-session nineteen (same
+# verification level — check_oracle at sf0.001/0.01/1.0 + invariance
+# matrix + recompute pytests): retrieval_wand_topk,
+# text_winnow_fingerprints, events_ccf_click_purchase,
+# graph_lpa_communities, eval_pr_curve, events_max_drawdown,
+# stats_mann_kendall, audit_t_closeness, knn_radius, ab_test_cuped,
+# graph_kcore, text_textrank_keywords, stats_spearman_activity_spend,
+# weights_raking_ipf, ab_test_srm, graph_assortativity,
+# regress_influence_cooks, feature_quantile_normalize,
+# ab_test_diff_in_diff.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
