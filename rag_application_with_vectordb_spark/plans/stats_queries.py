@@ -1330,3 +1330,206 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("bigint").alias("node"),
         F.col("deg").alias("core_degree"),
     ).orderBy("node")
+
+
+# --- two-sample log-rank test between the md5 arms -----------------------------
+
+
+def _logrank_sql(epochsec, hexfn, str_t: str) -> str:
+    days = (
+        f"CAST(floor(({epochsec('COALESCE(p_ts, (SELECT MAX(ts) FROM events))')}"
+        f" - {epochsec('s_ts')}) / 86400.0) AS BIGINT)"
+    )
+    key = f"md5(concat('ab42|', CAST(user_id AS {str_t})))"
+    return f"""
+    WITH w AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS s_ts
+      FROM events
+    ),
+    per AS (
+      SELECT user_id, MIN(s_ts) AS s_ts,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > s_ts THEN ts END) AS p_ts
+      FROM w WHERE s_ts IS NOT NULL GROUP BY user_id
+    ),
+    dur AS (
+      SELECT user_id,
+             CASE WHEN {hexfn(key)} % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+             CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS evt,
+             {days} AS t
+      FROM per
+    ),
+    g AS (
+      SELECT t,
+             CAST(SUM(is_a * evt) AS BIGINT) AS da,
+             CAST(SUM(is_a * (1 - evt)) AS BIGINT) AS ca,
+             CAST(SUM((1 - is_a) * evt) AS BIGINT) AS db,
+             CAST(SUM((1 - is_a) * (1 - evt)) AS BIGINT) AS cb
+      FROM dur GROUP BY t
+    ),
+    risk AS (
+      SELECT t, da, db,
+             SUM(da + ca) OVER ()
+               - COALESCE(SUM(da + ca) OVER (ORDER BY t ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS na,
+             SUM(db + cb) OVER ()
+               - COALESCE(SUM(db + cb) OVER (ORDER BY t ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS nb
+      FROM g
+    ),
+    terms AS (
+      SELECT da, db, na, nb, na + nb AS nt, da + db AS dt,
+             CAST(round(1000000.0 * (da + db) * na / (na + nb)) AS BIGINT)
+               AS e1_micro,
+             CASE WHEN na + nb > 1 THEN
+               CAST(round(1000000.0 * (da + db)
+                          * (CAST(na AS DOUBLE) / (na + nb))
+                          * (1.0 - CAST(na AS DOUBLE) / (na + nb))
+                          * (na + nb - (da + db)) / (na + nb - 1)) AS BIGINT)
+             ELSE 0 END AS v_micro
+      FROM risk WHERE da + db > 0
+    ),
+    s AS (
+      SELECT CAST(SUM(da) AS BIGINT) AS o1,
+             CAST(SUM(e1_micro) AS BIGINT) AS e1m,
+             CAST(SUM(v_micro) AS BIGINT) AS vm
+      FROM terms
+    ),
+    tot AS (
+      SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+             CAST(SUM(1 - is_a) AS BIGINT) AS n_b
+      FROM dur
+    )
+    SELECT tot.n_a, tot.n_b, s.o1 AS observed_a,
+           CAST(s.e1m AS DOUBLE) / 1000000.0 AS expected_a,
+           CAST(s.vm AS DOUBLE) / 1000000.0 AS var_logrank,
+           (CAST(s.o1 AS DOUBLE) - CAST(s.e1m AS DOUBLE) / 1000000.0)
+             * (CAST(s.o1 AS DOUBLE) - CAST(s.e1m AS DOUBLE) / 1000000.0)
+             / (CAST(s.vm AS DOUBLE) / 1000000.0) AS chi2_logrank
+    FROM s CROSS JOIN tot
+    """
+
+
+@register(
+    "survival_logrank_arms",
+    oracle=_logrank_sql(
+        lambda e: f"CAST(floor(epoch({e})) AS BIGINT)",
+        __import__(
+            "rag_application_with_vectordb_spark.plans.oracle_dialect",
+            fromlist=["duck_hex13_to_long"],
+        ).duck_hex13_to_long,
+        "VARCHAR",
+    ),
+    doc="Two-sample log-rank test comparing signup -> first-purchase "
+    "survival between the md5-keyed A/B arms — the censoring-correct "
+    "'did the treatment change time-to-conversion' test that pairs "
+    "with survival_km_signup_purchase the way Welch pairs with the "
+    "mean read-out (comparing conversion fractions at a fixed horizon "
+    "throws censored users away; the log-rank uses every risk set). "
+    "Per-event-time hypergeometric terms E1_t = d_t*n1_t/n_t and "
+    "V_t land on the 1e-6 grid BEFORE their sums (exact BIGINT — an "
+    "unordered fp sum over event times would be order-dependent; the "
+    "PRF rule), O1 is an exact integer, and the chi-square assembles "
+    "in one fixed fp chain. Risk sets come from two prefix sums over "
+    "the duration DOMAIN (study-day-bounded, the KM discipline); the "
+    "fact shuffles once to user grain.",
+    tags=("stats", "analytics"),
+)
+def survival_logrank_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(
+        _logrank_sql(lambda e: f"unix_timestamp({e})", _spark_hex13, "STRING")
+    )
+
+
+# --- coarsened exact matching (CEM) ATT estimate -------------------------------
+
+
+def _cem_sql(hexfn, str_t: str) -> str:
+    key = f"md5(concat('ab42|', CAST(user_id AS {str_t})))"
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN {hexfn(key)} % 2 = 0 THEN 1 ELSE 0 END AS is_a,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           AND ts < CAST('2024-01-16 00:00:00' AS TIMESTAMP)
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS pre_cents,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           AND ts >= CAST('2024-01-16 00:00:00' AS TIMESTAMP)
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS post_cents
+      FROM events GROUP BY user_id
+    ),
+    bucketed AS (
+      SELECT is_a,
+             (pre_cents - (pre_cents % 25000)) AS bkt,
+             post_cents
+      FROM per_user
+    ),
+    cells AS (
+      SELECT bkt,
+             CAST(SUM(is_a) AS BIGINT) AS na,
+             CAST(SUM(1 - is_a) AS BIGINT) AS nb,
+             CAST(SUM(is_a * post_cents) AS BIGINT) AS sa,
+             CAST(SUM((1 - is_a) * post_cents) AS BIGINT) AS sb
+      FROM bucketed GROUP BY bkt
+    ),
+    matched AS (
+      SELECT bkt, na, nb, sa, sb,
+             CAST(round(1000000.0 * na * (CAST(sa AS DOUBLE) / na
+                                          - CAST(sb AS DOUBLE) / nb)) AS BIGINT)
+               AS term_micro
+      FROM cells WHERE na > 0 AND nb > 0
+    ),
+    agg AS (
+      SELECT CAST(COALESCE(SUM(na), 0) AS BIGINT) AS n_matched_a,
+             CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS n_matched_b,
+             CAST(COUNT(*) AS BIGINT) AS n_cells,
+             CAST(COALESCE(SUM(term_micro), 0) AS BIGINT) AS att_micro
+      FROM matched
+    ),
+    dropped AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN nb = 0 THEN na ELSE 0 END), 0) AS BIGINT)
+               AS n_dropped_a
+      FROM cells
+    )
+    SELECT agg.n_matched_a, agg.n_matched_b, agg.n_cells, dropped.n_dropped_a,
+           CASE WHEN agg.n_matched_a > 0 THEN
+             CAST(agg.att_micro AS DOUBLE) / (1000000.0 * agg.n_matched_a) / 100.0
+           ELSE NULL END AS att_dollars
+    FROM agg CROSS JOIN dropped
+    """
+
+
+@register(
+    "causal_cem_att",
+    oracle=_cem_sql(
+        __import__(
+            "rag_application_with_vectordb_spark.plans.oracle_dialect",
+            fromlist=["duck_hex13_to_long"],
+        ).duck_hex13_to_long,
+        "VARCHAR",
+    ),
+    doc="Coarsened exact matching (Iacus/King/Porro 2012) ATT estimate: "
+    "users are matched on their pre-period spend coarsened to $250 "
+    "buckets (exact integer flooring via pre - pre%25000), cells "
+    "missing either arm are DROPPED (reported), and the treated-arm "
+    "effect is the treated-count-weighted mean of per-cell outcome "
+    "differences — the covariate-balance-by-construction alternative "
+    "to model-based adjustment (CUPED assumes linearity; CEM does "
+    "not). Per-cell terms land on the 1e-6 grid before the cross-cell "
+    "sum (exact BIGINT — the PRF rule); the match itself is one hash "
+    "aggregate on the bucket key, bounded by the bucket domain, never "
+    "a per-user nearest-neighbor sort. The guardrail-to-estimate "
+    "experiment ladder: srm -> welch -> cuped -> diff-in-diff -> cem.",
+    tags=("stats", "analytics"),
+)
+def causal_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_cem_sql(_spark_hex13, "STRING"))

@@ -999,3 +999,96 @@ def test_did_consistent_with_cuped_split(spark, sf_dir):
     assert (out.n_a, out.n_b) == (welch.n_a, welch.n_b)
     assert abs(out.did_dollars - (out.delta_a_dollars - out.delta_b_dollars)) < 1e-9
     assert out.se_dollars > 0
+
+
+# --- log-rank / CEM ------------------------------------------------------
+
+
+def _arm_of(user_id):
+    import hashlib
+
+    h = hashlib.md5(f"ab42|{user_id}".encode()).hexdigest()
+    return int(h[:13], 16) % 2 == 0  # True = arm A
+
+
+def test_logrank_matches_python_recompute(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type").collect()
+    max_ts = max(r.ts for r in ev)
+    signup, first_p = {}, {}
+    for r in sorted(ev, key=lambda r: r.ts):
+        if r.event_type == "signup" and r.user_id not in signup:
+            signup[r.user_id] = r.ts
+    for r in sorted(ev, key=lambda r: r.ts):
+        if (
+            r.event_type == "purchase"
+            and r.user_id in signup
+            and r.ts > signup[r.user_id]
+            and r.user_id not in first_p
+        ):
+            first_p[r.user_id] = r.ts
+    rows = []
+    for u, s in signup.items():
+        end = first_p.get(u, max_ts)
+        t = int((int(end.timestamp()) - int(s.timestamp())) // 86400)
+        rows.append((t, u in first_p, _arm_of(u)))
+    times = sorted({t for t, e, _ in rows if e})
+    o1 = sum(1 for t, e, a in rows if e and a)
+    e1m = vm = 0
+    for t in times:
+        na = sum(1 for tt, _, a in rows if tt >= t and a)
+        nb = sum(1 for tt, _, a in rows if tt >= t and not a)
+        da = sum(1 for tt, e, a in rows if tt == t and e and a)
+        db = sum(1 for tt, e, a in rows if tt == t and e and not a)
+        nt, dt = na + nb, da + db
+        e1m += round(1e6 * dt * na / nt)
+        if nt > 1:
+            vm += round(1e6 * dt * (na / nt) * (1 - na / nt) * (nt - dt) / (nt - 1))
+    out = _q("survival_logrank_arms", spark, sf_dir).collect()[0]
+    assert out.observed_a == o1
+    assert abs(out.expected_a - e1m / 1e6) < 1e-9
+    assert abs(out.var_logrank - vm / 1e6) < 1e-9
+    exp_chi2 = (o1 - e1m / 1e6) ** 2 / (vm / 1e6)
+    assert abs(out.chi2_logrank - exp_chi2) < 1e-9
+
+
+def test_cem_matches_python_recompute(spark, sf_dir):
+    import datetime
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value").collect()
+    cut = datetime.datetime(2024, 1, 16)
+    pre, post, users = defaultdict(int), defaultdict(int), set()
+    for r in ev:
+        users.add(r.user_id)
+        if r.event_type == "purchase":
+            (pre if r.ts < cut else post)[r.user_id] += round(r.value * 100)
+    cells = defaultdict(lambda: [0, 0, 0, 0])  # na, nb, sa, sb
+    for u in users:
+        b = pre[u] - pre[u] % 25000
+        c = cells[b]
+        if _arm_of(u):
+            c[0] += 1
+            c[2] += post[u]
+        else:
+            c[1] += 1
+            c[3] += post[u]
+    att_micro = n_a = n_b = ncells = dropped = 0
+    for b, (na, nb, sa, sb) in cells.items():
+        if na > 0 and nb > 0:
+            att_micro += round(1e6 * na * (sa / na - sb / nb))
+            n_a += na
+            n_b += nb
+            ncells += 1
+        elif nb == 0:
+            dropped += na
+    out = _q("causal_cem_att", spark, sf_dir).collect()[0]
+    assert (out.n_matched_a, out.n_matched_b, out.n_cells, out.n_dropped_a) == (
+        n_a,
+        n_b,
+        ncells,
+        dropped,
+    )
+    assert n_a > 0, "bucket width must produce matched cells on the fixture"
+    assert abs(out.att_dollars - att_micro / 1e6 / n_a / 100.0) < 1e-9
