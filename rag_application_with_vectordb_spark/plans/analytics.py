@@ -3203,3 +3203,153 @@ def _register_did():
 
 
 _register_did()
+
+
+# --- equi-width histogram of purchase values -----------------------------------
+
+_sql_query(
+    "events_value_histogram",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    b AS (
+      SELECT CAST(MIN(cents) AS BIGINT) AS lo,
+             CAST(MAX(cents) - MIN(cents) + 1 AS BIGINT) AS span
+      FROM v
+    ),
+    binned AS (
+      SELECT CAST((((cents - lo) * 20)
+                   - (((cents - lo) * 20) % span)) / span AS BIGINT) AS bin
+      FROM v CROSS JOIN b
+    )
+    SELECT bin,
+           CAST(b.lo + (bin * b.span - ((bin * b.span) % 20)) / 20 AS BIGINT)
+             AS bin_lo_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_obs
+    FROM binned CROSS JOIN b
+    GROUP BY bin, b.lo, b.span
+    ORDER BY bin ASC
+    """,
+    doc="Equi-width 20-bin histogram of purchase values — the basic EDA "
+    "profile. Bin index and bin lower bound are EXPLICIT floor "
+    "divisions via the exact-multiple identity (a - a%b)/b on exact "
+    "integer cents (bare CAST(a/b AS BIGINT) truncates in Spark but "
+    "rounds half-even in DuckDB — the quantile-normalize rule); the "
+    "[min, max] range comes from one broadcast 2-value roll-up, so "
+    "the histogram is one scan + one 20-cell aggregate at any SF. "
+    "Only occupied bins emit rows.",
+    tags=("analytics",),
+)
+
+
+# --- weekly revenue bridge (growth accounting) ---------------------------------
+
+_sql_query(
+    "revenue_bridge_weekly",
+    """
+    WITH p AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, date_trunc('week', ts)
+    ),
+    mx AS (SELECT MAX(wk) AS max_wk FROM p),
+    j AS (
+      SELECT COALESCE(cur.wk, prv.wk + INTERVAL 7 DAY) AS wk,
+             COALESCE(cur.cents, 0) AS c_cur,
+             COALESCE(prv.cents, 0) AS c_prv
+      FROM p cur
+      FULL OUTER JOIN p prv
+        ON prv.user_id = cur.user_id AND cur.wk = prv.wk + INTERVAL 7 DAY
+    )
+    SELECT CAST(wk AS DATE) AS week,
+           CAST(SUM(CASE WHEN c_prv = 0 THEN c_cur ELSE 0 END) AS BIGINT)
+             AS gained_cents,
+           CAST(-SUM(CASE WHEN c_cur = 0 THEN c_prv ELSE 0 END) AS BIGINT)
+             AS churned_cents,
+           CAST(SUM(CASE WHEN c_cur > 0 AND c_prv > 0 AND c_cur > c_prv
+                         THEN c_cur - c_prv ELSE 0 END) AS BIGINT)
+             AS expansion_cents,
+           CAST(SUM(CASE WHEN c_cur > 0 AND c_prv > 0 AND c_cur < c_prv
+                         THEN c_cur - c_prv ELSE 0 END) AS BIGINT)
+             AS contraction_cents,
+           CAST(SUM(c_cur - c_prv) AS BIGINT) AS net_change_cents,
+           CAST(SUM(c_cur) AS BIGINT) AS total_cents
+    FROM j CROSS JOIN mx
+    WHERE wk <= max_wk
+    GROUP BY wk
+    ORDER BY wk ASC
+    """,
+    doc="Weekly revenue bridge / growth accounting: each week's revenue "
+    "delta decomposed into gained (user paid this week, not last), "
+    "churned (paid last week, not this), expansion and contraction of "
+    "retained payers — the SaaS growth-accounting identity total_w = "
+    "total_{w-1} + gained + churned + expansion + contraction, which "
+    "the pytest asserts telescopes exactly. One fact scan to (user, "
+    "week) grain (exact cents), one self FULL OUTER JOIN aligned on "
+    "user and week+7d (keyed on user_id — never a calendar cross "
+    "join), and a week-grain roll-up; the phantom week after the last "
+    "observed week is filtered by a broadcast 1-value max. Weeks "
+    "truncate Monday-start identically in both engines.",
+    tags=("analytics", "timeseries"),
+)
+
+
+# --- cohort LTV curve ----------------------------------------------------------
+
+
+def _ltv_sql(ddiff) -> str:
+    """``ddiff(end, start)`` renders whole-day difference — the only
+    dialect split (Spark datediff(end, start) vs DuckDB
+    date_diff('day', start, end))."""
+    age = ddiff("CAST(date_trunc('week', e.ts) AS DATE)", "f.cohort_wk")
+    return f"""
+    WITH f AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_wk
+      FROM events GROUP BY user_id
+    ),
+    cs AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS n_users FROM f GROUP BY cohort_wk),
+    sp AS (
+      SELECT f.cohort_wk,
+             CAST({age} / 7 AS BIGINT) AS age_wk,
+             CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events e JOIN f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+      GROUP BY f.cohort_wk, {age}
+    ),
+    cum AS (
+      SELECT cohort_wk, age_wk,
+             SUM(cents) OVER (PARTITION BY cohort_wk ORDER BY age_wk ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents
+      FROM sp
+    )
+    SELECT cum.cohort_wk AS cohort_week, cum.age_wk AS week_age, cs.n_users,
+           CAST(cum.cum_cents AS DOUBLE) / (100.0 * cs.n_users)
+             AS cum_spend_per_user
+    FROM cum JOIN cs ON cs.cohort_wk = cum.cohort_wk
+    ORDER BY cohort_week ASC, week_age ASC
+    """
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle=_ltv_sql(lambda e, s: f"date_diff('day', {s}, {e})"),
+    doc="Cohort LTV curve: average cumulative purchase spend per user by "
+    "signup-cohort week and week age — the lifetime-value read-out "
+    "layered on retention_cohorts' activity triangle (retention says "
+    "who comes back; LTV says what that is worth). The fact joins the "
+    "broadcast-sized first-seen map, collapses to (cohort, age) grain "
+    "in exact cents, and the cumulative sum is a window over the "
+    "calendar-bounded cohort x age triangle — never over users. "
+    "week-age via day difference of Monday-truncated weeks (always a "
+    "multiple of 7, so the /7 is exact; the 2-arg-vs-3-arg datediff "
+    "is the one dialect split, parameterized like the KM epochsec).",
+    tags=("analytics", "timeseries"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_ltv_sql(lambda e, s: f"datediff({e}, {s})"))

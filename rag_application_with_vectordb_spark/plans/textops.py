@@ -1443,3 +1443,157 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TR_TOPK)
         .drop("__pr")
     )
+
+
+# --- per-document TextRank keywords --------------------------------------------
+#
+# The per-doc variant of text_textrank_keywords — what TextRank is
+# actually run for in a curation pipeline: each document's OWN top-3
+# keywords from a random walk over ITS co-occurrence graph (the corpus
+# variant ranks globally salient vocabulary; tagging individual docs
+# needs per-doc graphs). Node identity is the composite (doc_id, word)
+# encoded as 'doc|word' so operators/graph.pagerank_fp runs verbatim —
+# every join and aggregate in the walk then keys on the composite
+# node, i.e. the whole iteration is doc-partitioned and shuffles
+# token-scale relations by key; nothing is global. Top-3 per doc is a
+# keyed window over the final rank table.
+
+_TRD_ITERS = 3
+_TRD_TOPK = 3
+_TRD_MIN_CO = 2  # per-doc support floor: pair must co-occur twice IN the doc
+
+
+def _textrank_doc_oracle() -> str:
+    S = _TR_SCALE
+    parts = [
+        rf"""t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+          FROM documents),
+    tok AS MATERIALIZED (
+      SELECT doc_id, CAST(ix.i AS BIGINT) AS pos, w[CAST(ix.i AS INTEGER)] AS word
+      FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) ix
+    ),
+    prs AS (
+      SELECT a.doc_id,
+             least(a.word, b.word) AS wa, greatest(a.word, b.word) AS wb,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM tok a JOIN tok b ON a.doc_id = b.doc_id
+                           AND b.pos - a.pos IN (1, {_TR_WIN})
+                           AND a.word <> b.word
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= {_TRD_MIN_CO}
+    ),
+    edges AS MATERIALIZED (
+      SELECT CAST(doc_id AS VARCHAR) || '|' || wa AS src,
+             CAST(doc_id AS VARCHAR) || '|' || wb AS dst, doc_id, wa AS dw, w
+      FROM prs
+      UNION ALL
+      SELECT CAST(doc_id AS VARCHAR) || '|' || wb AS src,
+             CAST(doc_id AS VARCHAR) || '|' || wa AS dst, doc_id, wb AS dw, w
+      FROM prs
+    ),
+    deg AS MATERIALIZED (
+      SELECT src AS part, MIN(doc_id) AS doc_id, MIN(dw) AS word,
+             CAST(COUNT(*) AS BIGINT) AS outdeg,
+             CAST(SUM(w) AS BIGINT) AS outw
+      FROM edges GROUP BY src
+    ),
+    pr0 AS (SELECT part, CAST({S} AS BIGINT) AS pr FROM deg)"""
+    ]
+    for t in range(1, _TRD_ITERS + 1):
+        parts.append(
+            f"""in{t} AS (
+      SELECT e.dst AS part, SUM((p.pr * e.w) // d.outw) AS s
+      FROM edges e JOIN pr{t - 1} p ON p.part = e.src
+                   JOIN deg d ON d.part = e.src
+      GROUP BY e.dst
+    ),
+    pr{t} AS MATERIALIZED (
+      SELECT d.part,
+             CAST({_TR_BASE} + (85 * COALESCE(i.s, 0)) // 100 AS BIGINT) AS pr
+      FROM deg d LEFT JOIN in{t} i USING (part)
+    )"""
+        )
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body},
+    fin AS (
+      SELECT d.doc_id, d.word, p.pr,
+             row_number() OVER (PARTITION BY d.doc_id
+                                ORDER BY p.pr DESC, d.word ASC) AS rn
+      FROM deg d JOIN pr{_TRD_ITERS} p USING (part)
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, word,
+           CAST(rn AS BIGINT) AS kw_rank,
+           CAST(pr AS DOUBLE) / {S}.0 AS textrank
+    FROM fin WHERE rn <= {_TRD_TOPK}
+    """
+
+
+@register(
+    "text_textrank_doc_keywords",
+    oracle=_textrank_doc_oracle(),
+    doc=f"Per-document TextRank keywords: top-{_TRD_TOPK} words per doc "
+    f"from a weighted fixed-point PageRank ({_TRD_ITERS} iterations) "
+    "over EACH document's own co-occurrence graph (distance <= "
+    f"{_TR_WIN}, per-doc pair support >= {_TRD_MIN_CO}) — the "
+    "doc-tagging form of TextRank (the corpus variant ranks globally "
+    "salient vocabulary). Composite (doc|word) node ids let "
+    "operators/graph.pagerank_fp run verbatim; every walk step keys "
+    "on the composite node so the iteration is doc-partitioned end "
+    "to end, and the final top-3 is a doc-keyed window. Docs whose "
+    "word pairs never repeat have no graph and emit no rows — the "
+    "support floor is the noise gate.",
+    tags=("text", "graph", "iterative"),
+)
+def text_textrank_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.graph import pagerank_fp
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    tok = docs.select("doc_id", F.posexplode(w).alias("p0", "word")).select(
+        "doc_id", (F.col("p0") + 1).cast("bigint").alias("pos"), "word"
+    )
+    a, b = tok.alias("a"), tok.alias("b")
+    prs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") - F.col("a.pos")).isin(1, _TR_WIN)
+            & (F.col("a.word") != F.col("b.word")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.least(F.col("a.word"), F.col("b.word")).alias("wa"),
+            F.greatest(F.col("a.word"), F.col("b.word")).alias("wb"),
+        )
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .filter(F.col("w") >= _TRD_MIN_CO)
+    )
+
+    def leg(src_w, dst_w):
+        return prs.select(
+            F.concat_ws("|", F.col("doc_id"), F.col(src_w)).alias("src"),
+            F.concat_ws("|", F.col("doc_id"), F.col(dst_w)).alias("dst"),
+            "w",
+        )
+
+    edges = leg("wa", "wb").unionAll(leg("wb", "wa"))
+    ranked = pagerank_fp(edges, iterations=_TRD_ITERS, scale=_TR_SCALE, weight_col="w")
+    split = ranked.select(
+        F.split(F.col("part"), r"\|").getItem(0).cast("bigint").alias("doc_id"),
+        F.split(F.col("part"), r"\|").getItem(1).alias("word"),
+        "pr",
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("pr"), F.asc("word"))
+    return (
+        split.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _TRD_TOPK)
+        .select(
+            "doc_id",
+            "word",
+            F.col("rn").cast("bigint").alias("kw_rank"),
+            (F.col("pr").cast("double") / F.lit(float(_TR_SCALE))).alias("textrank"),
+        )
+    )

@@ -1092,3 +1092,143 @@ def test_cem_matches_python_recompute(spark, sf_dir):
     )
     assert n_a > 0, "bucket width must produce matched cells on the fixture"
     assert abs(out.att_dollars - att_micro / 1e6 / n_a / 100.0) < 1e-9
+
+
+# --- per-doc TextRank / histogram / revenue bridge / LTV -----------------
+
+
+def test_textrank_doc_keywords_per_doc_properties(spark, sf_dir):
+    out = _q("text_textrank_doc_keywords", spark, sf_dir).collect()
+    assert out
+    from collections import defaultdict
+
+    by_doc = defaultdict(list)
+    for r in out:
+        by_doc[r.doc_id].append((r.kw_rank, r.word, r.textrank))
+    for doc, rows in by_doc.items():
+        rows.sort()
+        assert [k for k, _, _ in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        scores = [s for _, _, s in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert len({w for _, w, _ in rows}) == len(rows)
+    # spot-check one doc against a local recompute
+    doc_id = min(by_doc)
+    text = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") == doc_id)
+        .collect()[0]
+        .text
+    )
+    from collections import Counter
+
+    ws = text.strip().split()
+    co = Counter()
+    for i, a in enumerate(ws):
+        for d in (1, 2):
+            if i + d < len(ws) and ws[i + d] != a:
+                co[tuple(sorted((a, ws[i + d])))] += 1
+    edges = defaultdict(dict)
+    for (a, b), c in co.items():
+        if c >= 2:
+            edges[a][b] = c
+            edges[b][a] = c
+    if edges:
+        SCALE = 1_000_000_000
+        outw = {n: sum(v.values()) for n, v in edges.items()}
+        pr = {n: SCALE for n in edges}
+        for _ in range(3):
+            inflow = Counter()
+            for u, vs in edges.items():
+                for v, w in vs.items():
+                    inflow[v] += (pr[u] * w) // outw[u]
+            pr = {n: 15 * SCALE // 100 + (85 * inflow[n]) // 100 for n in edges}
+        top = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        assert [(k, w, p / SCALE) for k, (w, p) in enumerate(top, 1)] == by_doc[doc_id]
+
+
+def test_histogram_covers_all_purchases(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    n = ev.count()
+    cents = [round(r.value * 100) for r in ev.select("value").collect()]
+    lo, hi = min(cents), max(cents)
+    span = hi - lo + 1
+    out = _q("events_value_histogram", spark, sf_dir).collect()
+    assert sum(r.n_obs for r in out) == n
+    from collections import Counter
+
+    expect = Counter(((c - lo) * 20) // span for c in cents)
+    assert {r.bin: r.n_obs for r in out} == dict(expect)
+    for r in out:
+        assert r.bin_lo_cents == lo + (r.bin * span) // 20
+        assert 0 <= r.bin < 20
+
+
+def test_revenue_bridge_telescopes(spark, sf_dir):
+    out = sorted(_q("revenue_bridge_weekly", spark, sf_dir).collect(), key=lambda r: r.week)
+    prev_total = 0
+    for r in out:
+        assert (
+            r.net_change_cents
+            == r.gained_cents + r.churned_cents + r.expansion_cents + r.contraction_cents
+        )
+        assert r.total_cents == prev_total + r.net_change_cents
+        assert r.churned_cents <= 0 <= r.gained_cents
+        assert r.contraction_cents <= 0 <= r.expansion_cents
+        prev_total = r.total_cents
+    # total of last week must equal that week's actual purchase revenue
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase").collect()
+    from collections import defaultdict
+    import datetime
+
+    wk = defaultdict(int)
+    for r in ev:
+        d = r.ts.date()
+        monday = d - datetime.timedelta(days=d.weekday())
+        wk[monday] += round(r.value * 100)
+    for r in out:
+        assert r.total_cents == wk.get(r.week, 0)
+
+
+def test_ltv_curve_monotone_and_matches_recompute(spark, sf_dir):
+    import datetime
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type", "value").collect()
+    first = {}
+    for r in sorted(ev, key=lambda r: r.ts):
+        first.setdefault(r.user_id, r.ts)
+
+    def monday(ts):
+        d = ts.date()
+        return d - datetime.timedelta(days=d.weekday())
+
+    cohort = {u: monday(t) for u, t in first.items()}
+    cs = defaultdict(int)
+    for c in cohort.values():
+        cs[c] += 1
+    sp = defaultdict(int)
+    for r in ev:
+        if r.event_type == "purchase":
+            age = (monday(r.ts) - cohort[r.user_id]).days // 7
+            sp[(cohort[r.user_id], age)] += round(r.value * 100)
+    out = sorted(
+        _q("cohort_ltv_curve", spark, sf_dir).collect(),
+        key=lambda r: (r.cohort_week, r.week_age),
+    )
+    cum = defaultdict(int)
+    rows = {}
+    for (c, a) in sorted(sp):
+        cum[c] += sp[(c, a)]
+        rows[(c, a)] = cum[c] / 100.0 / cs[c]
+    assert {(r.cohort_week, r.week_age): r.n_users for r in out} == {
+        k: cs[k[0]] for k in rows
+    }
+    for r in out:
+        assert abs(r.cum_spend_per_user - rows[(r.cohort_week, r.week_age)]) < 1e-9
+    # cumulative per-user spend is nondecreasing in age within a cohort
+    from itertools import groupby
+
+    for c, grp in groupby(out, key=lambda r: r.cohort_week):
+        vals = [r.cum_spend_per_user for r in grp]
+        assert vals == sorted(vals)
