@@ -537,3 +537,36 @@ def test_ams_sketch_shuffles_only_seed_partials(spark, sf_dir, specs):
     scans = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert len(scans) == 2
     assert all("struct<user_id:bigint>" in l for l in scans)
+
+
+def test_winnow_window_is_doc_keyed(spark, sf_dir, specs):
+    plan = plan_of(specs["text_winnow_fingerprints"].fn(spark, sf_dir))
+    # the per-window argmin partitions by doc_id — never a global window
+    assert "SinglePartition" not in plan
+
+
+def test_wand_topk_is_take_ordered(spark, sf_dir, specs):
+    plan = plan_of(specs["retrieval_wand_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # postings come from the checkpointed index, not re-tokenization
+    assert "Scan ExistingRDD" in plan or "InMemoryTableScan" in plan
+
+
+def test_quantile_normalize_rank_window_is_source_keyed(spark, sf_dir, specs):
+    plan = plan_of(specs["feature_quantile_normalize"].fn(spark, sf_dir))
+    # within-source ranks partition by source; the only unpartitioned
+    # window is the cumulative histogram over the bounded length domain
+    assert "hashpartitioning(source" in plan
+
+
+def test_revenue_bridge_join_is_user_keyed(spark, sf_dir, specs):
+    plan = plan_of(specs["revenue_bridge_weekly"].fn(spark, sf_dir))
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
+    assert "CartesianProduct" not in plan
+
+
+def test_textrank_doc_walk_stays_keyed(spark, sf_dir, specs):
+    plan = plan_of(specs["text_textrank_doc_keywords"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # final top-3 window partitions by doc_id
+    assert "hashpartitioning(doc_id" in plan

@@ -352,6 +352,53 @@ ANNOTATED = {
     "counts are the only fact-sized shuffle; adjacency join, "
     "two-star CC, and the roll-up all run on the grid-bounded "
     "dense-cell relation.",
+    "retrieval_wand_topk": "One probe of the checkpointed inverted "
+    "index materializes the 3-term postings; every WAND stage "
+    "(bounds, essential docs, theta, pruning) reuses that "
+    "checkpoint — the plan shows InMemory/checkpoint scans, no "
+    "re-tokenization; theta's k-th-score is TakeOrdered + MIN, not a "
+    "global window; final top-10 is TakeOrderedAndProject.",
+    "text_winnow_fingerprints": "Gram explode, combined-key window "
+    "MIN, and distinct are ALL keyed by doc_id — no SinglePartition "
+    "window anywhere; the per-window argmin is one rowsBetween(-3,0) "
+    "frame over (doc, pos).",
+    "graph_lpa_communities": "The fact scans once into the "
+    "checkpointed edge list; each of the 4 label rounds is "
+    "edges-join-labels (shuffle on dst) + vote aggregate + per-src "
+    "argmax window — all keyed; each round's label table is "
+    "checkpointed so lineage stays flat.",
+    "graph_kcore": "12 peel rounds, each one keyed aggregate over the "
+    "checkpointed co-purchase edge relation semi-joined against the "
+    "shrinking survivor set; the basket self-join runs exactly once. "
+    "(The DuckDB oracle needs MATERIALIZED CTEs for the same reason "
+    "— un-materialized it re-ran the self-join per round: 410 s -> "
+    "15 s at sf1.0.)",
+    "text_textrank_keywords": "The corpus tokenizes once; the word "
+    "co-occurrence aggregate shuffles on the (wa, wb) pair key; "
+    "pagerank_fp persists the graph so each of the 3 iterations is "
+    "exactly two keyed shuffles; top-20 is TakeOrdered on the "
+    "fixed-point rank.",
+    "text_textrank_doc_keywords": "Composite doc|word node ids keep "
+    "every walk join and aggregate doc-partitioned; the final top-3 "
+    "window partitions by doc_id — token-scale relations shuffle by "
+    "key, nothing is global.",
+    "weights_raking_ipf": "One fact aggregate to the |lang|x|source| "
+    "cell relation (checkpointed); all 3 IPF rounds run on that "
+    "constant-size relation with broadcast margin sums — integer "
+    "share arithmetic, no fp anywhere in the loop.",
+    "feature_quantile_normalize": "Within-source ranks come from a "
+    "window PARTITIONED BY source (never a global sort); the "
+    "rank->value lookup joins the bounded length-domain cumulative "
+    "histogram; fanout is |domain| per doc at worst.",
+    "revenue_bridge_weekly": "The fact collapses to (user, week) "
+    "grain first; the week-over-week comparison is a self FULL "
+    "OUTER JOIN keyed on user_id (never a calendar cross join); the "
+    "bridge roll-up shuffles the week key only.",
+    "survival_logrank_arms": "One user-keyed shuffle builds "
+    "durations; risk sets are two prefix sums over the study-day "
+    "duration DOMAIN; per-event-time E/V terms land on the 1e-6 "
+    "grid before exact BIGINT sums, so the chi-square is one fixed "
+    "fp chain off a 3-integer roll-up.",
 }
 
 
