@@ -1118,3 +1118,75 @@ def cluster_grid_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("n_points"),
     )
     return agg.unionByName(noise).orderBy(F.desc("n_points"), F.asc("cluster_id"))
+
+
+# --- semantic decontamination (embedding-similarity leak screen) ---------------
+
+_SDC_DIM = 16
+_SDC_TAU = 0.995
+
+
+def _sdc_emb_duck(col: str) -> str:
+    from .oracle_dialect import duck_hash_embedding
+
+    return duck_hash_embedding(col, _SDC_DIM)
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=rf"""
+    WITH aug AS ({_AUG_SQL}),
+    tr AS (
+      SELECT doc_id, {_sdc_emb_duck('text')} AS emb FROM aug
+      WHERE doc_id < {_AUG_EXACT_OFF}
+    ),
+    ev AS (
+      SELECT doc_id AS eval_id, {_sdc_emb_duck('text')} AS emb FROM aug
+      WHERE doc_id >= {_AUG_EXACT_OFF}
+    ),
+    scored AS (
+      SELECT tr.doc_id,
+             MAX(round({__import__('rag_application_with_vectordb_spark.plans.oracle_dialect', fromlist=['duck_cosine']).duck_cosine('tr.emb', 'ev.emb')}, 6)) AS max_eval_cos
+      FROM tr CROSS JOIN ev
+      GROUP BY tr.doc_id
+    )
+    SELECT doc_id, max_eval_cos
+    FROM scored WHERE max_eval_cos >= {_SDC_TAU}
+    ORDER BY doc_id ASC
+    """,
+    doc="Semantic decontamination: flag TRAINING docs whose hash-embedding "
+    f"cosine to ANY eval doc reaches {_SDC_TAU} — the paraphrase-level "
+    "leak screen that complements decontaminate_train_docs' 8-gram "
+    "surface matching (n-grams catch verbatim overlap; embeddings "
+    "catch near-verbatim rewrites the n-gram screen misses — here the "
+    "planted eval set's suffix-perturbed near-copies). The eval side "
+    "is bounded (broadcast); the train side scans once through a "
+    "broadcast nested-loop cosine + per-doc MAX — the knn_batch shape "
+    "with an aggregate instead of a top-k, and at 100 TB the eval "
+    "side would sit in an ANN index probed per train partition "
+    "(operators/ann.py) with this exact plan as its verify stage. "
+    "Cosines round to 6 decimals before MAX (monotone, so rounding "
+    "commutes with the aggregate).",
+    tags=("dedup", "pipeline", "ann"),
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..embedder import hash_embedding_expr
+    from ..functions.vector import cosine_sim
+
+    tune(spark)
+    aug = _augmented_docs(spark, sf_dir)
+    emb = hash_embedding_expr(F.col("text"), dim=_SDC_DIM)
+    tr = aug.filter(F.col("doc_id") < _AUG_EXACT_OFF).select("doc_id", emb.alias("emb"))
+    ev = aug.filter(F.col("doc_id") >= _AUG_EXACT_OFF).select(
+        F.col("doc_id").alias("eval_id"), emb.alias("emb2")
+    )
+    scored = (
+        tr.crossJoin(F.broadcast(ev))
+        .select(
+            "doc_id",
+            F.round(cosine_sim(F.col("emb"), F.col("emb2")), 6).alias("cos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("cos").alias("max_eval_cos"))
+    )
+    return scored.filter(F.col("max_eval_cos") >= _SDC_TAU).orderBy("doc_id")

@@ -301,3 +301,65 @@ def knn_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("similarity") >= _RADIUS_TAU).orderBy(
         F.desc("similarity"), F.asc("vec_id")
     )
+
+
+_HN_QUERIES = 5
+_HN_K = 3
+
+
+@register(
+    "mine_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qvec
+               FROM embeddings WHERE vec_id < {_HN_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id, CAST(e.label AS BIGINT) AS label,
+             round({duck_cosine('e.embedding', 'q.qvec')}, 6) AS similarity
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.qlabel
+    )
+    SELECT query_id, vec_id, label, similarity,
+           CAST(rn AS BIGINT) AS neg_rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY similarity DESC, vec_id ASC) AS rn
+      FROM scored
+    ) r WHERE rn <= {_HN_K}
+    """,
+    doc=f"Hard-negative mining for embedding-model training: for each of "
+    f"{_HN_QUERIES} anchor vectors, the top-{_HN_K} most-similar "
+    "vectors with a DIFFERENT label — the negatives that sit closest "
+    "to the decision boundary, which is what contrastive training "
+    "needs (random negatives are trivially separable and teach "
+    "nothing). The label predicate filters inside the scan, the "
+    "anchor side broadcasts (knn_batch's plan), and the per-anchor "
+    "top-k window touches only scored candidate rows. Similarities "
+    "round to 6 decimals before ranking (vec_id tiebreak) so the "
+    "selected negatives are bit-stable cross-engine. At 100 TB the "
+    "candidate generation runs against the IVF index (partition-"
+    "pruned probes) with this exact plan as the per-probe verify.",
+    tags=("rag", "ann", "pipeline"),
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qvec"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 6).alias("similarity"),
+        )
+    )
+    win = Window.partitionBy("query_id").orderBy(F.desc("similarity"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _HN_K)
+        .select("query_id", "vec_id", "label", "similarity", F.col("rn").cast("bigint").alias("neg_rank"))
+    )

@@ -1232,3 +1232,51 @@ def test_ltv_curve_monotone_and_matches_recompute(spark, sf_dir):
     for c, grp in groupby(out, key=lambda r: r.cohort_week):
         vals = [r.cum_spend_per_user for r in grp]
         assert vals == sorted(vals)
+
+
+# --- semantic decontamination / hard negatives ---------------------------
+
+
+def test_semantic_decon_flags_exactly_planted_bases(spark, sf_dir):
+    out = _q("decontaminate_semantic", spark, sf_dir).collect()
+    flagged = {r.doc_id for r in out}
+    # the planted eval set consists of exact + suffixed copies of base
+    # docs 0..19 — the exact copies guarantee those bases are flagged
+    assert set(range(20)) <= flagged
+    for r in out:
+        if r.doc_id < 20:
+            assert r.max_eval_cos == 1.0  # exact copy present in eval
+
+
+def test_hard_negatives_match_brute_force(spark, sf_dir):
+    import math
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    emb = {r.vec_id: (r.embedding, r.label) for r in rows}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return 0.0 if na == 0 or nb == 0 else dot / (na * nb)
+
+    out = _q("mine_hard_negatives", spark, sf_dir).collect()
+    for qid in range(5):
+        qv, ql = emb[qid]
+        cands = sorted(
+            (
+                (round(cos(v, qv), 6), -vid)
+                for vid, (v, lab) in emb.items()
+                if lab != ql
+            ),
+            reverse=True,
+        )[:3]
+        expect = [(-nvid, s) for s, nvid in cands]
+        got = sorted(
+            ((r.vec_id, r.similarity) for r in out if r.query_id == qid),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == expect
+        for r in out:
+            if r.query_id == qid:
+                assert r.label != ql
