@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["running_user_totals", "high_water_marks", "cusum_monitor", "foreach_batch_collector"]
+__all__ = ["running_user_totals", "high_water_marks", "cusum_monitor", "drawdown_monitor", "foreach_batch_collector"]
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -164,6 +164,73 @@ def cusum_monitor(events: DataFrame, tgt_cents: int, h_cents: int) -> DataFrame:
 
     return (
         events.select("user_id", "event_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def drawdown_monitor(events: DataFrame, alert_cents: int) -> DataFrame:
+    """Streaming drawdown monitor: per user, track the running balance
+    (purchases add, errors subtract, integer cents) and its running
+    peak; emit an alert row whenever the drawdown ``peak - balance``
+    exceeds ``alert_cents``, processing rows in (ts, event_id) order
+    within each micro-batch.
+
+    The streaming twin of the batch catalog query
+    ``events_max_drawdown`` (plans/analytics.py) at per-user grain: the
+    batch form computes prefix-sum + running-max in two window passes;
+    this state machine carries the same two exact integers per user
+    (balance, peak), so stream == batch under ANY micro-batch split —
+    asserted in tests/test_streaming_stateful.py. No fp drift is
+    possible over an unbounded stream: state is integer cents.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("drawdown_cents", T.LongType()),
+            T.StructField("peak_cents", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("bal", T.LongType()), T.StructField("peak", T.LongType())]
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # peak starts at the first OBSERVED balance (sentinel, not 0):
+        # the batch closed form takes MAX over observed prefix balances
+        # only, and a 0-peak would invent a drawdown for users whose
+        # stream opens with losses.
+        bal, peak = state.get if state.exists else (0, -(1 << 62))
+        out: list[dict] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        for row in batch.sort_values(["ts", "event_id"]).itertuples(index=False):
+            cents = int(round(float(row.value) * 100))
+            bal += cents if row.event_type == "purchase" else -cents
+            peak = max(peak, bal)
+            draw = peak - bal
+            if draw > alert_cents:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "event_id": row.event_id,
+                        "ts": row.ts,
+                        "drawdown_cents": draw,
+                        "peak_cents": peak,
+                    }
+                )
+        state.update((bal, peak))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        events.filter(events["event_type"].isin("purchase", "error"))
+        .select("user_id", "event_id", "ts", "event_type", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
             update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout

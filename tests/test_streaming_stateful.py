@@ -142,3 +142,50 @@ def test_cusum_monitor_matches_batch_closed_form(spark, sf_dir):
     want = _batch_cusum(spark, sf_dir, tgt, h)
     assert got == want
     assert got  # non-vacuous at sf0.001
+
+
+def _batch_drawdown(spark, sf_dir, alert_cents: int):
+    # prefix-sum + running-max closed form (the events_max_drawdown
+    # shape at per-user grain)
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "error"))
+        .select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("long"),
+            )
+            .otherwise(-F.round(F.col("value") * 100).cast("long"))
+            .alias("c"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    s = ev.withColumn("bal", F.sum("c").over(w)).withColumn(
+        "peak", F.max(F.sum("c").over(w)).over(w)
+    )
+    s = s.withColumn("draw", F.col("peak") - F.col("bal"))
+    return {
+        (r["user_id"], r["event_id"], r["draw"], r["peak"])
+        for r in s.filter(F.col("draw") > alert_cents).collect()
+    }
+
+
+def test_drawdown_monitor_matches_batch_closed_form(spark, sf_dir):
+    from rag_application_with_vectordb_spark.streaming.stateful import drawdown_monitor
+
+    alert = 5000  # $50 underwater triggers
+    stream = drawdown_monitor(read_events_stream(spark, sf_dir), alert)
+    got = {
+        (r["user_id"], r["event_id"], r["drawdown_cents"], r["peak_cents"])
+        for r in run_to_completion(stream, "drawdown", mode="append").collect()
+    }
+    want = _batch_drawdown(spark, sf_dir, alert)
+    assert got == want
+    assert got  # non-vacuous at sf0.001
