@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 __all__ = [
+    "scene_change_stub",
     "with_binary_payload",
     "decode_media_stub",
     "resize_media_stub",
@@ -280,5 +281,64 @@ def audio_frames_stub(
             yield pd.DataFrame(
                 {id_col: ids, "frame_id": fids, "n_samples": ns, "energy": en, "peak": pk}
             )
+
+    return df.select(id_col, bin_col).mapInPandas(run, schema)
+
+
+def scene_change_stub(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Scene-change detection stage: one row in -> one row per adjacent
+    frame pair, flagging cuts where the inter-frame intensity delta
+    exceeds 10% of the pair's combined intensity.
+
+    Frame geometry matches ``sample_frames_stub`` (n_bytes %% 30 + 1
+    frames, floor-divided length, Python-slice clamping); "intensity"
+    is the exact integer byte sum of the frame window — a stand-in for
+    the luma histogram a real detector computes, with the same dataflow
+    (decode -> per-frame feature -> adjacent-pair compare). Integer
+    arithmetic end to end, so the OUTPUT is value-checked cross-engine
+    (the pHash/audio-energy precedent). The pairwise compare happens
+    inside ``mapInPandas`` per Arrow batch: no explode-shuffle, no
+    self-join on (doc, frame) — output partitioning follows the input.
+    """
+    from ..session import _ship_package
+
+    _ship_package(df.sparkSession)
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("frame_no", T.LongType()),
+            T.StructField("intensity", T.LongType()),
+            T.StructField("prev_intensity", T.LongType()),
+            T.StructField("delta", T.LongType()),
+            T.StructField("is_cut", T.BooleanType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {c.name: [] for c in schema.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload)
+                n = len(b)
+                n_frames = n % 30 + 1
+                frame_len = max(n // n_frames, 1)
+                prev = None
+                for f in range(n_frames):
+                    off = f * frame_len
+                    inten = sum(b[off : off + frame_len])
+                    if prev is not None:
+                        delta = inten - prev
+                        out[id_col].append(int(doc_id))
+                        out["frame_no"].append(f)
+                        out["intensity"].append(inten)
+                        out["prev_intensity"].append(prev)
+                        out["delta"].append(delta)
+                        out["is_cut"].append(20 * abs(delta) > inten + prev)
+                    prev = inten
+            yield pd.DataFrame(out)
 
     return df.select(id_col, bin_col).mapInPandas(run, schema)

@@ -3353,3 +3353,47 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_ltv_sql(lambda e, s: f"datediff({e}, {s})"))
+
+
+# --- daily order backlog (interval boundary sweep) -----------------------------
+
+_sql_query(
+    "orders_backlog_daily",
+    """
+    WITH ship AS (
+      SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    o AS (
+      SELECT ord.o_orderkey, ord.o_orderdate AS od, s.last_ship
+      FROM orders ord JOIN ship s ON s.l_orderkey = ord.o_orderkey
+    ),
+    bounds AS (
+      SELECT od AS day, CAST(1 AS BIGINT) AS delta FROM o
+      UNION ALL
+      SELECT CAST(last_ship + INTERVAL 1 DAY AS DATE) AS day,
+             CAST(-1 AS BIGINT) AS delta FROM o
+    ),
+    g AS (SELECT day, CAST(SUM(delta) AS BIGINT) AS d FROM bounds GROUP BY day),
+    c AS (
+      SELECT day,
+             SUM(d) OVER (ORDER BY day ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS backlog
+      FROM g
+    )
+    SELECT CAST(day AS DATE) AS day, CAST(backlog AS BIGINT) AS open_orders
+    FROM c ORDER BY day ASC
+    """,
+    doc="Daily order backlog: how many orders were placed but not yet "
+    "fully shipped on each calendar day — an order is open from its "
+    "order date through its LAST line's ship date (inclusive). The "
+    "events_active_users interval-sweep discipline applied to the "
+    "TPC-H facts: each order contributes one +1 and one -1 boundary, "
+    "boundaries collapse to day grain (one keyed aggregate), and the "
+    "backlog is a prefix sum over the bounded date DOMAIN — never a "
+    "day x order range join (which would replicate every order by "
+    "its open duration). The per-order last-ship aggregate is the "
+    "only fact-sized shuffle (keyed on l_orderkey).",
+    tags=("analytics", "timeseries"),
+)

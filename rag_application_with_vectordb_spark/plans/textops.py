@@ -1597,3 +1597,60 @@ def text_textrank_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pr").cast("double") / F.lit(float(_TR_SCALE))).alias("textrank"),
         )
     )
+
+
+# --- multimodal scene-change detection -----------------------------------------
+
+
+def _scene_intensity_duck(off_expr: str, fl: str = "fl", n: str = "n") -> str:
+    return (
+        f"COALESCE(list_sum(list_transform("
+        f"range({off_expr} + 1, least({off_expr} + {fl}, {n}) + 1), "
+        f"bi -> ord(substr(text, CAST(bi AS INTEGER), 1)))), 0)"
+    )
+
+
+@register(
+    "multimodal_scene_changes",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n,
+             CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS n_frames
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, text, n, n_frames,
+             greatest(n // n_frames, 1) AS fl
+      FROM d
+    ),
+    fr AS (
+      SELECT doc_id, CAST(fx.f AS BIGINT) AS frame_no,
+             CAST({_scene_intensity_duck('(fx.f * fl)')} AS BIGINT) AS intensity,
+             CAST({_scene_intensity_duck('((fx.f - 1) * fl)')} AS BIGINT) AS prev_intensity
+      FROM g, LATERAL (SELECT unnest(range(1, n_frames)) AS f) fx
+    )
+    SELECT doc_id, frame_no, intensity, prev_intensity,
+           CAST(intensity - prev_intensity AS BIGINT) AS delta,
+           20 * abs(intensity - prev_intensity) > intensity + prev_intensity AS is_cut
+    FROM fr
+    """,
+    doc="Multimodal scene-change detection: frame intensity (exact "
+    "integer byte sum over the stubbed frame windows) compared across "
+    "adjacent frames, cut when the delta exceeds 10% of the pair's "
+    "combined intensity — the shot-boundary stage of a video curation "
+    "pipeline, with the real detector's dataflow (decode -> per-frame "
+    "feature -> adjacent compare) and a deterministic stand-in "
+    "feature. The pairwise compare runs INSIDE the Arrow-batched "
+    "mapInPandas stage (no explode + self-join on (doc, frame)); the "
+    "oracle recomputes the identical integer arithmetic from the text "
+    "bytes, so the full output value-hash-matches (the pHash/audio "
+    "precedent: Spark-side plumbing real, codec stubbed).",
+    tags=("multimodal",),
+)
+def multimodal_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import scene_change_stub
+
+    tune(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return scene_change_stub(with_binary_payload(docs))

@@ -1280,3 +1280,58 @@ def test_hard_negatives_match_brute_force(spark, sf_dir):
         for r in out:
             if r.query_id == qid:
                 assert r.label != ql
+
+
+# --- scene changes / backlog ---------------------------------------------
+
+
+def test_scene_changes_match_python_recompute(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expect = set()
+    for r in docs:
+        b = r.text.encode()
+        n = len(b)
+        nf = n % 30 + 1
+        fl = max(n // nf, 1)
+        ints = [sum(b[f * fl : f * fl + fl]) for f in range(nf)]
+        for f in range(1, nf):
+            d = ints[f] - ints[f - 1]
+            expect.add(
+                (r.doc_id, f, ints[f], ints[f - 1], d, 20 * abs(d) > ints[f] + ints[f - 1])
+            )
+    got = {
+        (r.doc_id, r.frame_no, r.intensity, r.prev_intensity, r.delta, r.is_cut)
+        for r in _q("multimodal_scene_changes", spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert any(cut for *_, cut in got)  # the threshold actually fires
+
+
+def test_backlog_matches_python_sweep(spark, sf_dir):
+    import datetime
+    from collections import defaultdict
+
+    def _day(v):
+        return v.date() if isinstance(v, datetime.datetime) else v
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate").collect()
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate").collect()
+    last_ship = {}
+    for r in li:
+        d = _day(r.l_shipdate)
+        if r.l_orderkey not in last_ship or d > last_ship[r.l_orderkey]:
+            last_ship[r.l_orderkey] = d
+    deltas = defaultdict(int)
+    for r in orders:
+        if r.o_orderkey in last_ship:
+            deltas[_day(r.o_orderdate)] += 1
+            deltas[last_ship[r.o_orderkey] + datetime.timedelta(days=1)] -= 1
+    out = sorted(_q("orders_backlog_daily", spark, sf_dir).collect(), key=lambda r: r.day)
+    run = 0
+    expect = {}
+    for d in sorted(deltas):
+        run += deltas[d]
+        expect[d] = run
+    assert {r.day: r.open_orders for r in out} == expect
+    assert expect[max(expect)] == 0  # every order eventually ships
+    assert max(expect.values()) > 0
