@@ -3397,3 +3397,118 @@ _sql_query(
     "only fact-sized shuffle (keyed on l_orderkey).",
     tags=("analytics", "timeseries"),
 )
+
+
+# --- price elasticity per brand (group-wise log-log OLS) -----------------------
+
+_sql_query(
+    "price_elasticity_by_brand",
+    """
+    WITH li AS (
+      SELECT p.p_brand,
+             CAST(round(ln(CAST(l.l_extendedprice AS DOUBLE)
+                           / CAST(l.l_quantity AS DOUBLE)) * 1000.0) AS BIGINT)
+               AS lnp,
+             CAST(round(ln(CAST(l.l_quantity AS DOUBLE)) * 1000.0) AS BIGINT)
+               AS lnq
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    m AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(lnp) AS BIGINT) AS sx, CAST(SUM(lnq) AS BIGINT) AS sy,
+             CAST(SUM(lnp * lnp) AS BIGINT) AS sxx,
+             CAST(SUM(lnp * lnq) AS BIGINT) AS sxy,
+             CAST(SUM(lnq * lnq) AS BIGINT) AS syy
+      FROM li GROUP BY p_brand
+    )
+    SELECT p_brand, n AS n_lines,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS elasticity,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
+    FROM m WHERE n >= 30
+    ORDER BY p_brand ASC
+    """,
+    doc="Per-brand price elasticity: GROUP-WISE log-log OLS of quantity "
+    "on unit price (slope = %dQ/%dP, with R^2) — the pricing-analytics "
+    "staple, and the catalog's first per-group regression (the global "
+    "OLS queries roll up to one row; this one fits |brands| models in "
+    "the same single aggregate pass). Both log coordinates land on "
+    "the 1e-6 grid BEFORE the co-moment sums (the Zipf-fit rule: "
+    "exact BIGINT moments, one fp chain per group at the end — on the "
+    "1e-3 grid, not 1e-6: squared 1e-6-grid logs overflow int64 near "
+    "2e5 rows/group, and 0.1% log precision is far below the slope's "
+    "sampling error; the coarse grid is exact to ~1e9 rows/group); groups "
+    "under 30 lines are suppressed. One fact scan, dims broadcast, "
+    "one shuffle on the brand key.",
+    tags=("analytics", "stats"),
+)
+
+
+# --- per-arm conversion rate with Wilson confidence intervals ------------------
+
+
+def _wilson_sql(hexfn, str_t: str) -> str:
+    key = f"md5(concat('ab42|', CAST(user_id AS {str_t})))"
+    z2 = "3.8414588206941245"  # z^2 at 95% (z = 1.959963984540054), shared literal
+    z = "1.959963984540054"
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             CASE WHEN {hexfn(key)} % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id
+    ),
+    c AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(converted) AS BIGINT) AS k
+      FROM per_user GROUP BY arm
+    )
+    SELECT arm, n AS n_users, k AS n_converted,
+           CAST(k AS DOUBLE) / n AS conv_rate,
+           (CAST(k AS DOUBLE) / n + {z2} / (2 * n)
+            - {z} * SQRT((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+                         + {z2} / (4.0 * n * n)))
+             / (1.0 + {z2} / n) AS wilson_lo,
+           (CAST(k AS DOUBLE) / n + {z2} / (2 * n)
+            + {z} * SQRT((CAST(k AS DOUBLE) / n) * (1.0 - CAST(k AS DOUBLE) / n) / n
+                         + {z2} / (4.0 * n * n)))
+             / (1.0 + {z2} / n) AS wilson_hi
+    FROM c ORDER BY arm ASC
+    """
+
+
+def _register_wilson():
+    from .oracle_dialect import duck_hex13_to_long
+    from .stats_queries import _spark_hex13
+
+    @register(
+        "ab_test_wilson_ci",
+        oracle=_wilson_sql(duck_hex13_to_long, "VARCHAR"),
+        doc="Per-arm conversion rate (any purchase) with Wilson 95% score "
+        "intervals — the binomial-CI read-out that stays sane at small "
+        "n and extreme rates where the naive Wald interval leaves "
+        "[0,1] (the reason experiment UIs quote Wilson). z and z^2 "
+        "are shared literals (neither engine evaluates a normal "
+        "quantile); the interval is one fixed fp chain from the exact "
+        "(n, k) integers per arm. One user-keyed aggregate + 2-row "
+        "roll-up, the SRM/Welch plan shape.",
+        tags=("analytics", "stats"),
+    )
+    def ab_test_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune(spark)
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(_wilson_sql(_spark_hex13, "STRING"))
+
+    return ab_test_wilson_ci
+
+
+_register_wilson()

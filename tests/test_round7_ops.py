@@ -1335,3 +1335,94 @@ def test_backlog_matches_python_sweep(spark, sf_dir):
     assert {r.day: r.open_orders for r in out} == expect
     assert expect[max(expect)] == 0  # every order eventually ships
     assert max(expect.values()) > 0
+
+
+# --- elasticity / Wilson / seasonal anomaly ------------------------------
+
+
+def test_elasticity_matches_numpy_per_group(spark, sf_dir):
+    import numpy as np
+    from collections import defaultdict
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice").collect()
+    pt = {r.p_partkey: r.p_brand for r in load_table(spark, sf_dir, "part").select("p_partkey", "p_brand").collect()}
+    by_brand = defaultdict(list)
+    for r in li:
+        lnp = round(np.log(r.l_extendedprice / r.l_quantity) * 1000)
+        lnq = round(np.log(r.l_quantity) * 1000)
+        by_brand[pt[r.l_partkey]].append((lnp, lnq))
+    out = {r.p_brand: r for r in _q("price_elasticity_by_brand", spark, sf_dir).collect()}
+    for brand, pts in by_brand.items():
+        if len(pts) < 30:
+            assert brand not in out
+            continue
+        x = np.array([a for a, _ in pts], dtype=float)
+        y = np.array([b for _, b in pts], dtype=float)
+        slope = np.cov(x, y, ddof=1)[0, 1] / np.var(x, ddof=1)
+        r2 = np.corrcoef(x, y)[0, 1] ** 2
+        assert out[brand].n_lines == len(pts)
+        assert abs(out[brand].elasticity - slope) < 1e-9
+        assert abs(out[brand].r2 - r2) < 1e-9
+
+
+def test_wilson_ci_properties(spark, sf_dir):
+    out = _q("ab_test_wilson_ci", spark, sf_dir).collect()
+    assert {r.arm for r in out} == {"A", "B"}
+    import math
+
+    z = 1.959963984540054
+    for r in out:
+        assert 0.0 <= r.wilson_lo <= r.conv_rate <= r.wilson_hi <= 1.0
+        p, n = r.n_converted / r.n_users, r.n_users
+        centre = (p + z * z / (2 * n)) / (1 + z * z / n)
+        half = (
+            z
+            * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+            / (1 + z * z / n)
+        )
+        assert abs(r.wilson_lo - (centre - half)) < 1e-12
+        assert abs(r.wilson_hi - (centre + half)) < 1e-12
+
+
+def test_seasonal_anomaly_matches_python(spark, sf_dir):
+    import datetime
+    import math
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        if r.event_type == "purchase":
+            daily[r.ts.date()] += round(r.value * 100)
+    days = sorted(set(daily) | set())
+    # fill: only days with events appear; the query's day grid is the same
+    det = {}
+    for i in range(3, len(days) - 3):
+        s7 = sum(daily[days[j]] for j in range(i - 3, i + 4))
+        det[days[i]] = 7 * daily[days[i]] - s7
+    dow = defaultdict(list)
+    epoch = datetime.date(1970, 1, 1)
+    for d, v in det.items():
+        dow[(d - epoch).days % 7].append(v)
+    def _round_half_away(x):
+        # SQL round(): half away from zero; python round(): half to even
+        return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+    means = {k: sum(v) / len(v) for k, v in dow.items()}
+    r_unit = {
+        d: _round_half_away(v - means[(d - epoch).days % 7]) for d, v in det.items()
+    }
+    vals = list(r_unit.values())
+    n = len(vals)
+    # use the query's exact moment formula — the centered-sum form is
+    # algebraically equal but fp-different in the last ulp
+    s, sq = sum(vals), sum(x * x for x in vals)
+    mu = s / n
+    sd = math.sqrt((sq - s * s / n) / (n - 1))
+    expect = {
+        d: _round_half_away(1e6 * (x - mu) / sd)
+        for d, x in r_unit.items()
+        if abs(_round_half_away(1e6 * (x - mu) / sd)) > 1900000
+    }
+    out = _q("events_seasonal_anomaly", spark, sf_dir).collect()
+    assert {r.day: _round_half_away(r.z * 1e6) for r in out} == expect
