@@ -1333,3 +1333,84 @@ def approx_distinct_kmv_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, ["orders"])
     u = "conv(substring(md5(CAST(ck AS STRING)), 1, 13), 16, 10) / 4503599627370496.0"
     return spark.sql(_kmv_cube_sql(u))
+
+
+# --- join-size estimation via count-min inner product --------------------------
+
+
+def _cms_join_sql(hexfn, str_t: str) -> str:
+    """Shared SQL text modulo the hex fold. Estimates |H1 join H2 on
+    l_suppkey| (two ship-date halves of lineitem) as the count-min
+    inner product min_r sum_b cmsA[r][b]*cmsB[r][b]."""
+
+    def bkt(key: str) -> str:
+        h = hexfn(f"md5(CAST(q.r AS {str_t}) || '|' || CAST({key} AS {str_t}))")
+        return f"CAST({h} % {_CMS_W} AS BIGINT)"
+
+    return f"""
+    WITH q (r) AS (VALUES (0), (1), (2), (3)),
+    h1 AS (SELECT l_suppkey AS k FROM lineitem
+           WHERE l_shipdate < DATE '1995-06-01'),
+    h2 AS (SELECT l_suppkey AS k FROM lineitem
+           WHERE l_shipdate >= DATE '1995-06-01'),
+    cmsa AS (
+      SELECT q.r, {bkt('k')} AS b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM h1 CROSS JOIN q GROUP BY q.r, {bkt('k')}
+    ),
+    cmsb AS (
+      SELECT q.r, {bkt('k')} AS b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM h2 CROSS JOIN q GROUP BY q.r, {bkt('k')}
+    ),
+    ip AS (
+      SELECT a.r, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      FROM cmsa a JOIN cmsb b ON a.r = b.r AND a.b = b.b
+      GROUP BY a.r
+    ),
+    est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_rows FROM ip),
+    ca AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM h1 GROUP BY k),
+    cb AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM h2 GROUP BY k),
+    exact AS (
+      SELECT CAST(COALESCE(SUM(ca.n * cb.n), 0) AS BIGINT) AS exact_rows
+      FROM ca JOIN cb ON ca.k = cb.k
+    )
+    SELECT est.est_rows, exact.exact_rows,
+           CAST(est.est_rows AS DOUBLE) / exact.exact_rows AS overestimate_ratio
+    FROM est CROSS JOIN exact
+    """
+
+
+def _register_cms_join():
+    from ..functions.text import hex13_to_long  # noqa: F401  (spark twin below)
+    from .oracle_dialect import duck_hex13_to_long
+
+    def spark_hex(expr: str) -> str:
+        return f"CAST(conv(substring({expr}, 1, 13), 16, 10) AS BIGINT)"
+
+    @register(
+        "sketch_cms_join_size",
+        oracle=_cms_join_sql(duck_hex13_to_long, "VARCHAR"),
+        doc="Join-size estimation via the count-min inner product "
+        "(Cormode & Muthukrishnan 2005, sec. 4.2): |A join B on k| = "
+        "sum_k a_k*b_k, estimated as min over the 4 hash rows of the "
+        "bucket-wise product sum of A's and B's sketches — the "
+        "cardinality-estimation primitive a query planner uses to "
+        "choose join strategies WITHOUT scanning the join (one-sided: "
+        "estimate >= exact, reported as the overestimate ratio "
+        "against the exact per-key product sum). A and B are the two "
+        "ship-date halves of lineitem on the supplier key. Both "
+        "sketches collapse map-side to d*w = 4096 cells before any "
+        "shuffle — building them over 100 TB moves ~constant bytes, "
+        "while the exact answer needs the full per-key count join. "
+        "md5 bucket hashing keeps every cell, and therefore the "
+        "estimate itself, bit-identical cross-engine.",
+        tags=("relational", "approx"),
+    )
+    def sketch_cms_join_size(spark, sf_dir):
+        tune(spark)
+        register_views(spark, sf_dir, ("lineitem",))
+        return spark.sql(_cms_join_sql(spark_hex, "STRING"))
+
+    return sketch_cms_join_size
+
+
+_register_cms_join()

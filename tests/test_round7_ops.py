@@ -1426,3 +1426,28 @@ def test_seasonal_anomaly_matches_python(spark, sf_dir):
     }
     out = _q("events_seasonal_anomaly", spark, sf_dir).collect()
     assert {r.day: _round_half_away(r.z * 1e6) for r in out} == expect
+
+
+# --- CMS join-size estimate ----------------------------------------------
+
+
+def test_cms_join_size_one_sided_and_exact_matches(spark, sf_dir):
+    import datetime
+    from collections import Counter
+
+    out = _q("sketch_cms_join_size", spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_shipdate").collect()
+    cut = datetime.date(1995, 6, 1)
+
+    def _day(v):
+        return v.date() if isinstance(v, datetime.datetime) else v
+
+    a = Counter(r.l_suppkey for r in li if _day(r.l_shipdate) < cut)
+    b = Counter(r.l_suppkey for r in li if _day(r.l_shipdate) >= cut)
+    exact = sum(a[k] * b[k] for k in a if k in b)
+    assert out.exact_rows == exact
+    # count-min inner product never underestimates
+    assert out.est_rows >= exact
+    assert out.overestimate_ratio >= 1.0
+    # ...and with 4096 cells over this key domain it should be close
+    assert out.overestimate_ratio < 3.0
