@@ -1533,3 +1533,127 @@ def causal_cem_att(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_cem_sql(_spark_hex13, "STRING"))
+
+
+# --- recommender evaluation: leave-one-out hit-rate@3, CF vs popularity --------
+
+
+def _reco_eval_sql(hexfn, str_t: str) -> str:
+    """Shared SQL modulo the hex fold: deterministic leave-one-out split
+    (per user, hold out the item with the largest keyed-md5 draw),
+    item-item CF scoring from the TRAIN relation only, and a
+    popularity baseline — both evaluated as hit-rate@3 on the same
+    held-out items."""
+    hk = hexfn(
+        f"md5('loo42|' || CAST(ui.user_id AS {str_t}) || '|' || CAST(ui.item AS {str_t}))"
+    )
+    return f"""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST({{jx}} AS BIGINT) AS item
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    multi AS (
+      SELECT user_id FROM ui GROUP BY user_id HAVING COUNT(*) >= 2
+    ),
+    keyed AS (
+      SELECT ui.user_id, ui.item,
+             ROW_NUMBER() OVER (PARTITION BY ui.user_id
+                                ORDER BY {hk} DESC, ui.item ASC) AS rn
+      FROM ui JOIN multi ON multi.user_id = ui.user_id
+    ),
+    hold AS (SELECT user_id, item AS held_item FROM keyed WHERE rn = 1),
+    train AS (SELECT user_id, item FROM keyed WHERE rn > 1),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS c
+      FROM train a JOIN train b ON a.user_id = b.user_id AND a.item <> b.item
+      GROUP BY a.item, b.item
+    ),
+    scores AS (
+      SELECT t.user_id, co.item_b AS item, CAST(SUM(co.c) AS BIGINT) AS score
+      FROM train t JOIN co ON co.item_a = t.item
+      GROUP BY t.user_id, co.item_b
+    ),
+    cand AS (
+      SELECT s.user_id, s.item, s.score
+      FROM scores s LEFT JOIN train t
+        ON t.user_id = s.user_id AND t.item = s.item
+      WHERE t.item IS NULL
+    ),
+    cf3 AS (
+      SELECT user_id, item FROM (
+        SELECT user_id, item,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY score DESC, item ASC) AS rn
+        FROM cand
+      ) r WHERE r.rn <= 3
+    ),
+    pop AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM train GROUP BY item
+    ),
+    popu AS (
+      SELECT m.user_id, p.item
+      FROM multi m CROSS JOIN pop p
+      LEFT JOIN train t ON t.user_id = m.user_id AND t.item = p.item
+      WHERE t.item IS NULL
+    ),
+    pop3 AS (
+      SELECT user_id, item FROM (
+        SELECT pu.user_id, pu.item,
+               ROW_NUMBER() OVER (PARTITION BY pu.user_id
+                                  ORDER BY p.n DESC, pu.item ASC) AS rn
+        FROM popu pu JOIN pop p ON p.item = pu.item
+      ) r WHERE r.rn <= 3
+    ),
+    agg AS (
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM hold) AS n_eval_users,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cf3 JOIN hold
+           ON hold.user_id = cf3.user_id AND hold.held_item = cf3.item) AS cf_hits,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM pop3 JOIN hold
+           ON hold.user_id = pop3.user_id AND hold.held_item = pop3.item) AS pop_hits
+    )
+    SELECT n_eval_users, cf_hits, pop_hits,
+           CAST(cf_hits AS DOUBLE) / n_eval_users AS cf_hitrate3,
+           CAST(pop_hits AS DOUBLE) / n_eval_users AS pop_hitrate3
+    FROM agg
+    """
+
+
+def _register_reco_eval():
+    from .oracle_dialect import duck_hex13_to_long
+
+    duck = _reco_eval_sql(duck_hex13_to_long, "VARCHAR").replace(
+        "{jx}", "json_extract_string(props, '$.k')"
+    )
+
+    @register(
+        "eval_reco_hitrate",
+        oracle=duck,
+        doc="Recommender evaluation: deterministic leave-one-out split "
+        "(per multi-item user, hold out the item with the largest "
+        "keyed-md5 draw), then hit-rate@3 of item-item co-occurrence "
+        "CF scoring vs the popularity baseline on the SAME held-out "
+        "items — the offline eval loop behind reco_item_item_topk, "
+        "with the baseline every reco eval must beat printed beside "
+        "it. All relational: the co-occurrence matrix and candidate "
+        "scoring are keyed joins bounded by the item domain, per-user "
+        "top-3 are keyed windows, and the only global numbers are the "
+        "three COUNT roll-ups. The md5 holdout makes the split (and "
+        "so both hit-rates) bit-identical cross-engine.",
+        tags=("analytics", "eval"),
+    )
+    def eval_reco_hitrate(spark, sf_dir):
+        from .stats_queries import _spark_hex13
+
+        tune(spark)
+        register_views(spark, sf_dir, ("events",))
+        sql = _reco_eval_sql(_spark_hex13, "STRING").replace(
+            "{jx}", "get_json_object(props, '$.k')"
+        )
+        return spark.sql(sql)
+
+    return eval_reco_hitrate
+
+
+_register_reco_eval()

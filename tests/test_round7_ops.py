@@ -1451,3 +1451,63 @@ def test_cms_join_size_one_sided_and_exact_matches(spark, sf_dir):
     assert out.overestimate_ratio >= 1.0
     # ...and with 4096 cells over this key domain it should be close
     assert out.overestimate_ratio < 3.0
+
+
+# --- recommender eval ----------------------------------------------------
+
+
+def test_reco_hitrate_matches_python_recompute(spark, sf_dir):
+    import hashlib
+    import json
+    from collections import Counter, defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "props").collect()
+    ui = {
+        (r.user_id, int(json.loads(r.props)["k"]))
+        for r in ev
+        if r.event_type in ("click", "purchase")
+    }
+    by_user = defaultdict(set)
+    for u, i in ui:
+        by_user[u].add(i)
+    multi = {u for u, items in by_user.items() if len(items) >= 2}
+
+    def hk(u, i):
+        return int(hashlib.md5(f"loo42|{u}|{i}".encode()).hexdigest()[:13], 16)
+
+    hold, train = {}, defaultdict(set)
+    for u in multi:
+        ranked = sorted(by_user[u], key=lambda i: (-hk(u, i), i))
+        hold[u] = ranked[0]
+        train[u] = set(ranked[1:])
+    co = defaultdict(int)
+    for u in multi:
+        for a in train[u]:
+            for b in train[u]:
+                if a != b:
+                    co[(a, b)] += 1
+    pop = Counter()
+    for u in multi:
+        pop.update(train[u])
+    cf_hits = pop_hits = 0
+    for u in multi:
+        scores = defaultdict(int)
+        for t in train[u]:
+            for (a, b), c in co.items():
+                if a == t:
+                    scores[b] += c
+        cand = [(s, i) for i, s in scores.items() if i not in train[u]]
+        top3 = [i for _, i in sorted(((-s, i) for s, i in ((s, i) for s, i in cand)))[:3]]
+        if hold[u] in top3:
+            cf_hits += 1
+        ptop = [
+            i
+            for i in sorted(pop, key=lambda i: (-pop[i], i))
+            if i not in train[u]
+        ][:3]
+        if hold[u] in ptop:
+            pop_hits += 1
+    out = _q("eval_reco_hitrate", spark, sf_dir).collect()[0]
+    assert out.n_eval_users == len(multi)
+    assert (out.cf_hits, out.pop_hits) == (cf_hits, pop_hits)
+    assert abs(out.cf_hitrate3 - cf_hits / len(multi)) < 1e-12
