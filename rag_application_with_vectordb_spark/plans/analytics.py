@@ -3512,3 +3512,166 @@ def _register_wilson():
 
 
 _register_wilson()
+
+
+# --- per-arm funnel with two-proportion z per step -----------------------------
+
+
+def _ab_funnel_sql(hexfn, str_t: str) -> str:
+    key = f"md5(concat('ab42|', CAST(e.user_id AS {str_t})))"
+    return f"""
+    WITH armed AS (
+      SELECT e.user_id, e.ts, e.event_type,
+             CASE WHEN {hexfn(key)} % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      FROM events e
+    ),
+    s AS (
+      SELECT user_id, arm, MIN(ts) AS signup_ts
+      FROM armed WHERE event_type = 'signup' GROUP BY user_id, arm
+    ),
+    c AS (
+      SELECT e.user_id, e.arm, MIN(e.ts) AS click_ts
+      FROM armed e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'click' AND e.ts > s.signup_ts
+      GROUP BY e.user_id, e.arm
+    ),
+    p AS (
+      SELECT e.user_id, e.arm, MIN(e.ts) AS purchase_ts
+      FROM armed e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      GROUP BY e.user_id, e.arm
+    ),
+    counts AS (
+      SELECT
+        CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS sa,
+        CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS sb,
+        (SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) FROM c) AS ca,
+        (SELECT CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) FROM c) AS cb,
+        (SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) FROM p) AS pa,
+        (SELECT CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) FROM p) AS pb
+      FROM s
+    ),
+    steps AS (
+      SELECT CAST(2 AS BIGINT) AS step_no, 'signup->click' AS step,
+             ca AS ka, sa AS na, cb AS kb, sb AS nb FROM counts
+      UNION ALL
+      SELECT CAST(3 AS BIGINT) AS step_no, 'click->purchase' AS step,
+             pa AS ka, ca AS na, pb AS kb, cb AS nb FROM counts
+    )
+    SELECT step_no, step, na AS n_a, ka AS k_a, nb AS n_b, kb AS k_b,
+           CAST(ka AS DOUBLE) / NULLIF(na, 0) AS conv_a,
+           CAST(kb AS DOUBLE) / NULLIF(nb, 0) AS conv_b,
+           CASE WHEN na > 0 AND nb > 0 AND ka + kb > 0 AND ka + kb < na + nb THEN
+             (CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+               / SQRT((CAST(ka + kb AS DOUBLE) / (na + nb))
+                      * (1.0 - CAST(ka + kb AS DOUBLE) / (na + nb))
+                      * (1.0 / na + 1.0 / nb))
+           ELSE NULL END AS z_pooled
+    FROM steps ORDER BY step_no ASC
+    """
+
+
+def _register_ab_funnel():
+    from .oracle_dialect import duck_hex13_to_long
+    from .stats_queries import _spark_hex13
+
+    @register(
+        "ab_test_funnel_steps",
+        oracle=_ab_funnel_sql(duck_hex13_to_long, "VARCHAR"),
+        doc="Per-arm ordered funnel (first signup -> later click -> later "
+        "purchase, the funnel_signup_click_purchase chain keyed by the "
+        "md5 arms) with a pooled two-proportion z-test per transition "
+        "— the 'which step did the treatment move' read-out layered "
+        "on the funnel machinery (overall conversion can be flat while "
+        "one step improves and another regresses). Step shapes are the "
+        "funnel queries' keyed min-joins with monotonically shrinking "
+        "inputs; the z assembles from the six exact step counts in one "
+        "fixed fp chain.",
+        tags=("analytics", "stats"),
+    )
+    def ab_test_funnel_steps(spark, sf_dir):
+        tune(spark)
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(_ab_funnel_sql(_spark_hex13, "STRING"))
+
+    return ab_test_funnel_steps
+
+
+_register_ab_funnel()
+
+
+# --- inter-arrival time distribution: exponential fit + KS GoF -----------------
+
+
+def _interarrival_sql(epochsec) -> str:
+    return f"""
+    WITH pe AS (
+      SELECT user_id, ts, {epochsec("ts")} AS es
+      FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT CAST(((es - LAG(es) OVER (PARTITION BY user_id ORDER BY es ASC))
+                   - ((es - LAG(es) OVER (PARTITION BY user_id ORDER BY es ASC)) % 60))
+                  / 60 AS BIGINT) AS gap_min
+      FROM pe
+    ),
+    g AS (SELECT gap_min FROM gaps WHERE gap_min IS NOT NULL),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(gap_min) AS BIGINT) AS s
+      FROM g
+    ),
+    h AS (
+      SELECT gap_min, CAST(COUNT(*) AS BIGINT) AS c FROM g GROUP BY gap_min
+    ),
+    cum AS (
+      SELECT gap_min,
+             SUM(c) OVER (ORDER BY gap_min ASC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+      FROM h
+    ),
+    d AS (
+      SELECT cum.gap_min,
+             abs(CAST(round(1000000.0 * cum.cc / m.n) AS BIGINT)
+                 - (1000000 - CAST(round(1000000.0
+                      * exp(-(CAST(m.n AS DOUBLE) / m.s)
+                            * (CAST(cum.gap_min AS DOUBLE) + 1.0))) AS BIGINT)))
+               AS dev_micro
+      FROM cum CROSS JOIN m
+    )
+    SELECT m.n AS n_gaps,
+           CAST(m.s AS DOUBLE) / m.n AS mean_gap_min,
+           60.0 * CAST(m.n AS DOUBLE) / m.s AS lambda_per_hour,
+           CAST((SELECT MAX(dev_micro) FROM d) AS DOUBLE) / 1000000.0 AS ks_stat
+    FROM m
+    """
+
+
+def _register_interarrival():
+    @register(
+        "events_interarrival_expfit",
+        oracle=_interarrival_sql(lambda e: f"CAST(floor(epoch({e})) AS BIGINT)"),
+        doc="Inter-purchase-arrival distribution: per-user gaps (keyed "
+        "window — never a global event sort) coarsened to whole "
+        "minutes, exponential MLE rate lambda = n/sum(gaps), and a "
+        "KS goodness-of-fit statistic against Exp(lambda) evaluated "
+        "at each minute-bucket's right edge — the queueing-model "
+        "sanity check (memoryless arrivals?) behind capacity planning "
+        "and the burstiness question CUSUM monitors operationally. "
+        "The ECDF comes from the cumulative histogram over the "
+        "bounded minute-gap DOMAIN (the AUC discipline), both CDFs "
+        "land on the 1e-6 grid before the integer sup-deviation, and "
+        "the one transcendental (exp) follows the KM rule: grid-"
+        "rounded immediately so a last-ulp libm difference cannot "
+        "move the statistic. Epoch seconds parameterized per engine "
+        "(the KM epochsec split).",
+        tags=("analytics", "stats", "timeseries"),
+    )
+    def events_interarrival_expfit(spark, sf_dir):
+        tune(spark)
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(_interarrival_sql(lambda e: f"unix_timestamp({e})"))
+
+    return events_interarrival_expfit
+
+
+_register_interarrival()

@@ -1190,3 +1190,103 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("cos").alias("max_eval_cos"))
     )
     return scored.filter(F.col("max_eval_cos") >= _SDC_TAU).orderBy("doc_id")
+
+
+# --- winnowing-fingerprint near-dup pairs (the MOSS use of winnowing) ----------
+
+_WNP_MIN_SHARED = 3
+_WNP_MAX_DF = 50
+
+
+def _winnow_pairs_oracle() -> str:
+    from .textops import _WIN_K, _WIN_PMOD, _WIN_W, _duck_hex8_to_long
+
+    gram = _duck_hex8_to_long(
+        f"md5(array_to_string(list_slice(w, ix.i, ix.i + {_WIN_K - 1}), ' '))"
+    )
+    return rf"""
+    WITH aug AS ({_AUG_SQL}),
+    t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM aug
+    ),
+    g AS (
+      SELECT doc_id, CAST(ix.i AS BIGINT) AS pos, {gram} AS gh
+      FROM t, LATERAL (SELECT unnest(range(1, len(w) - {_WIN_K - 2})) AS i) ix
+      WHERE len(w) >= {_WIN_K}
+    ),
+    c AS (
+      SELECT doc_id, pos, gh * {_WIN_PMOD} + ({_WIN_PMOD} - pos) AS comb FROM g
+    ),
+    winmin AS (
+      SELECT a.doc_id, MIN(b.comb) AS sel
+      FROM c a JOIN c b ON b.doc_id = a.doc_id
+                       AND b.pos BETWEEN a.pos - {_WIN_W - 1} AND a.pos
+      WHERE a.pos >= {_WIN_W}
+      GROUP BY a.doc_id, a.pos
+    ),
+    fpd AS (SELECT DISTINCT doc_id, sel // {_WIN_PMOD} AS gh FROM winmin),
+    dfq AS (
+      SELECT gh FROM fpd GROUP BY gh HAVING COUNT(*) <= {_WNP_MAX_DF}
+    ),
+    fpr AS (SELECT fpd.doc_id, fpd.gh FROM fpd JOIN dfq ON dfq.gh = fpd.gh),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS shared_fingerprints
+      FROM fpr a JOIN fpr b ON a.gh = b.gh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING COUNT(*) >= {_WNP_MIN_SHARED}
+    )
+    SELECT doc_a, doc_b, shared_fingerprints
+    FROM pairs ORDER BY doc_a ASC, doc_b ASC
+    """
+
+
+def _register_winnow_pairs():
+    from .textops import winnow_fingerprints_df
+
+    @register(
+        "dedup_winnow_pairs",
+        oracle=_winnow_pairs_oracle(),
+        doc="Near-duplicate candidate pairs from SHARED WINNOWING "
+        "FINGERPRINTS — the use MOSS puts winnowing to: docs sharing "
+        f">= {_WNP_MIN_SHARED} selected fingerprints are copy "
+        "candidates, and the guarantee (any shared run of >= k+w-1 "
+        "tokens yields a shared fingerprint) makes the candidate set "
+        "a superset of substantial verbatim overlap. Fingerprints "
+        f"appearing in more than {_WNP_MAX_DF} docs are dropped "
+        "before the join (MOSS's ignore-common-fingerprints rule — "
+        "boilerplate grams would otherwise quadratically inflate the "
+        "candidate join, the LSH df-cap discipline), so posting-list "
+        "fanout is df-bounded. Runs over the planted augmented corpus "
+        "(exact + suffixed copies of base docs 0-19): every planted "
+        "pair surfaces with a high shared count — pytest asserts the "
+        "planted recall. Positions decode exactly from the combined "
+        "key, so the ~8x sketch, not the corpus, is what joins.",
+        tags=("dedup", "text"),
+    )
+    def dedup_winnow_pairs(spark, sf_dir):
+        tune(spark)
+        fp = winnow_fingerprints_df(_augmented_docs(spark, sf_dir))
+        fpd = fp.select("doc_id", "gram_hash").distinct()
+        dfq = (
+            fpd.groupBy("gram_hash")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= _WNP_MAX_DF)
+            .select("gram_hash")
+        )
+        fpr = fpd.join(dfq, "gram_hash")
+        a = fpr.select(F.col("doc_id").alias("doc_a"), "gram_hash")
+        b = fpr.select(F.col("doc_id").alias("doc_b"), "gram_hash")
+        return (
+            a.join(b, "gram_hash")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").cast("bigint").alias("shared_fingerprints"))
+            .filter(F.col("shared_fingerprints") >= _WNP_MIN_SHARED)
+            .orderBy("doc_a", "doc_b")
+        )
+
+    return dedup_winnow_pairs
+
+
+_register_winnow_pairs()

@@ -1240,50 +1240,12 @@ def _duck_hex8_to_long(hex_expr: str) -> str:
     )
 
 
-@register(
-    "text_winnow_fingerprints",
-    oracle=rf"""
-    WITH t AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
-    ),
-    g AS (
-      SELECT doc_id, CAST(ix.i AS BIGINT) AS pos,
-             {_duck_hex8_to_long(f"md5(array_to_string(list_slice(w, ix.i, ix.i + {_WIN_K - 1}), ' '))")} AS gh
-      FROM t, LATERAL (SELECT unnest(range(1, len(w) - {_WIN_K - 2})) AS i) ix
-      WHERE len(w) >= {_WIN_K}
-    ),
-    c AS (
-      SELECT doc_id, pos, gh * {_WIN_PMOD} + ({_WIN_PMOD} - pos) AS comb FROM g
-    ),
-    winmin AS (
-      SELECT a.doc_id, a.pos AS wend, MIN(b.comb) AS sel
-      FROM c a JOIN c b ON b.doc_id = a.doc_id
-                       AND b.pos BETWEEN a.pos - {_WIN_W - 1} AND a.pos
-      WHERE a.pos >= {_WIN_W}
-      GROUP BY a.doc_id, a.pos
-    ),
-    s AS (SELECT DISTINCT doc_id, sel FROM winmin)
-    SELECT doc_id,
-           CAST({_WIN_PMOD} - (sel % {_WIN_PMOD}) AS BIGINT) AS pos,
-           CAST(sel // {_WIN_PMOD} AS BIGINT) AS gram_hash
-    FROM s
-    """,
-    doc=f"Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS "
-    f"algorithm): word {_WIN_K}-gram hashes, window w={_WIN_W}, keep each "
-    "window's min hash (rightmost on ties) — the position-aware ~8x "
-    "document sketch whose guarantee is that any shared run of >= "
-    f"{_WIN_K + _WIN_W - 1} tokens produces a shared fingerprint. One "
-    "keyed window MIN over the combined (hash, rightmost-pos) integer "
-    "key; per-doc dataflow end to end. Docs shorter than "
-    f"{_WIN_K + _WIN_W - 1} tokens have no complete window and are "
-    "excluded (fixture min length is 10).",
-    tags=("text", "dedup"),
-)
-def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def winnow_fingerprints_df(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprint selection over any (doc_id, text) relation —
+    the Spark dataflow shared by text_winnow_fingerprints (raw corpus)
+    and dedup_winnow_pairs (augmented corpus)."""
     from pyspark.sql import Window
 
-    tune(spark)
-    docs = load_table(spark, sf_dir, "documents")
     w = tokens(F.col("text"))
     grams = (
         docs.filter(F.size(w) >= _WIN_K)
@@ -1325,6 +1287,50 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_WIN_PMOD) - F.col("sel") % _WIN_PMOD).cast("bigint").alias("pos"),
         F.expr(f"sel DIV {_WIN_PMOD}").cast("bigint").alias("gram_hash"),
     )
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(ix.i AS BIGINT) AS pos,
+             {_duck_hex8_to_long(f"md5(array_to_string(list_slice(w, ix.i, ix.i + {_WIN_K - 1}), ' '))")} AS gh
+      FROM t, LATERAL (SELECT unnest(range(1, len(w) - {_WIN_K - 2})) AS i) ix
+      WHERE len(w) >= {_WIN_K}
+    ),
+    c AS (
+      SELECT doc_id, pos, gh * {_WIN_PMOD} + ({_WIN_PMOD} - pos) AS comb FROM g
+    ),
+    winmin AS (
+      SELECT a.doc_id, a.pos AS wend, MIN(b.comb) AS sel
+      FROM c a JOIN c b ON b.doc_id = a.doc_id
+                       AND b.pos BETWEEN a.pos - {_WIN_W - 1} AND a.pos
+      WHERE a.pos >= {_WIN_W}
+      GROUP BY a.doc_id, a.pos
+    ),
+    s AS (SELECT DISTINCT doc_id, sel FROM winmin)
+    SELECT doc_id,
+           CAST({_WIN_PMOD} - (sel % {_WIN_PMOD}) AS BIGINT) AS pos,
+           CAST(sel // {_WIN_PMOD} AS BIGINT) AS gram_hash
+    FROM s
+    """,
+    doc=f"Winnowing fingerprint selection (Schleimer et al. 2003, the MOSS "
+    f"algorithm): word {_WIN_K}-gram hashes, window w={_WIN_W}, keep each "
+    "window's min hash (rightmost on ties) — the position-aware ~8x "
+    "document sketch whose guarantee is that any shared run of >= "
+    f"{_WIN_K + _WIN_W - 1} tokens produces a shared fingerprint. One "
+    "keyed window MIN over the combined (hash, rightmost-pos) integer "
+    "key; per-doc dataflow end to end. Docs shorter than "
+    f"{_WIN_K + _WIN_W - 1} tokens have no complete window and are "
+    "excluded (fixture min length is 10).",
+    tags=("text", "dedup"),
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    return winnow_fingerprints_df(load_table(spark, sf_dir, "documents"))
 
 
 # --- TextRank keyword extraction (PageRank over word co-occurrence) ------------

@@ -1511,3 +1511,63 @@ def test_reco_hitrate_matches_python_recompute(spark, sf_dir):
     assert out.n_eval_users == len(multi)
     assert (out.cf_hits, out.pop_hits) == (cf_hits, pop_hits)
     assert abs(out.cf_hitrate3 - cf_hits / len(multi)) < 1e-12
+
+
+# --- winnow pairs / funnel z / inter-arrival fit -------------------------
+
+
+def test_winnow_pairs_find_all_planted_copies(spark, sf_dir):
+    out = {(r.doc_a, r.doc_b): r.shared_fingerprints for r in _q("dedup_winnow_pairs", spark, sf_dir).collect()}
+    EX, NEAR = 1_000_000_000_000, 2_000_000_000_000
+    for base in range(20):
+        assert (base, base + EX) in out, f"exact copy pair for base {base} missing"
+        assert (base, base + NEAR) in out, f"near copy pair for base {base} missing"
+        assert (base + EX, base + NEAR) in out
+    # exact copies share every fingerprint of the base doc
+    for base in range(20):
+        assert out[(base, base + EX)] >= out.get((base, base + NEAR), 0)
+
+
+def test_funnel_steps_consistent_with_unkeyed_funnel(spark, sf_dir):
+    out = {r.step_no: r for r in _q("ab_test_funnel_steps", spark, sf_dir).collect()}
+    base = {r.step_no: r.users for r in _q("funnel_signup_click_purchase", spark, sf_dir).collect()}
+    # arm counts partition the unkeyed funnel's counts at each step
+    assert out[2].n_a + out[2].n_b == base[1]
+    assert out[2].k_a + out[2].k_b == base[2]
+    assert out[3].k_a + out[3].k_b == base[3]
+    for r in out.values():
+        if r.z_pooled is not None:
+            assert abs(r.z_pooled) < 10
+
+
+def test_interarrival_matches_python(spark, sf_dir):
+    import math
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type").collect()
+    by_user = defaultdict(list)
+    for r in ev:
+        if r.event_type == "purchase":
+            by_user[r.user_id].append(int(r.ts.timestamp()))
+    gaps = []
+    for ts in by_user.values():
+        ts.sort()
+        gaps += [(b - a) // 60 for a, b in zip(ts, ts[1:])]
+    n, s = len(gaps), sum(gaps)
+    out = _q("events_interarrival_expfit", spark, sf_dir).collect()[0]
+    assert out.n_gaps == n
+    assert abs(out.mean_gap_min - s / n) < 1e-9
+    assert abs(out.lambda_per_hour - 60.0 * n / s) < 1e-9
+    # recompute KS with the query's grid rule
+    from collections import Counter
+
+    lam = n / s
+    cnt = Counter(gaps)
+    cum = 0
+    dmax = 0
+    for g in sorted(cnt):
+        cum += cnt[g]
+        emp = round(1e6 * cum / n)
+        model = 1_000_000 - round(1e6 * math.exp(-lam * (g + 1.0)))
+        dmax = max(dmax, abs(emp - model))
+    assert abs(out.ks_stat - dmax / 1e6) < 1e-12
