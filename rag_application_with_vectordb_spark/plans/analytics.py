@@ -3675,3 +3675,111 @@ def _register_interarrival():
 
 
 _register_interarrival()
+
+
+# --- expectation-suite data-contract audit -------------------------------------
+
+_sql_query(
+    "audit_expectations",
+    """
+    WITH e1 AS (
+      SELECT 'orders.o_totalprice_positive' AS expectation,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_violations
+      FROM orders
+    ),
+    e2 AS (
+      SELECT 'lineitem.l_quantity_in_1_50' AS expectation,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_violations
+      FROM lineitem
+    ),
+    e3 AS (
+      SELECT 'orders.o_orderkey_unique' AS expectation,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+      FROM orders
+    ),
+    e4 AS (
+      SELECT 'events.event_type_in_enum' AS expectation,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN event_type IN
+                     ('signup', 'click', 'view', 'purchase', 'error')
+                  THEN 0 ELSE 1 END) AS BIGINT) AS n_violations
+      FROM events
+    ),
+    e5 AS (
+      SELECT 'documents.text_not_null_or_empty' AS expectation,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN text IS NOT NULL AND length(text) > 0 THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_violations
+      FROM documents
+    ),
+    e6 AS (
+      SELECT 'documents.n_chars_matches_text' AS expectation,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(SUM(CASE WHEN n_chars = length(text) THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_violations
+      FROM documents
+    ),
+    u AS (
+      SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+      UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6
+    )
+    SELECT expectation, n_checked, n_violations,
+           n_violations = 0 AS passed
+    FROM u ORDER BY expectation ASC
+    """,
+    doc="Expectation-suite data-contract audit (the Great-Expectations "
+    "surface): six declarative expectations — value range, enum "
+    "membership, key uniqueness, non-emptiness, and a derived-column "
+    "consistency check — each evaluated as one aggregate over ITS "
+    "table only (column-pruned scans; the violation count folds into "
+    "SUM(CASE), and uniqueness is COUNT - COUNT DISTINCT, never a "
+    "self-join). Complements audit_referential_integrity (cross-table "
+    "contracts) and audit_column_profile (per-column stats) with the "
+    "third audit style: named, versionable pass/fail expectations a "
+    "pipeline gates deployments on.",
+    tags=("analytics", "audit"),
+)
+
+
+# --- churn label generation by cohort ------------------------------------------
+
+_sql_query(
+    "churn_labels_cohort",
+    """
+    WITH horizon AS (SELECT MAX(ts) AS h FROM events),
+    f AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_wk,
+             MAX(ts) AS last_seen
+      FROM events GROUP BY user_id
+    ),
+    lab AS (
+      SELECT f.user_id, f.cohort_wk,
+             CASE WHEN f.last_seen < horizon.h - INTERVAL 14 DAY
+                  THEN 1 ELSE 0 END AS churned
+      FROM f CROSS JOIN horizon
+    )
+    SELECT cohort_wk AS cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(churned) AS BIGINT) AS n_churned,
+           CAST(SUM(churned) AS DOUBLE) / COUNT(*) AS churn_rate
+    FROM lab GROUP BY cohort_wk
+    ORDER BY cohort_week ASC
+    """,
+    doc="Churn label generation + cohort base rates: a user is labeled "
+    "churned when their last activity is more than 14 days before the "
+    "observation horizon (data max ts — fixed-horizon labeling, so "
+    "the label set is reproducible from the snapshot alone), rolled "
+    "up per signup-cohort week — the supervised-label stage of a "
+    "churn model pipeline plus the base-rate table that sanity-checks "
+    "it (later cohorts mechanically churn less under a fixed horizon "
+    "— visible in the output, which is the point of publishing base "
+    "rates next to labels). One user-keyed aggregate; the horizon is "
+    "a broadcast 1-value roll-up.",
+    tags=("analytics",),
+)

@@ -363,3 +363,60 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _HN_K)
         .select("query_id", "vec_id", "label", "similarity", F.col("rn").cast("bigint").alias("neg_rank"))
     )
+
+
+@register(
+    "knn_analogy",
+    oracle=f"""
+    WITH a AS (SELECT embedding AS va FROM embeddings WHERE vec_id = 1),
+    b AS (SELECT embedding AS vb FROM embeddings WHERE vec_id = 2),
+    c AS (SELECT embedding AS vc FROM embeddings WHERE vec_id = 3),
+    t AS (
+      SELECT list_transform(range(1, len(va) + 1),
+                            i -> va[i] - vb[i] + vc[i]) AS tv
+      FROM a, b, c
+    )
+    SELECT e.vec_id, round({duck_cosine('e.embedding', 't.tv')}, 6) AS similarity
+    FROM embeddings e, t
+    WHERE e.vec_id NOT IN (1, 2, 3)
+    ORDER BY round({duck_cosine('e.embedding', 't.tv')}, 6) DESC, e.vec_id ASC
+    LIMIT {K}
+    """,
+    doc="Vector-arithmetic analogy query (the word2vec 'king - man + "
+    "woman' shape): target = v1 - v2 + v3 assembled element-wise with "
+    "a fixed-order HOF (both engines evaluate a - b + c left-to-right "
+    "per component, so the target vector is bit-identical), then "
+    "exact cosine top-5 over the store EXCLUDING the three source "
+    "vectors — the anchor-exclusion every analogy eval applies. Same "
+    "broadcast-scan plan as knn_topk; similarities round to 6 "
+    "decimals before ranking.",
+    tags=("rag", "ann"),
+)
+def knn_analogy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def vec(vid):
+        return emb.filter(F.col("vec_id") == vid).select(
+            F.col("embedding").alias(f"v{vid}")
+        )
+
+    t = (
+        vec(1)
+        .crossJoin(vec(2))
+        .crossJoin(vec(3))
+        .select(
+            F.expr(
+                "transform(sequence(1, size(v1)), i -> "
+                "element_at(v1, i) - element_at(v2, i) + element_at(v3, i))"
+            ).alias("tv")
+        )
+    )
+    scored = (
+        emb.filter(~F.col("vec_id").isin(1, 2, 3))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "vec_id",
+            F.round(cosine_sim(F.col("embedding"), F.col("tv")), 6).alias("similarity"),
+        )
+    )
+    return scored.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(K)

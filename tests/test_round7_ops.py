@@ -1571,3 +1571,67 @@ def test_interarrival_matches_python(spark, sf_dir):
         model = 1_000_000 - round(1e6 * math.exp(-lam * (g + 1.0)))
         dmax = max(dmax, abs(emp - model))
     assert abs(out.ks_stat - dmax / 1e6) < 1e-12
+
+
+# --- analogy / expectations / churn labels -------------------------------
+
+
+def test_analogy_matches_brute_force(spark, sf_dir):
+    import math
+
+    emb = {r.vec_id: r.embedding for r in load_table(spark, sf_dir, "embeddings").collect()}
+    tv = [a - b + c for a, b, c in zip(emb[1], emb[2], emb[3])]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return 0.0 if na == 0 or nb == 0 else dot / (na * nb)
+
+    expect = sorted(
+        ((round(cos(v, tv), 6), -vid) for vid, v in emb.items() if vid not in (1, 2, 3)),
+        reverse=True,
+    )[:5]
+    out = [(r.similarity, -r.vec_id) for r in _q("knn_analogy", spark, sf_dir).collect()]
+    for (es, ei), (gs, gi) in zip(expect, out):
+        assert ei == gi
+        assert abs(es - gs) < 2e-6  # float32 vs float64 target assembly
+
+
+def test_expectations_all_pass_on_clean_fixture(spark, sf_dir):
+    out = {r.expectation: r for r in _q("audit_expectations", spark, sf_dir).collect()}
+    assert len(out) == 6
+    for name, r in out.items():
+        assert r.n_checked > 0
+        assert r.passed and r.n_violations == 0, name
+
+
+def test_churn_labels_consistent(spark, sf_dir):
+    import datetime
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts").collect()
+    h = max(r.ts for r in ev)
+    from collections import defaultdict
+
+    first, last = {}, {}
+    for r in ev:
+        if r.user_id not in first or r.ts < first[r.user_id]:
+            first[r.user_id] = r.ts
+        if r.user_id not in last or r.ts > last[r.user_id]:
+            last[r.user_id] = r.ts
+
+    def monday(ts):
+        d = ts.date()
+        return d - datetime.timedelta(days=d.weekday())
+
+    from collections import Counter
+
+    users_by_cohort = Counter(monday(t) for t in first.values())
+    churned_by_cohort = Counter(
+        monday(first[u]) for u in first if last[u] < h - datetime.timedelta(days=14)
+    )
+    out = {r.cohort_week: r for r in _q("churn_labels_cohort", spark, sf_dir).collect()}
+    assert {c: r.n_users for c, r in out.items()} == dict(users_by_cohort)
+    for c, r in out.items():
+        assert r.n_churned == churned_by_cohort.get(c, 0)
+        assert abs(r.churn_rate - r.n_churned / r.n_users) < 1e-12
