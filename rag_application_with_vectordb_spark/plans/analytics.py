@@ -3783,3 +3783,49 @@ _sql_query(
     "a broadcast 1-value roll-up.",
     tags=("analytics",),
 )
+
+
+# --- overdispersion (variance-to-mean) test per event type ---------------------
+
+_sql_query(
+    "stats_overdispersion_daily",
+    """
+    WITH d AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    ),
+    cal AS (SELECT CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT) AS nd
+            FROM events),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS tot,
+             CAST(SUM(c * c) AS BIGINT) AS sq
+      FROM d GROUP BY event_type
+    )
+    SELECT m.event_type, cal.nd AS n_days, m.tot AS n_events,
+           CAST(m.tot AS DOUBLE) / cal.nd AS mean_per_day,
+           (CAST(m.sq AS DOUBLE)
+            - CAST(m.tot AS DOUBLE) * CAST(m.tot AS DOUBLE) / cal.nd)
+             / (cal.nd - 1)
+             / (CAST(m.tot AS DOUBLE) / cal.nd) AS dispersion_index,
+           (cal.nd - 1)
+             * ((CAST(m.sq AS DOUBLE)
+                 - CAST(m.tot AS DOUBLE) * CAST(m.tot AS DOUBLE) / cal.nd)
+                / (cal.nd - 1)
+                / (CAST(m.tot AS DOUBLE) / cal.nd)) AS chi2_dispersion
+    FROM m CROSS JOIN cal
+    ORDER BY m.event_type ASC
+    """,
+    doc="Overdispersion test per event type: variance-to-mean ratio "
+    "(dispersion index) of the daily count series and the chi-square "
+    "dispersion statistic (n-1)*D — the Poisson-adequacy diagnostic "
+    "run before modeling counts (D >> 1 means a negative-binomial or "
+    "mixed model, and Poisson-based alert thresholds will false-fire). "
+    "Days with zero events of a type enter through the N-day "
+    "normalizer (counts collapse to present (type, day) cells only; "
+    "the variance identity Var = (sum(c^2) - tot^2/N)/(N-1) needs no "
+    "zero-row materialization). Exact BIGINT moments; two fp "
+    "divisions per type at the end.",
+    tags=("analytics", "stats", "timeseries"),
+)

@@ -1657,3 +1657,98 @@ def _register_reco_eval():
 
 
 _register_reco_eval()
+
+
+# --- k-fold cross-validation of the spend~activity OLS by moment subtraction ---
+
+
+def _kfold_sql(hexfn, str_t: str) -> str:
+    key = f"md5(concat('cv42|', CAST(user_id AS {str_t})))"
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, {hexfn(key)} % 5 AS fold,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS y
+      FROM events GROUP BY user_id
+    ),
+    fm AS (
+      SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM per_user GROUP BY fold
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(sx) AS BIGINT) AS sx,
+             CAST(SUM(sy) AS BIGINT) AS sy, CAST(SUM(sxx) AS BIGINT) AS sxx,
+             CAST(SUM(sxy) AS BIGINT) AS sxy, CAST(SUM(syy) AS BIGINT) AS syy
+      FROM fm
+    ),
+    tr AS (
+      SELECT fm.fold,
+             tot.n - fm.n AS n_tr, tot.sx - fm.sx AS sx, tot.sy - fm.sy AS sy,
+             tot.sxx - fm.sxx AS sxx, tot.sxy - fm.sxy AS sxy,
+             fm.n AS n_te, fm.sx AS tsx, fm.sy AS tsy,
+             fm.sxx AS tsxx, fm.sxy AS tsxy, fm.syy AS tsyy
+      FROM fm CROSS JOIN tot
+    ),
+    fit AS (
+      SELECT fold, n_tr, n_te, tsx, tsy, tsxx, tsxy, tsyy,
+             (CAST(n_tr AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_tr AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b1,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(n_tr AS DOUBLE) AS ntr
+      FROM tr
+    ),
+    ev AS (
+      SELECT fold, n_tr, n_te, b1,
+             (syd - b1 * sxd) / ntr AS b0,
+             CAST(tsyy AS DOUBLE)
+               - 2.0 * ((syd - b1 * sxd) / ntr) * CAST(tsy AS DOUBLE)
+               - 2.0 * b1 * CAST(tsxy AS DOUBLE)
+               + 2.0 * ((syd - b1 * sxd) / ntr) * b1 * CAST(tsx AS DOUBLE)
+               + CAST(n_te AS DOUBLE) * ((syd - b1 * sxd) / ntr)
+                 * ((syd - b1 * sxd) / ntr)
+               + b1 * b1 * CAST(tsxx AS DOUBLE) AS sse
+      FROM fit
+    )
+    SELECT CAST(fold AS BIGINT) AS fold, CAST(n_tr AS BIGINT) AS n_train,
+           CAST(n_te AS BIGINT) AS n_test, b1 AS beta1,
+           SQRT(sse / n_te) / 100.0 AS rmse_test_dollars
+    FROM ev ORDER BY fold ASC
+    """
+
+
+def _register_kfold():
+    from .oracle_dialect import duck_hex13_to_long
+    from .stats_queries import _spark_hex13
+
+    @register(
+        "regress_kfold_cv",
+        oracle=_kfold_sql(duck_hex13_to_long, "VARCHAR"),
+        doc="5-fold cross-validation of the spend ~ activity OLS with NO "
+        "second data pass: fold assignment is keyed md5, each fold's "
+        "training moments are TOTAL minus FOLD (exact BIGINT "
+        "subtraction — the jackknife-by-subtraction trick at fold "
+        "granularity), and the held-out SSE expands algebraically "
+        "from the fold's own raw moments and the train coefficients, "
+        "so the entire CV is ONE user-keyed aggregate plus 5-row "
+        "arithmetic. Per-fold test RMSE quantifies the fit stability "
+        "regress_spend_on_activity's single R^2 cannot (one "
+        "influential fold shows up as an RMSE outlier — see "
+        "regress_influence_cooks for who causes it).",
+        tags=("analytics", "stats"),
+    )
+    def regress_kfold_cv(spark, sf_dir):
+        tune(spark)
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(_kfold_sql(_spark_hex13, "STRING"))
+
+    return regress_kfold_cv
+
+
+_register_kfold()

@@ -1635,3 +1635,61 @@ def test_churn_labels_consistent(spark, sf_dir):
     for c, r in out.items():
         assert r.n_churned == churned_by_cohort.get(c, 0)
         assert abs(r.churn_rate - r.n_churned / r.n_users) < 1e-12
+
+
+# --- overdispersion / k-fold CV ------------------------------------------
+
+
+def test_overdispersion_matches_python(spark, sf_dir):
+    from collections import Counter, defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type").collect()
+    days = {r.ts.date() for r in ev}
+    nd = len(days)
+    by_type = defaultdict(Counter)
+    for r in ev:
+        by_type[r.event_type][r.ts.date()] += 1
+    out = {r.event_type: r for r in _q("stats_overdispersion_daily", spark, sf_dir).collect()}
+    assert set(out) == set(by_type)
+    for t, cnt in by_type.items():
+        tot = sum(cnt.values())
+        sq = sum(c * c for c in cnt.values())
+        mean = tot / nd
+        var = (sq - tot * tot / nd) / (nd - 1)
+        assert out[t].n_days == nd and out[t].n_events == tot
+        assert abs(out[t].dispersion_index - var / mean) < 1e-9
+        assert abs(out[t].chi2_dispersion - (nd - 1) * var / mean) < 1e-6
+
+
+def test_kfold_cv_matches_numpy(spark, sf_dir):
+    import hashlib
+
+    import numpy as np
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value").collect()
+    act, spend = defaultdict(int), defaultdict(int)
+    for r in ev:
+        act[r.user_id] += 1
+        if r.event_type == "purchase":
+            spend[r.user_id] += round(r.value * 100)
+    folds = defaultdict(list)
+    for u in act:
+        f = int(hashlib.md5(f"cv42|{u}".encode()).hexdigest()[:13], 16) % 5
+        folds[f].append((act[u], spend[u]))
+    out = {r.fold: r for r in _q("regress_kfold_cv", spark, sf_dir).collect()}
+    assert set(out) == set(folds)
+    for f, test in folds.items():
+        train = [p for g, pts in folds.items() if g != f for p in pts]
+        x = np.array([a for a, _ in train], dtype=float)
+        y = np.array([b for _, b in train], dtype=float)
+        b1 = ((len(x) * (x * y).sum() - x.sum() * y.sum())
+              / (len(x) * (x * x).sum() - x.sum() ** 2))
+        b0 = (y.sum() - b1 * x.sum()) / len(x)
+        tx = np.array([a for a, _ in test], dtype=float)
+        ty = np.array([b for _, b in test], dtype=float)
+        sse = ((ty - b0 - b1 * tx) ** 2).sum()
+        r = out[f]
+        assert (r.n_train, r.n_test) == (len(train), len(test))
+        assert abs(r.beta1 - b1) < 1e-9
+        assert abs(r.rmse_test_dollars - np.sqrt(sse / len(test)) / 100.0) < 1e-6
