@@ -85,7 +85,16 @@ _loaded = False
 # graph_kcore, text_textrank_keywords, stats_spearman_activity_spend,
 # weights_raking_ipf, ab_test_srm, graph_assortativity,
 # regress_influence_cooks, feature_quantile_normalize,
-# ab_test_diff_in_diff.
+# ab_test_diff_in_diff; and the later extension batches (same bar):
+# survival_logrank_arms, causal_cem_att, text_textrank_doc_keywords,
+# events_value_histogram, revenue_bridge_weekly, cohort_ltv_curve,
+# decontaminate_semantic, mine_hard_negatives,
+# multimodal_scene_changes, orders_backlog_daily,
+# sketch_cms_join_size, eval_reco_hitrate, dedup_winnow_pairs,
+# ab_test_funnel_steps, events_interarrival_expfit,
+# price_elasticity_by_brand, ab_test_wilson_ci,
+# events_seasonal_anomaly, knn_analogy, audit_expectations,
+# churn_labels_cohort, stats_overdispersion_daily, regress_kfold_cv.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",

@@ -399,6 +399,30 @@ ANNOTATED = {
     "duration DOMAIN; per-event-time E/V terms land on the 1e-6 "
     "grid before exact BIGINT sums, so the chi-square is one fixed "
     "fp chain off a 3-integer roll-up.",
+    "dedup_winnow_pairs": "The winnowing sketch (not the corpus) is "
+    "what joins: distinct (doc, fingerprint) postings, df-capped to "
+    "drop boilerplate grams, then a fingerprint-keyed self-join — "
+    "the LSH band-join shape with MOSS fingerprints as the bands.",
+    "regress_kfold_cv": "ONE user-keyed aggregate produces per-fold "
+    "moments; train moments are total-minus-fold subtractions and "
+    "the held-out SSE expands algebraically — the plan has a single "
+    "fact scan and 5-row arithmetic, no per-fold repasses.",
+    "eval_reco_hitrate": "Holdout selection is a user-keyed window "
+    "over md5 draws; the co-occurrence matrix and candidate scoring "
+    "join on item keys (domain-bounded); the only global numbers "
+    "are three COUNT roll-ups.",
+    "sketch_cms_join_size": "Both count-min sketches collapse "
+    "map-side to 4096 cells before their only shuffle; the exact "
+    "comparator is the expensive per-key count join the sketch "
+    "exists to avoid — visible side by side in the same plan.",
+    "multimodal_scene_changes": "One mapInPandas stage computes "
+    "frame intensities AND adjacent deltas per Arrow batch — no "
+    "explode + (doc, frame) self-join; output partitioning follows "
+    "the input scan.",
+    "orders_backlog_daily": "Each order contributes two boundary "
+    "rows (+1/-1); the backlog is a prefix sum over the bounded "
+    "date domain — the plan never materializes day x order "
+    "replication.",
 }
 
 
