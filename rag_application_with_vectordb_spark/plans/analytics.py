@@ -3829,3 +3829,67 @@ _sql_query(
     "divisions per type at the end.",
     tags=("analytics", "stats", "timeseries"),
 )
+
+
+# --- quantile forecast evaluation: pinball loss + coverage ---------------------
+
+_PINBALL_H = 14  # trailing observations per forecast
+#: (quantile in tenths, nearest-rank ceil(q*H) for H=14)
+_PINBALL_QS = ((1, 2), (5, 7), (9, 13))
+
+_sql_query(
+    "forecast_quantile_pinball",
+    f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100.0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cents
+      FROM events GROUP BY 1
+    ),
+    ix AS (
+      SELECT day, cents,
+             ROW_NUMBER() OVER (ORDER BY day ASC) AS idx
+      FROM daily
+    ),
+    tw AS (
+      SELECT a.day, a.cents AS y, b.cents AS h,
+             ROW_NUMBER() OVER (PARTITION BY a.day
+                                ORDER BY b.cents ASC, b.day ASC) AS rnk
+      FROM ix a JOIN ix b ON b.idx BETWEEN a.idx - {_PINBALL_H} AND a.idx - 1
+      WHERE a.idx > {_PINBALL_H}
+    ),
+    f AS (
+      SELECT tw.day, tw.y, q.q10, tw.h AS fc
+      FROM tw JOIN (VALUES {", ".join(f"({q10}, {rk})" for q10, rk in _PINBALL_QS)})
+                AS q (q10, rk)
+        ON tw.rnk = q.rk
+    ),
+    loss AS (
+      SELECT q10, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(CASE WHEN (y - fc) >= 0 THEN q10 * (y - fc)
+                           ELSE (q10 - 10) * (y - fc) END) AS BIGINT)
+               AS pinball10_cents,
+             CAST(SUM(CASE WHEN y <= fc THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM f GROUP BY q10
+    )
+    SELECT CAST(q10 AS BIGINT) * 10 AS quantile_pct, n_days,
+           CAST(pinball10_cents AS DOUBLE) / (10.0 * n_days) / 100.0
+             AS mean_pinball_dollars,
+           CAST(n_covered AS DOUBLE) / n_days AS coverage
+    FROM loss ORDER BY quantile_pct ASC
+    """,
+    doc=f"Quantile forecast evaluation: forecast each day's revenue "
+    f"p10/p50/p90 as the exact nearest-rank order statistics of the "
+    f"trailing {_PINBALL_H} observed days, scored with the pinball "
+    "(quantile) loss and empirical coverage — the probabilistic "
+    "companion to forecast_snaive_mase's point metrics (a capacity "
+    "plan needs the p90, not the median). The trailing windows come "
+    "from a bounded self-join on the day-index (the day DOMAIN is "
+    "calendar-bounded, so the |days| x H fanout is constant-size at "
+    "any fact scale; the ROW_NUMBER rank-select inside each window "
+    "partitions by day); pinball terms stay exact BIGINT by carrying "
+    "the quantile as integer tenths (10x the loss, divided once at "
+    "the end). Coverage ~ q is the calibration check.",
+    tags=("analytics", "stats", "timeseries"),
+)

@@ -1693,3 +1693,40 @@ def test_kfold_cv_matches_numpy(spark, sf_dir):
         assert (r.n_train, r.n_test) == (len(train), len(test))
         assert abs(r.beta1 - b1) < 1e-9
         assert abs(r.rmse_test_dollars - np.sqrt(sse / len(test)) / 100.0) < 1e-6
+
+
+# --- pinball quantile forecast eval --------------------------------------
+
+
+def test_pinball_matches_python(spark, sf_dir):
+    from collections import defaultdict
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value").collect()
+    daily = defaultdict(int)
+    for r in ev:
+        if r.event_type == "purchase":
+            daily[r.ts.date()] += round(r.value * 100)
+    days = sorted(daily)
+    H, QS = 14, ((1, 2), (5, 7), (9, 13))
+    agg = {q: [0, 0, 0] for q, _ in QS}  # n, pinball10, covered
+    for i in range(H, len(days)):
+        y = daily[days[i]]
+        hist = sorted(
+            (daily[d], d) for d in days[i - H : i]
+        )
+        for q10, rk in QS:
+            fc = hist[rk - 1][0]
+            loss10 = q10 * (y - fc) if y >= fc else (q10 - 10) * (y - fc)
+            a = agg[q10]
+            a[0] += 1
+            a[1] += loss10
+            a[2] += 1 if y <= fc else 0
+    out = {int(r.quantile_pct): r for r in _q("forecast_quantile_pinball", spark, sf_dir).collect()}
+    for q10, _ in QS:
+        n, p10, cov = agg[q10]
+        r = out[q10 * 10]
+        assert r.n_days == n
+        assert abs(r.mean_pinball_dollars - p10 / (10 * n) / 100.0) < 1e-9
+        assert abs(r.coverage - cov / n) < 1e-12
+    # coverage ordering: higher quantiles cover more
+    assert out[10].coverage <= out[50].coverage <= out[90].coverage
