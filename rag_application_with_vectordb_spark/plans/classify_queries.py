@@ -242,9 +242,7 @@ def _split_col(which: str):
     )
 
 
-@register(
-    "text_nb_confusion",
-    oracle=rf"""
+_NB_ORACLE = rf"""
     WITH tok AS (
       SELECT doc_id, lang, t.w
       FROM (SELECT doc_id, lang,
@@ -311,7 +309,12 @@ def _split_col(which: str):
     )
     SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
     FROM pred GROUP BY lang_true, lang_pred
-    """,
+    """
+
+
+@register(
+    "text_nb_confusion",
+    oracle=_NB_ORACLE,
     doc="Multinomial Naive Bayes language classifier, trained and "
     "scored entirely in the engine: 80/20 keyed-md5 split, per-class "
     "token counts with Laplace smoothing as the training aggregate, "
@@ -559,4 +562,80 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.select(F.col("j").alias("comp_i"), F.col("v").alias("eig_fixed"))
         .crossJoin(F.broadcast(ray.select(F.col("num").alias("rayleigh_num"))))
         .crossJoin(F.broadcast(den.select(F.col("den").alias("rayleigh_den"))))
+    )
+
+
+# --- Cohen's kappa of the NB classifier against the gold labels ----------------
+
+
+@register(
+    "eval_cohens_kappa",
+    oracle=f"""
+    WITH cm AS MATERIALIZED (SELECT * FROM ({_NB_ORACLE}) q),
+    agg AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(CASE WHEN lang_true = lang_pred THEN n ELSE 0 END)
+                  AS BIGINT) AS diag
+      FROM cm
+    ),
+    rc AS (
+      SELECT CAST(SUM(r.rn * c.cn) AS BIGINT) AS pe_num
+      FROM (SELECT lang_true AS k, CAST(SUM(n) AS BIGINT) AS rn
+            FROM cm GROUP BY 1) r
+      JOIN (SELECT lang_pred AS k, CAST(SUM(n) AS BIGINT) AS cn
+            FROM cm GROUP BY 1) c ON c.k = r.k
+    )
+    SELECT agg.nt AS n_test, agg.diag AS n_agree, rc.pe_num AS pe_num,
+      CAST(agg.diag AS DOUBLE) / CAST(agg.nt AS DOUBLE) AS po,
+      CAST(rc.pe_num AS DOUBLE) / CAST(agg.nt * agg.nt AS DOUBLE) AS pe,
+      CAST(agg.nt * agg.diag - rc.pe_num AS DOUBLE)
+        / CAST(agg.nt * agg.nt - rc.pe_num AS DOUBLE) AS kappa
+    FROM agg CROSS JOIN rc
+    """,
+    doc="Multiclass Cohen's kappa of the in-engine Naive Bayes "
+    "classifier against the gold lang labels — chance-corrected "
+    "agreement, the eval metric that exposes an accuracy number "
+    "inflated by class imbalance (the confusion matrix itself is "
+    "text_nb_confusion; this is its one-number summary). kappa = "
+    "(n*diag - sum_k row_k*col_k) / (n^2 - sum_k row_k*col_k), "
+    "assembled entirely from exact BIGINT confusion-cell counts with "
+    "ONE fp64 division — bit-stable cross-engine while n^2 < 2^63 "
+    "(n is the test-split row count; the confusion relation itself "
+    "is |classes|^2 <= 25 rows at any corpus size, so everything "
+    "after the NB argmax is driver-trivial yet stays declarative).",
+    tags=("classify", "eval", "ml"),
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cm = text_nb_confusion(spark, sf_dir).localCheckpoint()
+    agg = cm.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum(F.when(F.col("lang_true") == F.col("lang_pred"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("diag"),
+    )
+    r = cm.groupBy(F.col("lang_true").alias("k")).agg(
+        F.sum("n").cast("bigint").alias("rn")
+    )
+    c = cm.groupBy(F.col("lang_pred").alias("k")).agg(
+        F.sum("n").cast("bigint").alias("cn")
+    )
+    rc = r.join(c, "k").agg(
+        F.sum(F.col("rn") * F.col("cn")).cast("bigint").alias("pe_num")
+    )
+    return (
+        agg.crossJoin(F.broadcast(rc))
+        .select(
+            F.col("nt").alias("n_test"),
+            F.col("diag").alias("n_agree"),
+            F.col("pe_num"),
+            (F.col("diag").cast("double") / F.col("nt").cast("double")).alias("po"),
+            (
+                F.col("pe_num").cast("double")
+                / (F.col("nt") * F.col("nt")).cast("double")
+            ).alias("pe"),
+            (
+                (F.col("nt") * F.col("diag") - F.col("pe_num")).cast("double")
+                / (F.col("nt") * F.col("nt") - F.col("pe_num")).cast("double")
+            ).alias("kappa"),
+        )
     )

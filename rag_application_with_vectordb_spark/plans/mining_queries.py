@@ -1,0 +1,285 @@
+"""Classic data-mining catalog: frequent-itemset mining (Apriori),
+decision-stump split search, and Yule-Walker autoregressive fitting —
+the "teach the engine to train tiny models" tail that complements the
+in-engine Naive Bayes (classify_queries) and the OLS family
+(stats_queries / feature_queries).
+
+Scale notes (100 TB posture):
+- **freq_itemsets_3** generates candidate triples ONLY from frequent
+  pairs (the Apriori closure property: every subset of a frequent set
+  is frequent), then verifies support by joining basket pair
+  occurrences against the broadcast candidate list. The fact is
+  scanned once into the distinct (order, part) basket relation; the
+  pair aggregate is the same single shuffle the co-purchase graph
+  already runs; everything after operates on support-thresholded
+  relations that SHRINK as data grows sparser — never an all-triples
+  enumeration on the engine side (the brute-force form exists only as
+  the DuckDB oracle).
+- **tree_split_gini** is the distributed decision-tree split search
+  (PLANET / Chaudhuri-style): histogram the bounded feature domain
+  first (one groupBy on the feature value), then scan thresholds with
+  a prefix-sum window over the HISTOGRAM, not the rows. The window is
+  single-partition but its input is domain-bounded (<= |distinct
+  n_chars| <= ~500 rows at any corpus size). Impurity ordering is
+  exact: the weighted-Gini quotient is assembled from exact BIGINT
+  counts with ONE correctly-rounded fp64 division per threshold
+  (identical cross-engine), tie-broken by threshold ASC. Exact up to
+  n^3 < 2^63 (~2e6 rows per class histogram); beyond that the counts
+  are pre-scaled.
+- **stats_ar2_yule_walker** collapses the fact to the calendar-bounded
+  day grain first (exact integer daily revenue), so the lag self-join
+  and every moment touch only ~365 rows/year regardless of fact size.
+  Autocovariances are exact BIGINT via the (n*x - S) centering trick;
+  daily revenue is floored to WHOLE DOLLARS by the exact-multiple
+  division rule ((c - c%100)/100) because cents-grain squared
+  deviations would overflow int64 near ~1e5-dollar days x 10-year
+  spans; the Yule-Walker solve is a fixed fp64 chain over three exact
+  integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import tune
+from ..sources.catalog import load_table, register_views, tables_in_sql
+from .registry import register
+
+# --- frequent 3-itemsets over order baskets (Apriori) --------------------------
+
+_FI_MINSUP = 2
+
+
+@register(
+    "freq_itemsets_3",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS item_a, b2.l_partkey AS item_b,
+           c.l_partkey AS item_c, CAST(COUNT(*) AS BIGINT) AS support
+    FROM b a
+    JOIN b b2 ON b2.l_orderkey = a.l_orderkey AND a.l_partkey < b2.l_partkey
+    JOIN b c  ON c.l_orderkey = a.l_orderkey AND b2.l_partkey < c.l_partkey
+    GROUP BY 1, 2, 3
+    HAVING COUNT(*) >= {_FI_MINSUP}
+    """,
+    doc=f"Frequent 3-itemsets (support >= {_FI_MINSUP} orders) over the "
+    "order->parts baskets, mined Apriori-style (Agrawal & Srikant "
+    "1994): frequent pairs first (the co-purchase aggregate), "
+    "candidate triples generated ONLY by joining frequent pairs on a "
+    "shared prefix (item_a, item_b<item_c) and closure-pruned against "
+    "the (item_b, item_c) pair, then support counted by joining the "
+    "frequent-pair occurrence relation against the broadcast "
+    "candidates — the engine never enumerates all-triples-per-basket "
+    "(that brute form is the DuckDB oracle, results proven equal). "
+    "One fact scan, one pair shuffle, broadcast-sized candidate "
+    "relations: the shape survives 100 TB because support thresholds "
+    "shrink the candidate set as baskets grow sparser.",
+    tags=("mining", "analytics"),
+)
+def freq_itemsets_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+
+    a, c = b.alias("a"), b.alias("c")
+    pair_occ = a.join(
+        c,
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+    ).select(
+        F.col("a.l_orderkey").alias("okey"),
+        F.col("a.l_partkey").alias("x"),
+        F.col("c.l_partkey").alias("y"),
+    )
+    fp = (
+        pair_occ.groupBy("x", "y")
+        .agg(F.count("*").cast("bigint").alias("sup"))
+        .filter(F.col("sup") >= _FI_MINSUP)
+        .localCheckpoint()  # feeds candidate gen, the prune, and verification
+    )
+
+    # Candidate generation: join frequent pairs sharing the first item,
+    # then Apriori-prune (the (y, z) subset must itself be frequent).
+    f1 = fp.select(F.col("x"), F.col("y"))
+    f2 = fp.select(F.col("x").alias("x2"), F.col("y").alias("z"))
+    cand = (
+        f1.join(f2, (F.col("x") == F.col("x2")) & (F.col("y") < F.col("z")))
+        .select("x", "y", "z")
+        .join(
+            fp.select(F.col("x").alias("y"), F.col("y").alias("z")),
+            ["y", "z"],
+            "left_semi",
+        )
+    )
+
+    # Verification: frequent-pair occurrences (okey, x, y) extended by the
+    # candidate's third item via the basket relation — each surviving row
+    # is one basket containing the whole triple.
+    tri = (
+        pair_occ.join(F.broadcast(fp.select("x", "y")), ["x", "y"], "left_semi")
+        .join(F.broadcast(cand), ["x", "y"])
+        .join(
+            b,
+            (F.col("okey") == b["l_orderkey"]) & (F.col("z") == b["l_partkey"]),
+            "left_semi",
+        )
+    )
+    return (
+        tri.groupBy("x", "y", "z")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= _FI_MINSUP)
+        .select(
+            F.col("x").alias("item_a"),
+            F.col("y").alias("item_b"),
+            F.col("z").alias("item_c"),
+            "support",
+        )
+    )
+
+
+# --- decision-stump split search (weighted Gini) --------------------------------
+
+
+def _sql_query(name: str, sql: str, doc: str = "", oracle: str | None = None,
+               tags=("mining",)):
+    @register(name, oracle=oracle or sql, doc=doc, tags=tags)
+    def fn(spark: SparkSession, sf_dir: str, _sql: str = sql) -> DataFrame:
+        tune(spark)
+        register_views(spark, sf_dir, tables_in_sql(_sql))
+        return spark.sql(_sql)
+
+    return fn
+
+
+_sql_query(
+    "tree_split_gini",
+    """
+    WITH h AS (
+      SELECT n_chars AS v, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS p
+      FROM documents GROUP BY n_chars
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(p) AS BIGINT) AS pp FROM h),
+    c AS (
+      SELECT v,
+        CAST(SUM(n) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS nl,
+        CAST(SUM(p) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS pl
+      FROM h
+    ),
+    s AS (
+      SELECT c.v AS threshold,
+             c.nl AS n_left, t.nn - c.nl AS n_right,
+             c.pl AS pos_left, t.pp - c.pl AS pos_right,
+             ((t.nn - c.nl) * (c.nl * c.nl - c.pl * c.pl
+                               - (c.nl - c.pl) * (c.nl - c.pl))
+              + c.nl * ((t.nn - c.nl) * (t.nn - c.nl)
+                        - (t.pp - c.pl) * (t.pp - c.pl)
+                        - ((t.nn - c.nl) - (t.pp - c.pl))
+                          * ((t.nn - c.nl) - (t.pp - c.pl)))) AS gnum,
+             t.nn * c.nl * (t.nn - c.nl) AS gden
+      FROM c CROSS JOIN t
+      WHERE c.nl < t.nn
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(pos_left AS BIGINT) AS pos_left,
+           CAST(pos_right AS BIGINT) AS pos_right,
+           CAST(gnum AS DOUBLE) / CAST(gden AS DOUBLE) AS gini
+    FROM s
+    ORDER BY gini ASC, threshold ASC
+    LIMIT 10
+    """,
+    doc="Decision-stump split search: the 10 best 'n_chars <= t' splits "
+    "for predicting lang = 'en', ranked by weighted Gini impurity — "
+    "the inner loop of every distributed decision-tree trainer "
+    "(PLANET, XGBoost hist mode): histogram the bounded feature "
+    "domain FIRST (one groupBy), prefix-sum the histogram to get "
+    "every threshold's child counts in one window pass, never sort "
+    "or re-scan the rows. Impurity is the exact integer quotient "
+    "[nR(nL^2-posL^2-negL^2) + nL(nR^2-posR^2-negR^2)] / (n*nL*nR) "
+    "evaluated with ONE correctly-rounded fp64 division per "
+    "threshold, so the ranking is bit-stable cross-engine (tie: "
+    "threshold ASC). Exact while n^3 < 2^63; beyond ~2e6 rows the "
+    "histogram counts are pre-scaled, same as the ECDF queries.",
+    tags=("mining", "ml"),
+)
+
+
+# --- Yule-Walker AR(2) fit of the daily revenue series --------------------------
+
+
+def _ar2_sql(mat: str) -> str:
+    return f"""
+    WITH d0 AS{mat} (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    d AS{mat} (
+      SELECT day, CAST((cents - cents % 100) / 100 AS BIGINT) AS x FROM d0
+    ),
+    g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s FROM d),
+    p AS (
+      SELECT CAST(l.lag AS BIGINT) AS lag, a.x AS xa, b.x AS xb
+      FROM d a
+      CROSS JOIN (VALUES (0), (1), (2)) AS l(lag)
+      JOIN d b ON b.day = a.day + INTERVAL 1 DAY * l.lag
+    ),
+    c AS (
+      SELECT p.lag,
+             CAST(SUM((g.n * p.xa - g.s) * (g.n * p.xb - g.s)) AS BIGINT) AS gam,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM p CROSS JOIN g GROUP BY p.lag
+    ),
+    w AS (
+      SELECT
+        MAX(CASE WHEN lag = 0 THEN gam END) AS g0,
+        MAX(CASE WHEN lag = 1 THEN gam END) AS g1,
+        MAX(CASE WHEN lag = 2 THEN gam END) AS g2,
+        MAX(CASE WHEN lag = 1 THEN n_pairs END) AS n1,
+        MAX(CASE WHEN lag = 2 THEN n_pairs END) AS n2
+      FROM c
+    )
+    SELECT g.n AS n_days, w.n1 AS n_pairs_lag1, w.n2 AS n_pairs_lag2,
+      CAST(w.g1 AS DOUBLE) / CAST(w.g0 AS DOUBLE) AS r1,
+      CAST(w.g2 AS DOUBLE) / CAST(w.g0 AS DOUBLE) AS r2,
+      (CAST(w.g1 AS DOUBLE) / CAST(w.g0 AS DOUBLE))
+        * (1 - CAST(w.g2 AS DOUBLE) / CAST(w.g0 AS DOUBLE))
+        / (1 - (CAST(w.g1 AS DOUBLE) / CAST(w.g0 AS DOUBLE))
+               * (CAST(w.g1 AS DOUBLE) / CAST(w.g0 AS DOUBLE))) AS phi1,
+      (CAST(w.g2 AS DOUBLE) / CAST(w.g0 AS DOUBLE)
+        - (CAST(w.g1 AS DOUBLE) / CAST(w.g0 AS DOUBLE))
+          * (CAST(w.g1 AS DOUBLE) / CAST(w.g0 AS DOUBLE)))
+        / (1 - (CAST(w.g1 AS DOUBLE) / CAST(w.g0 AS DOUBLE))
+               * (CAST(w.g1 AS DOUBLE) / CAST(w.g0 AS DOUBLE))) AS phi2
+    FROM w CROSS JOIN g
+    """
+
+
+_sql_query(
+    "stats_ar2_yule_walker",
+    _ar2_sql(""),
+    oracle=_ar2_sql(" MATERIALIZED"),
+    doc="AR(2) fit of the daily purchase-revenue series by the "
+    "Yule-Walker equations: phi1 = r1(1-r2)/(1-r1^2), phi2 = "
+    "(r2-r1^2)/(1-r1^2) from the lag-0/1/2 autocovariances — the "
+    "model-identification step that follows events_acf_daily's "
+    "seasonality probe. The fact collapses to the calendar-bounded "
+    "day grain first (one shuffle; ~365 rows/year at ANY fact size); "
+    "daily revenue floors to whole dollars by the exact-multiple "
+    "division rule ((c - c%100)/100 — cents-grain squared deviations "
+    "would overflow int64), autocovariances are exact BIGINTs via "
+    "the (n*x - S) centering identity, calendar-aligned by day "
+    "arithmetic so date gaps never mis-pair lags, and the YW solve "
+    "is one fixed fp64 chain — bit-stable cross-engine. The day "
+    "relation is MATERIALIZED on the DuckDB side only (the "
+    "CTE-inlining rule; Spark's three references re-scan a "
+    "day-grain aggregate, which AQE reuses from the shuffle).",
+    tags=("mining", "timeseries", "stats"),
+)

@@ -94,7 +94,11 @@ _loaded = False
 # ab_test_funnel_steps, events_interarrival_expfit,
 # price_elasticity_by_brand, ab_test_wilson_ci,
 # events_seasonal_anomaly, knn_analogy, audit_expectations,
-# churn_labels_cohort, stats_overdispersion_daily, regress_kfold_cv.
+# churn_labels_cohort, stats_overdispersion_daily, regress_kfold_cv;
+# and the round-7 mining batch (check_oracle-verified at
+# sf0.001/0.01/1.0 + recompute pytests in tests/test_mining_ops.py):
+# freq_itemsets_3, tree_split_gini, stats_ar2_yule_walker,
+# graph_modularity, eval_cohens_kappa.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
@@ -181,6 +185,7 @@ def load_all() -> dict[str, QuerySpec]:
         from . import stats_queries  # noqa: F401
         from . import eval_queries  # noqa: F401
         from . import feature_queries  # noqa: F401
+        from . import mining_queries  # noqa: F401
 
         ordered = {n: QUERIES[n] for n in DRIVER_WINDOW_PRIORITY if n in QUERIES}
         ordered.update({n: s for n, s in QUERIES.items() if n not in ordered})

@@ -1199,6 +1199,20 @@ def _lpa_oracle() -> str:
     tags=("graph", "analytics"),
 )
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, labels = _lpa_run(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(F.count("*").cast("bigint").alias("csize"))
+    return labels.join(sizes, "label").select(
+        F.col("node").cast("bigint").alias("node"),
+        F.col("label").cast("bigint").alias("community"),
+        "csize",
+    )
+
+
+def _lpa_run(spark: SparkSession, sf_dir: str):
+    """Shared LPA engine: returns (checkpointed edge list, final labels)
+    after ``_LPA_ROUNDS`` synchronous rounds — used by both the
+    community listing and the modularity score so the two queries see
+    the identical partition."""
     from pyspark.sql import Window
 
     tune(spark)
@@ -1223,11 +1237,105 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", "label")
             .localCheckpoint()
         )
-    sizes = labels.groupBy("label").agg(F.count("*").cast("bigint").alias("csize"))
-    return labels.join(sizes, "label").select(
-        F.col("node").cast("bigint").alias("node"),
-        F.col("label").cast("bigint").alias("community"),
-        "csize",
+    return edges, labels
+
+
+# --- modularity of the LPA partition --------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(1, _LPA_ROUNDS + 1):
+        rounds.append(
+            f"""l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT e.src AS node, p.label, SUM(e.co) AS wsum,
+               row_number() OVER (PARTITION BY e.src
+                                  ORDER BY SUM(e.co) DESC, p.label ASC) AS rn
+        FROM edges e JOIN {prev} p ON p.node = e.dst
+        GROUP BY e.src, p.label
+      ) t WHERE rn = 1
+    )"""
+        )
+        prev = f"l{i}"
+    joined = ",\n    ".join(rounds)
+    return f"""
+    WITH {_lpa_edges(_UI_DUCK)},
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {joined},
+    lab AS MATERIALIZED (SELECT node, label FROM {prev}),
+    tw AS (SELECT CAST(SUM(co) AS BIGINT) AS m2 FROM edges),
+    degs AS (
+      SELECT la.label AS community, CAST(SUM(e.co) AS BIGINT) AS deg_w
+      FROM edges e JOIN lab la ON la.node = e.src GROUP BY 1
+    ),
+    intra AS (
+      SELECT la.label AS community, CAST(SUM(e.co) AS BIGINT) AS intra_w
+      FROM edges e
+      JOIN lab la ON la.node = e.src
+      JOIN lab lb ON lb.node = e.dst AND lb.label = la.label
+      GROUP BY 1
+    )
+    SELECT CAST(d.community AS BIGINT) AS community,
+           CAST(COALESCE(i.intra_w, 0) AS BIGINT) AS intra_w,
+           d.deg_w,
+           CAST(COALESCE(i.intra_w, 0) * tw.m2 - d.deg_w * d.deg_w AS DOUBLE)
+             / CAST(tw.m2 * tw.m2 AS DOUBLE) AS q_contrib
+    FROM degs d LEFT JOIN intra i ON i.community = d.community
+    CROSS JOIN tw
+    """
+
+
+@register(
+    "graph_modularity",
+    oracle=_modularity_oracle(),
+    doc="Newman modularity of the LPA community partition, per "
+    "community: Q_c = intra_c/(2m) - (deg_c/(2m))^2 over the weighted "
+    "symmetrized item graph (intra_w counts both directions, 2m = "
+    "total directed weight) — the quality score that tells you whether "
+    "the communities LPA found beat a degree-preserving random graph "
+    "(sum(q_contrib) > 0) BEFORE anyone acts on them. Reuses "
+    "graph_lpa_communities' exact rounds (shared _lpa_run); the "
+    "contribution is ONE fp64 division of exact BIGINT cross-products "
+    "(intra*2m - deg^2) / (2m)^2 per community — bit-stable while "
+    "2m < 3e9 (the sparsified item graph's total weight is ~6*|items|*"
+    "max_co, far below that; past it the weights pre-scale). Cost on "
+    "top of LPA: two keyed joins of the edge list against the final "
+    "label relation.",
+    tags=("graph", "analytics"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges, labels = _lpa_run(spark, sf_dir)
+    la = labels.select(F.col("node").alias("na"), F.col("label").alias("ca"))
+    lb = labels.select(F.col("node").alias("nb"), F.col("label").alias("cb"))
+    tagged = (
+        edges.join(la, edges["src"] == la["na"])
+        .join(lb, edges["dst"] == lb["nb"])
+        .localCheckpoint()
+    )
+    m2 = tagged.agg(F.sum("co").cast("bigint").alias("m2"))
+    degs = tagged.groupBy(F.col("ca").alias("community")).agg(
+        F.sum("co").cast("bigint").alias("deg_w")
+    )
+    intra = (
+        tagged.filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.sum("co").cast("bigint").alias("intra_w"))
+    )
+    return (
+        degs.join(intra, "community", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.col("community").cast("bigint").alias("community"),
+            F.coalesce(F.col("intra_w"), F.lit(0)).cast("bigint").alias("intra_w"),
+            "deg_w",
+            (
+                (F.coalesce(F.col("intra_w"), F.lit(0)) * F.col("m2")
+                 - F.col("deg_w") * F.col("deg_w")).cast("double")
+                / (F.col("m2") * F.col("m2")).cast("double")
+            ).alias("q_contrib"),
+        )
     )
 
 
