@@ -3893,3 +3893,111 @@ _sql_query(
     "the end). Coverage ~ q is the calibration check.",
     tags=("analytics", "stats", "timeseries"),
 )
+
+
+# --- Holt-Winters additive seasonal smoothing (round-7 mining batch) -----------
+#
+# Extends events_holt_linear's [level, trend] array-state fold to the
+# full triple-smoothing state [level, trend, s1..s7]: a 9-component
+# array accumulator where position 3 (1-based) always holds the season
+# of the INCOMING observation and the seasonal ring rotates one slot
+# per step. The fold inlines the new-level expression (no let-binding
+# in SQL lambdas — the Holt-linear precedent), so the same expression
+# tree evaluates identically in Spark's aggregate() and DuckDB's
+# list_reduce() (LIST accumulator; STRUCT accumulators are broken in
+# DuckDB 1.0 — the documented engine note). Seasonal slots initialize
+# to 0 and converge within a few weeks; the rotation indexes OBSERVED
+# days, which on a dense daily series equals the calendar weekday ring
+# (a gapped series would phase-shift — resample first at scale, which
+# events_resample_linear provides).
+
+_HW_SPARK_SL = (
+    "(CAST(0.3 AS DOUBLE) * (v - acc[2]) "
+    "+ CAST(0.7 AS DOUBLE) * (acc[0] + acc[1]))"
+)
+_HW_DUCK_SL = (
+    "(0.3::DOUBLE * (e[1] - acc[3]) "
+    "+ 0.7::DOUBLE * (acc[1] + acc[2]))"
+)
+
+_sql_query(
+    "forecast_holt_winters",
+    f"""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    w AS (
+      SELECT day, x,
+        collect_list(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS win
+      FROM d
+    ),
+    f AS (
+      SELECT day, x,
+        aggregate(slice(win, 2, size(win) - 1),
+          array(CAST(element_at(win, 1) AS DOUBLE), CAST(0.0 AS DOUBLE),
+                CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                CAST(0.0 AS DOUBLE)),
+          (acc, v) -> array(
+            {_HW_SPARK_SL},
+            CAST(0.1 AS DOUBLE) * ({_HW_SPARK_SL} - acc[0])
+              + CAST(0.9 AS DOUBLE) * acc[1],
+            acc[3], acc[4], acc[5], acc[6], acc[7], acc[8],
+            CAST(0.2 AS DOUBLE) * (v - {_HW_SPARK_SL})
+              + CAST(0.8 AS DOUBLE) * acc[2])) AS st
+      FROM w
+    )
+    SELECT CAST(day AS DATE) AS day, x,
+           element_at(st, 1) AS level, element_at(st, 2) AS trend,
+           element_at(st, 3) AS season_next,
+           element_at(st, 1) + element_at(st, 2) + element_at(st, 3)
+             AS forecast_next
+    FROM f
+    """,
+    oracle=f"""
+    WITH d AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS x
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    w AS (
+      SELECT day, x,
+        list(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS win
+      FROM d
+    ),
+    f AS (
+      SELECT day, x,
+        list_reduce(list_transform(win, e -> [e::DOUBLE, 0.0::DOUBLE,
+            0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE, 0.0::DOUBLE,
+            0.0::DOUBLE, 0.0::DOUBLE]),
+          (acc, e) -> [
+            {_HW_DUCK_SL},
+            0.1::DOUBLE * ({_HW_DUCK_SL} - acc[1]) + 0.9::DOUBLE * acc[2],
+            acc[4], acc[5], acc[6], acc[7], acc[8], acc[9],
+            0.2::DOUBLE * (e[1] - {_HW_DUCK_SL}) + 0.8::DOUBLE * acc[3]]) AS st
+      FROM w
+    )
+    SELECT CAST(day AS DATE) AS day, x, st[1] AS level, st[2] AS trend,
+           st[3] AS season_next, st[1] + st[2] + st[3] AS forecast_next
+    FROM f
+    """,
+    doc="Holt-Winters additive triple smoothing (level + trend + "
+    "weekly seasonality, alpha=0.3 beta=0.1 gamma=0.2) of the daily "
+    "purchase-revenue series: l_t = a(x_t - s_{{t-7}}) + (1-a)(l+b), "
+    "b_t = beta(l_t - l) + (1-beta)b, s_t = g(x_t - l_t) + (1-g)s_{{t-7}}, "
+    "folded over the calendar-bounded day series with a 9-component "
+    "rotating array accumulator — the seasonal forecaster that "
+    "completes the ladder events_ewma -> events_holt_linear -> here; "
+    "forecast_next = level + trend + next-slot season is the "
+    "one-step-ahead number a capacity planner alerts on. The fact "
+    "collapses to day grain first (ONE shuffle, exact integer cents); "
+    "the prefix-list window and fold then run over <= 365 rows/year "
+    "whatever the fact size, and the fixed chronological fold order "
+    "makes every output bit engine-identical (proven by the "
+    "list_reduce twin).",
+    tags=("analytics", "timeseries"),
+)

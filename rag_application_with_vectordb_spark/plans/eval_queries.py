@@ -799,3 +799,60 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_views(spark, sf_dir, ("events",))
     return spark.sql(_seasonal_anom_sql("datediff(day, DATE '1970-01-01')"))
+
+
+# --- cumulative gains / lift table -----------------------------------------------
+
+_sql_query(
+    "eval_lift_gains",
+    """
+    WITH s AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    h AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+      FROM s GROUP BY score
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(p) AS BIGINT) AS pp FROM h),
+    c AS (
+      SELECT score,
+        CAST(SUM(n) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS cn,
+        CAST(SUM(p) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS cp
+      FROM h
+    ),
+    d AS (
+      SELECT CAST(k AS BIGINT) AS decile
+      FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10)) AS v(k)
+    ),
+    sel AS (
+      SELECT d.decile, MIN(c.cn) AS cn
+      FROM d CROSS JOIN t
+      JOIN c ON c.cn * 10 >= d.decile * t.nn
+      GROUP BY d.decile
+    )
+    SELECT sel.decile, CAST(sel.cn AS BIGINT) AS n_targeted,
+           c.cp AS pos_captured,
+           CAST(sel.cn AS DOUBLE) / CAST(t.nn AS DOUBLE) AS frac_targeted,
+           CAST(c.cp AS DOUBLE) / CAST(t.pp AS DOUBLE) AS gain,
+           CAST(c.cp * t.nn AS DOUBLE) / CAST(sel.cn * t.pp AS DOUBLE) AS lift
+    FROM sel JOIN c ON c.cn = sel.cn CROSS JOIN t
+    """,
+    doc="Cumulative gains / lift table of the is-English score "
+    "(document length — the same score eval_auc_doclang ranks and "
+    "eval_calibration_bins bins): at each decile of the population "
+    "ranked score-DESC, the fraction of all positives captured (gain) "
+    "and the precision multiple over random targeting (lift) — the "
+    "campaign-targeting read-out that complements ROC (AUC says the "
+    "ranking is good; lift says what acting on the top 10% buys). "
+    "Histogram form over the bounded score domain: prefix sums over "
+    "the <=|distinct scores| relation, never a row sort; decile cut "
+    "points picked by the smallest prefix covering k/10 of the mass "
+    "(ties enter whole score-groups together, the standard gains "
+    "convention). Lift = (cp*N)/(cn*P) — ONE fp64 division of exact "
+    "BIGINT cross-products, bit-stable cross-engine.",
+    tags=("analytics", "eval"),
+)
