@@ -283,3 +283,122 @@ _sql_query(
     "day-grain aggregate, which AQE reuses from the shuffle).",
     tags=("mining", "timeseries", "stats"),
 )
+
+
+# --- association rules from the frequent triples ---------------------------------
+
+
+@register(
+    "assoc_rules_conf",
+    oracle=f"""
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM b),
+    s1 AS MATERIALIZED (
+      SELECT l_partkey AS item, CAST(COUNT(*) AS BIGINT) AS sup FROM b GROUP BY 1
+    ),
+    s2 AS MATERIALIZED (
+      SELECT a.l_partkey AS x, b2.l_partkey AS y, CAST(COUNT(*) AS BIGINT) AS sup
+      FROM b a JOIN b b2 ON b2.l_orderkey = a.l_orderkey
+                        AND a.l_partkey < b2.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_FI_MINSUP}
+    ),
+    s3 AS MATERIALIZED (
+      SELECT a.l_partkey AS x, b2.l_partkey AS y, c.l_partkey AS z,
+             CAST(COUNT(*) AS BIGINT) AS sup
+      FROM b a
+      JOIN b b2 ON b2.l_orderkey = a.l_orderkey AND a.l_partkey < b2.l_partkey
+      JOIN b c  ON c.l_orderkey = a.l_orderkey AND b2.l_partkey < c.l_partkey
+      GROUP BY 1, 2, 3 HAVING COUNT(*) >= {_FI_MINSUP}
+    ),
+    rules AS (
+      SELECT s3.x AS ante_a, s3.y AS ante_b, s3.z AS consequent,
+             s3.sup, s2.sup AS ante_sup, s1.sup AS cons_sup
+      FROM s3 JOIN s2 ON s2.x = s3.x AND s2.y = s3.y
+              JOIN s1 ON s1.item = s3.z
+      UNION ALL
+      SELECT s3.x, s3.z, s3.y, s3.sup, s2.sup, s1.sup
+      FROM s3 JOIN s2 ON s2.x = s3.x AND s2.y = s3.z
+              JOIN s1 ON s1.item = s3.y
+      UNION ALL
+      SELECT s3.y, s3.z, s3.x, s3.sup, s2.sup, s1.sup
+      FROM s3 JOIN s2 ON s2.x = s3.y AND s2.y = s3.z
+              JOIN s1 ON s1.item = s3.x
+    )
+    SELECT CAST(ante_a AS BIGINT) AS ante_a, CAST(ante_b AS BIGINT) AS ante_b,
+           CAST(consequent AS BIGINT) AS consequent,
+           CAST(sup AS BIGINT) AS support,
+           CAST(sup AS DOUBLE) / CAST(ante_sup AS DOUBLE) AS confidence,
+           CAST(sup * nb.n AS DOUBLE) / CAST(ante_sup * cons_sup AS DOUBLE) AS lift
+    FROM rules CROSS JOIN nb
+    """,
+    doc="Association rules {a,b} -> c from every frequent 3-itemset "
+    "(all 3 consequent rotations): confidence = sup(abc)/sup(ab), "
+    "lift = conf / P(c) = sup(abc)*N / (sup(ab)*sup(c)) — the "
+    "market-basket read-out layered on freq_itemsets_3's Apriori "
+    "output. The Spark side reuses the Apriori-pruned triple plan and "
+    "joins the (already thresholded, broadcast-sized) pair relation "
+    "plus the single-item support aggregate; antecedent pairs are "
+    "frequent BY CLOSURE, so the joins never miss (the oracle "
+    "recomputes everything brute-force). Confidence and lift are "
+    "single fp64 divisions of exact BIGINT cross-products.",
+    tags=("mining", "analytics"),
+)
+def assoc_rules_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    nb = b.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n"))
+    s1 = b.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").cast("bigint").alias("isup")
+    )
+    tri = freq_itemsets_3(spark, sf_dir).localCheckpoint()
+    a, c = b.alias("a"), b.alias("c")
+    s2 = (
+        a.join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("c.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("px"), F.col("c.l_partkey").alias("py")
+        )
+        .agg(F.count("*").cast("bigint").alias("psup"))
+        .filter(F.col("psup") >= _FI_MINSUP)
+        .localCheckpoint()
+    )
+    rots = []
+    for ante, cons in ((("item_a", "item_b"), "item_c"),
+                       (("item_a", "item_c"), "item_b"),
+                       (("item_b", "item_c"), "item_a")):
+        rots.append(
+            tri.select(
+                F.col(ante[0]).alias("ante_a"),
+                F.col(ante[1]).alias("ante_b"),
+                F.col(cons).alias("consequent"),
+                F.col("support"),
+            )
+        )
+    rules = rots[0].unionAll(rots[1]).unionAll(rots[2])
+    return (
+        rules.join(
+            F.broadcast(s2),
+            (F.col("ante_a") == F.col("px")) & (F.col("ante_b") == F.col("py")),
+        )
+        .join(F.broadcast(s1), F.col("consequent") == F.col("item"))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.col("ante_a").cast("bigint").alias("ante_a"),
+            F.col("ante_b").cast("bigint").alias("ante_b"),
+            F.col("consequent").cast("bigint").alias("consequent"),
+            F.col("support"),
+            (F.col("support").cast("double") / F.col("psup").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("support") * F.col("n")).cast("double")
+                / (F.col("psup") * F.col("isup")).cast("double")
+            ).alias("lift"),
+        )
+    )

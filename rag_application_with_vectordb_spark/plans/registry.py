@@ -99,7 +99,8 @@ _loaded = False
 # sf0.001/0.01/1.0 + recompute pytests in tests/test_mining_ops.py):
 # freq_itemsets_3, tree_split_gini, stats_ar2_yule_walker,
 # graph_modularity, eval_cohens_kappa, geo_radius_pairs,
-# geo_cell_density, eval_lift_gains, forecast_holt_winters.
+# geo_cell_density, eval_lift_gains, forecast_holt_winters,
+# attribution_shapley, attribution_markov_removal, assoc_rules_conf.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
@@ -188,6 +189,7 @@ def load_all() -> dict[str, QuerySpec]:
         from . import feature_queries  # noqa: F401
         from . import mining_queries  # noqa: F401
         from . import geo_queries  # noqa: F401
+        from . import attribution_queries  # noqa: F401
 
         ordered = {n: QUERIES[n] for n in DRIVER_WINDOW_PRIORITY if n in QUERIES}
         ordered.update({n: s for n, s in QUERIES.items() if n not in ordered})
