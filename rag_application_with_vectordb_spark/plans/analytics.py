@@ -4001,3 +4001,101 @@ _sql_query(
     "list_reduce twin).",
     tags=("analytics", "timeseries"),
 )
+
+
+# --- Qini uplift curve (round-7 mining batch) ----------------------------------
+
+
+def _qini_sql(hexfn, str_t: str) -> str:
+    key = f"md5(concat('ab42|', CAST(user_id AS {str_t})))"
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS score,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    armed AS (
+      SELECT score, cents,
+             CASE WHEN {hexfn(key)} % 2 = 0 THEN 1 ELSE 0 END AS is_t
+      FROM per_user
+    ),
+    h AS (
+      SELECT score,
+             CAST(SUM(is_t) AS BIGINT) AS nt,
+             CAST(SUM(1 - is_t) AS BIGINT) AS nc,
+             CAST(SUM(is_t * cents) AS BIGINT) AS st,
+             CAST(SUM((1 - is_t) * cents) AS BIGINT) AS sc
+      FROM armed GROUP BY score
+    ),
+    t AS (SELECT CAST(SUM(nt + nc) AS BIGINT) AS nn FROM h),
+    c AS (
+      SELECT score,
+        CAST(SUM(nt + nc) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+        CAST(SUM(nt) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt,
+        CAST(SUM(nc) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS BIGINT) AS cnc,
+        CAST(SUM(st) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS BIGINT) AS cst,
+        CAST(SUM(sc) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) AS BIGINT) AS csc
+      FROM h
+    ),
+    d AS (
+      SELECT CAST(k AS BIGINT) AS decile
+      FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9), (10)) AS v(k)
+    ),
+    sel AS (
+      SELECT d.decile, MIN(c.cn) AS cn
+      FROM d CROSS JOIN t JOIN c ON c.cn * 10 >= d.decile * t.nn
+      GROUP BY d.decile
+    )
+    SELECT sel.decile, CAST(sel.cn AS BIGINT) AS n_targeted,
+           c.cnt AS n_treat, c.cnc AS n_ctrl,
+           c.cst AS treat_cents, c.csc AS ctrl_cents,
+           CASE WHEN c.cnc = 0 THEN NULL
+                ELSE (CAST(c.cst AS DOUBLE)
+                      - CAST(c.csc * c.cnt AS DOUBLE) / CAST(c.cnc AS DOUBLE))
+                     / 100.0
+           END AS qini_dollars
+    FROM sel JOIN c ON c.cn = sel.cn
+    """
+
+
+def _register_qini():
+    from .oracle_dialect import duck_hex13_to_long
+    from .stats_queries import _spark_hex13
+
+    @register(
+        "eval_qini_uplift",
+        oracle=_qini_sql(duck_hex13_to_long, "VARCHAR"),
+        doc="Qini uplift curve by targeting decile: rank users by an "
+        "activity score (event count), split them by the SAME "
+        "keyed-md5 arm as ab_test_spend_welch, and at each decile "
+        "report cumulative treatment spend minus control spend scaled "
+        "to the treated count — Qini(k) = St(k) - Sc(k)*Nt(k)/Nc(k), "
+        "the incremental value of targeting the top k/10 (the uplift "
+        "sibling of eval_lift_gains: gains ranks a response model, "
+        "Qini ranks an uplift model against the experiment's own "
+        "control). Histogram form over the bounded score domain, "
+        "decile cuts by smallest covering prefix, all exact BIGINT "
+        "cumulative sums; the Qini value is a fixed two-division fp "
+        "chain, NULL-guarded for control-free prefixes. On the "
+        "fixture's independent arms the curve should hug 0 — the "
+        "query is the harness, the A/A-flatness is the finding.",
+        tags=("analytics", "eval"),
+    )
+    def eval_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .stats_queries import _spark_hex13 as hx
+
+        tune(spark)
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(_qini_sql(hx, "STRING"))
+
+    return eval_qini_uplift
+
+
+_register_qini()

@@ -639,3 +639,121 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kappa"),
         )
     )
+
+
+# --- nearest-centroid (Rocchio) classifier over the embeddings ------------------
+
+_NC_SEED = "nc42"
+_NC_GRID = 1_000_000  # micro-unit component quantization
+
+
+@register(
+    "classify_nearest_centroid",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             {duck_hex13_to_long(f"md5('{_NC_SEED}|' || CAST(vec_id AS VARCHAR))")}
+               % 1000 AS h,
+             list_transform(embedding,
+                            e -> CAST(round(e * {_NC_GRID}) AS BIGINT)) AS xm
+      FROM embeddings
+    ),
+    tr AS (
+      SELECT label, t.j, CAST(SUM(xm[t.j]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT * FROM q WHERE h < {_TRAIN_PERMILLE}),
+           LATERAL (SELECT unnest(range(1, len(xm) + 1)) AS j) t
+      GROUP BY label, t.j
+    ),
+    cent AS (
+      SELECT label AS c, j,
+             CAST(round(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) AS BIGINT) AS cm
+      FROM tr
+    ),
+    te AS (
+      SELECT vec_id, label, t.j, xm[t.j] AS x
+      FROM (SELECT * FROM q WHERE h >= {_TRAIN_PERMILLE}),
+           LATERAL (SELECT unnest(range(1, len(xm) + 1)) AS j) t
+    ),
+    dist AS (
+      SELECT te.vec_id, te.label AS label_true, cent.c,
+             CAST(SUM((te.x - cent.cm) * (te.x - cent.cm)) AS BIGINT) AS d2
+      FROM te JOIN cent ON cent.j = te.j
+      GROUP BY te.vec_id, te.label, cent.c
+    ),
+    pred AS (
+      SELECT label_true, c AS label_pred
+      FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY d2 ASC, c ASC) AS rn
+            FROM dist)
+      WHERE rn = 1
+    )
+    SELECT CAST(label_true AS BIGINT) AS label_true,
+           CAST(label_pred AS BIGINT) AS label_pred,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY label_true, label_pred
+    """,
+    doc="Nearest-centroid (Rocchio) classifier over the embedding "
+    "vectors, trained and scored in-engine: 80/20 keyed-md5 split, "
+    "per-label mean vector as the ONLY model state (|labels| x dim "
+    "rows — broadcast-sized forever), L2 assignment with (distance, "
+    "label) tie-break. Components quantize to the 1e-6 integer grid "
+    "BEFORE any sum and centroids land back on the grid with one "
+    "rounded division each, so every distance is an exact BIGINT — "
+    "the argmax cannot flap across engines or partitionings (squared "
+    "deviations stay < 2^63 for any corpus because the centroid grid "
+    "bounds the deviation, unlike a sum-then-square form). Scoring is "
+    "posexplode + one broadcast join on the dimension index + one "
+    "(vec, label) aggregate — the evaluation twin of the literal-"
+    "centroid serving path in operators/kmeans.py. The planted-"
+    "cluster recall companion is eval_knn_label_accuracy; this is "
+    "the parametric counterpart (5 centroids vs full kNN).",
+    tags=("classify", "ml", "ann"),
+)
+def classify_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = hex13_to_long(
+        F.md5(F.concat(F.lit(f"{_NC_SEED}|"), F.col("vec_id").cast("string")))
+    ) % 1000
+    q = emb.select(
+        "vec_id",
+        "label",
+        h.alias("h"),
+        F.expr(f"transform(embedding, e -> CAST(round(e * {_NC_GRID}) AS BIGINT))")
+        .alias("xm"),
+    )
+    ex = q.select(
+        "vec_id", "label", "h", F.posexplode("xm").alias("j0", "x")
+    ).select("vec_id", "label", "h", (F.col("j0") + 1).alias("j"), "x")
+    cent = (
+        ex.filter(F.col("h") < _TRAIN_PERMILLE)
+        .groupBy(F.col("label").alias("c"), "j")
+        .agg(
+            F.round(
+                F.sum("x").cast("double") / F.count("*").cast("double")
+            )
+            .cast("bigint")
+            .alias("cm")
+        )
+    )
+    te = ex.filter(F.col("h") >= _TRAIN_PERMILLE)
+    dist = (
+        te.join(F.broadcast(cent), "j")
+        .groupBy("vec_id", F.col("label").alias("label_true"), "c")
+        .agg(
+            F.sum((F.col("x") - F.col("cm")) * (F.col("x") - F.col("cm")))
+            .cast("bigint")
+            .alias("d2")
+        )
+    )
+    win = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c"))
+    pred = (
+        dist.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("label_true", F.col("c").alias("label_pred"))
+    )
+    return pred.groupBy(
+        F.col("label_true").cast("bigint").alias("label_true"),
+        F.col("label_pred").cast("bigint").alias("label_pred"),
+    ).agg(F.count("*").cast("bigint").alias("n"))

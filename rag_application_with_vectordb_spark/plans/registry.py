@@ -100,7 +100,8 @@ _loaded = False
 # freq_itemsets_3, tree_split_gini, stats_ar2_yule_walker,
 # graph_modularity, eval_cohens_kappa, geo_radius_pairs,
 # geo_cell_density, eval_lift_gains, forecast_holt_winters,
-# attribution_shapley, attribution_markov_removal, assoc_rules_conf.
+# attribution_shapley, attribution_markov_removal, assoc_rules_conf,
+# graph_betweenness_4src, eval_qini_uplift, classify_nearest_centroid.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",

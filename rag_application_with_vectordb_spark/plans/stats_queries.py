@@ -1860,3 +1860,184 @@ def _register_kfold():
 
 
 _register_kfold()
+
+
+# --- betweenness centrality (Brandes, 4 fixed sources) --------------------------
+#
+# Brandes 2001 from k deterministic sources over the LPA item graph:
+# forward BFS rounds accumulate shortest-path counts (sigma), the
+# backward sweep accumulates dependencies delta(v) = sum over DAG
+# successors w of sigma_v/sigma_w * (1 + delta(w)), processed by
+# DESCENDING distance. Sampled-source betweenness is the standard
+# at-scale estimator (exact all-sources Brandes is O(nm)); k=4 smallest
+# node ids keep it deterministic. delta lives on the 1e-9 integer grid
+# with exact floor division per term, so every bit reproduces in the
+# unrolled-CTE oracle. All rounds operate on (source x node) relations
+# bounded by 4x the node count — the fact is scanned once into the
+# checkpointed edge list.
+
+_BC_SOURCES = 4
+_BC_ROUNDS = 8
+_BC_GRID = 1_000_000_000
+
+
+def _bc_oracle() -> str:
+    g = _BC_GRID
+    fwd = []
+    for r in range(1, _BC_ROUNDS + 1):
+        fwd.append(f"""f{r} AS MATERIALIZED (
+      SELECT f.s, e.dst AS v, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+      FROM f{r-1} f JOIN edges e ON e.src = f.v
+      WHERE NOT EXISTS (SELECT 1 FROM vis{r-1} x WHERE x.s = f.s AND x.v = e.dst)
+      GROUP BY f.s, e.dst
+    ),
+    vis{r} AS MATERIALIZED (
+      SELECT * FROM vis{r-1}
+      UNION ALL SELECT s, v, CAST({r} AS BIGINT) AS dist, sigma FROM f{r}
+    )""")
+    bwd = []
+    for lev in range(_BC_ROUNDS, 0, -1):
+        bwd.append(f"""dl{lev-1} AS MATERIALIZED (
+      SELECT * FROM dl{lev}
+      UNION ALL
+      SELECT b1.s, b1.v,
+        CAST(SUM((b1.sigma * ({g} + COALESCE(d.delta, 0))
+                  - (b1.sigma * ({g} + COALESCE(d.delta, 0))) % b2.sigma)
+                 / b2.sigma) AS BIGINT) AS delta
+      FROM vis{_BC_ROUNDS} b1
+      JOIN edges e ON e.src = b1.v
+      JOIN vis{_BC_ROUNDS} b2 ON b2.s = b1.s AND b2.v = e.dst
+                             AND b2.dist = b1.dist + 1
+      LEFT JOIN dl{lev} d ON d.s = b2.s AND d.v = b2.v
+      WHERE b1.dist = {lev} - 1
+      GROUP BY b1.s, b1.v
+    )""")
+    chain = ",\n    ".join(fwd + bwd)
+    return f"""
+    WITH {_lpa_edges(_UI_DUCK)},
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    seeds AS MATERIALIZED (
+      SELECT node AS s FROM nodes ORDER BY node ASC LIMIT {_BC_SOURCES}
+    ),
+    vis0 AS MATERIALIZED (
+      SELECT s, s AS v, CAST(0 AS BIGINT) AS dist, CAST(1 AS BIGINT) AS sigma
+      FROM seeds
+    ),
+    f0 AS MATERIALIZED (SELECT s, v, sigma FROM vis0),
+    {chain},
+    dl{_BC_ROUNDS} AS MATERIALIZED (
+      SELECT s, v, CAST(0 AS BIGINT) AS delta
+      FROM vis{_BC_ROUNDS} WHERE dist = {_BC_ROUNDS}
+    )
+    SELECT CAST(v AS BIGINT) AS node, CAST(SUM(delta) AS BIGINT) AS bc_nano,
+           CAST(SUM(delta) AS DOUBLE) / {g}.0 AS betweenness
+    FROM (
+      SELECT s, v, delta FROM dl0
+      UNION ALL
+      SELECT s, v, CAST(0 AS BIGINT) FROM vis{_BC_ROUNDS} WHERE dist > 0
+    ) all_rows
+    WHERE v <> s
+    GROUP BY v
+    """
+
+
+@register(
+    "graph_betweenness_4src",
+    oracle=_bc_oracle(),
+    doc=f"Brandes betweenness centrality from {_BC_SOURCES} fixed "
+    "sources (smallest item ids) over the top-3 item co-occurrence "
+    f"graph: {_BC_ROUNDS} forward BFS rounds accumulate shortest-path "
+    "counts (sigma) per (source, node); the backward dependency sweep "
+    "walks distances descending, each node's delta = sum over DAG "
+    "successors of floor(sigma_v * (1e9 + delta_w) / sigma_w) — exact "
+    "integer floor division on the 1e-9 grid, so the sampled "
+    "betweenness (sum of per-source dependencies, sources excluded) "
+    "is bit-reproducible against the unrolled MATERIALIZED-CTE "
+    "oracle. Sampling sources is THE way betweenness scales (exact "
+    "Brandes is O(nm)); every round is a keyed join over (source x "
+    "node) relations — 4x the node table, never fact-sized — and the "
+    "forward fixpoint (round 8 adds nothing) is pytest-asserted.",
+    tags=("graph", "analytics"),
+)
+def graph_betweenness_4src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _BC_GRID
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    edges = spark.sql(
+        "WITH " + _lpa_edges(_UI_SPARK) + " SELECT src, dst FROM edges"
+    ).localCheckpoint()
+    seeds = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .orderBy("node").limit(_BC_SOURCES)
+        .select(F.col("node").alias("s"))
+    )
+    vis = seeds.select(
+        "s", F.col("s").alias("v"),
+        F.lit(0).cast("bigint").alias("dist"),
+        F.lit(1).cast("bigint").alias("sigma"),
+    ).localCheckpoint()
+    frontier = vis.select("s", "v", "sigma")
+    for r in range(1, _BC_ROUNDS + 1):
+        cand = (
+            frontier.join(edges, frontier["v"] == edges["src"])
+            .select("s", F.col("dst").alias("nv"), "sigma")
+            .join(
+                vis.select("s", F.col("v").alias("nv")),
+                ["s", "nv"],
+                "left_anti",
+            )
+            .groupBy("s", "nv")
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+        )
+        frontier = cand.select(
+            "s", F.col("nv").alias("v"), "sigma"
+        ).localCheckpoint()
+        vis = vis.unionByName(
+            frontier.withColumn("dist", F.lit(r).cast("bigint")).select(
+                "s", "v", "dist", "sigma"
+            )
+        ).localCheckpoint()
+    delta = (
+        vis.filter(F.col("dist") == _BC_ROUNDS)
+        .select("s", "v", F.lit(0).cast("bigint").alias("delta"))
+        .localCheckpoint()
+    )
+    for lev in range(_BC_ROUNDS, 0, -1):
+        b1 = vis.filter(F.col("dist") == lev - 1).select(
+            F.col("s").alias("s1"), F.col("v").alias("v1"), F.col("sigma").alias("sg1")
+        )
+        b2 = vis.filter(F.col("dist") == lev).select(
+            F.col("s").alias("s2"), F.col("v").alias("v2"), F.col("sigma").alias("sg2")
+        )
+        d = delta.select(
+            F.col("s").alias("sd"), F.col("v").alias("vd"), F.col("delta").alias("dd")
+        )
+        num = F.col("sg1") * (F.lit(g) + F.coalesce(F.col("dd"), F.lit(0)))
+        term = ((num - num % F.col("sg2")) / F.col("sg2")).cast("bigint")
+        contrib = (
+            b1.join(edges, F.col("v1") == edges["src"])
+            .join(
+                b2,
+                (F.col("s2") == F.col("s1")) & (F.col("v2") == edges["dst"]),
+            )
+            .join(
+                d,
+                (F.col("sd") == F.col("s2")) & (F.col("vd") == F.col("v2")),
+                "left",
+            )
+            .groupBy(F.col("s1").alias("s"), F.col("v1").alias("v"))
+            .agg(F.sum(term).cast("bigint").alias("delta"))
+        )
+        delta = delta.unionByName(contrib).localCheckpoint()
+    zeros = vis.filter(F.col("dist") > 0).select(
+        "s", "v", F.lit(0).cast("bigint").alias("delta")
+    )
+    return (
+        delta.unionByName(zeros)
+        .filter(F.col("v") != F.col("s"))
+        .groupBy(F.col("v").cast("bigint").alias("node"))
+        .agg(
+            F.sum("delta").cast("bigint").alias("bc_nano"),
+            (F.sum("delta").cast("double") / F.lit(float(g))).alias("betweenness"),
+        )
+    )
