@@ -4099,3 +4099,113 @@ def _register_qini():
 
 
 _register_qini()
+
+
+# --- SLO burn-rate alerts (round-7 mining batch) --------------------------------
+
+
+def _slo_sql(daydiff: str) -> str:
+    # budget = 5% error rate; page when the 1-day burn exceeds 2x budget
+    # AND the 7-day burn exceeds 1x (the SRE-workbook multiwindow rule,
+    # day-grained): both flags compare exact integer cross-products.
+    return f"""
+    WITH d AS (
+      SELECT {daydiff} AS d_idx,
+             CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errors
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT d_idx, total, errors,
+        CAST(SUM(total) OVER (ORDER BY d_idx RANGE BETWEEN 6 PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS total_7d,
+        CAST(SUM(errors) OVER (ORDER BY d_idx RANGE BETWEEN 6 PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS errors_7d
+      FROM d
+    )
+    SELECT CAST(d_idx AS BIGINT) AS day_idx, total, errors, total_7d, errors_7d,
+           CAST(errors AS DOUBLE) / CAST(total AS DOUBLE) / 0.05 AS burn_1d,
+           CAST(errors_7d AS DOUBLE) / CAST(total_7d AS DOUBLE) / 0.05 AS burn_7d,
+           CASE WHEN 10 * errors > total AND 20 * errors_7d > total_7d
+                THEN TRUE ELSE FALSE END AS page
+    FROM w
+    """
+
+
+_sql_query(
+    "slo_burn_rate_daily",
+    _slo_sql("datediff(CAST(ts AS DATE), DATE '1970-01-01')"),
+    oracle=_slo_sql("date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"),
+    doc="Multiwindow SLO burn-rate alerting (SRE-workbook shape, "
+    "day-grained): error-rate burn against a 5% budget over a 1-day "
+    "and a rolling 7-day window, paging only when BOTH exceed their "
+    "thresholds (2x / 1x) — the standard guard against paging on "
+    "blips (short window alone) or stale incidents (long window "
+    "alone). The fact collapses to the calendar-bounded day grain "
+    "first; the rolling window is RANGE over the integer day index "
+    "(calendar gaps stay gaps — a ROWS frame would silently bridge "
+    "them); alert flags compare exact integer cross-products "
+    "(10*err > tot), so no fp threshold can flap; burn rates are "
+    "single fp divisions for display. (datediff argument order is "
+    "the parameterized 2-arg/3-arg dialect split.)",
+    tags=("analytics", "monitor"),
+)
+
+
+# --- local-DP randomized response (round-7 mining batch) ------------------------
+
+
+def _rr_sql(hexfn, str_t: str) -> str:
+    key = f"md5(concat('rr42|', CAST(doc_id AS {str_t})))"
+    return f"""
+    WITH r AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+             CASE WHEN {hexfn(key)} % 4 < 3 THEN 1 ELSE 0 END AS keep
+      FROM documents
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(truth) AS BIGINT) AS n_true,
+             CAST(SUM(CASE WHEN keep = 1 THEN truth ELSE 1 - truth END)
+                  AS BIGINT) AS n_reported
+      FROM r
+    )
+    SELECT n, n_reported,
+           CAST(4 * n_reported - n AS DOUBLE) / CAST(2 * n AS DOUBLE)
+             AS rr_estimate,
+           CAST(n_true AS DOUBLE) / CAST(n AS DOUBLE) AS true_rate
+    FROM agg
+    """
+
+
+def _register_rr():
+    from .oracle_dialect import duck_hex13_to_long
+    from .stats_queries import _spark_hex13
+
+    @register(
+        "private_rate_randomized_response",
+        oracle=_rr_sql(duck_hex13_to_long, "VARCHAR"),
+        doc="Warner randomized response (1965), the local-DP companion "
+        "to private_counts_laplace: each record reports its is-English "
+        "bit truthfully with p=3/4 and flipped with 1/4 (a keyed-md5 "
+        "coin — reproducible, auditable releases; ln(3)-LDP per "
+        "record), and the aggregate debiases via p_hat = "
+        "(4*obs - n)/(2n), one fp division of exact integers. The "
+        "true rate rides along for the calibration read-out (the "
+        "estimate converges at 1/sqrt(n) with a 2x variance penalty "
+        "— visible across the fixture SFs). One scan, one 3-integer "
+        "aggregate.",
+        tags=("analytics", "privacy", "audit"),
+    )
+    def private_rate_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .stats_queries import _spark_hex13 as hx
+
+        tune(spark)
+        register_views(spark, sf_dir, ("documents",))
+        return spark.sql(_rr_sql(hx, "STRING"))
+
+    return private_rate_randomized_response
+
+
+_register_rr()

@@ -856,3 +856,73 @@ _sql_query(
     "BIGINT cross-products, bit-stable cross-engine.",
     tags=("analytics", "eval"),
 )
+
+
+# --- Brier score + Murphy decomposition ------------------------------------------
+
+_sql_query(
+    "eval_brier_decomposition",
+    """
+    WITH s AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    b AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM s),
+    f AS (
+      SELECT CAST(floor(CAST((s.score - b.lo) * 10 AS DOUBLE)
+                        / CAST(b.hi - b.lo + 1 AS DOUBLE)) AS BIGINT) AS bin,
+             CAST(s.score - b.lo AS DOUBLE) / CAST(b.hi - b.lo AS DOUBLE) AS p,
+             s.pos
+      FROM s CROSS JOIN b
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS np,
+             CAST(SUM(CAST(round(
+               ((p - pos) * (p - pos)) * 1000000000) AS BIGINT)) AS BIGINT)
+               AS brier_nano_sum
+      FROM f
+    ),
+    k AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk, CAST(SUM(pos) AS BIGINT) AS pk,
+             SUM(p) AS psum
+      FROM f GROUP BY bin
+    ),
+    dec AS (
+      SELECT
+        CAST(SUM(CAST(round(CAST(nk AS DOUBLE)
+          * (psum / CAST(nk AS DOUBLE) - CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE))
+          * (psum / CAST(nk AS DOUBLE) - CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE))
+          * 1000000000) AS BIGINT)) AS BIGINT) AS rel_nano_sum,
+        CAST(SUM(CAST(round(CAST(nk AS DOUBLE)
+          * (CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE) - CAST(t.np AS DOUBLE) / CAST(t.n AS DOUBLE))
+          * (CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE) - CAST(t.np AS DOUBLE) / CAST(t.n AS DOUBLE))
+          * 1000000000) AS BIGINT)) AS BIGINT) AS res_nano_sum
+      FROM k CROSS JOIN t
+    )
+    SELECT t.n AS n_docs,
+           CAST(t.brier_nano_sum AS DOUBLE) / CAST(t.n AS DOUBLE) / 1000000000.0
+             AS brier,
+           CAST(dec.rel_nano_sum AS DOUBLE) / CAST(t.n AS DOUBLE) / 1000000000.0
+             AS reliability,
+           CAST(dec.res_nano_sum AS DOUBLE) / CAST(t.n AS DOUBLE) / 1000000000.0
+             AS resolution,
+           (CAST(t.np AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * (1.0 - CAST(t.np AS DOUBLE) / CAST(t.n AS DOUBLE)) AS uncertainty
+    FROM t CROSS JOIN dec
+    """,
+    doc="Brier score of the normalized is-English score plus its "
+    "Murphy decomposition over the calibration deciles: reliability "
+    "(how far bin forecasts sit from bin outcomes — lower is better), "
+    "resolution (how much bins separate the base rate — higher is "
+    "better), uncertainty (base-rate variance). Forecast p = "
+    "(score-lo)/(hi-lo); per-row Brier terms and per-bin REL/RES "
+    "terms land on the 1e-9 grid BEFORE their sums (the ANOVA "
+    "between-term move — raw fp sums across rows/bins would be "
+    "accumulation-order-dependent), so every output is a fixed fp "
+    "chain over exact BIGINTs. The decomposition identity brier = "
+    "rel - res + unc + (within-bin variance - 2*covariance residual) "
+    "is recomputed in pytest. One scan, one 10-bin aggregate, two "
+    "1-row roll-ups.",
+    tags=("analytics", "eval"),
+)

@@ -779,3 +779,78 @@ def retrieval_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "WITH" + _wand_tail("post AS (SELECT doc_id, word, c FROM wand_post)")
     )
+
+
+# --- query-likelihood LM retrieval with Dirichlet smoothing ----------------------
+
+_MU = 2000
+
+
+def _lm_dirichlet_sql(splitarr: str, lenfn: str, filterfn: str) -> str:
+    """Dialect split: Spark size/filter/split vs DuckDB
+    len/list_filter/regexp_split_to_array (passed as format strings)."""
+    tf_cols = ",\n        ".join(
+        f"CAST({lenfn}({filterfn}(w, x -> x = '{t}')) AS BIGINT) AS tf_{t}"
+        for t in _TERMS
+    )
+    # a term absent from the whole collection (ctf = 0) has zero
+    # probability mass for every document — the standard convention
+    # drops it from the query rather than sending all scores to -inf
+    score = " + ".join(
+        f"CASE WHEN ctf_{t} = 0 THEN 0 ELSE "
+        f"CAST(round(ln((CAST(tf_{t} AS DOUBLE) * CAST(tt AS DOUBLE)"
+        f" + {_MU}.0 * CAST(ctf_{t} AS DOUBLE))"
+        f" / (CAST(tt AS DOUBLE) * (CAST(dl AS DOUBLE) + {_MU}.0)))"
+        f" * 1000000) AS BIGINT) END"
+        for t in _TERMS
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST({lenfn}(w) AS BIGINT) AS dl,
+        {tf_cols}
+      FROM (SELECT doc_id, {splitarr} AS w FROM documents)
+    ),
+    coll AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS tt,
+        {", ".join(f"CAST(SUM(tf_{t}) AS BIGINT) AS ctf_{t}" for t in _TERMS)}
+      FROM base
+    )
+    SELECT doc_id, dl, {", ".join(f"tf_{t}" for t in _TERMS)},
+           CAST({score} AS BIGINT) AS ql_micro
+    FROM base CROSS JOIN coll
+    ORDER BY ql_micro DESC, doc_id ASC
+    LIMIT 10
+    """
+
+
+_SPARK_SPLIT = r"filter(split(trim(text), '\\s+'), x -> x <> '')"
+_DUCK_SPLIT = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
+
+
+def _register_lm_dirichlet():
+    @register(
+        "retrieval_lm_dirichlet_topk",
+        oracle=_lm_dirichlet_sql(_DUCK_SPLIT, "len", "list_filter"),
+        doc=f"Query-likelihood language-model retrieval with Dirichlet "
+        f"smoothing (Zhai & Lafferty 2001, mu={_MU}): score(q,d) = "
+        "sum_t ln((tf*T + mu*ctf) / (T*(dl + mu))) over the fixed "
+        f"3-term query {_TERMS} — the probabilistic ranking family "
+        "next to BM25 (text_bm25_topk) and its WAND-pruned variant; "
+        "LM-Dirichlet is what PRF/RM expansion formally assumes. "
+        "Per-term log-likelihoods land on the 1e-6 grid (the ln "
+        "argument is a ratio of exact BIGINT cross-products) so the "
+        "per-doc score is an exact integer sum — rank and hash "
+        "bit-stable cross-engine; collection stats are ONE 1-row "
+        "aggregate broadcast back (never a per-doc rescan); top-10 "
+        "via TakeOrderedAndProject.",
+        tags=("text", "retrieval"),
+    )
+    def retrieval_lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune(spark)
+        register_views(spark, sf_dir, ("documents",))
+        return spark.sql(_lm_dirichlet_sql(_SPARK_SPLIT, "size", "filter"))
+
+    return retrieval_lm_dirichlet_topk
+
+
+_register_lm_dirichlet()

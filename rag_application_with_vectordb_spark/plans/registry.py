@@ -101,7 +101,9 @@ _loaded = False
 # graph_modularity, eval_cohens_kappa, geo_radius_pairs,
 # geo_cell_density, eval_lift_gains, forecast_holt_winters,
 # attribution_shapley, attribution_markov_removal, assoc_rules_conf,
-# graph_betweenness_4src, eval_qini_uplift, classify_nearest_centroid.
+# graph_betweenness_4src, eval_qini_uplift, classify_nearest_centroid,
+# slo_burn_rate_daily, private_rate_randomized_response,
+# eval_brier_decomposition, retrieval_lm_dirichlet_topk.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
