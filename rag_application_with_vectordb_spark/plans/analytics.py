@@ -4209,3 +4209,208 @@ def _register_rr():
 
 
 _register_rr()
+
+
+# --- personalized PageRank from a seed part (round-7 mining batch) ---------------
+
+_PPR_ITERS = 6
+
+
+def _ppr_oracle() -> str:
+    s = _PR_SCALE
+    parts = [
+        """op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+                         AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM prs
+              UNION ALL SELECT pb AS src, pa AS dst FROM prs),
+    deg AS MATERIALIZED (SELECT src AS part, CAST(COUNT(*) AS BIGINT) AS outdeg
+            FROM edges GROUP BY src),
+    seed AS MATERIALIZED (SELECT MIN(part) AS sp FROM deg),"""
+        + f"""
+    pr0 AS MATERIALIZED (
+      SELECT part, CAST(CASE WHEN part = seed.sp THEN {s} ELSE 0 END AS BIGINT) AS pr
+      FROM deg CROSS JOIN seed
+    )"""
+    ]
+    for t in range(1, _PPR_ITERS + 1):
+        parts.append(f"""in{t} AS (
+      SELECT e.dst AS part, SUM(p.pr // d.outdeg) AS x
+      FROM edges e JOIN pr{t - 1} p ON p.part = e.src
+                   JOIN deg d ON d.part = e.src
+      GROUP BY e.dst
+    ),
+    pr{t} AS MATERIALIZED (
+      SELECT d.part,
+             CAST(CASE WHEN d.part = seed.sp THEN {15 * s // 100} ELSE 0 END
+                  + (85 * COALESCE(i.x, 0)) // 100 AS BIGINT) AS pr
+      FROM deg d CROSS JOIN seed LEFT JOIN in{t} i USING (part)
+    )""")
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body}
+    SELECT d.part AS part_id, d.outdeg,
+           p.pr AS ppr_fixed,
+           CAST(p.pr AS DOUBLE) / {s}.0 AS ppr
+    FROM deg d JOIN pr{_PPR_ITERS} p USING (part)
+    WHERE p.pr > 0
+    """
+
+
+@register(
+    "graph_ppr_seed",
+    oracle=_ppr_oracle(),
+    doc=f"Personalized PageRank from a single seed part ({_PPR_ITERS} "
+    "iterations, damping 0.85, restart mass lands ONLY on the seed) "
+    "over the co-purchase graph — the random-walk-with-restart "
+    "recommender: nodes with high PPR are 'parts a buyer of the seed "
+    "part gravitates to', the graph-native alternative to "
+    "reco_item_item_topk's co-occurrence cosine. Same fixed-point "
+    "integer recurrence as graph_pagerank (integer shares, integer "
+    "damping, order-free BIGINT inflow sums — bit-identical to the "
+    "unrolled DuckDB twin), seed chosen deterministically (smallest "
+    "part in the graph). Per iteration: one shuffle on src, one on "
+    "dst; the persisted graph relations are built once. Zero-mass "
+    "nodes are filtered so the output is the seed's reachable "
+    "neighborhood, which is what a serving layer stores.",
+    tags=("analytics", "graph", "iterative"),
+)
+def graph_ppr_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    tune(spark)
+    s = _PR_SCALE
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    prs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    edges = (
+        prs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(prs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .localCheckpoint()
+    )
+    deg = edges.groupBy(F.col("src").alias("part")).agg(
+        F.count("*").cast("bigint").alias("outdeg")
+    ).localCheckpoint()
+    seed = deg.agg(F.min("part").alias("sp"))
+    pr = deg.crossJoin(F.broadcast(seed)).select(
+        "part",
+        F.when(F.col("part") == F.col("sp"), F.lit(s))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pr"),
+    ).localCheckpoint()
+    for _ in range(_PPR_ITERS):
+        inflow = (
+            edges.join(pr.withColumnRenamed("part", "src"), "src")
+            .join(deg.select(F.col("part").alias("src"), "outdeg"), "src")
+            .select(F.col("dst").alias("part"), F.expr("pr div outdeg").alias("sh"))
+            .groupBy("part")
+            .agg(F.sum("sh").alias("x"))
+        )
+        pr = (
+            deg.crossJoin(F.broadcast(seed))
+            .join(inflow, "part", "left")
+            .select(
+                "part",
+                (
+                    F.when(F.col("part") == F.col("sp"), F.lit(15 * s // 100))
+                    .otherwise(F.lit(0))
+                    + F.expr("(85 * coalesce(x, 0L)) div 100")
+                )
+                .cast("bigint")
+                .alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        deg.join(pr, "part")
+        .filter(F.col("pr") > 0)
+        .select(
+            F.col("part").alias("part_id"),
+            "outdeg",
+            F.col("pr").alias("ppr_fixed"),
+            (F.col("pr").cast("double") / F.lit(float(s))).alias("ppr"),
+        )
+    )
+
+
+# --- binary-segmentation changepoint of daily revenue (round-7 mining batch) -----
+
+_sql_query(
+    "events_changepoint_binseg",
+    """
+    WITH d0 AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    d AS (
+      SELECT day, CAST((cents - cents % 100) / 100 AS BIGINT) AS x FROM d0
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q
+      FROM d
+    ),
+    c AS (
+      SELECT day,
+        CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+        CAST(SUM(x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS s1,
+        CAST(SUM(x * x) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS q1
+      FROM d
+    ),
+    sse AS (
+      SELECT c.day, c.k, t.n - c.k AS k2,
+             (CAST(c.q1 AS DOUBLE)
+              - CAST(c.s1 AS DOUBLE) * CAST(c.s1 AS DOUBLE) / CAST(c.k AS DOUBLE))
+             + (CAST(t.q - c.q1 AS DOUBLE)
+                - CAST(t.s - c.s1 AS DOUBLE) * CAST(t.s - c.s1 AS DOUBLE)
+                  / CAST(t.n - c.k AS DOUBLE)) AS split_sse,
+             CAST(t.q AS DOUBLE)
+               - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / CAST(t.n AS DOUBLE)
+               AS total_sse,
+             CAST(c.s1 AS DOUBLE) / CAST(c.k AS DOUBLE) AS mean_left,
+             CAST(t.s - c.s1 AS DOUBLE) / CAST(t.n - c.k AS DOUBLE) AS mean_right
+      FROM c CROSS JOIN t
+      WHERE c.k < t.n
+    )
+    SELECT CAST(day AS DATE) AS split_day, k AS n_left, k2 AS n_right,
+           mean_left, mean_right, split_sse, total_sse,
+           1.0 - split_sse / total_sse AS sse_reduction
+    FROM sse
+    ORDER BY split_sse ASC, split_day ASC
+    LIMIT 1
+    """,
+    doc="Binary-segmentation changepoint of the daily purchase-revenue "
+    "series: the single split minimizing SSE_left + SSE_right — the "
+    "batch/global changepoint primitive next to the streaming CUSUM "
+    "monitor (binary segmentation recurses on the winner; one level is "
+    "the canonical first split). Day-grain collapse first (exact "
+    "whole-dollar integers per the AR(2) overflow rule), prefix sums "
+    "over the calendar-bounded relation give every split's exact "
+    "BIGINT (s, q) moments, and each candidate's SSE is a fixed "
+    "4-division fp chain — identical cross-engine, argmin tie-broken "
+    "by day. sse_reduction ~ R^2 of the step model: near 0 on a "
+    "stationary fixture (the expected finding), near 1 on a level "
+    "shift.",
+    tags=("analytics", "timeseries"),
+)

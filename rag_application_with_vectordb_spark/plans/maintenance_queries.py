@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import tune
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, register_views
 from .registry import register
 
 #: CDC snapshot cut points (orders span 1995-01 .. 2001-08).
@@ -397,3 +397,66 @@ def incremental_join_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("order_cnt") > 0)
     )
+
+
+# --- dataset fingerprint (order-free per-partition row hashes) -------------------
+
+
+def _fingerprint_sql(hexfn, str_t: str) -> str:
+    row = (
+        f"md5(concat(CAST(o_orderkey AS {str_t}), '|', CAST(o_custkey AS {str_t}),"
+        f" '|', CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS {str_t}),"
+        f" '|', CAST({{daydiff}} AS {str_t})))"
+    )
+    return f"""
+    WITH h AS (
+      SELECT CAST({{month}} AS BIGINT) AS month_idx,
+             {hexfn(row)} AS rh
+      FROM orders
+    )
+    SELECT month_idx, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(rh) AS BIGINT) AS xor_fingerprint
+    FROM h GROUP BY month_idx
+    """
+
+
+def _register_fingerprint():
+    from .oracle_dialect import duck_hex13_to_long
+    from .stats_queries import _spark_hex13
+
+    spark_sql = _fingerprint_sql(_spark_hex13, "STRING").format(
+        daydiff="datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01')",
+        month="year(o_orderdate) * 12 + month(o_orderdate)",
+    )
+    duck_sql = _fingerprint_sql(duck_hex13_to_long, "VARCHAR").format(
+        daydiff="date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))",
+        month="year(o_orderdate) * 12 + month(o_orderdate)",
+    )
+
+    @register(
+        "audit_partition_fingerprints",
+        oracle=duck_sql,
+        doc="Order-free per-partition dataset fingerprints: each order "
+        "row hashes (key columns + exact integer renderings of money "
+        "and date — never raw float/timestamp strings, whose text "
+        "forms differ across engines) to a 52-bit integer, and each "
+        "month partition reports row count + the BIT_XOR of its row "
+        "hashes — XOR is commutative/associative/self-inverse, so the "
+        "fingerprint is partitioning- and order-independent and two "
+        "tables can be compared partition-by-partition without moving "
+        "data (the replication/migration equality check; a mismatched "
+        "month pinpoints WHERE to diff). Map-side hash + one "
+        "month-keyed aggregate; no overflow at any scale (XOR, not "
+        "SUM). Companion to audit_expectations (schema/contract) and "
+        "the export manifest's per-shard checksums.",
+        tags=("audit", "maintenance"),
+    )
+    def audit_partition_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune(spark)
+        register_views(spark, sf_dir, ("orders",))
+        return spark.sql(spark_sql)
+
+    return audit_partition_fingerprints
+
+
+_register_fingerprint()

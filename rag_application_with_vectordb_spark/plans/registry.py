@@ -103,7 +103,9 @@ _loaded = False
 # attribution_shapley, attribution_markov_removal, assoc_rules_conf,
 # graph_betweenness_4src, eval_qini_uplift, classify_nearest_centroid,
 # slo_burn_rate_daily, private_rate_randomized_response,
-# eval_brier_decomposition, retrieval_lm_dirichlet_topk.
+# eval_brier_decomposition, retrieval_lm_dirichlet_topk,
+# graph_ppr_seed, events_changepoint_binseg,
+# audit_partition_fingerprints.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
