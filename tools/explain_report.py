@@ -423,6 +423,52 @@ ANNOTATED = {
     "rows (+1/-1); the backlog is a prefix sum over the bounded "
     "date domain — the plan never materializes day x order "
     "replication.",
+    "freq_itemsets_3": "Apriori shape: candidate triples derive from "
+    "the thresholded frequent-pair relation (broadcast both in "
+    "candidate gen and verification); the only fact-sized shuffles "
+    "are the basket distinct and the pair aggregate — no "
+    "all-triples explode anywhere in the plan.",
+    "tree_split_gini": "Histogram-first split search: one groupBy on "
+    "the feature value, then the threshold scan windows over the "
+    "domain-bounded histogram (the single-partition window's input "
+    "is <= |distinct values|, never the rows).",
+    "geo_radius_pairs": "Cell-blocked spatial join: the 9-offset "
+    "expansion is a map-side VALUES cross join BEFORE the cell-key "
+    "equi-join shuffle; the exact distance predicate runs inside "
+    "codegen on candidates only — no CartesianProduct in the plan.",
+    "attribution_shapley": "Fact-sized work is one keyed window + "
+    "two groupBys; the coalition lattice (16 masks x 4 channels) "
+    "joins as constant-bounded relations — the Shapley math never "
+    "touches a fact-sized row again.",
+    "attribution_markov_removal": "The transition matrix "
+    "localCheckpoints once (journey windows run once); each of the "
+    "12 value-iteration rounds is a tiny keyed join over the ~30-row "
+    "(variant, state) relation — the Pregel lineage rule at "
+    "constant size.",
+    "graph_betweenness_4src": "Forward BFS rounds and the backward "
+    "dependency sweep all operate on (source x node) relations "
+    "bounded by 4x the node table; the fact is scanned once into "
+    "the checkpointed edge list; exact integer floor divisions keep "
+    "every round's output hashable.",
+    "classify_nearest_centroid": "Training is one aggregate over the "
+    "exploded train dims; the |labels| x dim centroid table "
+    "BROADCASTs onto the exploded test dims (BroadcastHashJoin on "
+    "j); the argmin is a per-vec window over |labels| rows.",
+    "retrieval_lm_dirichlet_topk": "Collection stats are ONE 1-row "
+    "aggregate cross-joined back (broadcast); per-doc scoring is "
+    "pure codegen'd expressions over the single documents scan; "
+    "TakeOrderedAndProject caps movement at 10 rows/partition.",
+    "graph_ppr_seed": "Same persisted-graph Pregel plan as "
+    "graph_pagerank with restart mass concentrated on the seed; "
+    "each iteration is exactly two shuffles (join on src, inflow "
+    "agg on dst).",
+    "audit_partition_fingerprints": "Map-side row hashing straight "
+    "off the scan into a month-keyed XOR aggregate — one shuffle of "
+    "(month, 52-bit hash) pairs, no row payload movement.",
+    "forecast_holt_winters": "Day-grain collapse is the only "
+    "fact-sized shuffle; the prefix-list window and 9-component "
+    "array fold run over the calendar-bounded day relation inside "
+    "codegen (zero Python).",
 }
 
 
