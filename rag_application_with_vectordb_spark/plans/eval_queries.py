@@ -926,3 +926,56 @@ _sql_query(
     "1-row roll-ups.",
     tags=("analytics", "eval"),
 )
+
+
+# --- decision-threshold optimization under a cost matrix ---------------------------
+
+_sql_query(
+    "eval_threshold_utility",
+    """
+    WITH s AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    h AS (
+      SELECT score, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS p
+      FROM s GROUP BY score
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(p) AS BIGINT) AS pp FROM h),
+    c AS (
+      SELECT score,
+        CAST(SUM(n) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS cn,
+        CAST(SUM(p) OVER (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS cp
+      FROM h
+    ),
+    u AS (
+      -- utility in integer cents: TP +500, FP -200, FN -300, TN 0
+      SELECT c.score AS threshold,
+             c.cp AS tp, c.cn - c.cp AS fp, t.pp - c.cp AS fn_,
+             t.nn - c.cn - (t.pp - c.cp) AS tn,
+             500 * c.cp - 200 * (c.cn - c.cp) - 300 * (t.pp - c.cp)
+               AS utility_cents
+      FROM c CROSS JOIN t
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp, fn_ AS fn, tn,
+           utility_cents,
+           CAST(utility_cents AS DOUBLE) / CAST(tp + fp + fn_ + tn AS DOUBLE)
+             / 100.0 AS utility_per_doc_dollars
+    FROM u
+    ORDER BY utility_cents DESC, threshold ASC
+    LIMIT 5
+    """,
+    doc="Decision-threshold optimization under an asymmetric cost "
+    "matrix (TP +$5, FP -$2, FN -$3, TN 0): the 5 best 'predict "
+    "positive when score >= t' operating points by total utility — "
+    "what a deployment actually needs from a classifier eval (the PR "
+    "curve says what trade-offs EXIST; this picks one given costs). "
+    "Same histogram-prefix machinery as eval_pr_curve/eval_lift_gains "
+    "— confusion cells at every threshold from prefix sums over the "
+    "bounded score domain, utility in exact integer cents (the argmax "
+    "cannot flap), one fp division per row for the per-doc rate.",
+    tags=("analytics", "eval"),
+)

@@ -402,3 +402,70 @@ def assoc_rules_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- Hill tail-index estimator ----------------------------------------------------
+
+_HILL_K = 50
+
+
+_sql_query(
+    "stats_hill_tail_index",
+    f"""
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    h AS (
+      SELECT cents, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY cents
+    ),
+    c AS (
+      SELECT cents, n,
+        CAST(SUM(n) OVER (ORDER BY cents DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS cum
+      FROM h
+    ),
+    thr AS (
+      -- the (K+1)-th order statistic from the top: the LARGEST value
+      -- whose cumulative-from-the-top count reaches K+1 (MIN here would
+      -- be the global minimum — every value at or below the threshold
+      -- satisfies cum >= K+1)
+      SELECT MAX(cents) AS xk1 FROM c WHERE cum >= {_HILL_K} + 1
+    ),
+    top AS (
+      SELECT c.cents,
+             CASE WHEN c.cum <= {_HILL_K} THEN c.n
+                  ELSE c.n - (c.cum - {_HILL_K}) END AS w
+      FROM c CROSS JOIN thr
+      WHERE c.cents > thr.xk1 OR (c.cum - c.n) < {_HILL_K}
+    ),
+    s AS (
+      SELECT CAST(SUM(CASE WHEN top.cents > thr.xk1 THEN top.w ELSE 0 END)
+                  AS BIGINT) AS k_used,
+             CAST(SUM(CASE WHEN top.cents > thr.xk1
+                           THEN top.w * CAST(round(ln(CAST(top.cents AS DOUBLE)
+                                / CAST(thr.xk1 AS DOUBLE)) * 1000000) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS lnsum_micro
+      FROM top CROSS JOIN thr
+    )
+    SELECT s.k_used, thr.xk1 AS threshold_cents,
+           CAST(s.lnsum_micro AS DOUBLE) / CAST(s.k_used AS DOUBLE) / 1000000.0
+             AS mean_log_excess,
+           CAST(s.k_used AS DOUBLE) * 1000000.0 / CAST(s.lnsum_micro AS DOUBLE)
+             AS hill_alpha
+    FROM s CROSS JOIN thr
+    """,
+    doc=f"Hill tail-index estimator over the top-{_HILL_K} purchase "
+    "values: alpha_hat = k / sum ln(x_i / x_(k+1)) — the standard "
+    "heavy-tail exponent probe (alpha < 2 means infinite variance: "
+    "means and A/B tests on the metric are unstable; the "
+    "transaction-value companion to text_zipf_fit's rank-frequency "
+    "exponent). Order statistics come from the bounded distinct-value "
+    "histogram (cumulative counts from the top — never a row sort); "
+    "ties AT the threshold are excluded per the strict-excess "
+    "convention (k_used counts strictly-above-threshold mass, so the "
+    "estimator is well-defined under ties); per-value ln terms land "
+    "on the 1e-6 grid weighted by exact counts BEFORE the sum. One "
+    "scan, one histogram aggregate, windows over the value domain.",
+    tags=("mining", "stats"),
+)

@@ -105,7 +105,8 @@ _loaded = False
 # slo_burn_rate_daily, private_rate_randomized_response,
 # eval_brier_decomposition, retrieval_lm_dirichlet_topk,
 # graph_ppr_seed, events_changepoint_binseg,
-# audit_partition_fingerprints.
+# audit_partition_fingerprints, er_symspell_match,
+# stats_hill_tail_index, eval_threshold_utility.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
