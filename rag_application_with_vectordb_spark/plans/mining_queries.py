@@ -469,3 +469,251 @@ _sql_query(
     "scan, one histogram aggregate, windows over the value domain.",
     tags=("mining", "stats"),
 )
+
+
+# --- token-bucket rate-limit audit (ordered integer fold per user) ----------------
+#
+# Token bucket (capacity 2 tokens, 1 token / 6 h): credit is carried
+# in SECONDS (cap 43200 s, cost 21600 s/event) so the whole recursion is
+# integer min/subtract — no fp anywhere. The recursion clamps on BOTH
+# sides (min at the cap, reject below cost), which no prefix-sum
+# rewrite expresses (unlike CUSUM's one-sided max) — so this is the
+# catalog's canonical ORDERED-FOLD state machine: one groupBy collects
+# each user's encoded event list, one fold replays it. Events encode as
+# epochsec*1e7 + event_id%1e7 (one sortable BIGINT; ids collide only
+# past 1e7 events/user/second). Spark's aggregate() takes an explicit
+# init; DuckDB's list_reduce() does not, so the oracle prepends a
+# sentinel that TRANSFORMS into the init state (the Holt-linear
+# list-accumulator trick, extended).
+
+_RL_CAP = 2 * 21600  # seconds of credit
+_RL_COST = 21600
+
+
+def _rl_spark_sql() -> str:
+    ep = "CAST((x - x % 10000000) / 10000000 AS BIGINT)"
+    s0 = (
+        f"CASE WHEN acc[3] < 0 THEN CAST({_RL_CAP} AS BIGINT) "
+        f"ELSE least(CAST({_RL_CAP} AS BIGINT), acc[0] + ({ep} - acc[3])) END"
+    )
+    return f"""
+    WITH e AS (
+      SELECT user_id,
+             unix_timestamp(ts) * 10000000 + event_id % 10000000 AS enc
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, sort_array(collect_list(enc)) AS arr
+      FROM e GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, CAST(size(arr) AS BIGINT) AS n_events,
+        aggregate(arr,
+          array(CAST({_RL_CAP} AS BIGINT), CAST(0 AS BIGINT),
+                CAST(0 AS BIGINT), CAST(-1 AS BIGINT)),
+          (acc, x) -> CASE WHEN {s0} >= {_RL_COST}
+            THEN array({s0} - {_RL_COST}, acc[1] + 1, acc[2], {ep})
+            ELSE array({s0}, acc[1], acc[2] + 1, {ep}) END) AS st
+      FROM g
+    )
+    SELECT user_id, n_events,
+           element_at(st, 2) AS accepted, element_at(st, 3) AS rejected,
+           element_at(st, 1) AS credit_sec_left
+    FROM f
+    """
+
+
+def _rl_duck_sql() -> str:
+    ep = "CAST((x[1] - x[1] % 10000000) / 10000000 AS BIGINT)"
+    # sentinel (-1) transforms into the init state [CAP, 0, 0, -1]; real
+    # events transform into [enc, 0, 0, 0] and are decoded by the step.
+    # acc[4] < 0 happens only for the init state, where credit is the
+    # full cap regardless of acc[1].
+    s0 = (
+        f"CASE WHEN acc[4] < 0 THEN CAST({_RL_CAP} AS BIGINT) "
+        f"ELSE least(CAST({_RL_CAP} AS BIGINT), acc[1] + ({ep} - acc[4])) END"
+    )
+    return f"""
+    WITH e AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) * 10000000
+               + event_id % 10000000 AS enc
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, list_sort(list(enc)) AS arr
+      FROM e GROUP BY user_id
+    ),
+    f AS (
+      SELECT user_id, CAST(len(arr) AS BIGINT) AS n_events,
+        list_reduce(
+          list_transform(list_prepend(CAST(-1 AS BIGINT), arr),
+            v -> CASE WHEN v = -1
+                 THEN [CAST({_RL_CAP} AS BIGINT), CAST(0 AS BIGINT),
+                       CAST(0 AS BIGINT), CAST(-1 AS BIGINT)]
+                 ELSE [v, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+                       CAST(0 AS BIGINT)] END),
+          (acc, x) -> CASE WHEN {s0} >= {_RL_COST}
+            THEN [{s0} - {_RL_COST}, acc[2] + 1, acc[3], {ep}]
+            ELSE [{s0}, acc[2], acc[3] + 1, {ep}] END) AS st
+      FROM g
+    )
+    SELECT user_id, n_events,
+           st[2] AS accepted, st[3] AS rejected, st[1] AS credit_sec_left
+    FROM f
+    """
+
+
+@register(
+    "events_rate_limit_audit",
+    oracle=_rl_duck_sql(),
+    doc="Token-bucket rate-limit audit per user (capacity 2 requests, "
+    "refill 1 per 6 hours): replay each user's event stream through the "
+    "bucket and report accepted/rejected counts plus remaining credit "
+    "— the throttling-policy what-if an API platform runs before "
+    "changing limits. The two-sided clamp recursion (min at the cap, "
+    "floor at the cost) has NO prefix-sum closed form — this is the "
+    "catalog's canonical ordered integer FOLD: one shuffle to collect "
+    "each user's sorted encoded events, one aggregate() fold in "
+    "codegen, all-integer state so every bit reproduces in the "
+    "list_reduce twin (sentinel-init trick). O(events) work, O(1) "
+    "state per user; the streaming twin is applyInPandasWithState "
+    "with the same 4-integer state.",
+    tags=("mining", "analytics", "stateful"),
+)
+def events_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_rl_spark_sql())
+
+
+# --- price/volume decomposition of revenue change ---------------------------------
+
+_sql_query(
+    "sales_price_volume_decomp",
+    """
+    WITH y AS (
+      SELECT l.l_partkey AS part, year(o.o_orderdate) AS yr,
+             CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS qty,
+             CAST(SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE year(o.o_orderdate) IN (1996, 1997)
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT COALESCE(a.part, b.part) AS part,
+             a.qty AS q0, a.cents AS r0, b.qty AS q1, b.cents AS r1
+      FROM (SELECT * FROM y WHERE yr = 1996) a
+      FULL OUTER JOIN (SELECT * FROM y WHERE yr = 1997) b ON b.part = a.part
+    ),
+    terms AS (
+      SELECT
+        CAST(SUM(COALESCE(r1, 0)) - SUM(COALESCE(r0, 0)) AS BIGINT)
+          AS total_change_cents,
+        CAST(SUM(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+             THEN CAST(round((CAST(r1 AS DOUBLE) * CAST(q0 AS DOUBLE)
+                              / CAST(q1 AS DOUBLE) - CAST(r0 AS DOUBLE))
+                             * 1000) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS price_effect_milli,
+        CAST(SUM(CASE WHEN q0 IS NOT NULL AND q1 IS NOT NULL
+             THEN CAST(round(CAST(q1 - q0 AS DOUBLE)
+                             * CAST(r1 AS DOUBLE) / CAST(q1 AS DOUBLE)
+                             * 1000) AS BIGINT)
+             ELSE 0 END) AS BIGINT) AS volume_effect_milli,
+        CAST(SUM(CASE WHEN q0 IS NULL THEN r1 ELSE 0 END) AS BIGINT)
+          AS new_parts_cents,
+        CAST(SUM(CASE WHEN q1 IS NULL THEN -r0 ELSE 0 END) AS BIGINT)
+          AS discontinued_cents
+      FROM p
+    )
+    SELECT total_change_cents,
+           CAST(price_effect_milli AS DOUBLE) / 100000.0 AS price_effect_dollars,
+           CAST(volume_effect_milli AS DOUBLE) / 100000.0 AS volume_effect_dollars,
+           CAST(new_parts_cents AS DOUBLE) / 100.0 AS new_parts_dollars,
+           CAST(discontinued_cents AS DOUBLE) / 100.0 AS discontinued_dollars,
+           CAST(total_change_cents AS DOUBLE) / 100.0
+             - (CAST(price_effect_milli AS DOUBLE) / 100000.0
+                + CAST(volume_effect_milli AS DOUBLE) / 100000.0
+                + CAST(new_parts_cents AS DOUBLE) / 100.0
+                + CAST(discontinued_cents AS DOUBLE) / 100.0)
+             AS residual_dollars
+    FROM terms
+    """,
+    doc="Price/volume decomposition of 1996->1997 revenue change per "
+    "the exact Laspeyres-price + Paasche-volume identity: for parts "
+    "sold in both years, (p1-p0)q0 + (q1-q0)p1 == p1q1 - p0q0 "
+    "term-by-term, with new/discontinued parts in their own buckets — "
+    "the finance-bridge answer to 'how much of growth was pricing vs "
+    "units?' (the cross-sectional sibling of revenue_bridge_weekly's "
+    "user-level bridge). Unit prices are rationals r/q, so each "
+    "part's effect lands on the milli-cent grid BEFORE the cross-part "
+    "sum (order-free BIGINTs); the residual column measures exactly "
+    "the grid rounding (pytest-bounded by parts*0.5 milli-cents) — "
+    "the identity itself is exact. One fact scan into the (part, "
+    "year) aggregate; the year pivot is a self-full-outer-join of "
+    "the BOUNDED part-year relation.",
+    tags=("mining", "analytics"),
+)
+
+
+# --- Neyman allocation for stratified sampling -------------------------------------
+
+_NEYMAN_BUDGET = 1000
+
+_sql_query(
+    "sample_neyman_allocation",
+    f"""
+    WITH g AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(n_chars) AS BIGINT) AS s_h,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS q_h
+      FROM documents GROUP BY lang
+    ),
+    w AS (
+      -- N_h*S_h up to a shared factor; landed on the micro grid BEFORE
+      -- the cross-strata sum (a raw double SUM is accumulation-order-
+      -- dependent — the ANOVA between-term rule)
+      SELECT lang, n_h,
+             CAST(round(SQRT((CAST(q_h AS DOUBLE) * CAST(n_h AS DOUBLE)
+                   - CAST(s_h AS DOUBLE) * CAST(s_h AS DOUBLE))) * 1000000)
+                  AS BIGINT) AS wgt_micro
+      FROM g
+    ),
+    t AS (SELECT CAST(SUM(wgt_micro) AS BIGINT) AS wtot FROM w),
+    q AS (
+      SELECT w.lang, w.n_h,
+             {_NEYMAN_BUDGET}.0 * CAST(w.wgt_micro AS DOUBLE)
+               / CAST(t.wtot AS DOUBLE) AS quota
+      FROM w CROSS JOIN t
+    ),
+    base AS (
+      SELECT lang, n_h, quota,
+             CAST(floor(quota) AS BIGINT) AS n_floor,
+             quota - floor(quota) AS frac
+      FROM q
+    ),
+    r AS (
+      SELECT lang, n_h, quota, n_floor,
+             row_number() OVER (ORDER BY frac DESC, lang ASC) AS rnk,
+             CAST({_NEYMAN_BUDGET} - SUM(n_floor) OVER () AS BIGINT) AS leftover
+      FROM base
+    )
+    SELECT lang, n_h AS stratum_size, quota AS exact_quota,
+           CAST(n_floor + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_n
+    FROM r
+    """,
+    doc=f"Neyman allocation of a {_NEYMAN_BUDGET}-row sampling budget "
+    "across language strata: n_h proportional to N_h * S_h (the "
+    "variance-optimal stratified design; S_h from exact BIGINT "
+    "moments — sqrt(n*q - s^2) is N_h*S_h up to the shared 1/N_h "
+    "factor, one sqrt per stratum). Fractional quotas round by the "
+    "LARGEST-REMAINDER method (floor + distribute the leftover to "
+    "the largest fractional parts, lang tiebreak) so the allocations "
+    "sum to the budget EXACTLY — pytest-asserted, the property naive "
+    "rounding breaks. All windows run over the |strata| relation. "
+    "Feeds sample_stratified_k's executor: this query decides the "
+    "per-stratum k.",
+    tags=("mining", "analytics", "sampling"),
+)

@@ -106,7 +106,9 @@ _loaded = False
 # eval_brier_decomposition, retrieval_lm_dirichlet_topk,
 # graph_ppr_seed, events_changepoint_binseg,
 # audit_partition_fingerprints, er_symspell_match,
-# stats_hill_tail_index, eval_threshold_utility.
+# stats_hill_tail_index, eval_threshold_utility,
+# events_rate_limit_audit, sales_price_volume_decomp,
+# sample_neyman_allocation.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
