@@ -717,3 +717,120 @@ _sql_query(
     "per-stratum k.",
     tags=("mining", "analytics", "sampling"),
 )
+
+
+# --- driver analysis: which dimension explains revenue variance -------------------
+
+
+def _eta2_branch(dim_name: str, dim_expr: str, src: str) -> str:
+    return f"""
+    SELECT '{dim_name}' AS dimension, k, n,
+           ssb / (ssb + ssw) AS eta_squared,
+           (ssb / CAST(k - 1 AS DOUBLE)) / (ssw / CAST(n - k AS DOUBLE)) AS f_stat
+    FROM (
+      -- between-terms land on the WHOLE-UNIT grid (s_g^2/n_g reaches
+      -- ~1e16 at dollar grain — a 1e-6 grid would overflow int64; SS
+      -- magnitudes are >=1e13 so unit resolution loses nothing), then
+      -- ssb/ssw are exact-int subtractions with one division at the end
+      SELECT k, n,
+             CAST(sum_term - CAST(round(CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                                        / CAST(n AS DOUBLE)) AS BIGINT)
+                  AS DOUBLE) AS ssb,
+             CAST(q - sum_term AS DOUBLE) AS ssw
+      FROM (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(SUM(s_g) AS BIGINT) AS s,
+               CAST(SUM(q_g) AS BIGINT) AS q,
+               CAST(SUM(CAST(round(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                                   / CAST(n_g AS DOUBLE))
+                        AS BIGINT)) AS BIGINT) AS sum_term
+        FROM (
+          SELECT {dim_expr} AS grp, CAST(COUNT(*) AS BIGINT) AS n_g,
+                 CAST(SUM(x) AS BIGINT) AS s_g,
+                 CAST(SUM(x * x) AS BIGINT) AS q_g
+          FROM {src} GROUP BY 1
+        ) g
+      ) t
+    ) ss
+    """
+
+
+_DRIVER_SRC = """(
+      SELECT l.l_partkey, l.l_returnflag, l.l_linestatus,
+             CAST(round(l.l_discount * 100) AS BIGINT) AS discount_pct,
+             year(l.l_shipdate) AS ship_year, month(l.l_shipdate) AS ship_month,
+             p.p_brand,
+             CAST(floor(l.l_extendedprice) AS BIGINT) AS x
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ) f"""
+
+_sql_query(
+    "driver_analysis_eta2",
+    "\nUNION ALL\n".join(
+        _eta2_branch(name, expr, _DRIVER_SRC)
+        for name, expr in (
+            ("brand", "p_brand"),
+            ("return_flag", "l_returnflag"),
+            ("line_status", "l_linestatus"),
+            ("discount_pct", "discount_pct"),
+            ("ship_year", "ship_year"),
+            ("ship_month", "ship_month"),
+        )
+    ),
+    doc="Driver analysis: one-way eta-squared (+ F) of line revenue "
+    "against each candidate dimension (brand, return flag, line "
+    "status, discount band, ship year, ship month) — the 'which dimension "
+    "explains the metric' screen a BI team runs before segmenting "
+    "dashboards (the multi-dimension generalization of "
+    "stats_anova_lang_length, same 1e-6-grid between-term rule so "
+    "cross-group sums are order-free BIGINTs). Revenue is floored to "
+    "whole dollars (squared-cents moments would overflow int64 near "
+    "sf1 — exact to ~sf100 at dollar grain). Each branch is one "
+    "column-pruned scan into a |groups|-row aggregate; near-zero "
+    "eta^2 everywhere is the fixture's expected answer — the harness "
+    "is the deliverable.",
+    tags=("mining", "analytics", "stats"),
+)
+
+
+# --- empirical-Bayes supplier reliability ranking ----------------------------------
+
+_EB_TAU = 20  # prior strength (pseudo-observations)
+
+_sql_query(
+    "supplier_return_eb_shrunk",
+    f"""
+    WITH s AS (
+      SELECT l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    g AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(k) AS BIGINT) AS kk FROM s)
+    SELECT s.l_suppkey AS supp_key, s.n AS n_lines, s.k AS n_returned,
+           CAST(s.k AS DOUBLE) / CAST(s.n AS DOUBLE) AS raw_rate,
+           (CAST(s.k AS DOUBLE)
+            + {_EB_TAU}.0 * CAST(g.kk AS DOUBLE) / CAST(g.nn AS DOUBLE))
+             / (CAST(s.n AS DOUBLE) + {_EB_TAU}.0) AS shrunk_rate
+    FROM s CROSS JOIN g
+    ORDER BY (CAST(s.k AS DOUBLE)
+              + {_EB_TAU}.0 * CAST(g.kk AS DOUBLE) / CAST(g.nn AS DOUBLE))
+             / (CAST(s.n AS DOUBLE) + {_EB_TAU}.0) ASC,
+             s.l_suppkey ASC
+    LIMIT 10
+    """,
+    doc=f"Empirical-Bayes supplier reliability ranking: line-RETURN "
+    f"rate shrunk toward the global rate with prior strength "
+    f"tau={_EB_TAU} pseudo-observations — (k + tau*m)/(n + tau), the "
+    "Beta-Binomial posterior-mean form that stops a 2-shipment "
+    "supplier with 0 returns from outranking a 500-line one at 20% "
+    "(the small-sample leaderboard pathology raw ranking has; the "
+    "fixtures' suppliers are uniformly large, so pytest asserts the "
+    "CONTRACTION property — every shrunk rate sits strictly between "
+    "the raw rate and the global mean). One supplier aggregate + a broadcast "
+    "1-row global; the ranking key is a fixed fp chain of exact "
+    "integers, supp_key tiebreak.",
+    tags=("mining", "analytics", "stats"),
+)

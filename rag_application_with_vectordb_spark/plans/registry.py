@@ -108,7 +108,8 @@ _loaded = False
 # audit_partition_fingerprints, er_symspell_match,
 # stats_hill_tail_index, eval_threshold_utility,
 # events_rate_limit_audit, sales_price_volume_decomp,
-# sample_neyman_allocation.
+# sample_neyman_allocation, driver_analysis_eta2,
+# supplier_return_eb_shrunk.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql import types as T
 
-__all__ = ["running_user_totals", "high_water_marks", "cusum_monitor", "drawdown_monitor", "foreach_batch_collector"]
+__all__ = ["running_user_totals", "high_water_marks", "cusum_monitor", "drawdown_monitor", "rate_limit_monitor", "foreach_batch_collector"]
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
@@ -249,3 +249,69 @@ def foreach_batch_collector(stream_df: DataFrame, sink: list) -> Any:
     q = stream_df.writeStream.foreachBatch(handle).trigger(availableNow=True).start()
     q.awaitTermination()
     return q
+
+
+def rate_limit_monitor(events: DataFrame, cap_sec: int, cost_sec: int) -> DataFrame:
+    """Streaming token-bucket throttle: per user, carry credit in whole
+    SECONDS (capacity ``cap_sec``, one admission costs ``cost_sec``;
+    elapsed wall-clock seconds refill 1:1, clamped at the cap) and emit
+    a row for every REJECTED event, processing rows in (ts, event_id)
+    order within each micro-batch.
+
+    The streaming twin of the batch catalog query
+    ``events_rate_limit_audit`` (plans/mining_queries.py), whose ordered
+    integer fold replays the same recursion per user — with identical
+    (cap, cost) the per-user rejected counts are equal under ANY
+    micro-batch split (asserted in tests/test_streaming_stateful.py).
+    The two-sided clamp (min at the cap, floor at the cost) is exactly
+    the recursion prefix-sum windows cannot express, which is why both
+    forms are state machines. State: three exact integers per user —
+    no fp drift over an unbounded stream; key-domain-bounded memory.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("credit_sec", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("credit", T.LongType()),
+            T.StructField("prev_epoch", T.LongType()),
+        ]
+    )
+
+    def update(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        credit, prev = state.get if state.exists else (cap_sec, -1)
+        out: list[dict] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        for row in batch.sort_values(["ts", "event_id"]).itertuples(index=False):
+            ep = int(row.ts.timestamp())
+            credit = cap_sec if prev < 0 else min(cap_sec, credit + (ep - prev))
+            if credit >= cost_sec:
+                credit -= cost_sec
+            else:
+                out.append(
+                    {
+                        "user_id": key[0],
+                        "event_id": row.event_id,
+                        "ts": row.ts,
+                        "credit_sec": credit,
+                    }
+                )
+            prev = ep
+        state.update((credit, prev))
+        if out:
+            yield pd.DataFrame(out)
+
+    return (
+        events.select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -189,3 +189,23 @@ def test_drawdown_monitor_matches_batch_closed_form(spark, sf_dir):
     want = _batch_drawdown(spark, sf_dir, alert)
     assert got == want
     assert got  # non-vacuous at sf0.001
+
+
+def test_rate_limit_monitor_matches_batch_fold(spark, sf_dir):
+    from rag_application_with_vectordb_spark.plans.registry import load_all
+    from rag_application_with_vectordb_spark.streaming.stateful import (
+        rate_limit_monitor,
+    )
+
+    cap, cost = 2 * 21600, 21600  # the batch query's constants
+    stream = rate_limit_monitor(read_events_stream(spark, sf_dir), cap, cost)
+    rows = run_to_completion(stream, "ratelimit", mode="append").collect()
+    got_rejected = {}
+    for r in rows:
+        got_rejected[r["user_id"]] = got_rejected.get(r["user_id"], 0) + 1
+    batch = load_all()["events_rate_limit_audit"].fn(spark, sf_dir).collect()
+    want_rejected = {r.user_id: r.rejected for r in batch if r.rejected > 0}
+    assert got_rejected == want_rejected
+    assert got_rejected  # throttle actually bites at sf0.001 (104 rejects)
+    # each rejection row carries sub-cost credit by definition
+    assert all(r["credit_sec"] < cost for r in rows)
