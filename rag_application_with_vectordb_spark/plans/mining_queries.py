@@ -834,3 +834,196 @@ _sql_query(
     "integers, supp_key tiebreak.",
     tags=("mining", "analytics", "stats"),
 )
+
+
+# --- Wilcoxon signed-rank test on paired pre/post spend -----------------------------
+
+_sql_query(
+    "stats_wilcoxon_signed_rank",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           AND ts < CAST('2024-01-16 00:00:00' AS TIMESTAMP)
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           AND ts >= CAST('2024-01-16 00:00:00' AS TIMESTAMP)
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY user_id
+    ),
+    d AS (SELECT y - x AS d FROM per_user WHERE y <> x),
+    h AS (
+      SELECT abs(d) AS ad, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS npos
+      FROM d GROUP BY abs(d)
+    ),
+    c AS (
+      SELECT ad, n, npos,
+        CAST(SUM(n) OVER (ORDER BY ad ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS cum
+      FROM h
+    ),
+    w AS (
+      SELECT CAST(SUM(npos * (2 * (cum - n) + n + 1)) AS BIGINT) AS w2,
+             CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(n * n * n - n) AS BIGINT) AS tie3
+      FROM c
+    )
+    SELECT nn AS n_pairs, w2 AS w_plus_doubled,
+           CAST(w2 AS DOUBLE) / 2.0 AS w_plus,
+           (CAST(w2 AS DOUBLE) - CAST(nn * (nn + 1) AS DOUBLE) / 2.0)
+             / SQRT((CAST(nn AS DOUBLE) * CAST(nn + 1 AS DOUBLE)
+                     * CAST(2 * nn + 1 AS DOUBLE)
+                     - CAST(tie3 AS DOUBLE) / 2.0) / 6.0) AS z
+    FROM w
+    """,
+    doc="Wilcoxon signed-rank test of the per-user post-minus-pre "
+    "spend delta (the CUPED period split): the nonparametric paired "
+    "test that stays valid when heavy-tailed spend breaks the paired "
+    "t-test's normality (the within-subject companion to the "
+    "Mann-Whitney identity inside eval_auc_doclang). Zero deltas drop "
+    "per convention; |delta| ranks are AVERAGE ranks computed in "
+    "histogram form over the distinct-|delta| domain (the Spearman "
+    "doubled-rank trick: 2*avgrank = 2*cum_before + t + 1 stays an "
+    "exact integer under ties), W+ and the tie-corrected variance "
+    "n(n+1)(2n+1)/24 - sum(t^3-t)/48 are exact BIGINTs, and z is one "
+    "fixed fp chain. One user aggregate + windows over the bounded "
+    "delta domain — nothing sorts raw rows.",
+    tags=("mining", "stats"),
+)
+
+
+# --- tokenizer vocabulary coverage curve ---------------------------------------------
+
+_sql_query(
+    "text_vocab_coverage",
+    r"""
+    WITH tok AS (
+      SELECT w FROM (
+        SELECT {unnest} AS w FROM (
+          SELECT {split} AS ws FROM documents
+        ) s
+      ) t WHERE w <> ''
+    ),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w),
+    r AS (
+      SELECT w, n,
+             CAST(row_number() OVER (ORDER BY n DESC, w ASC) AS BIGINT) AS rnk,
+             CAST(SUM(n) OVER (ORDER BY n DESC, w ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM wc
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS vocab FROM wc),
+    k AS (
+      SELECT CAST(v AS BIGINT) AS vocab_size
+      FROM (VALUES (1), (2), (4), (8), (16), (32)) AS c(v)
+    )
+    SELECT k.vocab_size,
+           CAST(MAX(CASE WHEN r.rnk <= k.vocab_size THEN r.cum ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           t.total AS total_tokens,
+           CAST(MAX(CASE WHEN r.rnk <= k.vocab_size THEN r.cum ELSE 0 END)
+                AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage,
+           1.0 - CAST(MAX(CASE WHEN r.rnk <= k.vocab_size THEN r.cum ELSE 0 END)
+                      AS DOUBLE) / CAST(t.total AS DOUBLE) AS oov_rate
+    FROM k CROSS JOIN r CROSS JOIN t
+    GROUP BY k.vocab_size, t.total
+    """.replace("{unnest}", "explode(ws)").replace(
+        "{split}", r"split(trim(text), '\\s+')"
+    ),
+    oracle=r"""
+    WITH tok AS (
+      SELECT w FROM (
+        SELECT unnest(ws) AS w FROM (
+          SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        ) s
+      ) t WHERE w <> ''
+    ),
+    wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY w),
+    r AS (
+      SELECT w, n,
+             CAST(row_number() OVER (ORDER BY n DESC, w ASC) AS BIGINT) AS rnk,
+             CAST(SUM(n) OVER (ORDER BY n DESC, w ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum
+      FROM wc
+    ),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS vocab FROM wc),
+    k AS (
+      SELECT CAST(v AS BIGINT) AS vocab_size
+      FROM (VALUES (1), (2), (4), (8), (16), (32)) AS c(v)
+    )
+    SELECT k.vocab_size,
+           CAST(MAX(CASE WHEN r.rnk <= k.vocab_size THEN r.cum ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           t.total AS total_tokens,
+           CAST(MAX(CASE WHEN r.rnk <= k.vocab_size THEN r.cum ELSE 0 END)
+                AS DOUBLE) / CAST(t.total AS DOUBLE) AS coverage,
+           1.0 - CAST(MAX(CASE WHEN r.rnk <= k.vocab_size THEN r.cum ELSE 0 END)
+                      AS DOUBLE) / CAST(t.total AS DOUBLE) AS oov_rate
+    FROM k CROSS JOIN r CROSS JOIN t
+    GROUP BY k.vocab_size, t.total
+    """,
+    doc="Tokenizer vocabulary coverage curve: token-mass coverage and "
+    "OOV rate at vocabulary cutoffs 1..32 (top-k words by frequency, "
+    "word-ASC tiebreak) — the sizing curve read before fixing a "
+    "tokenizer's vocab (the Zipf-fit's engineering consequence: how "
+    "much mass the head actually buys). Prefix sums over the "
+    "frequency-ranked VOCABULARY relation (corpus-bounded, the "
+    "TF-IDF shuffle class — never a scan of raw tokens per cutoff); "
+    "coverage is one fp division of exact BIGINTs per cutoff row.",
+    tags=("mining", "text"),
+)
+
+
+# --- functional-dependency audit ------------------------------------------------------
+
+
+def _fd_branch(label: str, table: str, lhs: str, rhs: str) -> str:
+    return f"""
+    SELECT '{label}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating_groups,
+           CAST(MAX(nd) AS BIGINT) AS max_distinct_rhs
+    FROM (
+      SELECT {lhs}, CAST(COUNT(DISTINCT {rhs}) AS BIGINT) AS nd
+      FROM {table} GROUP BY {lhs}
+    ) g
+    """
+
+
+_sql_query(
+    "audit_functional_deps",
+    "\nUNION ALL\n".join(
+        _fd_branch(label, t, lhs, rhs)
+        for label, t, lhs, rhs in (
+            ("orders.o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+            ("orders.o_custkey->o_orderstatus", "orders", "o_custkey",
+             "o_orderstatus"),
+            ("lineitem.(l_orderkey,l_linenumber)->l_partkey", "lineitem",
+             "l_orderkey, l_linenumber", "l_partkey"),
+            ("lineitem.l_orderkey->l_suppkey", "lineitem", "l_orderkey",
+             "l_suppkey"),
+            ("part.p_name->p_brand", "part", "p_name", "p_brand"),
+            ("documents.doc_id->lang", "documents", "doc_id", "lang"),
+        )
+    ),
+    doc="Functional-dependency audit over six candidate FDs (the two "
+    "true key constraints HOLD; the would-be composite key "
+    "(l_orderkey, l_linenumber) turns out VIOLATED on this data — "
+    "linenumbers repeat within an order — exactly the discovery the "
+    "audit exists to make): per candidate, the number of "
+    "LHS groups, how many witness a violation (>1 distinct RHS), and "
+    "the worst multiplicity — the schema-inference / data-contract "
+    "profiling pass (the intra-table sibling of "
+    "audit_referential_integrity's cross-table FK checks). Each "
+    "branch is one column-pruned groupBy + distinct-count; violation "
+    "counts are exact integers, no fp anywhere.",
+    tags=("mining", "audit"),
+)

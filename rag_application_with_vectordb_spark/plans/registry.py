@@ -109,7 +109,8 @@ _loaded = False
 # stats_hill_tail_index, eval_threshold_utility,
 # events_rate_limit_audit, sales_price_volume_decomp,
 # sample_neyman_allocation, driver_analysis_eta2,
-# supplier_return_eb_shrunk.
+# supplier_return_eb_shrunk, stats_wilcoxon_signed_rank,
+# text_vocab_coverage, audit_functional_deps.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
