@@ -1027,3 +1027,165 @@ _sql_query(
     "counts are exact integers, no fp anywhere.",
     tags=("mining", "audit"),
 )
+
+
+# --- newsvendor stocking level + expected cost ---------------------------------------
+#
+# cu = 5 (underage: lost margin/unit), co = 2 (overage: holding/unit);
+# critical ratio 5/7. Optimal stock = the smallest level whose demand
+# CDF reaches the ratio (the classic fractile solution); both the CDF
+# comparison (cum*7 >= 5*n_days, exact integers) and the expected-cost
+# curve are computed from the bounded daily-demand histogram, zero-
+# demand days included via the calendar count.
+
+_NV_CU, _NV_CO = 5, 2
+_NV_TOP = 5
+
+
+_sql_query(
+    "inventory_newsvendor",
+    f"""
+    WITH cal AS (
+      SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days
+      FROM orders
+    ),
+    dd AS (
+      SELECT l.l_partkey AS part, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    topp AS (
+      SELECT part FROM (
+        SELECT part, SUM(d) AS tot,
+               row_number() OVER (ORDER BY SUM(d) DESC, part ASC) AS rn
+        FROM dd GROUP BY part
+      ) r WHERE rn <= {_NV_TOP}
+    ),
+    h AS (
+      SELECT dd.part, dd.d, CAST(COUNT(*) AS BIGINT) AS nd
+      FROM dd JOIN topp ON topp.part = dd.part
+      GROUP BY dd.part, dd.d
+      UNION ALL
+      SELECT topp.part, CAST(0 AS BIGINT) AS d,
+             cal.n_days - agg.present AS nd
+      FROM topp CROSS JOIN cal
+      JOIN (SELECT part, CAST(COUNT(*) AS BIGINT) AS present
+            FROM dd GROUP BY part) agg ON agg.part = topp.part
+    ),
+    c AS (
+      SELECT part, d, nd,
+        CAST(SUM(nd) OVER (PARTITION BY part ORDER BY d
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum
+      FROM h
+    ),
+    opt AS (
+      SELECT c.part, MIN(c.d) AS stock_opt
+      FROM c CROSS JOIN cal
+      WHERE c.cum * {_NV_CU + _NV_CO} >= {_NV_CU} * cal.n_days
+      GROUP BY c.part
+    ),
+    cost AS (
+      SELECT h.part,
+        CAST(SUM(h.nd * ({_NV_CO} * greatest(opt.stock_opt - h.d, 0)
+                         + {_NV_CU} * greatest(h.d - opt.stock_opt, 0)))
+             AS BIGINT) AS total_cost_units
+      FROM h JOIN opt ON opt.part = h.part
+      GROUP BY h.part
+    )
+    SELECT opt.part AS part_key, cal.n_days, opt.stock_opt,
+           cost.total_cost_units,
+           CAST(cost.total_cost_units AS DOUBLE) / CAST(cal.n_days AS DOUBLE)
+             AS expected_daily_cost_units
+    FROM opt JOIN cost ON cost.part = opt.part CROSS JOIN cal
+    """,
+    doc=f"Newsvendor stocking optimization for the top-{_NV_TOP} parts "
+    f"by demand: optimal stock = the cu/(cu+co) = {_NV_CU}/{_NV_CU + _NV_CO} "
+    "fractile of the DAILY demand distribution (zero-demand days "
+    "included via the calendar count — omitting them overstates "
+    "demand, the classic intermittent-demand mistake), found by the "
+    "exact integer CDF comparison cum*(cu+co) >= cu*n_days over the "
+    "bounded demand histogram; expected over/under cost at the chosen "
+    "level is an exact integer sum over the same histogram (pytest "
+    "asserts it is the MINIMUM over all candidate levels — the "
+    "newsvendor optimality property). One fact scan to (part, day) "
+    "grain; everything after is histogram-sized.",
+    tags=("mining", "analytics"),
+)
+
+
+# --- off-policy evaluation: IPS / SNIPS ----------------------------------------------
+
+_OPE_K = 60  # target policy: treat iff activity >= K events
+
+
+def _ope_sql(hexfn, str_t: str) -> str:
+    key = f"md5(concat('ab42|', CAST(user_id AS {str_t})))"
+    return f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS activity,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                           THEN CAST(round(value * 100) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cents
+      FROM events GROUP BY user_id
+    ),
+    logged AS (
+      SELECT activity, cents,
+             CASE WHEN {hexfn(key)} % 2 = 0 THEN 1 ELSE 0 END AS b_arm,
+             CASE WHEN activity >= {_OPE_K} THEN 1 ELSE 0 END AS pi_arm
+      FROM per_user
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN b_arm = pi_arm THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
+             CAST(SUM(CASE WHEN b_arm = pi_arm THEN cents ELSE 0 END) AS BIGINT)
+               AS r_match,
+             CAST(SUM(cents) AS BIGINT) AS r_all
+      FROM logged
+    )
+    SELECT n, n_match, r_match,
+           2.0 * CAST(r_match AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+             AS v_ips_dollars,
+           CAST(r_match AS DOUBLE) / CAST(n_match AS DOUBLE) / 100.0
+             AS v_snips_dollars,
+           CAST(r_all AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+             AS v_onpolicy_dollars
+    FROM agg
+    """
+
+
+def _register_ope():
+    from .oracle_dialect import duck_hex13_to_long
+    from .stats_queries import _spark_hex13
+
+    @register(
+        "eval_offpolicy_ips",
+        oracle=_ope_sql(duck_hex13_to_long, "VARCHAR"),
+        doc=f"Off-policy evaluation of the deterministic target policy "
+        f"'treat iff activity >= {_OPE_K}' from logs whose behavior "
+        "policy is the known uniform keyed-md5 arm (propensity exactly "
+        "1/2): V_IPS = mean(2 * r * match), V_SNIPS = the self-"
+        "normalized variant (sum r*w / sum w — biased but far lower "
+        "variance), with the on-policy mean alongside — the "
+        "counterfactual 'what would this targeting rule have earned' "
+        "read-out that powers policy iteration without a new "
+        "experiment. The uniform logger makes the weights constants, "
+        "so everything is exact BIGINT sums until three final "
+        "divisions; under the fixture's policy-independent rewards "
+        "IPS ~ SNIPS ~ on-policy (the A/A sanity the estimator must "
+        "pass, pytest-asserted within noise).",
+        tags=("mining", "eval", "stats"),
+    )
+    def eval_offpolicy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .stats_queries import _spark_hex13 as hx
+
+        tune(spark)
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(_ope_sql(hx, "STRING"))
+
+    return eval_offpolicy_ips
+
+
+_register_ope()
