@@ -1189,3 +1189,168 @@ def _register_ope():
 
 
 _register_ope()
+
+
+# --- Croston intermittent-demand forecast -------------------------------------------
+#
+# Croston (1972): on each DEMAND day, smooth the demand size z and the
+# inter-demand interval p separately (alpha = 0.2); the demand-rate
+# forecast is z/p per day. The fold runs over each top-part's encoded
+# (size, interval) pairs — the Holt-Winters array-fold idiom, state
+# [z, p] — with init [q1, i1] (first interval = days since the series
+# start). Encoding: q*10000 + i (q bounded by daily part demand, i by
+# the calendar span).
+
+
+def _croston_sql(spark_side: bool) -> str:
+    if spark_side:
+        collect, lst = "sort_array(collect_list(enc))", "size"
+        q0 = ("CAST(CAST((element_at(arr, 1) - element_at(arr, 1) % 10000) / 10000 "
+              "AS BIGINT) % 10000 AS DOUBLE)")
+        i0 = "CAST(element_at(arr, 1) % 10000 AS DOUBLE)"
+        qx = "CAST(CAST((x - x % 10000) / 10000 AS BIGINT) % 10000 AS DOUBLE)"
+        ix = "CAST(x % 10000 AS DOUBLE)"
+        fold_open = (
+            f"aggregate(slice(arr, 2, size(arr) - 1), "
+            f"array({q0}, {i0}), "
+            f"(acc, x) -> array("
+            f"CAST(0.2 AS DOUBLE) * {qx} + CAST(0.8 AS DOUBLE) * acc[0], "
+            f"CAST(0.2 AS DOUBLE) * {ix} + CAST(0.8 AS DOUBLE) * acc[1]))"
+        )
+        daydiff = "datediff(CAST(o.o_orderdate AS DATE), DATE '1970-01-01')"
+    else:
+        fold_open = (
+            "list_reduce(list_transform(arr, v -> "
+            "[CAST(CAST((v - v % 10000) / 10000 AS BIGINT) % 10000 AS DOUBLE), "
+            "CAST(v % 10000 AS DOUBLE)]), "
+            "(acc, x) -> ["
+            "0.2::DOUBLE * x[1] + 0.8::DOUBLE * acc[1], "
+            "0.2::DOUBLE * x[2] + 0.8::DOUBLE * acc[2]])"
+        )
+        collect, lst = "list_sort(list(enc))", "len"
+        daydiff = "date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))"
+    st = fold_open
+    sel_z = "element_at(st, 1)" if spark_side else "st[1]"
+    sel_p = "element_at(st, 2)" if spark_side else "st[2]"
+    return f"""
+    WITH dd AS (
+      SELECT l.l_partkey AS part, CAST({daydiff} AS BIGINT) AS didx,
+             CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    topp AS (
+      SELECT part FROM (
+        SELECT part, SUM(q) AS tot,
+               row_number() OVER (ORDER BY SUM(q) DESC, part ASC) AS rn
+        FROM dd GROUP BY part
+      ) r WHERE rn <= 5
+    ),
+    base AS (SELECT CAST(MIN(didx) AS BIGINT) AS d0 FROM dd),
+    seq AS (
+      SELECT dd.part, dd.didx, dd.q,
+             dd.didx - COALESCE(lag(dd.didx) OVER (PARTITION BY dd.part
+                                                   ORDER BY dd.didx),
+                                base.d0 - 1) AS gap
+      FROM dd JOIN topp ON topp.part = dd.part CROSS JOIN base
+    ),
+    enc AS (
+      -- didx leads the encoding so list_sort/sort_array IS day order
+      SELECT part, didx, didx * 100000000 + q * 10000 + gap AS enc FROM seq
+    ),
+    g AS (
+      SELECT part, {collect} AS arr FROM enc GROUP BY part
+    ),
+    f AS (
+      SELECT part, CAST({lst}(arr) AS BIGINT) AS n_demand_days,
+             {st} AS st
+      FROM g
+    )
+    SELECT CAST(part AS BIGINT) AS part_key, n_demand_days,
+           {sel_z} AS z_size, {sel_p} AS p_interval,
+           {sel_z} / {sel_p} AS demand_rate_per_day
+    FROM f
+    """
+
+
+_sql_query(
+    "forecast_croston",
+    _croston_sql(True),
+    oracle=_croston_sql(False),
+    doc="Croston intermittent-demand forecast for the top-5 parts: "
+    "demand SIZE and inter-demand INTERVAL smoothed separately "
+    "(alpha=0.2) over the part's demand days, rate forecast = z/p — "
+    "the standard method when a plain EWMA of daily demand is biased "
+    "by the zero days (newsvendor's stocking question needs exactly "
+    "this rate for slow movers). Each part's (day, size, gap) triple "
+    "encodes as one BIGINT with the DAY INDEX leading, so the sorted "
+    "fold replays chronologically (q/gap assumed < 1e4 — true for "
+    "daily part demand and calendar spans at any tested SF); the fold is the Holt-Winters array idiom "
+    "with [z, p] state and [q1, i1] init, bit-identical in "
+    "aggregate()/list_reduce. One (part, day) aggregate + one "
+    "per-part keyed window for gaps; folds run over demand days "
+    "only.",
+    tags=("mining", "timeseries"),
+)
+
+
+# --- ABC-XYZ inventory classification -------------------------------------------------
+
+_sql_query(
+    "inventory_abc_xyz",
+    """
+    WITH dd AS (
+      SELECT l.l_partkey AS part, CAST(o.o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    cal AS (
+      SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days
+      FROM orders
+    ),
+    m AS (
+      -- per-part exact moments of daily demand INCLUDING zero days:
+      -- with nd calendar days, sum/sumsq over demand days extend to the
+      -- full series for free (zeros add nothing)
+      SELECT part, CAST(SUM(q) AS BIGINT) AS s, CAST(SUM(q * q) AS BIGINT) AS sq,
+             CAST(COUNT(*) AS BIGINT) AS present
+      FROM dd GROUP BY part
+    ),
+    r AS (
+      SELECT m.part, m.s, m.sq, cal.n_days,
+        CAST(SUM(m.s) OVER (ORDER BY m.s DESC, m.part ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_s,
+        CAST(SUM(m.s) OVER () AS BIGINT) AS tot_s
+      FROM m CROSS JOIN cal
+    ),
+    k AS (
+      SELECT part, s AS total_qty, n_days,
+        CASE WHEN cum_s * 10 <= tot_s * 8 THEN 'A'
+             WHEN cum_s * 100 <= tot_s * 95 THEN 'B'
+             ELSE 'C' END AS abc_class,
+        -- CV^2 of daily demand in exact cross-multiplied form:
+        -- cv2 = n*sq/s^2 - 1; X: cv2 < 0.25, Y: < 1.0, else Z
+        CASE WHEN n_days * sq * 4 < s * s * 5 THEN 'X'
+             WHEN n_days * sq < s * s * 2 THEN 'Y'
+             ELSE 'Z' END AS xyz_class
+      FROM r
+    )
+    SELECT abc_class, xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(total_qty) AS BIGINT) AS total_qty
+    FROM k GROUP BY abc_class, xyz_class
+    """,
+    doc="ABC-XYZ inventory classification cross-tab: ABC by cumulative "
+    "share of total quantity (A = first 80%, B = to 95% — exact "
+    "integer cross-multiplied thresholds over the ranked part "
+    "relation, the parts_pareto_abc rule), XYZ by demand variability "
+    "(CV^2 of the DAILY series including zero days, in the exact "
+    "cross-multiplied form n*sq*k < s^2*m so no fp threshold can "
+    "flap; X < 0.5 CV, Y < 1, else Z) — the 2-d segmentation that "
+    "routes parts to forecasting methods (AX: EWMA; AZ/CZ "
+    "intermittent: forecast_croston; the companion query). One fact "
+    "scan to (part, day), one part aggregate, windows over the part "
+    "relation.",
+    tags=("mining", "analytics"),
+)

@@ -111,7 +111,8 @@ _loaded = False
 # sample_neyman_allocation, driver_analysis_eta2,
 # supplier_return_eb_shrunk, stats_wilcoxon_signed_rank,
 # text_vocab_coverage, audit_functional_deps, inventory_newsvendor,
-# eval_offpolicy_ips.
+# eval_offpolicy_ips, graph_random_walks, forecast_croston,
+# inventory_abc_xyz.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",

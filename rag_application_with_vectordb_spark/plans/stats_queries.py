@@ -2041,3 +2041,105 @@ def graph_betweenness_4src(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("delta").cast("double") / F.lit(float(g))).alias("betweenness"),
         )
     )
+
+
+# --- deterministic random walks over the item graph (node2vec data prep) ---------
+
+_WALK_LEN = 8
+
+
+def _walk_oracle() -> str:
+    steps = []
+    for t in range(1, _WALK_LEN + 1):
+        h = duck_hex13_to_long(
+            f"md5('walk|' || CAST(w.start AS VARCHAR) || '|' || CAST({t} AS VARCHAR))"
+        )
+        steps.append(f"""w{t} AS MATERIALIZED (
+      SELECT w.start, nbr.dst AS node
+      FROM w{t-1} w
+      JOIN deg d ON d.src = w.node
+      JOIN nbr ON nbr.src = w.node AND nbr.idx = ({h}) % d.outdeg + 1
+    )""")
+    chain = ",\n    ".join(steps)
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT start, CAST({t} AS BIGINT) AS step, node FROM w{t}"
+        for t in range(0, _WALK_LEN + 1)
+    )
+    return f"""
+    WITH {_lpa_edges(_UI_DUCK)},
+    nbr AS MATERIALIZED (
+      SELECT src, dst,
+             CAST(row_number() OVER (PARTITION BY src ORDER BY dst ASC) AS BIGINT)
+               AS idx
+      FROM edges
+    ),
+    deg AS MATERIALIZED (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ),
+    w0 AS MATERIALIZED (
+      SELECT src AS start, src AS node FROM deg
+    ),
+    {chain}
+    SELECT CAST(start AS BIGINT) AS start, step, CAST(node AS BIGINT) AS node
+    FROM ({union}) allsteps
+    """
+
+
+@register(
+    "graph_random_walks",
+    oracle=_walk_oracle(),
+    doc=f"Deterministic random walks of length {_WALK_LEN} from EVERY "
+    "node of the top-3 item graph — the node2vec/DeepWalk data-prep "
+    "stage (the walk corpus is what a skip-gram embedder consumes): "
+    "at step t the walk at v hops to the keyed-md5-chosen neighbor "
+    "index (md5('walk'|start|t) % outdeg), so the 'randomness' is a "
+    "reproducible, auditable function of (start, step) — the same "
+    "determinism device as every sampler in the catalog. Neighbor "
+    "lists are indexed once (row_number per src keyed window); each "
+    "step is ONE keyed join of the walk frontier against the indexed "
+    "edge relation — |nodes| rows per step, never fact-sized; the "
+    "oracle unrolls all steps as MATERIALIZED CTEs and matches "
+    "bit-for-bit.",
+    tags=("graph", "analytics", "sampling"),
+)
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    from pyspark.sql import Window as W
+
+    edges = spark.sql(
+        "WITH " + _lpa_edges(_UI_SPARK) + " SELECT src, dst FROM edges"
+    ).localCheckpoint()
+    nbr = edges.withColumn(
+        "idx",
+        F.row_number().over(W.partitionBy("src").orderBy(F.asc("dst"))).cast("bigint"),
+    ).localCheckpoint()
+    deg = edges.groupBy("src").agg(F.count("*").cast("bigint").alias("outdeg"))
+    w = deg.select(F.col("src").alias("start"), F.col("src").alias("node"))
+    out = [w.select("start", F.lit(0).cast("bigint").alias("step"), "node")]
+    for t in range(1, _WALK_LEN + 1):
+        h = _spark_hex13(
+            f"md5(concat('walk|', CAST(start AS STRING), '|', CAST({t} AS STRING)))"
+        )
+        w = (
+            w.join(deg.withColumnRenamed("src", "node"), "node")
+            .withColumn("pick", F.expr(f"({h}) % outdeg + 1"))
+            .join(
+                nbr.select(
+                    F.col("src").alias("node"),
+                    F.col("dst"),
+                    F.col("idx").alias("pick"),
+                ),
+                ["node", "pick"],
+            )
+            .select("start", F.col("dst").alias("node"))
+            .localCheckpoint()
+        )
+        out.append(w.select("start", F.lit(t).cast("bigint").alias("step"), "node"))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.select(
+        F.col("start").cast("bigint").alias("start"), "step",
+        F.col("node").cast("bigint").alias("node"),
+    )
