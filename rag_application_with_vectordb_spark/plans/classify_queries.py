@@ -655,7 +655,7 @@ _NC_GRID = 1_000_000  # micro-unit component quantization
              {duck_hex13_to_long(f"md5('{_NC_SEED}|' || CAST(vec_id AS VARCHAR))")}
                % 1000 AS h,
              list_transform(embedding,
-                            e -> CAST(round(e * {_NC_GRID}) AS BIGINT)) AS xm
+                            e -> CAST(round(CAST(e AS DOUBLE) * {_NC_GRID}) AS BIGINT)) AS xm
       FROM embeddings
     ),
     tr AS (
@@ -720,7 +720,9 @@ def classify_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         h.alias("h"),
-        F.expr(f"transform(embedding, e -> CAST(round(e * {_NC_GRID}) AS BIGINT))")
+        F.expr(
+            f"transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * {_NC_GRID}) AS BIGINT))"
+        )
         .alias("xm"),
     )
     ex = q.select(

@@ -1354,3 +1354,210 @@ _sql_query(
     "relation.",
     tags=("mining", "analytics"),
 )
+
+
+# --- financial reconciliation: order headers vs line sums ---------------------------
+
+_sql_query(
+    "audit_order_reconciliation",
+    """
+    WITH ls AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS header_cents,
+             ls.line_cents
+      FROM orders o LEFT JOIN ls ON ls.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN line_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_without_lines,
+           CAST(SUM(CASE WHEN line_cents IS NOT NULL
+                         AND header_cents <> line_cents THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           CAST(SUM(CASE WHEN line_cents IS NOT NULL
+                         THEN abs(header_cents - line_cents) ELSE 0 END)
+                AS BIGINT) AS total_abs_drift_cents,
+           CAST(MAX(CASE WHEN line_cents IS NOT NULL
+                         THEN abs(header_cents - line_cents) ELSE 0 END)
+                AS BIGINT) AS max_abs_drift_cents
+    FROM j
+    """,
+    doc="Financial reconciliation audit: order-header totals against "
+    "the sum of their line extended prices — the double-entry "
+    "consistency check every billing pipeline runs nightly (header "
+    "written by one service, lines by another; drift means a bug or "
+    "an unapplied adjustment). Reports orphan headers, mismatch "
+    "count, and total/max absolute drift in exact integer cents. On "
+    "this synthetic fixture header and lines are generated "
+    "INDEPENDENTLY, so 100% mismatch with large drift is the expected "
+    "finding — the audit's job is to say so with exact numbers, not "
+    "to pass. One line aggregate + one key join; no fp anywhere.",
+    tags=("mining", "audit"),
+)
+
+
+# --- simplified silhouette of the label clustering ----------------------------------
+
+_sql_query(
+    "eval_cluster_silhouette",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             {transform} AS xm
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, j, x FROM ({explode}) e
+    ),
+    cent AS (
+      SELECT label AS c, j,
+             CAST(round(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                  AS BIGINT) AS cm
+      FROM ex GROUP BY label, j
+    ),
+    dist AS (
+      SELECT ex.vec_id, ex.label, cent.c,
+             CAST(SUM((ex.x - cent.cm) * (ex.x - cent.cm)) AS BIGINT) AS d2
+      FROM ex JOIN cent ON cent.j = ex.j
+      GROUP BY ex.vec_id, ex.label, cent.c
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             CAST(MAX(CASE WHEN c = label THEN d2 END) AS BIGINT) AS a2,
+             CAST(MIN(CASE WHEN c <> label THEN d2 END) AS BIGINT) AS b2
+      FROM dist GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT label,
+             CAST(round(1000000.0 * (SQRT(CAST(b2 AS DOUBLE))
+                                     - SQRT(CAST(a2 AS DOUBLE)))
+                        / SQRT(CAST(greatest(a2, b2) AS DOUBLE))) AS BIGINT)
+               AS s_micro
+      FROM ab
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0
+             AS mean_silhouette
+    FROM s GROUP BY label
+    """.replace(
+        "{transform}",
+        "transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT))",
+    ).replace(
+        "{explode}",
+        "SELECT vec_id, label, pos + 1 AS j, col AS x "
+        "FROM (SELECT vec_id, label, posexplode(xm) AS (pos, col) FROM q)",
+    ),
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS xm
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, t.j, xm[t.j] AS x
+      FROM q, LATERAL (SELECT unnest(range(1, len(xm) + 1)) AS j) t
+    ),
+    cent AS (
+      SELECT label AS c, j,
+             CAST(round(CAST(SUM(x) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                  AS BIGINT) AS cm
+      FROM ex GROUP BY label, j
+    ),
+    dist AS (
+      SELECT ex.vec_id, ex.label, cent.c,
+             CAST(SUM((ex.x - cent.cm) * (ex.x - cent.cm)) AS BIGINT) AS d2
+      FROM ex JOIN cent ON cent.j = ex.j
+      GROUP BY ex.vec_id, ex.label, cent.c
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             CAST(MAX(CASE WHEN c = label THEN d2 END) AS BIGINT) AS a2,
+             CAST(MIN(CASE WHEN c <> label THEN d2 END) AS BIGINT) AS b2
+      FROM dist GROUP BY vec_id, label
+    ),
+    s AS (
+      SELECT label,
+             CAST(round(1000000.0 * (SQRT(CAST(b2 AS DOUBLE))
+                                     - SQRT(CAST(a2 AS DOUBLE)))
+                        / SQRT(CAST(greatest(a2, b2) AS DOUBLE))) AS BIGINT)
+               AS s_micro
+      FROM ab
+    )
+    SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(s_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0
+             AS mean_silhouette
+    FROM s GROUP BY label
+    """,
+    doc="Simplified silhouette (centroid form, Hruschka et al.) of the "
+    "label partition over the embedding space: per point, a = distance "
+    "to own centroid, b = nearest OTHER centroid, s = (b-a)/max(a,b) — "
+    "the clustering-quality read-out that needs |labels| centroid "
+    "distances per point instead of the full silhouette's O(n^2) "
+    "pairs (THE standard rewrite that makes silhouette computable at "
+    "scale). Components quantize to the 1e-6 grid so distances are "
+    "exact BIGINTs; per-point s lands on the grid BEFORE the per-label "
+    "mean (order-free sums); centroids are one rounded division per "
+    "(label, dim). Near-zero silhouettes on the noise-dominated small "
+    "fixtures and strongly positive at sf1.0 — the same SNR story as "
+    "classify_nearest_centroid, pytest-asserted.",
+    tags=("mining", "eval", "ann"),
+)
+
+
+# --- expected calibration error -------------------------------------------------------
+
+_sql_query(
+    "eval_ece",
+    """
+    WITH s AS (
+      SELECT n_chars AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ),
+    b AS (SELECT MIN(score) AS lo, MAX(score) AS hi FROM s),
+    f AS (
+      SELECT CAST(floor(CAST((s.score - b.lo) * 10 AS DOUBLE)
+                        / CAST(b.hi - b.lo + 1 AS DOUBLE)) AS BIGINT) AS bin,
+             CAST(s.score - b.lo AS DOUBLE) / CAST(b.hi - b.lo AS DOUBLE) AS p,
+             s.pos
+      FROM s CROSS JOIN b
+    ),
+    k AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS nk, CAST(SUM(pos) AS BIGINT) AS pk,
+             SUM(p) AS psum
+      FROM f GROUP BY bin
+    ),
+    t AS (SELECT CAST(SUM(nk) AS BIGINT) AS n FROM k),
+    e AS (
+      SELECT
+        CAST(SUM(CAST(round(CAST(nk AS DOUBLE)
+             * abs(psum / CAST(nk AS DOUBLE) - CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE))
+             * 1000000000) AS BIGINT)) AS BIGINT) AS ece_nano_sum,
+        CAST(MAX(CAST(round(
+             abs(psum / CAST(nk AS DOUBLE) - CAST(pk AS DOUBLE) / CAST(nk AS DOUBLE))
+             * 1000000000) AS BIGINT)) AS BIGINT) AS mce_nano
+      FROM k
+    )
+    SELECT t.n AS n_docs,
+           CAST(e.ece_nano_sum AS DOUBLE) / CAST(t.n AS DOUBLE) / 1000000000.0
+             AS ece,
+           CAST(e.mce_nano AS DOUBLE) / 1000000000.0 AS mce
+    FROM t CROSS JOIN e
+    """,
+    doc="Expected + maximum calibration error of the normalized "
+    "is-English score over the calibration deciles: ECE = "
+    "sum_k n_k |mean_p_k - obs_k| / N, MCE = max_k |...| — the "
+    "one-number calibration summaries that sit next to "
+    "eval_brier_decomposition (Brier's reliability term is the "
+    "SQUARED sibling; ECE is what model cards quote). Per-bin terms "
+    "land on the 1e-9 grid before the sum/max (order-free), two fp "
+    "divisions at the end. Same scan/bin shape as "
+    "eval_calibration_bins.",
+    tags=("mining", "eval"),
+)

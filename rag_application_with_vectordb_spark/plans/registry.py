@@ -112,7 +112,8 @@ _loaded = False
 # supplier_return_eb_shrunk, stats_wilcoxon_signed_rank,
 # text_vocab_coverage, audit_functional_deps, inventory_newsvendor,
 # eval_offpolicy_ips, graph_random_walks, forecast_croston,
-# inventory_abc_xyz.
+# inventory_abc_xyz, audit_order_reconciliation,
+# eval_cluster_silhouette, eval_ece.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
