@@ -1561,3 +1561,120 @@ _sql_query(
     "eval_calibration_bins.",
     tags=("mining", "eval"),
 )
+
+
+# --- frequent-pattern outlier factor over order baskets ------------------------------
+
+_sql_query(
+    "anomaly_fpof_baskets",
+    f"""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    po AS (
+      SELECT a.l_orderkey AS okey, a.l_partkey AS x, c.l_partkey AS y
+      FROM b a JOIN b c ON c.l_orderkey = a.l_orderkey
+                       AND a.l_partkey < c.l_partkey
+    ),
+    fp AS (
+      SELECT x, y FROM po GROUP BY x, y HAVING COUNT(*) >= {_FI_MINSUP}
+    ),
+    per_order AS (
+      SELECT po.okey,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(CASE WHEN fp.x IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_frequent
+      FROM po LEFT JOIN fp ON fp.x = po.x AND fp.y = po.y
+      GROUP BY po.okey
+    )
+    SELECT CAST(okey AS BIGINT) AS order_key, n_pairs, n_frequent,
+           CAST(n_frequent AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS fpof
+    FROM per_order
+    ORDER BY CAST(n_frequent AS DOUBLE) / CAST(n_pairs AS DOUBLE) ASC,
+             okey ASC
+    LIMIT 10
+    """,
+    doc="Frequent-pattern outlier factor (He et al. 2005): score each "
+    "multi-item order by the fraction of its item PAIRS that are "
+    "corpus-frequent — baskets made of never-co-bought combinations "
+    "score near 0 and surface as anomalies (fraud screens and data-"
+    "entry-error triage use exactly this; it reuses the Apriori "
+    "frequent-pair relation, making outlier detection a BYPRODUCT of "
+    "the mining pass). Bottom-10 by (fpof ASC, key ASC); the score is "
+    "one fp division of exact pair counts. The pair fan-out is "
+    "per-order basket-size-squared (the co-purchase shuffle class); "
+    "the frequent-pair join is broadcast-sized.",
+    tags=("mining", "analytics"),
+)
+
+
+# --- Haar multiresolution energy of the daily revenue series -------------------------
+#
+# Unnormalized integer Haar over the LAST 16 days: level-k details
+# d = a_{2i-1} - a_{2i} of the level-(k-1) approximations (integers all
+# the way down); orthonormal-equivalent energy divides Sum(d^2) by 2^k.
+# Which level carries the variance tells you the dominant timescale
+# (day-to-day noise vs weekly structure) before fitting any seasonal
+# model — the multiresolution companion to events_acf_daily.
+
+
+def _haar_sql(daydiff: str) -> str:
+    lvls = []
+    prev = "l0"
+    for k in range(1, 5):
+        lvls.append(f"""l{k} AS (
+      SELECT CAST((i + 1 - (i + 1) % 2) / 2 AS BIGINT) AS i,
+             CAST(SUM(CASE WHEN i % 2 = 1 THEN x ELSE 0 END)
+                  + SUM(CASE WHEN i % 2 = 0 THEN x ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN i % 2 = 1 THEN x ELSE 0 END)
+                  - SUM(CASE WHEN i % 2 = 0 THEN x ELSE 0 END) AS BIGINT) AS d
+      FROM {prev}
+      GROUP BY CAST((i + 1 - (i + 1) % 2) / 2 AS BIGINT)
+    )""")
+        prev = f"l{k}"
+    chain = ",\n    ".join(lvls)
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT CAST({k} AS BIGINT) AS level, CAST(COUNT(*) AS BIGINT) AS n_coeffs, "
+        f"CAST(SUM(d * d) AS BIGINT) AS sum_detail_sq FROM l{k}"
+        for k in range(1, 5)
+    )
+    return f"""
+    WITH d0 AS (
+      SELECT {daydiff} AS didx,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    win AS (
+      SELECT didx, CAST((cents - cents % 100) / 100 AS BIGINT) AS x,
+             row_number() OVER (ORDER BY didx DESC) AS rev
+      FROM d0
+    ),
+    l0 AS (
+      SELECT CAST(17 - rev AS BIGINT) AS i, x FROM win WHERE rev <= 16
+    ),
+    {chain}
+    SELECT level, n_coeffs, sum_detail_sq,
+           CAST(sum_detail_sq AS DOUBLE) / CAST(POWER(2, level) AS DOUBLE)
+             AS energy
+    FROM ({union}) lv
+    """
+
+
+_sql_query(
+    "events_haar_energy",
+    _haar_sql("datediff(CAST(ts AS DATE), DATE '1970-01-01')"),
+    oracle=_haar_sql("date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))"),
+    doc="Haar wavelet multiresolution energy of the last 16 days of "
+    "purchase revenue: per decomposition level (1=2-day, 2=4-day, "
+    "3=8-day, 4=16-day scale), the detail-coefficient energy "
+    "Sum(d^2)/2^level — which timescale carries the variance, read "
+    "BEFORE choosing a smoothing window or seasonal period (the "
+    "multiresolution companion to events_acf_daily / "
+    "forecast_seasonal_decompose). The transform is UNNORMALIZED "
+    "integer Haar (pairwise sums/differences of exact whole-dollar "
+    "values — no sqrt(2) anywhere), so every coefficient is an exact "
+    "BIGINT and the orthonormal energy appears only as one final "
+    "division by 2^level. Each level is one 2-to-1 keyed aggregate "
+    "over the (at most 16-row) window relation.",
+    tags=("mining", "timeseries"),
+)

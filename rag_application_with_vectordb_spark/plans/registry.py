@@ -113,7 +113,8 @@ _loaded = False
 # text_vocab_coverage, audit_functional_deps, inventory_newsvendor,
 # eval_offpolicy_ips, graph_random_walks, forecast_croston,
 # inventory_abc_xyz, audit_order_reconciliation,
-# eval_cluster_silhouette, eval_ece.
+# eval_cluster_silhouette, eval_ece, survival_nelson_aalen,
+# anomaly_fpof_baskets, events_haar_energy.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",

@@ -2143,3 +2143,82 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start").cast("bigint").alias("start"), "step",
         F.col("node").cast("bigint").alias("node"),
     )
+
+
+# --- Nelson-Aalen cumulative hazard (completes the survival ladder) ---------------
+
+
+def _na_sql(epochsec) -> str:
+    days = (
+        f"CAST(floor(({epochsec('COALESCE(p_ts, (SELECT MAX(ts) FROM events))')}"
+        f" - {epochsec('s_ts')}) / 86400.0) AS BIGINT)"
+    )
+    return f"""
+    WITH w AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'signup' THEN ts END)
+               OVER (PARTITION BY user_id) AS s_ts
+      FROM events
+    ),
+    per AS (
+      SELECT user_id, MIN(s_ts) AS s_ts,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > s_ts THEN ts END) AS p_ts
+      FROM w WHERE s_ts IS NOT NULL GROUP BY user_id
+    ),
+    dur AS (
+      SELECT user_id,
+             CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END AS evt,
+             {days} AS t
+      FROM per
+    ),
+    grp AS (SELECT t, SUM(evt) AS d, SUM(1 - evt) AS c FROM dur GROUP BY t),
+    risk AS (
+      SELECT t, d, c,
+             SUM(d + c) OVER ()
+               - COALESCE(SUM(d + c) OVER (ORDER BY t ASC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM grp
+    ),
+    terms AS (
+      SELECT t, d, c, n_risk,
+             CASE WHEN d = 0 THEN 0
+                  ELSE CAST(round(1000000.0 * CAST(d AS DOUBLE) / n_risk) AS BIGINT)
+             END AS term_micro
+      FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_days, CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events, CAST(c AS BIGINT) AS c_censored,
+           CAST(SUM(term_micro) OVER (ORDER BY t ASC) AS BIGINT)
+             AS cum_hazard_micro,
+           CAST(CAST(SUM(term_micro) OVER (ORDER BY t ASC) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS cum_hazard
+    FROM terms ORDER BY t_days ASC
+    """
+
+
+def _register_na():
+    @register(
+        "survival_nelson_aalen",
+        oracle=_na_sql(lambda e: f"CAST(floor(epoch({e})) AS BIGINT)"),
+        doc="Nelson-Aalen cumulative hazard of signup -> first purchase "
+        "(right-censored at the horizon, the same risk-set machinery as "
+        "survival_km_signup_purchase): H(t) = sum of d_i/n_i over event "
+        "times <= t — the additive-hazard companion to KM's product "
+        "(H ~ -ln S; near-equal when increments are small, a relation "
+        "the pytest checks), and the estimator of choice when hazard "
+        "RATES rather than survival fractions drive the decision. "
+        "Per-time terms land on the 1e-6 grid before the running sum "
+        "(order-free), duration domain from prefix sums — no per-user "
+        "re-scan.",
+        tags=("stats", "analytics"),
+    )
+    def survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+        tune(spark)
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(_na_sql(lambda e: f"unix_timestamp({e})"))
+
+    return survival_nelson_aalen
+
+
+_register_na()
