@@ -1678,3 +1678,177 @@ _sql_query(
     "over the (at most 16-row) window relation.",
     tags=("mining", "timeseries"),
 )
+
+
+# --- k-anonymity generalization search ------------------------------------------------
+
+
+def _kanon_branch(width: int) -> str:
+    return f"""
+    SELECT CAST({width} AS BIGINT) AS bucket_width,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(n_c) AS BIGINT) AS min_class_size,
+           CAST(SUM(CASE WHEN n_c < 5 THEN n_c ELSE 0 END) AS BIGINT)
+             AS n_suppressed_rows,
+           CASE WHEN MIN(n_c) >= 5 THEN TRUE ELSE FALSE END AS k5_satisfied
+    FROM (
+      SELECT lang,
+             CAST(floor(CAST(n_chars AS DOUBLE) / {width}.0) AS BIGINT) AS bkt,
+             CAST(COUNT(*) AS BIGINT) AS n_c
+      FROM documents GROUP BY 1, 2
+    ) c
+    """
+
+
+_sql_query(
+    "audit_k_anon_generalization",
+    "\nUNION ALL\n".join(_kanon_branch(w) for w in (25, 50, 100, 200, 400)),
+    doc="k-anonymity generalization search: for each candidate length-"
+    "bucket width (25..400 chars), the minimum (lang, bucket) class "
+    "size, the rows a suppress-small-classes policy would drop, and "
+    "whether k=5 holds — the utility/privacy dial an anonymization "
+    "pipeline turns (audit_k_anonymity checks ONE generalization; "
+    "this picks the coarsest-grained release that satisfies k with "
+    "the least suppression). One groupBy per candidate width over "
+    "the pruned 2-column scan; all counts exact.",
+    tags=("mining", "audit", "privacy"),
+)
+
+
+# --- Theta-method forecast (SES + drift) ------------------------------------------------
+
+_sql_query(
+    "forecast_theta",
+    """
+    WITH d0 AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    d AS (
+      SELECT day, CAST((cents - cents % 100) / 100 AS BIGINT) AS x,
+             row_number() OVER (ORDER BY day) AS i
+      FROM d0
+    ),
+    arr AS (
+      SELECT sort_array(collect_list(struct(i, CAST(x AS DOUBLE) AS xv))) AS a,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(i) AS BIGINT) AS si, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * i) AS BIGINT) AS sii, CAST(SUM(i * x) AS BIGINT) AS six
+      FROM d
+    ),
+    f AS (
+      SELECT n,
+        aggregate(slice(a, 2, size(a) - 1),
+                  CAST(element_at(a, 1).xv AS DOUBLE),
+                  (acc, e) -> CAST(0.3 AS DOUBLE) * e.xv
+                              + CAST(0.7 AS DOUBLE) * acc) AS ses,
+        (CAST(n AS DOUBLE) * CAST(six AS DOUBLE)
+         - CAST(si AS DOUBLE) * CAST(sx AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sii AS DOUBLE)
+             - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)) AS slope,
+        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS meanx,
+        CAST(si AS DOUBLE) / CAST(n AS DOUBLE) AS meani
+      FROM arr
+    )
+    SELECT n AS n_days, ses AS ses_level, slope AS drift_per_day,
+           ses + 0.5 * slope * (CAST(n AS DOUBLE) + 1.0 - meani) AS theta_forecast
+    FROM f
+    """,
+    oracle="""
+    WITH d0 AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    d AS (
+      SELECT day, CAST((cents - cents % 100) / 100 AS BIGINT) AS x,
+             row_number() OVER (ORDER BY day) AS i
+      FROM d0
+    ),
+    arr AS (
+      SELECT list_sort(list([CAST(i AS DOUBLE), CAST(x AS DOUBLE)])) AS a,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(i) AS BIGINT) AS si, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * i) AS BIGINT) AS sii, CAST(SUM(i * x) AS BIGINT) AS six
+      FROM d
+    ),
+    f AS (
+      SELECT n,
+        list_reduce(list_transform(a, e -> e[2]),
+                    (acc, xv) -> 0.3::DOUBLE * xv + 0.7::DOUBLE * acc) AS ses,
+        (CAST(n AS DOUBLE) * CAST(six AS DOUBLE)
+         - CAST(si AS DOUBLE) * CAST(sx AS DOUBLE))
+          / (CAST(n AS DOUBLE) * CAST(sii AS DOUBLE)
+             - CAST(si AS DOUBLE) * CAST(si AS DOUBLE)) AS slope,
+        CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS meanx,
+        CAST(si AS DOUBLE) / CAST(n AS DOUBLE) AS meani
+      FROM arr
+    )
+    SELECT n AS n_days, ses AS ses_level, slope AS drift_per_day,
+           ses + 0.5 * slope * (CAST(n AS DOUBLE) + 1.0 - meani) AS theta_forecast
+    FROM f
+    """,
+    doc="Theta-method one-step forecast of daily revenue (the M3 "
+    "competition's simple champion, in its SES+drift decomposition): "
+    "forecast = SES level (alpha=0.3, chronological fold) + half the "
+    "OLS drift projected to the next step — averaging the theta=0 "
+    "line's slope with the theta=2 SES line. Whole-dollar integer "
+    "series (the AR(2) grid rule); the SES fold is bit-identical in "
+    "aggregate()/list_reduce (struct-sorted on Spark, [i, x] "
+    "list-sorted in DuckDB — day order either way); OLS drift from "
+    "exact BIGINT co-moments of (index, value). Day-grain collapse "
+    "is the only fact-sized work.",
+    tags=("mining", "timeseries"),
+)
+
+
+# --- duplicate-payment detector ----------------------------------------------------------
+
+_sql_query(
+    "audit_duplicate_payments",
+    """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS day
+      FROM orders
+    )
+    SELECT CAST(a.o_custkey AS BIGINT) AS cust_key,
+           CAST(a.cents AS BIGINT) AS amount_cents,
+           CAST(a.o_orderkey AS BIGINT) AS order_a,
+           CAST(b.o_orderkey AS BIGINT) AS order_b,
+           CAST(datediff(b.day, a.day) AS BIGINT) AS days_apart
+    FROM o a JOIN o b
+      ON b.o_custkey = a.o_custkey AND b.cents = a.cents
+     AND a.o_orderkey < b.o_orderkey
+     AND b.day >= a.day AND datediff(b.day, a.day) <= 7
+    """,
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS day
+      FROM orders
+    )
+    SELECT CAST(a.o_custkey AS BIGINT) AS cust_key,
+           CAST(a.cents AS BIGINT) AS amount_cents,
+           CAST(a.o_orderkey AS BIGINT) AS order_a,
+           CAST(b.o_orderkey AS BIGINT) AS order_b,
+           CAST(date_diff('day', a.day, b.day) AS BIGINT) AS days_apart
+    FROM o a JOIN o b
+      ON b.o_custkey = a.o_custkey AND b.cents = a.cents
+     AND a.o_orderkey < b.o_orderkey
+     AND b.day >= a.day AND date_diff('day', a.day, b.day) <= 7
+    """,
+    doc="Duplicate-payment detector: same customer, same exact amount, "
+    "within 7 days — the classic accounts-payable fraud/ops audit "
+    "(double-submitted invoices dominate AP recovery). The join is "
+    "EQUI on (custkey, exact integer cents) — the amount match does "
+    "the heavy pruning map-side, so the inequality window runs only "
+    "on same-amount pairs (never a custkey-only self-join explosion); "
+    "near-zero hits on the fixture's independently-drawn amounts is "
+    "the expected clean-audit outcome. (datediff argument order is "
+    "the 2-arg/3-arg dialect split.)",
+    tags=("mining", "audit"),
+)

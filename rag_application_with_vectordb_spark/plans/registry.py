@@ -114,7 +114,9 @@ _loaded = False
 # eval_offpolicy_ips, graph_random_walks, forecast_croston,
 # inventory_abc_xyz, audit_order_reconciliation,
 # eval_cluster_silhouette, eval_ece, survival_nelson_aalen,
-# anomaly_fpof_baskets, events_haar_energy.
+# anomaly_fpof_baskets, events_haar_energy,
+# audit_k_anon_generalization, forecast_theta,
+# audit_duplicate_payments.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
