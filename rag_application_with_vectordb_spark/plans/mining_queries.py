@@ -1852,3 +1852,250 @@ _sql_query(
     "the 2-arg/3-arg dialect split.)",
     tags=("mining", "audit"),
 )
+
+
+# --- next-event prediction eval (Markov argmax baseline) -----------------------------
+
+
+def _markov_eval_sql(hexfn, str_t: str) -> str:
+    key = f"md5(concat('mk42|', CAST(user_id AS {str_t})))"
+    return f"""
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             CASE WHEN {hexfn(key)} % 1000 < 800 THEN 1 ELSE 0 END AS is_train
+      FROM events
+    ),
+    tr AS (
+      SELECT user_id, is_train, event_type AS s,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS t
+      FROM r
+    ),
+    cnt AS (
+      SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tr WHERE t IS NOT NULL AND is_train = 1 GROUP BY s, t
+    ),
+    pred AS (
+      SELECT s, t AS t_pred FROM (
+        SELECT s, t, row_number() OVER (PARTITION BY s
+                                        ORDER BY c DESC, t ASC) AS rk
+        FROM cnt
+      ) x WHERE rk = 1
+    ),
+    test AS (
+      SELECT tr.s, tr.t, pred.t_pred
+      FROM tr JOIN pred ON pred.s = tr.s
+      WHERE tr.t IS NOT NULL AND tr.is_train = 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN t = t_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN t = t_pred THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM test
+    """
+
+
+def _register_markov_eval():
+    from .oracle_dialect import duck_hex13_to_long
+    from .stats_queries import _spark_hex13
+
+    @register(
+        "eval_markov_next_event",
+        oracle=_markov_eval_sql(duck_hex13_to_long, "VARCHAR"),
+        doc="Next-event prediction eval: train a first-order Markov "
+        "argmax predictor (most frequent successor per state, count "
+        "DESC / type ASC tie-break) on an 80% keyed-md5 USER split and "
+        "score held-out users' transitions — the sequence-model "
+        "baseline every session-prediction system must beat, trained "
+        "and evaluated entirely in the engine (events_markov_transitions "
+        "gives the matrix; this closes the loop with leakage-safe "
+        "evaluation — the split is BY USER so no test user leaks "
+        "transitions into training). Two keyed windows + two "
+        "aggregates; accuracy near 1/|types| on the fixture's uniform "
+        "chains is the expected read-out.",
+        tags=("mining", "eval", "ml"),
+    )
+    def eval_markov_next_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .stats_queries import _spark_hex13 as hx
+
+        tune(spark)
+        register_views(spark, sf_dir, ("events",))
+        return spark.sql(_markov_eval_sql(hx, "STRING"))
+
+    return eval_markov_next_event
+
+
+_register_markov_eval()
+
+
+# --- negative-binomial method-of-moments fit ------------------------------------------
+
+_sql_query(
+    "stats_negbin_mom",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM events GROUP BY 1, 2
+    ),
+    cal AS (
+      SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days
+      FROM events
+    ),
+    m AS (
+      -- zero days enter via the N-normalizer identity (the
+      -- stats_overdispersion_daily move): sums over present days extend
+      -- to the calendar for free
+      SELECT event_type,
+             CAST(SUM(k) AS BIGINT) AS s, CAST(SUM(k * k) AS BIGINT) AS sq
+      FROM daily GROUP BY event_type
+    )
+    SELECT m.event_type, cal.n_days, m.s AS n_events,
+           CAST(m.s AS DOUBLE) / CAST(cal.n_days AS DOUBLE) AS mean_daily,
+           (CAST(m.sq AS DOUBLE)
+            - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE) / CAST(cal.n_days AS DOUBLE))
+             / (CAST(cal.n_days AS DOUBLE) - 1.0) AS var_daily,
+           CASE WHEN (CAST(m.sq AS DOUBLE)
+                      - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)
+                        / CAST(cal.n_days AS DOUBLE))
+                     / (CAST(cal.n_days AS DOUBLE) - 1.0)
+                     <= CAST(m.s AS DOUBLE) / CAST(cal.n_days AS DOUBLE)
+                THEN NULL
+                ELSE (CAST(m.s AS DOUBLE) / CAST(cal.n_days AS DOUBLE))
+                     * (CAST(m.s AS DOUBLE) / CAST(cal.n_days AS DOUBLE))
+                     / ((CAST(m.sq AS DOUBLE)
+                         - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)
+                           / CAST(cal.n_days AS DOUBLE))
+                        / (CAST(cal.n_days AS DOUBLE) - 1.0)
+                        - CAST(m.s AS DOUBLE) / CAST(cal.n_days AS DOUBLE))
+           END AS negbin_r,
+           CASE WHEN (CAST(m.sq AS DOUBLE)
+                      - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)
+                        / CAST(cal.n_days AS DOUBLE))
+                     / (CAST(cal.n_days AS DOUBLE) - 1.0)
+                     <= CAST(m.s AS DOUBLE) / CAST(cal.n_days AS DOUBLE)
+                THEN NULL
+                ELSE (CAST(m.s AS DOUBLE) / CAST(cal.n_days AS DOUBLE))
+                     / ((CAST(m.sq AS DOUBLE)
+                         - CAST(m.s AS DOUBLE) * CAST(m.s AS DOUBLE)
+                           / CAST(cal.n_days AS DOUBLE))
+                        / (CAST(cal.n_days AS DOUBLE) - 1.0))
+           END AS negbin_p
+    FROM m CROSS JOIN cal
+    """,
+    doc="Negative-binomial method-of-moments fit of the daily count "
+    "per event type: r = m^2/(v - m), p = m/v — the distribution a "
+    "capacity planner actually samples from once "
+    "stats_overdispersion_daily has rejected Poisson (v > m). "
+    "Under-dispersed types yield NULL (NB undefined there) rather "
+    "than a garbage negative r. Exact BIGINT moments to the final "
+    "fixed fp chains; zero days via the calendar normalizer, never "
+    "materialized.",
+    tags=("mining", "stats"),
+)
+
+
+# --- Jensen-Shannon divergence of each source's unigram distribution -------------------
+
+_sql_query(
+    "text_js_divergence_sources",
+    r"""
+    WITH tok AS (
+      SELECT source, w FROM (
+        SELECT source, {unnest} AS w FROM (
+          SELECT source, {split} AS ws FROM documents
+        ) s
+      ) t WHERE w <> ''
+    ),
+    sw AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, w
+    ),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS st FROM sw GROUP BY source),
+    gw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS g FROM sw GROUP BY w),
+    gtot AS (SELECT CAST(SUM(g) AS BIGINT) AS gt FROM gw),
+    terms AS (
+      -- JS(P_src, Q_corpus) with M = (P+Q)/2; the sum needs only words
+      -- with p > 0 or q > 0, and q > 0 for every corpus word, so the
+      -- per-(source, word) LEFT join from the corpus vocabulary is the
+      -- complete support; each klterm lands on the 1e-9 grid
+      SELECT st.source,
+        CAST(SUM(CASE WHEN sw.c IS NULL OR sw.c = 0 THEN 0
+          ELSE CAST(round((CAST(sw.c AS DOUBLE) / CAST(st.st AS DOUBLE))
+               * ln((CAST(sw.c AS DOUBLE) / CAST(st.st AS DOUBLE))
+                    / ((CAST(sw.c AS DOUBLE) / CAST(st.st AS DOUBLE)
+                        + CAST(gw.g AS DOUBLE) / CAST(gtot.gt AS DOUBLE)) / 2.0))
+               * 1000000000) AS BIGINT) END) AS BIGINT) AS kl_p_m_nano,
+        CAST(SUM(
+          CAST(round((CAST(gw.g AS DOUBLE) / CAST(gtot.gt AS DOUBLE))
+               * ln((CAST(gw.g AS DOUBLE) / CAST(gtot.gt AS DOUBLE))
+                    / ((COALESCE(CAST(sw.c AS DOUBLE), 0.0) / CAST(st.st AS DOUBLE)
+                        + CAST(gw.g AS DOUBLE) / CAST(gtot.gt AS DOUBLE)) / 2.0))
+               * 1000000000) AS BIGINT)) AS BIGINT) AS kl_q_m_nano
+      FROM stot st
+      CROSS JOIN gw
+      CROSS JOIN gtot
+      LEFT JOIN sw ON sw.source = st.source AND sw.w = gw.w
+      GROUP BY st.source
+    )
+    SELECT source, 
+           (CAST(kl_p_m_nano AS DOUBLE) + CAST(kl_q_m_nano AS DOUBLE))
+             / 2.0 / 1000000000.0 AS js_divergence
+    FROM terms
+    """.replace("{unnest}", "explode(ws)").replace(
+        "{split}", r"split(trim(text), '\\s+')"
+    ),
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, w FROM (
+        SELECT source, unnest(ws) AS w FROM (
+          SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents
+        ) s
+      ) t WHERE w <> ''
+    ),
+    sw AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY source, w
+    ),
+    stot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS st FROM sw GROUP BY source),
+    gw AS (SELECT w, CAST(SUM(c) AS BIGINT) AS g FROM sw GROUP BY w),
+    gtot AS (SELECT CAST(SUM(g) AS BIGINT) AS gt FROM gw),
+    terms AS (
+      SELECT st.source,
+        CAST(SUM(CASE WHEN sw.c IS NULL OR sw.c = 0 THEN 0
+          ELSE CAST(round((CAST(sw.c AS DOUBLE) / CAST(st.st AS DOUBLE))
+               * ln((CAST(sw.c AS DOUBLE) / CAST(st.st AS DOUBLE))
+                    / ((CAST(sw.c AS DOUBLE) / CAST(st.st AS DOUBLE)
+                        + CAST(gw.g AS DOUBLE) / CAST(gtot.gt AS DOUBLE)) / 2.0))
+               * 1000000000) AS BIGINT) END) AS BIGINT) AS kl_p_m_nano,
+        CAST(SUM(
+          CAST(round((CAST(gw.g AS DOUBLE) / CAST(gtot.gt AS DOUBLE))
+               * ln((CAST(gw.g AS DOUBLE) / CAST(gtot.gt AS DOUBLE))
+                    / ((COALESCE(CAST(sw.c AS DOUBLE), 0.0) / CAST(st.st AS DOUBLE)
+                        + CAST(gw.g AS DOUBLE) / CAST(gtot.gt AS DOUBLE)) / 2.0))
+               * 1000000000) AS BIGINT)) AS BIGINT) AS kl_q_m_nano
+      FROM stot st
+      CROSS JOIN gw
+      CROSS JOIN gtot
+      LEFT JOIN sw ON sw.source = st.source AND sw.w = gw.w
+      GROUP BY st.source
+    )
+    SELECT source,
+           (CAST(kl_p_m_nano AS DOUBLE) + CAST(kl_q_m_nano AS DOUBLE))
+             / 2.0 / 1000000000.0 AS js_divergence
+    FROM terms
+    """,
+    doc="Jensen-Shannon divergence of each source's unigram word "
+    "distribution from the corpus-wide one — the per-source text-"
+    "drift monitor (the lexical sibling of monitor_psi_price_drift "
+    "and embedding_drift_monitor; JS is symmetric, bounded by ln 2, "
+    "and defined even for source-absent words, which is exactly why "
+    "it beats raw KL for monitoring). Support = source x corpus-"
+    "vocabulary (bounded; the corpus M-distribution has full "
+    "support so no term is undefined); per-(source, word) "
+    "contributions land on the 1e-9 grid BEFORE the per-source sum. "
+    "A source drifting toward one topic lights up without any "
+    "labeling.",
+    tags=("mining", "text", "monitor"),
+)

@@ -116,7 +116,8 @@ _loaded = False
 # eval_cluster_silhouette, eval_ece, survival_nelson_aalen,
 # anomaly_fpof_baskets, events_haar_energy,
 # audit_k_anon_generalization, forecast_theta,
-# audit_duplicate_payments.
+# audit_duplicate_payments, eval_markov_next_event,
+# stats_negbin_mom, text_js_divergence_sources.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
