@@ -2099,3 +2099,159 @@ _sql_query(
     "labeling.",
     tags=("mining", "text", "monitor"),
 )
+
+
+# --- time-decayed item popularity ------------------------------------------------------
+
+_sql_query(
+    "reco_decayed_popularity",
+    """
+    WITH horizon AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events),
+    ui AS (
+      SELECT CAST(get_json_object(props, '$.k') AS BIGINT) AS item,
+             datediff(horizon.h, CAST(ts AS DATE)) AS age_days
+      FROM events CROSS JOIN horizon
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT item,
+             CAST(round(exp(-0.1 * CAST(age_days AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w_micro
+      FROM ui
+    )
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(w_micro) AS BIGINT) AS decayed_micro,
+           CAST(SUM(w_micro) AS DOUBLE) / 1000000.0 AS decayed_score
+    FROM w GROUP BY item
+    ORDER BY SUM(w_micro) DESC, item ASC
+    LIMIT 10
+    """,
+    oracle="""
+    WITH horizon AS (SELECT MAX(CAST(ts AS DATE)) AS h FROM events),
+    ui AS (
+      SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+             date_diff('day', CAST(ts AS DATE), horizon.h) AS age_days
+      FROM events CROSS JOIN horizon
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    w AS (
+      SELECT item,
+             CAST(round(exp(-0.1 * CAST(age_days AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w_micro
+      FROM ui
+    )
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(w_micro) AS BIGINT) AS decayed_micro,
+           CAST(SUM(w_micro) AS DOUBLE) / 1000000.0 AS decayed_score
+    FROM w GROUP BY item
+    ORDER BY SUM(w_micro) DESC, item ASC
+    LIMIT 10
+    """,
+    doc="Time-decayed item popularity (half-life ~7 days via "
+    "exp(-0.1*age)): top-10 items by exponentially-weighted "
+    "interaction mass — the trending-items serving primitive that "
+    "raw counts can't give (yesterday's spike outweighs last "
+    "month's grind). Per-event weights land on the 1e-6 grid "
+    "(round-after-libm, the KM exp rule) so the ranking sum is an "
+    "order-free BIGINT; ages are whole days from the data horizon "
+    "(deterministic, no wall-clock). One map-side weight projection "
+    "+ one item aggregate + TakeOrdered.",
+    tags=("mining", "analytics"),
+)
+
+
+# --- per-column entropy profile --------------------------------------------------------
+
+
+def _entropy_branch(col: str) -> str:
+    return f"""
+    SELECT '{col}' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           -- both components grid-landed (a bare ln(N) is raw libm output
+           -- and drifts a ulp cross-engine at sf1.0)
+           CAST(CAST(round(ln(CAST(SUM(c) AS DOUBLE)) * 1000000000)
+                     AS BIGINT) AS DOUBLE) / 1000000000.0
+             - CAST(SUM(ent_nano) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               / 1000000000.0 AS entropy_nats
+    FROM (
+      SELECT c, CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                           * 1000000000) AS BIGINT) AS ent_nano
+      FROM (SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY {col}) g
+    ) t
+    """
+
+
+_sql_query(
+    "audit_column_entropy",
+    "\nUNION ALL\n".join(
+        _entropy_branch(c)
+        for c in ("o_orderkey", "o_custkey", "o_orderstatus",
+                  "o_orderdate", "o_totalprice")
+    ),
+    doc="Per-column Shannon entropy profile of the orders table — the "
+    "information-content companion to audit_column_profile's "
+    "null/distinct counts (near-max entropy + distinct==rows flags a "
+    "key; near-zero entropy flags a constant; mid-range grades "
+    "categorical informativeness for feature triage). Uses the "
+    "identity H = ln N - (1/N) sum c*ln(c), so each group's c*ln(c) "
+    "lands on the 1e-9 grid BEFORE the cross-group sum (order-free) "
+    "and only one global ln happens at the end. One column-pruned "
+    "groupBy per branch.",
+    tags=("mining", "audit"),
+)
+
+
+# --- distribution-free median CI --------------------------------------------------------
+
+_sql_query(
+    "stats_median_ci",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    h AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY cents),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+    k AS (
+      -- order-statistic indices for a ~95% distribution-free median CI:
+      -- lo = floor(n/2 - 0.98*sqrt(n)), hi = ceil(n/2 + 1 + 0.98*sqrt(n))
+      SELECT n,
+        CAST(floor(CAST(n AS DOUBLE) / 2.0
+                   - 0.98 * SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS klo,
+        CAST(ceil(CAST(n AS DOUBLE) / 2.0 + 1.0
+                  + 0.98 * SQRT(CAST(n AS DOUBLE))) AS BIGINT) AS khi
+      FROM t
+    ),
+    c AS (
+      SELECT cents,
+        CAST(SUM(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS cum
+      FROM h
+    ),
+    sel AS (
+      SELECT k.n, k.klo, k.khi,
+        MIN(CASE WHEN c.cum >= k.klo THEN c.cents END) AS ci_lo_cents,
+        MIN(CASE WHEN c.cum * 2 >= k.n THEN c.cents END) AS median_cents,
+        MIN(CASE WHEN c.cum >= k.khi THEN c.cents END) AS ci_hi_cents
+      FROM c CROSS JOIN k
+      GROUP BY k.n, k.klo, k.khi
+    )
+    SELECT n AS n_obs, klo AS rank_lo, khi AS rank_hi,
+           CAST(median_cents AS BIGINT) AS median_cents,
+           CAST(ci_lo_cents AS BIGINT) AS ci_lo_cents,
+           CAST(ci_hi_cents AS BIGINT) AS ci_hi_cents
+    FROM sel
+    """,
+    doc="Distribution-free ~95% confidence interval for the median "
+    "purchase value via binomial order statistics (rank n/2 +- "
+    "z/2*sqrt(n), the sign-test inversion — valid for ANY continuous "
+    "distribution, which matters because spend is heavy-tailed and "
+    "bootstrap-t intervals misbehave there; the rank-select companion "
+    "to stats_bootstrap_mean_ci). All three order statistics come "
+    "from ONE prefix-sum pass over the bounded value histogram — "
+    "exact rank selection, never a row sort; index arithmetic is a "
+    "fixed fp chain off the exact count.",
+    tags=("mining", "stats"),
+)

@@ -117,7 +117,8 @@ _loaded = False
 # anomaly_fpof_baskets, events_haar_energy,
 # audit_k_anon_generalization, forecast_theta,
 # audit_duplicate_payments, eval_markov_next_event,
-# stats_negbin_mom, text_js_divergence_sources.
+# stats_negbin_mom, text_js_divergence_sources,
+# reco_decayed_popularity, audit_column_entropy, stats_median_ci.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
