@@ -469,6 +469,35 @@ ANNOTATED = {
     "fact-sized shuffle; the prefix-list window and 9-component "
     "array fold run over the calendar-bounded day relation inside "
     "codegen (zero Python).",
+    "events_rate_limit_audit": "The two-sided clamp recursion runs as "
+    "ONE codegen'd aggregate() fold per user over the sorted encoded "
+    "event list — one shuffle to collect, no window state, no "
+    "Python; the streaming twin carries the same integers in the "
+    "state store.",
+    "graph_random_walks": "Each step is one keyed join of the "
+    "|nodes|-row walk frontier against the indexed edge relation — "
+    "the md5 hop choice is a map-side expression; the fact is "
+    "scanned once into the checkpointed edges.",
+    "eval_offpolicy_ips": "One user-grain aggregate; the known "
+    "uniform logging propensity turns the IPS weights into "
+    "constants, so the whole counterfactual estimate is three exact "
+    "integer sums.",
+    "geo_cell_density": "Map-side integer cell projection straight "
+    "off the scan into a <=100-cell aggregate — the sizing pass "
+    "that precedes the cell-blocked spatial join.",
+    "inventory_newsvendor": "One fact scan to (part, day) grain; "
+    "fractile search and the expected-cost curve both run on the "
+    "bounded daily-demand histogram with exact integer comparisons.",
+    "forecast_croston": "Per-part folds over demand days only (day "
+    "index leads the sort encoding); the only fact-sized work is "
+    "the (part, day) aggregate.",
+    "stats_wilcoxon_signed_rank": "Ranks come from prefix sums over "
+    "the distinct-|delta| histogram (the Spearman doubled-rank "
+    "device) — nothing sorts the user rows.",
+    "text_js_divergence_sources": "Support is source x vocabulary "
+    "(corpus-bounded); contributions grid-land per cell before the "
+    "per-source sum — the lexical drift monitor stays one "
+    "vocabulary-sized join.",
 }
 
 
