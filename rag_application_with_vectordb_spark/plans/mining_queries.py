@@ -2255,3 +2255,102 @@ _sql_query(
     "fixed fp chain off the exact count.",
     tags=("mining", "stats"),
 )
+
+
+# --- market concentration (Herfindahl-Hirschman index) --------------------------------
+
+_sql_query(
+    "market_concentration_hhi",
+    """
+    WITH r AS (
+      SELECT year(o.o_orderdate) AS yr, c.c_custkey,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT yr, CAST(SUM(cents) AS BIGINT) AS tot,
+                 CAST(COUNT(*) AS BIGINT) AS n_cust
+          FROM r GROUP BY yr),
+    s AS (
+      -- share^2 terms on the 1e-9 grid before the cross-customer sum
+      SELECT r.yr,
+        CAST(SUM(CAST(round(1000000000.0
+             * (CAST(r.cents AS DOUBLE) / CAST(t.tot AS DOUBLE))
+             * (CAST(r.cents AS DOUBLE) / CAST(t.tot AS DOUBLE)))
+             AS BIGINT)) AS BIGINT) AS hhi_nano
+      FROM r JOIN t ON t.yr = r.yr
+      GROUP BY r.yr
+    )
+    SELECT CAST(s.yr AS BIGINT) AS yr, t.n_cust,
+           CAST(s.hhi_nano AS DOUBLE) / 1000000000.0 AS hhi,
+           CAST(s.hhi_nano AS DOUBLE) / 1000000000.0
+             * CAST(t.n_cust AS DOUBLE) AS hhi_normalized_x_n
+    FROM s JOIN t ON t.yr = s.yr
+    """,
+    doc="Herfindahl-Hirschman concentration of yearly revenue across "
+    "customers: HHI = sum of squared revenue shares (1/n for a "
+    "perfectly even book, 1.0 for a single-customer business) — the "
+    "concentration-risk metric finance reviews quarterly (the "
+    "squared-share sibling of spend_gini's inequality measure). "
+    "Share^2 terms land on the 1e-9 grid BEFORE the cross-customer "
+    "sum; hhi*n rides along as the scale-free read-out (~1 means "
+    "even). One (year, customer) aggregate + one year roll-up.",
+    tags=("mining", "analytics"),
+)
+
+
+# --- entropy rate of the event-type sequence --------------------------------------------
+
+_sql_query(
+    "events_entropy_rate",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    tr AS (
+      SELECT event_type AS s,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS t
+      FROM r
+    ),
+    cnt AS (
+      SELECT s, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tr WHERE t IS NOT NULL GROUP BY s, t
+    ),
+    marg AS (SELECT s, CAST(SUM(c) AS BIGINT) AS cs FROM cnt GROUP BY s),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+    terms AS (
+      -- plug-in H(next|cur) = -sum p(s,t) ln p(t|s); each cell lands on
+      -- the 1e-9 grid before the sum
+      SELECT CAST(SUM(CAST(round(-1000000000.0
+               * (CAST(cnt.c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               * ln(CAST(cnt.c AS DOUBLE) / CAST(marg.cs AS DOUBLE)))
+               AS BIGINT)) AS BIGINT) AS h_nano
+      FROM cnt JOIN marg ON marg.s = cnt.s CROSS JOIN tot
+    ),
+    hm AS (
+      SELECT CAST(SUM(CAST(round(-1000000000.0
+               * (CAST(marg.cs AS DOUBLE) / CAST(tot.n AS DOUBLE))
+               * ln(CAST(marg.cs AS DOUBLE) / CAST(tot.n AS DOUBLE)))
+               AS BIGINT)) AS BIGINT) AS hm_nano
+      FROM marg CROSS JOIN tot
+    )
+    SELECT CAST(tot.n AS BIGINT) AS n_transitions,
+           CAST(terms.h_nano AS DOUBLE) / 1000000000.0 AS entropy_rate_nats,
+           CAST(hm.hm_nano AS DOUBLE) / 1000000000.0 AS marginal_entropy_nats
+    FROM terms CROSS JOIN hm CROSS JOIN tot
+    """,
+    doc="Plug-in entropy rate of the pooled event-type sequence: "
+    "H(next|current) = -sum p(s,t) ln p(t|s) over the transition "
+    "matrix, reported against the marginal state entropy — the gap "
+    "measures how much sequential structure the chain carries (zero "
+    "gap = memoryless stream, the expected fixture answer; a big gap "
+    "says session order is predictable and a sequence model will pay "
+    "off — the information-theoretic summary of what "
+    "eval_markov_next_event measures operationally). Per-cell terms "
+    "grid-land before the sums; the cell and marginal relations are "
+    "both |types|-bounded.",
+    tags=("mining", "stats", "analytics"),
+)

@@ -118,7 +118,8 @@ _loaded = False
 # audit_k_anon_generalization, forecast_theta,
 # audit_duplicate_payments, eval_markov_next_event,
 # stats_negbin_mom, text_js_divergence_sources,
-# reco_decayed_popularity, audit_column_entropy, stats_median_ci.
+# reco_decayed_popularity, audit_column_entropy, stats_median_ci,
+# market_concentration_hhi, events_entropy_rate.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",
