@@ -2354,3 +2354,139 @@ _sql_query(
     "both |types|-bounded.",
     tags=("mining", "stats", "analytics"),
 )
+
+
+# --- greedy knapsack selection with LP bound ---------------------------------------------
+
+_KNAP_CAP = 200  # total size capacity
+
+_sql_query(
+    "optimize_knapsack_greedy",
+    f"""
+    WITH items AS (
+      SELECT p_partkey AS item,
+             CAST(p_size AS BIGINT) AS cost,
+             CAST(round(p_retailprice * 100) AS BIGINT) AS value_cents
+      FROM part WHERE p_size > 0
+    ),
+    r AS (
+      -- greedy order: value/cost ratio DESC via exact cross-multiplied
+      -- comparison encoded in the sort key (value*1e6/cost is a single
+      -- correctly-rounded division — identical cross-engine), item ASC
+      SELECT item, cost, value_cents,
+        CAST(SUM(cost) OVER (ORDER BY CAST(value_cents AS DOUBLE)
+                                        / CAST(cost AS DOUBLE) DESC, item ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_cost,
+        CAST(SUM(value_cents) OVER (ORDER BY CAST(value_cents AS DOUBLE)
+                                        / CAST(cost AS DOUBLE) DESC, item ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS cum_value
+      FROM items
+    ),
+    taken AS (
+      SELECT * FROM r WHERE cum_cost <= {_KNAP_CAP}
+    ),
+    greedy AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(MAX(cum_cost) AS BIGINT) AS used_capacity,
+             CAST(MAX(cum_value) AS BIGINT) AS total_value_cents
+      FROM taken
+    ),
+    frontier AS (
+      -- the first item the prefix greedy rejects; its fractional fit
+      -- gives the LP-relaxation bound
+      SELECT cost, value_cents, cum_cost, cum_value
+      FROM r WHERE cum_cost > {_KNAP_CAP}
+      ORDER BY cum_cost ASC LIMIT 1
+    )
+    SELECT g.n_items, g.used_capacity, g.total_value_cents,
+           CAST(g.total_value_cents AS DOUBLE) / 100.0 AS total_value_dollars,
+           CASE WHEN f.cost IS NULL
+                THEN CAST(g.total_value_cents AS DOUBLE) / 100.0
+                ELSE (CAST(f.cum_value - f.value_cents AS DOUBLE)
+                      + CAST({_KNAP_CAP} - (f.cum_cost - f.cost) AS DOUBLE)
+                        * CAST(f.value_cents AS DOUBLE) / CAST(f.cost AS DOUBLE))
+                     / 100.0
+           END AS lp_bound_dollars
+    FROM greedy g LEFT JOIN frontier f ON TRUE
+    """,
+    doc=f"Greedy knapsack selection of parts under a size capacity of "
+    f"{_KNAP_CAP}: take items by value/size ratio (ratio DESC, item "
+    "ASC — the single-division sort key is bit-stable) while the "
+    "prefix fits, and report the LP-relaxation bound (prefix value + "
+    "fractional slice of the first rejected item — Dantzig's bound, "
+    "which certifies the greedy answer within the bound gap, "
+    "pytest-asserted). Budgeted selection under a capacity is the "
+    "assortment/campaign-planning shape; prefix sums over the "
+    "ratio-ranked item relation do all the work — no iteration, no "
+    "driver logic. NOTE the greedy here is PREFIX greedy (stops at "
+    "the first misfit), the variant prefix sums express exactly; "
+    "skip-and-continue greedy needs the fold idiom instead.",
+    tags=("mining", "analytics"),
+)
+
+
+# --- trimmed and winsorized means -----------------------------------------------------
+
+_sql_query(
+    "stats_trimmed_mean",
+    """
+    WITH v AS (
+      SELECT CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ),
+    h AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY cents),
+    t AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM h),
+    k AS (
+      SELECT n, CAST((n - n % 10) / 10 AS BIGINT) AS cut FROM t
+    ),
+    c AS (
+      SELECT cents, c,
+        CAST(SUM(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS cum
+      FROM h
+    ),
+    -- per-value kept mass for the 10% symmetric trim: overlap of
+    -- [cum-c, cum) with [cut, n-cut) in exact integers
+    trim AS (
+      SELECT k.n, k.cut,
+        CAST(SUM(greatest(least(c.cum, k.n - k.cut)
+                          - greatest(c.cum - c.c, k.cut), 0)) AS BIGINT)
+          AS n_kept,
+        CAST(SUM(c.cents * greatest(least(c.cum, k.n - k.cut)
+                          - greatest(c.cum - c.c, k.cut), 0)) AS BIGINT)
+          AS kept_cents
+      FROM c CROSS JOIN k
+      GROUP BY k.n, k.cut
+    ),
+    bounds AS (
+      SELECT
+        MIN(CASE WHEN c.cum > k.cut THEN c.cents END) AS lo,
+        MIN(CASE WHEN c.cum >= k.n - k.cut THEN c.cents END) AS hi
+      FROM c CROSS JOIN k
+    ),
+    wins AS (
+      SELECT CAST(SUM(c.c * least(greatest(c.cents, b.lo), b.hi)) AS BIGINT)
+               AS w_cents
+      FROM c CROSS JOIN bounds b
+    )
+    SELECT trim.n AS n_obs, trim.cut AS n_trimmed_each_side, trim.n_kept,
+           CAST(trim.kept_cents AS DOUBLE) / CAST(trim.n_kept AS DOUBLE) / 100.0
+             AS trimmed_mean_dollars,
+           CAST(wins.w_cents AS DOUBLE) / CAST(trim.n AS DOUBLE) / 100.0
+             AS winsorized_mean_dollars
+    FROM trim CROSS JOIN wins
+    """,
+    doc="10% symmetric trimmed AND winsorized means of purchase value "
+    "— the robust-location pair (trim drops each tail's n/10 "
+    "observations; winsorize clamps them to the cut values) that "
+    "complements stats_median_ci for heavy-tailed spend. Both come "
+    "from ONE prefix-sum pass over the bounded value histogram: the "
+    "trim keeps each value's exact overlap with the central rank "
+    "interval (integer interval intersection — handles ties "
+    "straddling the cut correctly), winsorize clamps via the two "
+    "rank-selected bounds; exact integer cents to the final "
+    "divisions. Never a row sort.",
+    tags=("mining", "stats"),
+)
