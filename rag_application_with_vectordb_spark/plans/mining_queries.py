@@ -2490,3 +2490,140 @@ _sql_query(
     "divisions. Never a row sort.",
     tags=("mining", "stats"),
 )
+
+
+# --- Heaps' law fit: vocabulary growth ---------------------------------------------------
+
+_sql_query(
+    "text_heaps_law_fit",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, {unnest} AS w FROM (
+          SELECT doc_id, {split} AS ws FROM documents
+        ) s
+      ) t WHERE w <> ''
+    ),
+    dt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+    ),
+    fo AS (
+      -- each word's FIRST document (doc-id order): vocabulary growth is
+      -- the prefix count of first occurrences — no corpus-wide token
+      -- ranking needed, the doc grain carries the curve
+      SELECT w, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM tok GROUP BY w
+    ),
+    vg AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_words
+      FROM fo GROUP BY first_doc
+    ),
+    curve AS (
+      SELECT dt.doc_id,
+        CAST(SUM(dt.n_tok) OVER (ORDER BY dt.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+        CAST(SUM(COALESCE(vg.new_words, 0)) OVER (ORDER BY dt.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS v
+      FROM dt LEFT JOIN vg ON vg.doc_id = dt.doc_id
+    ),
+    lg AS (
+      -- 1e-3 ln grid (the price-elasticity rule: squared 1e-6-grid
+      -- logs overflow int64 past ~2e4 curve points)
+      SELECT CAST(round(ln(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS lx,
+             CAST(round(ln(CAST(v AS DOUBLE)) * 1000) AS BIGINT) AS ly
+      FROM curve WHERE n > 0 AND v > 0
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+             CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+             CAST(SUM(lx * lx) AS BIGINT) AS sxx
+      FROM lg
+    )
+    SELECT k AS n_points,
+           (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS heaps_beta,
+           CAST(CAST(round(exp((CAST(sy AS DOUBLE)
+                - CAST(sx AS DOUBLE)
+                  * ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+               / CAST(k AS DOUBLE) / 1000.0) * 1000000.0) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS heaps_k
+    FROM m
+    """.replace("{unnest}", "explode(ws)").replace(
+        "{split}", r"split(trim(text), '\\s+')"
+    ),
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(ws) AS w FROM (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+          FROM documents
+        ) s
+      ) t WHERE w <> ''
+    ),
+    dt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+    ),
+    fo AS (
+      SELECT w, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM tok GROUP BY w
+    ),
+    vg AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS new_words
+      FROM fo GROUP BY first_doc
+    ),
+    curve AS (
+      SELECT dt.doc_id,
+        CAST(SUM(dt.n_tok) OVER (ORDER BY dt.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+        CAST(SUM(COALESCE(vg.new_words, 0)) OVER (ORDER BY dt.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS v
+      FROM dt LEFT JOIN vg ON vg.doc_id = dt.doc_id
+    ),
+    lg AS (
+      -- 1e-3 ln grid (the price-elasticity rule: squared 1e-6-grid
+      -- logs overflow int64 past ~2e4 curve points)
+      SELECT CAST(round(ln(CAST(n AS DOUBLE)) * 1000) AS BIGINT) AS lx,
+             CAST(round(ln(CAST(v AS DOUBLE)) * 1000) AS BIGINT) AS ly
+      FROM curve WHERE n > 0 AND v > 0
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+             CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+             CAST(SUM(lx * lx) AS BIGINT) AS sxx
+      FROM lg
+    )
+    SELECT k AS n_points,
+           (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS heaps_beta,
+           CAST(CAST(round(exp((CAST(sy AS DOUBLE)
+                - CAST(sx AS DOUBLE)
+                  * ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))))
+               / CAST(k AS DOUBLE) / 1000.0) * 1000000.0) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS heaps_k
+    FROM m
+    """,
+    doc="Heaps'-law fit of vocabulary growth V(n) ~ K n^beta over the "
+    "corpus in doc-id order: each word's FIRST document gives the "
+    "growth curve as a prefix count (never a corpus-wide token "
+    "ranking — the doc grain carries the curve, the same trick as "
+    "events_active_users' boundary sweep), then ln-ln OLS on the "
+    "1e-6 grid with exact BIGINT co-moments. Beta near 1 on this "
+    "tiny closed vocabulary (saturation makes the early curve "
+    "linear-ish then flat); real corpora sit at 0.4-0.6 — together "
+    "with text_zipf_fit and text_vocab_coverage this completes the "
+    "corpus-statistics trio tokenizer sizing reads. Logs land on the "
+    "1e-3 grid (the price-elasticity overflow rule: squared "
+    "1e-6-grid logs overflow int64 past ~2e4 curve points; the "
+    "curve has one point per document).",
+    tags=("mining", "text"),
+)

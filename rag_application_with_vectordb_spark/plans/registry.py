@@ -120,7 +120,8 @@ _loaded = False
 # stats_negbin_mom, text_js_divergence_sources,
 # reco_decayed_popularity, audit_column_entropy, stats_median_ci,
 # market_concentration_hhi, events_entropy_rate,
-# optimize_knapsack_greedy, stats_trimmed_mean.
+# optimize_knapsack_greedy, stats_trimmed_mean, graph_rich_club,
+# text_heaps_law_fit.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
     # (a) registered after the round-6 window froze — never driver-checked
     "embedding_drift_monitor",

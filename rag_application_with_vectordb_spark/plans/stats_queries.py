@@ -2222,3 +2222,56 @@ def _register_na():
 
 
 _register_na()
+
+
+# --- rich-club coefficient of the item graph --------------------------------------
+
+
+def _rich_club_sql(ui: str) -> str:
+    ks = ", ".join(f"({k})" for k in (1, 2, 3, 4, 5, 6))
+    return f"""
+    WITH {_lpa_edges(ui)},
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES {ks}) AS v(k)),
+    hubs AS (
+      SELECT ks.k, deg.node FROM ks JOIN deg ON deg.d > ks.k
+    ),
+    hn AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_hubs FROM hubs GROUP BY k),
+    ew AS (
+      SELECT h1.k, CAST(COUNT(*) AS BIGINT) AS e_directed
+      FROM edges e
+      JOIN hubs h1 ON h1.node = e.src
+      JOIN hubs h2 ON h2.k = h1.k AND h2.node = e.dst
+      GROUP BY h1.k
+    )
+    SELECT hn.k, hn.n_hubs,
+           CAST(COALESCE(ew.e_directed, 0) / 2 AS BIGINT) AS edges_within,
+           CASE WHEN hn.n_hubs < 2 THEN NULL
+                ELSE CAST(COALESCE(ew.e_directed, 0) AS DOUBLE)
+                     / (CAST(hn.n_hubs AS DOUBLE)
+                        * CAST(hn.n_hubs - 1 AS DOUBLE))
+           END AS rich_club_phi
+    FROM hn LEFT JOIN ew ON ew.k = hn.k
+    """
+
+
+@register(
+    "graph_rich_club",
+    oracle=_rich_club_sql(_UI_DUCK),
+    doc="Rich-club coefficient of the item graph (Zhou & Mondragon "
+    "2004): for each degree threshold k, the edge density among "
+    "nodes of degree > k — phi(k) = E_{>k} / (N_{>k}(N_{>k}-1)) on "
+    "the symmetrized directed edge list (hence no /2: directed "
+    "count over ordered pairs). A rising phi(k) says the hubs form "
+    "a club that trades among itself — the assortativity-adjacent "
+    "structure screen (graph_assortativity gives the correlation; "
+    "this gives the density curve). Degree table once, one "
+    "(k x hubs) semi-join per threshold over the bounded node "
+    "relation; exact integer counts to one final division.",
+    tags=("graph", "analytics"),
+)
+def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    register_views(spark, sf_dir, ("events",))
+    return spark.sql(_rich_club_sql(_UI_SPARK))
