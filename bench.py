@@ -104,6 +104,32 @@ def main() -> None:
     fully_failed = [n for n in HEADLINE if n not in times]
     total = round(sum(times.values()), 3) if not fully_failed else None
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Regression gate (VERDICT r7 #6): r7 drifted +10% with no flag
+    # (rag_e2e_retrieval +26%, q9 +21% went unremarked). Compare each
+    # warm median against the LAST recorded run at the same sf (from
+    # bench_history.jsonl — BENCH_r{N}.json keeps only a top-5 headline)
+    # and flag any query beyond 1.5x the previous median plus its
+    # recorded warm spread. Flag-only, never fail: a bench that refuses
+    # to emit numbers is worse than one that emits flagged numbers.
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist_path = os.path.join(here, "bench_history.jsonl")
+    prev = None
+    if os.path.exists(hist_path):
+        for line in open(hist_path):
+            try:
+                rec = json.loads(line)
+                if rec.get("sf") == sf_val and rec.get("queries"):
+                    prev = rec
+            except (ValueError, KeyError):
+                continue
+    regressions: dict[str, dict] = {}
+    if prev:
+        for name, cur in times.items():
+            p = prev["queries"].get(name)
+            ps = prev.get("queries_warm_spread", {}).get(name, 0.0) or 0.0
+            if p is not None and cur > p * 1.5 + ps:
+                regressions[name] = {"prev": p, "cur": cur, "prev_spread": ps}
     detail = json.dumps(
         {
             "metric": "headline_suite_runtime",
@@ -114,6 +140,8 @@ def main() -> None:
             "queries_cold": {k: v for k, v in cold.items() if v is not None},
             "cold_total": round(sum(v for v in cold.values() if v is not None), 3),
             "errors": errors,
+            "regressions": regressions,
+            "regressions_vs": prev.get("ts") if prev else None,
             "n_ok": len(times),
             "n_total": len(HEADLINE),
             "sf": sf_val,
@@ -135,15 +163,33 @@ def main() -> None:
             "n_ok": len(times),
             "n_total": len(HEADLINE),
             "n_err": len(errors),
+            "n_regressed": len(regressions),
             "cold_total": round(sum(v for v in cold.values() if v is not None), 3),
             "sf": sf_val,
         }
     )
     # Loss-proof: persist the full JSON to a file, stop Spark FIRST so
     # nothing can print after us, then emit the short line as the very
-    # last stdout bytes.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_out.json"), "w") as fh:
+    # last stdout bytes. Also append this run's full per-query medians
+    # to bench_history.jsonl — the regression gate's baseline for the
+    # NEXT run (only fully-green runs qualify; a degraded run must not
+    # lower the bar).
+    with open(os.path.join(here, "bench_out.json"), "w") as fh:
         fh.write(detail + "\n")
+    if not errors and not fully_failed:
+        with open(hist_path, "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                        "sf": sf_val,
+                        "value": total,
+                        "queries": times,
+                        "queries_warm_spread": spread,
+                    }
+                )
+                + "\n"
+            )
     spark.stop()
     sys.stdout.flush()
     print(headline, flush=True)

@@ -1805,51 +1805,55 @@ _sql_query(
 
 # --- duplicate-payment detector ----------------------------------------------------------
 
+def _dup_payments_sql(datediff2, dateadd3) -> str:
+    """``datediff2(a, b)`` renders days-between (argument order is the
+    2-arg/3-arg dialect split); ``dateadd3(d)`` renders d+3 days."""
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS day
+      FROM orders
+    ),
+    o AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT o_orderkey + 100000000, o_custkey, cents, {dateadd3('day')}
+      FROM base WHERE o_orderkey % 500 = 0
+    )
+    SELECT CAST(a.o_custkey AS BIGINT) AS cust_key,
+           CAST(a.cents AS BIGINT) AS amount_cents,
+           CAST(a.o_orderkey AS BIGINT) AS order_a,
+           CAST(b.o_orderkey AS BIGINT) AS order_b,
+           CAST({datediff2('a.day', 'b.day')} AS BIGINT) AS days_apart
+    FROM o a JOIN o b
+      ON b.o_custkey = a.o_custkey AND b.cents = a.cents
+     AND a.o_orderkey < b.o_orderkey
+     AND b.day >= a.day AND {datediff2('a.day', 'b.day')} <= 7
+    """
+
+
 _sql_query(
     "audit_duplicate_payments",
-    """
-    WITH o AS (
-      SELECT o_orderkey, o_custkey,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-             CAST(o_orderdate AS DATE) AS day
-      FROM orders
-    )
-    SELECT CAST(a.o_custkey AS BIGINT) AS cust_key,
-           CAST(a.cents AS BIGINT) AS amount_cents,
-           CAST(a.o_orderkey AS BIGINT) AS order_a,
-           CAST(b.o_orderkey AS BIGINT) AS order_b,
-           CAST(datediff(b.day, a.day) AS BIGINT) AS days_apart
-    FROM o a JOIN o b
-      ON b.o_custkey = a.o_custkey AND b.cents = a.cents
-     AND a.o_orderkey < b.o_orderkey
-     AND b.day >= a.day AND datediff(b.day, a.day) <= 7
-    """,
-    oracle="""
-    WITH o AS (
-      SELECT o_orderkey, o_custkey,
-             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
-             CAST(o_orderdate AS DATE) AS day
-      FROM orders
-    )
-    SELECT CAST(a.o_custkey AS BIGINT) AS cust_key,
-           CAST(a.cents AS BIGINT) AS amount_cents,
-           CAST(a.o_orderkey AS BIGINT) AS order_a,
-           CAST(b.o_orderkey AS BIGINT) AS order_b,
-           CAST(date_diff('day', a.day, b.day) AS BIGINT) AS days_apart
-    FROM o a JOIN o b
-      ON b.o_custkey = a.o_custkey AND b.cents = a.cents
-     AND a.o_orderkey < b.o_orderkey
-     AND b.day >= a.day AND date_diff('day', a.day, b.day) <= 7
-    """,
+    _dup_payments_sql(
+        lambda a, b: f"datediff({b}, {a})", lambda d: f"date_add({d}, 3)"
+    ),
+    oracle=_dup_payments_sql(
+        lambda a, b: f"date_diff('day', {a}, {b})", lambda d: f"{d} + 3"
+    ),
     doc="Duplicate-payment detector: same customer, same exact amount, "
     "within 7 days — the classic accounts-payable fraud/ops audit "
     "(double-submitted invoices dominate AP recovery). The join is "
     "EQUI on (custkey, exact integer cents) — the amount match does "
     "the heavy pruning map-side, so the inequality window runs only "
-    "on same-amount pairs (never a custkey-only self-join explosion); "
-    "near-zero hits on the fixture's independently-drawn amounts is "
-    "the expected clean-audit outcome. (datediff argument order is "
-    "the 2-arg/3-arg dialect split.)",
+    "on same-amount pairs (never a custkey-only self-join explosion). "
+    "The fixture's independently-drawn amounts yield a clean audit "
+    "(0 organic hits), so the query PLANTS resubmitted invoices "
+    "in-query (every 500th order re-keyed +1e8, 3 days later — the "
+    "multimodal_phash_neardup_pairs augmentation pattern): the green "
+    "row now proves DETECTION (one planted pair per seed order), not "
+    "absence. (datediff argument order is the 2-arg/3-arg dialect "
+    "split; date+3 is date_add vs DuckDB date+int.)",
     tags=("mining", "audit"),
 )
 

@@ -40,148 +40,84 @@ def register(name: str, oracle: str | None = None, doc: str = "", tags: tuple[st
 _loaded = False
 
 # The driver's correctness gate checks only the FIRST 50 registry entries
-# (observed: CORRECTNESS_r01.json == first 50 of iteration order). Round-7
-# rotation (VERDICT r6 items 2 and 8): (a) the 6 queries registered after
-# the round-6 window froze — never driver-checked (judge-verified green
-# locally); (b) queries NEW in round 7; (c) asof_purchase_to_click —
-# re-confirm after the round-7 operator rewrite (rid-free union form);
-# (d) onward: OLDEST-GREEN-FIRST re-confirmation — last green round 1,
-# then round 3, then round 4 (alphabetical within a round) — so staleness
-# is bounded at ~3.5 rounds across the 175-query oracle-backed catalog.
-# No-oracle bench demos (bench_knn_1m, bench_knn_1m_ivf,
-# approx_distinct_sketch) stay EXCLUDED from the window — a slot spent
-# recording ``err: no_oracle`` is a slot wasted; they already have their
-# rows-only rows. Entries not named here follow in registration order.
-# Late-round-7 rotation: section (d) swaps the r1/r3 stale-green
-# re-confirmation slots for 19 continuation-session queries that had
-# never been driver-checked (each re-verified green via
-# tools/check_oracle.py at sf0.01 immediately before the swap) —
-# first-proof beats re-confirmation, and the displaced greens were all
-# re-verified catalog-wide by tools/invariance_audit.py this round.
-# Still never-driver-checked after this window (=> lead the round-8
-# rotation, alongside the displaced r1/r3/r4 stale greens):
-# events_acf_daily, ann_rp_recall, feature_corr_matrix,
-# feature_mi_lang_source, text_phrase_search_positional,
-# events_holt_linear, approx_distinct_diff_kmv, incremental_join_merge,
-# approx_distinct_kmv_cube, split_balance_chi2, text_pmi_collocations,
-# stats_jackknife_se, audit_benford_prices, ab_test_spend_welch,
-# eval_calibration_bins, regress_spend_on_activity,
-# forecast_seasonal_decompose, sketch_ams_f2, stats_anova_lang_length,
-# feature_target_encode_loo, parts_pareto_abc, events_rolling_median,
-# events_active_users, text_zipf_fit, ab_test_power_mde, plus the
-# post-rotation round-7 additions (all check_oracle-verified at
-# sf0.001/0.01/1.0): feature_woe_iv, feature_hash_buckets,
-# audit_l_diversity, text_distinct_ngram_ratio,
-# eval_calibration_isotonic, regress_theil_sen, events_top_paths,
-# retrieval_prf_terms, retrieval_prf_expanded_topk,
-# cluster_grid_density, sales_yoy_mom, intervals_coverage_supplier,
-# funnel_deadline_48h, skyline_parts_price_size,
-# er_fuzzy_trigram_match; and the extension-session nineteen (same
-# verification level — check_oracle at sf0.001/0.01/1.0 + invariance
-# matrix + recompute pytests): retrieval_wand_topk,
-# text_winnow_fingerprints, events_ccf_click_purchase,
-# graph_lpa_communities, eval_pr_curve, events_max_drawdown,
-# stats_mann_kendall, audit_t_closeness, knn_radius, ab_test_cuped,
-# graph_kcore, text_textrank_keywords, stats_spearman_activity_spend,
-# weights_raking_ipf, ab_test_srm, graph_assortativity,
-# regress_influence_cooks, feature_quantile_normalize,
-# ab_test_diff_in_diff; and the later extension batches (same bar):
-# survival_logrank_arms, causal_cem_att, text_textrank_doc_keywords,
-# events_value_histogram, revenue_bridge_weekly, cohort_ltv_curve,
-# decontaminate_semantic, mine_hard_negatives,
-# multimodal_scene_changes, orders_backlog_daily,
-# sketch_cms_join_size, eval_reco_hitrate, dedup_winnow_pairs,
-# ab_test_funnel_steps, events_interarrival_expfit,
-# price_elasticity_by_brand, ab_test_wilson_ci,
-# events_seasonal_anomaly, knn_analogy, audit_expectations,
-# churn_labels_cohort, stats_overdispersion_daily, regress_kfold_cv;
-# and the round-7 mining batch (check_oracle-verified at
-# sf0.001/0.01/1.0 + recompute pytests in tests/test_mining_ops.py):
-# freq_itemsets_3, tree_split_gini, stats_ar2_yule_walker,
-# graph_modularity, eval_cohens_kappa, geo_radius_pairs,
-# geo_cell_density, eval_lift_gains, forecast_holt_winters,
-# attribution_shapley, attribution_markov_removal, assoc_rules_conf,
-# graph_betweenness_4src, eval_qini_uplift, classify_nearest_centroid,
-# slo_burn_rate_daily, private_rate_randomized_response,
-# eval_brier_decomposition, retrieval_lm_dirichlet_topk,
-# graph_ppr_seed, events_changepoint_binseg,
-# audit_partition_fingerprints, er_symspell_match,
-# stats_hill_tail_index, eval_threshold_utility,
-# events_rate_limit_audit, sales_price_volume_decomp,
-# sample_neyman_allocation, driver_analysis_eta2,
-# supplier_return_eb_shrunk, stats_wilcoxon_signed_rank,
-# text_vocab_coverage, audit_functional_deps, inventory_newsvendor,
-# eval_offpolicy_ips, graph_random_walks, forecast_croston,
-# inventory_abc_xyz, audit_order_reconciliation,
-# eval_cluster_silhouette, eval_ece, survival_nelson_aalen,
-# anomaly_fpof_baskets, events_haar_energy,
-# audit_k_anon_generalization, forecast_theta,
-# audit_duplicate_payments, eval_markov_next_event,
-# stats_negbin_mom, text_js_divergence_sources,
-# reco_decayed_popularity, audit_column_entropy, stats_median_ci,
-# market_concentration_hhi, events_entropy_rate,
-# optimize_knapsack_greedy, stats_trimmed_mean, graph_rich_club,
-# text_heaps_law_fit.
+# (observed: CORRECTNESS_r01.json == first 50 of iteration order), so the
+# window ordering is contract surface (pinned by
+# tests/test_registry_contract.py). Rotation policy: FIRST-PROOF beats
+# re-confirmation while never-driver-checked queries remain (146 after
+# r07 at a 362-query catalog — the window drains 50/round); within the
+# backlog, oldest-registered-first, then family diversity. No-oracle
+# bench demos (bench_knn_1m, bench_knn_1m_ivf, approx_distinct_sketch)
+# stay EXCLUDED — a slot recording ``err: no_oracle`` is wasted; they
+# keep their rows-only rows. Entries not named here follow in
+# registration order. The authoritative never-checked list is computed,
+# not hand-maintained: ``python tools/window_status.py`` diffs the
+# catalog against every CORRECTNESS_r*.json in the repo root.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # (a) registered after the round-6 window froze — never driver-checked
-    "embedding_drift_monitor",
-    "audit_referential_integrity",
-    "feature_winsorize_prices_approx",
-    "curation_funnel",
+    # Round-8 window: ALL 50 slots are FIRST PROOFS (VERDICT r7 item 3 —
+    # 146 registered queries had never produced a driver CORRECTNESS row
+    # after r07; zero re-confirmation slots until that backlog drains).
+    # (a) the two r7-verdict fix items, leading the window:
+    # text_tokenize_ids was the r07 red row (driver canonicalizer can't
+    # hash top-level arrays — now projects token_ids_csv, the identical
+    # transform on both engines); audit_duplicate_payments was never
+    # driver-checked and its 0-rows form was vacuous — it now PLANTS
+    # resubmitted invoices in-query, so green proves detection.
     "text_tokenize_ids",
-    "events_anomaly_rolling_z",
-    # (b) new in round 7 — never checked by construction
-    "export_manifest",
-    "ann_graph_topk",
-    "ann_graph_clustered_recall",
-    "cdc_snapshot_diff",
-    "scd2_customer_status_history",
-    "incremental_agg_merge",
-    "er_blocked_name_pairs",
-    "er_match_clusters",
-    "retrieval_mmr_topk",
-    "text_nb_confusion",
-    "split_group_folds",
-    "text_bpe_train_merges",
-    "text_bpe_encode_stats",
-    "events_ewma",
-    "monitor_psi_price_drift",
-    "orders_rfm_segments",
-    "embedding_pca_power",
-    "multimodal_phash_neardup_pairs",
-    "zorder_orders_cells",
-    "knn_filtered_topk",
-    "approx_distinct_hll_det",
-    "heavy_hitters_verified",
-    "text_substring_search_trigram",
-    # (c) operator rewritten this round (asof rid-hazard fix) — re-confirm
-    "asof_purchase_to_click",
-    "cdc_apply_roundtrip",
-    # (d) round-7 continuation-session queries, never driver-checked
-    # (all re-verified green via tools/check_oracle.py at sf0.01 before
-    # this rotation). First-proof beats stale-green re-confirmation: the
-    # r1/r3 greens these displace were re-verified catalog-wide by
-    # tools/invariance_audit.py at sf0.01 this round, so their staleness
-    # risk is bounded; they rotate back in round 8.
-    "multimodal_audio_energy",
-    "multimodal_crossmodal_topk",
-    "graph_shortest_path_weighted",
-    "graph_wcc_twostar",
-    "graph_khop_items",
-    "reco_item_item_topk",
-    "stats_ks_lang_length",
-    "stats_bootstrap_mean_ci",
-    "stats_conformal_interval",
-    "stats_permutation_test",
-    "survival_km_signup_purchase",
-    "forecast_snaive_mase",
-    "eval_retrieval_ranking",
-    "eval_auc_doclang",
-    "audit_column_profile",
-    "audit_k_anonymity",
-    "private_counts_laplace",
-    "approx_distinct_intersect_kmv",
-    "events_cusum_changepoint",
+    "audit_duplicate_payments",
+    # (b) the 25 continuation-session queries named in the r7 rotation
+    # note (oldest never-checked tier; each re-verified green via
+    # tools/check_oracle.py at sf0.01 — now including the driver-faithful
+    # pandas-canonicalizer check — immediately before this rotation)
+    "events_acf_daily",
+    "ann_rp_recall",
+    "feature_corr_matrix",
+    "feature_mi_lang_source",
+    "text_phrase_search_positional",
+    "events_holt_linear",
+    "approx_distinct_diff_kmv",
+    "incremental_join_merge",
+    "approx_distinct_kmv_cube",
+    "split_balance_chi2",
+    "text_pmi_collocations",
+    "stats_jackknife_se",
+    "audit_benford_prices",
+    "ab_test_spend_welch",
+    "eval_calibration_bins",
+    "regress_spend_on_activity",
+    "forecast_seasonal_decompose",
+    "sketch_ams_f2",
+    "stats_anova_lang_length",
+    "feature_target_encode_loo",
+    "parts_pareto_abc",
+    "events_rolling_median",
+    "events_active_users",
+    "text_zipf_fit",
+    "ab_test_power_mde",
+    # (c) family-diverse fill from the remaining never-checked backlog
+    # (retrieval, encoders/governance, graph, eval, analytics, ANN)
+    "retrieval_wand_topk",
+    "retrieval_prf_terms",
+    "retrieval_prf_expanded_topk",
+    "feature_woe_iv",
+    "feature_hash_buckets",
+    "audit_l_diversity",
+    "text_distinct_ngram_ratio",
+    "eval_calibration_isotonic",
+    "regress_theil_sen",
+    "events_top_paths",
+    "cluster_grid_density",
+    "sales_yoy_mom",
+    "intervals_coverage_supplier",
+    "funnel_deadline_48h",
+    "skyline_parts_price_size",
+    "er_fuzzy_trigram_match",
+    "graph_lpa_communities",
+    "graph_kcore",
+    "stats_mann_kendall",
+    "eval_pr_curve",
+    "events_max_drawdown",
+    "audit_t_closeness",
+    "knn_radius",
 )
 
 

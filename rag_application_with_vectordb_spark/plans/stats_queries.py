@@ -565,11 +565,14 @@ def _conformal_sql(
     "tie-insensitive), so the whole thing hash-matches DuckDB. Scale: "
     "the 5-row model is localCheckpoint'ed so its train aggregate runs "
     "once and broadcasts (CTE inlining would rescan orders per "
-    "consumer); two fact scans total (train agg + calibration pass), "
-    "plan-asserted. The only global sort is over calibration RESIDUAL "
-    "values — at 100 TB that rank would swap to approx_percentile or a "
-    "two-pass histogram refine, which the plan's shape (residuals as a "
-    "standalone relation) accommodates.",
+    "consumer); two fact scans total (train agg + calibration pass "
+    "into the checkpointed residual histogram). The rank itself is a "
+    "TWO-LEVEL HISTOGRAM RANK-SELECT (the length_buckets_approx "
+    "pattern), not a global row sort: exact-integer residual histogram "
+    "→ cumulative counts over coarse 2^20-micro buckets (domain-"
+    "bounded) → a second cumulative pass confined to the single bucket "
+    "holding rank k. No window ever sees an unbounded relation — the "
+    "r07 single-reducer hazard is gone, value unchanged.",
     tags=("stats", "analytics"),
 )
 def stats_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,14 +603,45 @@ def stats_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(model), "prio")
         .select(F.abs(F.col("cents") * 10000 - F.col("pred_micro")).alias("r"))
     )
-    ranked = cal.select(
-        "r",
-        F.row_number().over(Window.orderBy(F.asc("r"))).alias("rnk"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
+    # k-th order statistic WITHOUT a global row sort (the r07 verdict's
+    # single-reducer hazard — row_number over the full calibration split
+    # grows with the fact table). Two-level histogram rank-select, the
+    # length_buckets_approx pattern: (1) histogram the exact integer
+    # residuals (one shuffle on r); (2) a cumulative window over COARSE
+    # 2^20-micro buckets — bounded by the residual DOMAIN (max |error| /
+    # 2^20 ≈ thousands of rows at any corpus size), never by row count —
+    # locates the bucket containing rank k = ceil((n+1)(1−α)); (3) a
+    # second cumulative window confined to that ONE bucket (≤ 2^20
+    # distinct values, corpus-size-independent) picks the exact residual.
+    # Same value as the full sort, so the oracle hash is unchanged.
+    # The histogram is the standalone residual relation the old doc
+    # promised — checkpoint it once so its two consumers (coarse bucket
+    # pass + fine pass) don't each re-run the calibration scan. It holds
+    # one row per DISTINCT residual value: far smaller than the fact and
+    # fully distributed.
+    hist = cal.groupBy("r").agg(F.count("*").alias("c")).localCheckpoint()
+    bcum = (
+        hist.groupBy((F.col("r") - F.col("r") % 1048576).alias("b"))
+        .agg(F.sum("c").alias("bc"))
+        .withColumn("cum", F.sum("bc").over(Window.orderBy("b")))
     )
-    q = ranked.filter(
-        F.col("rnk")
-        == F.ceil((F.col("n") + 1) * F.lit(1.0 - _CONFORMAL_ALPHA)).cast("bigint")
+    totk = bcum.agg(F.max("cum").alias("n")).select(
+        "n",
+        F.ceil((F.col("n") + 1) * F.lit(1.0 - _CONFORMAL_ALPHA))
+        .cast("bigint")
+        .alias("k"),
+    )
+    tb = (
+        bcum.crossJoin(F.broadcast(totk))
+        .filter((F.col("cum") >= F.col("k")) & (F.col("cum") - F.col("bc") < F.col("k")))
+        .select("b", (F.col("cum") - F.col("bc")).alias("below"), "k", "n")
+    )
+    fine = hist.join(
+        F.broadcast(tb), (F.col("r") - F.col("r") % 1048576) == F.col("b")
+    ).withColumn("cumw", F.sum("c").over(Window.orderBy("r")))
+    q = fine.filter(
+        (F.col("below") + F.col("cumw") >= F.col("k"))
+        & (F.col("below") + F.col("cumw") - F.col("c") < F.col("k"))
     ).select(F.col("r").alias("qv"), F.col("n").alias("n_cal"))
     return (
         model.crossJoin(F.broadcast(q))

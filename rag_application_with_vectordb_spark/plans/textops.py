@@ -753,7 +753,7 @@ _VOCAB_SIZE = 256
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-           list(tid ORDER BY pos) AS token_ids
+           string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS token_ids_csv
     FROM enc GROUP BY doc_id
     """,
     doc="Text → token-id encoding with a DETERMINISTIC frequency "
@@ -765,11 +765,34 @@ _VOCAB_SIZE = 256
     "a ranked 256-row relation broadcast onto the exploded postings, "
     "re-assembled per doc by position — no driver-side vocab, no "
     "all-pairs; the only global sort is over the BOUNDED candidate "
-    "relation feeding the 256-row limit. Ids are exact integers, so "
-    "the sequences hash-match DuckDB bit-for-bit.",
+    "relation feeding the 256-row limit. Ids are exact integers. The "
+    "registered output projects the sequence as a CSV scalar "
+    "(token_ids_csv) — the driver's pandas canonicalizer lexsorts "
+    "output columns and cannot hash a top-level array (the r07 red "
+    "row); tokenize_ids_array keeps the raw array<int> form for "
+    "engine consumers and is pytest-verified against an independent "
+    "Python recompute.",
     tags=("text", "pipeline"),
 )
 def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arr = tokenize_ids_array(spark, sf_dir)
+    return arr.select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        F.concat_ws(
+            ",", F.transform(F.col("token_ids"), lambda t: t.cast("string"))
+        ).alias("token_ids_csv"),
+    )
+
+
+def tokenize_ids_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw array<int> form of ``text_tokenize_ids`` (one row per doc,
+    ``token_ids`` as an ordered sequence) — the shape downstream packing
+    consumes. Not registered: the driver canonicalizer can't hash
+    top-level arrays (enforced catalog-wide by
+    tests/test_registry_contract.py); the registered query projects this
+    exact relation through concat_ws."""
     from pyspark.sql import Window
 
     tune(spark)

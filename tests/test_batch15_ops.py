@@ -71,8 +71,23 @@ def test_theta_matches_python(spark, sf_dir):
 
 
 def test_duplicate_payments_clean_on_fixture_and_finds_planted(spark, sf_dir, tmp_path):
-    # the real fixture draws amounts independently: a clean audit
-    assert _q("audit_duplicate_payments", spark, sf_dir).count() == 0
+    # The fixture draws amounts independently (clean audit — 0 organic
+    # hits), so the query plants a resubmitted invoice for every 500th
+    # order (VERDICT r7 #4: a 0-rows-vs-0-rows green proves nothing).
+    # Each seed must surface as exactly its planted pair: same customer
+    # and cents, re-keyed +1e8, 3 days later — detection, not absence.
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    seeds = {
+        r.o_orderkey
+        for r in orders.filter("o_orderkey % 500 = 0")
+        .select("o_orderkey")
+        .collect()
+    }
+    assert seeds  # the fixture must actually exercise the detector
+    got = _q("audit_duplicate_payments", spark, sf_dir).collect()
+    assert {(r.order_a, r.order_b, r.days_apart) for r in got} == {
+        (k, k + 100000000, 3) for k in seeds
+    }
 
     # planted fixture: two exact-amount repeats inside 7 days, one repeat
     # outside the window, one same-amount pair across customers

@@ -162,3 +162,43 @@ def test_negative_sampling_never_hits_anchor(spark, sf_dir):
     # deterministic: same draw every run
     again = load_all()["sample_negatives_k"].fn(spark, sf_dir).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_tokenize_ids_array_matches_python_recompute(spark, sf_dir):
+    # The registered text_tokenize_ids projects the sequence as a CSV
+    # scalar (the driver canonicalizer can't hash top-level arrays — the
+    # r07 red row); the raw array<int> form stays available for engine
+    # consumers via tokenize_ids_array. Verify the array against an
+    # independent Python recompute AND that the registered CSV is exactly
+    # the joined array.
+    from collections import Counter
+
+    from rag_application_with_vectordb_spark.plans.textops import (
+        tokenize_ids_array,
+    )
+
+    docs = {
+        r.doc_id: r.text.strip().split()
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    freq = Counter(w for ws in docs.values() for w in ws)
+    vocab = {
+        w: i + 1
+        for i, (w, _) in enumerate(
+            sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:256]
+        )
+    }
+    expect = {
+        d: [vocab.get(w, 0) for w in ws] for d, ws in docs.items() if ws
+    }
+    got = {r.doc_id: r for r in tokenize_ids_array(spark, sf_dir).collect()}
+    assert set(got) == set(expect)
+    for d, ids in expect.items():
+        assert list(got[d].token_ids) == ids
+        assert got[d].n_tokens == len(ids)
+        assert got[d].n_oov == sum(1 for i in ids if i == 0)
+    csv = {
+        r.doc_id: r.token_ids_csv
+        for r in _q("text_tokenize_ids")(spark, sf_dir).collect()
+    }
+    assert csv == {d: ",".join(map(str, ids)) for d, ids in expect.items()}

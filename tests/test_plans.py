@@ -477,12 +477,17 @@ def test_jackknife_never_rescans_per_group(spark, sf_dir, specs):
 
 def test_conformal_model_checkpointed_two_fact_scans(spark, sf_dir, specs):
     plan = plan_of(specs["stats_conformal_interval"].fn(spark, sf_dir))
-    # the 5-row model materializes once (localCheckpoint → ExistingRDD)
-    # and broadcasts into the calibration join; orders is scanned twice
-    # (train aggregate at checkpoint time + calibration pass), never once
-    # per CTE consumer
-    assert plan.count("Scan parquet") == 1  # only the calibration pass is lazy
+    # the 5-row model AND the residual histogram materialize once each
+    # (localCheckpoint → ExistingRDD); orders is scanned exactly twice,
+    # both at checkpoint time (train aggregate + calibration pass), so
+    # the lazy plan reads no parquet at all and every window in it runs
+    # over a bounded relation (coarse-bucket cumulative / single-bucket
+    # fine pass over the checkpointed histogram — never the calibration
+    # rows themselves; the r07 verdict's unbounded row_number is gone)
+    assert plan.count("Scan parquet") == 0
     assert "Scan ExistingRDD" in plan
+    # no global row-number over the calibration split
+    assert "row_number" not in plan
 
 
 def test_km_study_end_is_scalar_subquery_not_global_window(spark, sf_dir, specs):

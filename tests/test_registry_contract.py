@@ -58,3 +58,49 @@ def test_no_oracle_outputs_pandas_lossy_types():
         if bad:
             offenders.append(f"{name}: {bad}")
     assert not offenders, "uncast lossy-typed oracle outputs:\n" + "\n".join(offenders)
+
+
+def test_no_oracle_outputs_nested_types():
+    # The driver's canonicalizer lexsorts every output column through
+    # pandas sort_values; list/struct/map cells are unhashable there and
+    # crash the comparison (the r07 text_tokenize_ids red row). Ban
+    # nested types at the oracle output surface.
+    specs = load_all()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    offenders: list[str] = []
+    for name, spec in specs.items():
+        if not spec.oracle:
+            continue
+        desc = con.execute(f"DESCRIBE ({spec.oracle})").fetchall()
+        bad = [
+            (r[0], r[1])
+            for r in desc
+            if "[]" in r[1] or r[1].startswith(("STRUCT", "MAP", "LIST", "UNION"))
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, "nested-typed oracle outputs:\n" + "\n".join(offenders)
+
+
+def test_no_spark_outputs_nested_types(spark, sf_dir):
+    # The Spark twin of the lint above: build EVERY registered plan at
+    # sf0.001 and assert its output schema carries no top-level
+    # array/map/struct column. This catches the half the DuckDB DESCRIBE
+    # can't see — a Spark array column whose oracle already projects a
+    # scalar would pass the oracle lint yet still crash the driver.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    specs = load_all()
+    offenders: list[str] = []
+    for name, spec in specs.items():
+        df = spec.fn(spark, sf_dir)
+        bad = [
+            (f.name, f.dataType.simpleString())
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, "nested-typed Spark outputs:\n" + "\n".join(offenders)

@@ -54,6 +54,26 @@ def value_hash(rows, colnames):
     return h.hexdigest()
 
 
+def driver_canon_error(rows, colnames) -> str | None:
+    """Reproduce the DRIVER's canonicalization mechanics, which differ
+    from ours: it loads each result into pandas and lexsorts ALL columns
+    via ``DataFrame.sort_values`` before hashing. That factorizes every
+    column, so any unhashable cell (list/dict — i.e. any top-level
+    array/map/struct output column) raises TypeError driver-side even
+    though our tuple-based canon handles it fine. text_tokenize_ids
+    shipped locally-green and driver-red in r07 exactly this way (same
+    genus as the r01 HUGEINT coercion above). Returns the error string
+    if the driver would crash on this result, else None."""
+    import pandas as pd
+
+    try:
+        df = pd.DataFrame([tuple(r) for r in rows], columns=list(colnames))
+        df.sort_values(by=sorted(colnames))
+    except Exception as exc:  # noqa: BLE001 — report whatever the driver would hit
+        return f"{type(exc).__name__}: {exc}"
+    return None
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
@@ -115,6 +135,11 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        dce = driver_canon_error(srows, scols) or (
+            driver_canon_error(drows, dcols) if drows else None
+        )
+        if dce:
+            problems.append(f"driver-canon incompatible: {dce}")
         if len(srows) != len(drows):
             problems.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sorted(scols) != sorted(dcols):
