@@ -280,7 +280,12 @@ ANNOTATED = {
     "scans by Spark).",
     "stats_conformal_interval": "The 5-row train model localCheckpoints "
     "and broadcasts (CTE inlining would rescan orders per consumer); "
-    "the only global sort ranks calibration residual values.",
+    "the calibration pass lands in a checkpointed exact-integer "
+    "residual histogram, and the quantile is a two-level histogram "
+    "rank-select — cumulative counts over coarse 2^20-micro buckets "
+    "(domain-bounded), then a fine pass confined to the one bucket "
+    "holding rank k. No window ever sees an unbounded relation "
+    "(plan-asserted: zero lazy parquet scans, no row_number).",
     "survival_km_signup_purchase": "One user_id-keyed window pass pins "
     "signup per user; censoring horizon is a map-side MAX scalar "
     "subquery (never a global window over raw events); the KM product "
