@@ -104,3 +104,18 @@ def test_no_spark_outputs_nested_types(spark, sf_dir):
         if bad:
             offenders.append(f"{name}: {bad}")
     assert not offenders, "nested-typed Spark outputs:\n" + "\n".join(offenders)
+
+
+def test_driver_window_queries_nonempty(spark, sf_dir):
+    # A green driver row with 0 rows on both sides is vacuous — it stays
+    # green when the operator breaks (the r7 audit_duplicate_payments
+    # finding; that query now plants its positives in-query). Every
+    # window slot must PROVE something: nonempty output at the smallest
+    # fixture. limit(1) keeps the probe cheap — existence, not counts.
+    specs = load_all()
+    empty = [
+        n
+        for n in DRIVER_WINDOW_PRIORITY
+        if specs[n].fn(spark, sf_dir).limit(1).count() == 0
+    ]
+    assert not empty, f"vacuous window queries (0 rows at sf0.001): {empty}"
