@@ -65,6 +65,37 @@ HEADLINE = [
 ]
 
 
+def compute_regressions(times: dict, prev: dict | None) -> dict:
+    """Per-query regression flags: current warm median beyond 1.5x the
+    previous-round median plus its recorded warm spread. ``prev`` is a
+    bench_history.jsonl record ({"queries": ..., "queries_warm_spread":
+    ...}) or None (no baseline yet → no flags)."""
+    if not prev:
+        return {}
+    out: dict[str, dict] = {}
+    for name, cur in times.items():
+        p = prev.get("queries", {}).get(name)
+        ps = prev.get("queries_warm_spread", {}).get(name, 0.0) or 0.0
+        if p is not None and cur > p * 1.5 + ps:
+            out[name] = {"prev": p, "cur": cur, "prev_spread": ps}
+    return out
+
+
+def last_history_record(hist_path: str, sf_val) -> dict | None:
+    """Latest fully-green record for this scale factor, or None."""
+    if not os.path.exists(hist_path):
+        return None
+    prev = None
+    for line in open(hist_path):
+        try:
+            rec = json.loads(line)
+            if rec.get("sf") == sf_val and rec.get("queries"):
+                prev = rec
+        except (ValueError, KeyError):
+            continue
+    return prev
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -114,22 +145,8 @@ def main() -> None:
     # to emit numbers is worse than one that emits flagged numbers.
     here = os.path.dirname(os.path.abspath(__file__))
     hist_path = os.path.join(here, "bench_history.jsonl")
-    prev = None
-    if os.path.exists(hist_path):
-        for line in open(hist_path):
-            try:
-                rec = json.loads(line)
-                if rec.get("sf") == sf_val and rec.get("queries"):
-                    prev = rec
-            except (ValueError, KeyError):
-                continue
-    regressions: dict[str, dict] = {}
-    if prev:
-        for name, cur in times.items():
-            p = prev["queries"].get(name)
-            ps = prev.get("queries_warm_spread", {}).get(name, 0.0) or 0.0
-            if p is not None and cur > p * 1.5 + ps:
-                regressions[name] = {"prev": p, "cur": cur, "prev_spread": ps}
+    prev = last_history_record(hist_path, sf_val)
+    regressions = compute_regressions(times, prev)
     detail = json.dumps(
         {
             "metric": "headline_suite_runtime",
