@@ -408,3 +408,193 @@ def test_window_distribution_funcs_match_recompute(spark, sf_dir):
             assert r.bal_pct_rank == (i / (n - 1) if n > 1 else 0.0)
             assert r.bal_cume_dist == (i + 1) / n
             assert r.richest_custkey == richest
+
+
+def _cents(x: float) -> int:
+    return _round_away(x * 100)  # fixture money is an exact 2-decimal grid
+
+
+def test_agg_distinct_orders_matches_recompute(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT o_orderstatus, o_custkey FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+    custs = defaultdict(set)
+    n = Counter()
+    for s, ck in rows:
+        custs[s].add(ck)
+        n[s] += 1
+    got = {r.o_orderstatus: r for r in _q("agg_distinct_orders", spark, sf_dir).collect()}
+    assert {s: (r.n_customers, r.n_orders) for s, r in got.items()} == {
+        s: (len(custs[s]), n[s]) for s in custs
+    }
+
+
+def test_agg_part_stats_matches_recompute(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT p_brand, p_retailprice FROM '{sf_dir}/part.parquet'"
+    ).fetchall()
+    groups = defaultdict(list)
+    for b, p in rows:
+        groups[b].append(float(p))
+    got = {r.p_brand: r for r in _q("agg_part_stats", spark, sf_dir).collect()}
+    assert set(got) == set(groups)
+    for b, xs in groups.items():
+        r = got[b]
+        assert (r.n_parts, r.min_price, r.max_price) == (len(xs), min(xs), max(xs))
+        assert math.isclose(
+            r.avg_price, sum(_cents(x) for x in xs) / 100.0 / len(xs), rel_tol=1e-12
+        )
+
+
+def test_rollup_and_cube_and_grouping_sets_match_recompute(spark, sf_dir):
+    sup = duckdb.sql(
+        f"""SELECT r_name, n_name, s_acctbal
+        FROM '{sf_dir}/supplier.parquet' s
+        JOIN '{sf_dir}/nation.parquet' n ON s_nationkey = n_nationkey
+        JOIN '{sf_dir}/region.parquet' r ON n_regionkey = r_regionkey"""
+    ).fetchall()
+
+    def agg(sel):
+        return (len(sel), float(sum(_cents(b) for _, _, b in sel)) / 100.0)
+
+    expect = {}
+    for rn in {x[0] for x in sup}:
+        sub = [x for x in sup if x[0] == rn]
+        expect[(rn, None)] = agg(sub)
+        for nn in {x[1] for x in sub}:
+            expect[(rn, nn)] = agg([x for x in sub if x[1] == nn])
+    expect[(None, None)] = agg(sup)
+    got = {
+        (r.r_name, r.n_name): (r.n_suppliers, r.total_bal)
+        for r in _q("rollup_supplier_balance", spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (n, tot) in expect.items():
+        assert got[k][0] == n and math.isclose(got[k][1], tot, rel_tol=1e-12)
+
+    orders = duckdb.sql(
+        f"SELECT o_orderstatus, o_orderpriority, o_totalprice FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()
+
+    def oagg(sel):
+        return (len(sel), float(sum(_cents(p) for _, _, p in sel)) / 100.0)
+
+    cube = {}
+    for s in {None} | {x[0] for x in orders}:
+        for p in {None} | {x[1] for x in orders}:
+            sel = [
+                x
+                for x in orders
+                if (s is None or x[0] == s) and (p is None or x[1] == p)
+            ]
+            if sel:
+                cube[(s, p)] = oagg(sel)
+    got_cube = {
+        (r.o_orderstatus, r.o_orderpriority): (r.n, r.total_price)
+        for r in _q("cube_order_counts", spark, sf_dir).collect()
+    }
+    assert set(got_cube) == set(cube)
+    for k, (n, tot) in cube.items():
+        assert got_cube[k][0] == n and math.isclose(got_cube[k][1], tot, rel_tol=1e-12)
+
+    # grouping-sets variant: (status, priority), (status), () with
+    # grouping() markers distinguishing "aggregated away" from NULL data
+    gs = {
+        k: v
+        for k, v in cube.items()
+        if k == (None, None) or k[0] is not None
+    }
+    got_gs = {}
+    for r in _q("grouping_sets_order_stats", spark, sf_dir).collect():
+        assert r.g_status == (1 if r.o_orderstatus is None else 0)
+        assert r.g_priority == (1 if r.o_orderpriority is None else 0)
+        got_gs[(r.o_orderstatus, r.o_orderpriority)] = (r.n, r.total_price)
+    assert set(got_gs) == set(gs)
+    for k, (n, tot) in gs.items():
+        assert got_gs[k][0] == n and math.isclose(got_gs[k][1], tot, rel_tol=1e-12)
+
+
+def test_window_balance_rank_matches_recompute(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT c_custkey, c_nationkey, c_acctbal FROM '{sf_dir}/customer.parquet'"
+    ).fetchall()
+    groups = defaultdict(list)
+    for ck, nk, bal in rows:
+        groups[nk].append((float(bal), ck))
+    got = {r.c_custkey: r for r in _q("window_balance_rank", spark, sf_dir).collect()}
+    assert len(got) == len(rows)
+    for nk, mem in groups.items():
+        mem.sort(key=lambda t: (-t[0], t[1]))
+        for i, (_, ck) in enumerate(mem, start=1):
+            # the order key includes c_custkey, so there are no ties:
+            # rank == dense_rank == position
+            assert got[ck].bal_rank == i
+            assert got[ck].bal_dense_rank == i
+
+
+def test_window_running_spend_matches_recompute(spark, sf_dir):
+    rows = duckdb.sql(
+        f"SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice "
+        f"FROM '{sf_dir}/orders.parquet' ORDER BY o_custkey, o_orderdate, o_orderkey"
+    ).fetchall()
+    got = {r.o_orderkey: r for r in _q("window_running_spend", spark, sf_dir).collect()}
+    assert len(got) == len(rows)
+    per_cust = defaultdict(list)
+    for ck, ok, od, p in rows:
+        per_cust[ck].append((ok, _cents(p)))
+    for ck, seq in per_cust.items():
+        run = 0
+        for i, (ok, cents) in enumerate(seq):
+            run += cents
+            r = got[ok]
+            assert math.isclose(r.running_spend, run / 100.0, rel_tol=1e-12)
+            assert r.prev_orderkey == (seq[i - 1][0] if i > 0 else None)
+            assert r.next_orderkey == (seq[i + 1][0] if i + 1 < len(seq) else None)
+
+
+def test_set_ops_match_recompute(spark, sf_dir):
+    cn = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT c_nationkey FROM '{sf_dir}/customer.parquet'"
+        ).fetchall()
+    }
+    sn = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT s_nationkey FROM '{sf_dir}/supplier.parquet'"
+        ).fetchall()
+    }
+    sneg = {
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT DISTINCT s_nationkey FROM '{sf_dir}/supplier.parquet' WHERE s_acctbal < 0"
+        ).fetchall()
+    }
+    both = {r[0] for r in _q("set_nations_customers_and_suppliers", spark, sf_dir).collect()}
+    assert both == (cn & sn)
+    only = {r[0] for r in _q("set_nations_customers_only", spark, sf_dir).collect()}
+    assert only == (cn - sneg)
+    n_c = duckdb.sql(f"SELECT COUNT(*) FROM '{sf_dir}/customer.parquet'").fetchone()[0]
+    n_s = duckdb.sql(f"SELECT COUNT(*) FROM '{sf_dir}/supplier.parquet'").fetchone()[0]
+    kinds = Counter(r.kind for r in _q("set_union_all_keys", spark, sf_dir).collect())
+    assert kinds == {"customer": n_c, "supplier": n_s}
+
+
+def test_subquery_and_having_match_recompute(spark, sf_dir):
+    bals = duckdb.sql(
+        f"SELECT c_custkey, c_acctbal FROM '{sf_dir}/customer.parquet'"
+    ).fetchall()
+    thresh = float(sum(_cents(b) for _, b in bals)) / 100.0 / len(bals)
+    expect = {ck for ck, b in bals if float(b) > thresh}
+    got = {r.c_custkey for r in _q("subquery_above_avg_balance", spark, sf_dir).collect()}
+    assert got == expect
+    assert 0 < len(got) < len(bals)
+
+    qty = duckdb.sql(
+        f"SELECT l_orderkey, SUM(CAST(round(l_quantity*100) AS BIGINT)) "
+        f"FROM '{sf_dir}/lineitem.parquet' GROUP BY 1"
+    ).fetchall()
+    big = {ok for ok, q in qty if q > 15000}
+    got_big = {r.o_orderkey for r in _q("having_big_orders", spark, sf_dir).collect()}
+    assert got_big == big
