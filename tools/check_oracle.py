@@ -78,6 +78,15 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
     specs = load_all()
+    if name_filter == ["--window"]:
+        # exactly the driver's 50-slot correctness window (exact names,
+        # not substrings) — the pre-rotation preflight
+        from rag_application_with_vectordb_spark.plans.registry import (
+            DRIVER_WINDOW_PRIORITY,
+        )
+
+        specs = {n: specs[n] for n in DRIVER_WINDOW_PRIORITY}
+        name_filter = []
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
