@@ -172,6 +172,32 @@ def test_lineitem_fact_never_broadcasts_at_sf1(spark, specs):
         assert not _broadcast_subtrees_scanning(df, "lineitem"), name
 
 
+def test_lineitem_fact_never_broadcasts_at_sf10(spark, specs):
+    # 100x-the-bench-scale variant: 60M lineitem rows (~1 GB on disk,
+    # multi-file Spark-written directories rather than the driver's
+    # single files) — proves the broadcast discipline holds when every
+    # table is far past every threshold AND the scan is multi-partition.
+    # Runs only when the local sf10 fixture exists (tools/gen_sf.py 10);
+    # planning only, nothing executes.
+    import os
+
+    import pytest
+
+    sf_dir = "/root/repo/testdata_local/sf10"
+    if not os.path.isdir(sf_dir):
+        pytest.skip("local sf10 fixture set not generated (tools/gen_sf.py)")
+    for name in (
+        "q3_top_orders",
+        "q7_nation_pair_revenue",
+        "q9_product_profit",
+        "q12_late_priority",
+        "q18_large_volume_customers",
+        "q21_sole_late_supplier",
+    ):
+        df = specs[name].fn(spark, sf_dir)
+        assert not _broadcast_subtrees_scanning(df, "lineitem"), name
+
+
 def test_skew_salted_join_widens_shuffle_key(spark, sf_dir, specs):
     # The salted join's whole point is that the shuffle key is
     # (user_id, __salt), not user_id alone — each hot user spreads over
