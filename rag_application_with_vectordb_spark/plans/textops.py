@@ -825,9 +825,22 @@ def tokenize_ids_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Frequent-bucket guard for the pHash chunk blocking. Measured at sf10
+#: (tools/gen_sf.py): the degenerate chunk value (ch=3, v=0 — the hash's
+#: high bits are all-zero for most payloads) collects 92,746 of 550k
+#: docs, and the uncapped self-join on it alone expands to 4.3e9
+#: candidate pairs in ONE task (a >30-min straggler). A chunk value
+#: shared by orders of magnitude more docs than the ~8 expected under
+#: uniform hashing carries no discriminative signal — dropping those
+#: buckets is the standard LSH frequent-bucket guard (same trade as
+#: MinHash banding). The cap never binds at the driver fixtures (max
+#: observed bucket at sf0.01: 67), so results there are unchanged.
+_PHASH_BUCKET_CAP = 1024
+
+
 @register(
     "multimodal_phash_neardup_pairs",
-    oracle="""
+    oracle=f"""
     WITH aug AS (
       SELECT doc_id, text FROM documents
       UNION ALL
@@ -848,13 +861,18 @@ def tokenize_ids_array(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN 1 << k ELSE 0 END))) AS h
       FROM cells
     ),
-    chunks AS (
+    chunks AS MATERIALIZED (
       SELECT doc_id, ch, h[ch + 1] AS v
       FROM hsh, LATERAL (SELECT unnest(range(0, 4)) AS ch)
     ),
+    keep AS (
+      SELECT ch, v FROM chunks GROUP BY ch, v
+      HAVING COUNT(*) <= {_PHASH_BUCKET_CAP}
+    ),
+    ck AS (SELECT c.doc_id, c.ch, c.v FROM chunks c JOIN keep USING (ch, v)),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM chunks a JOIN chunks b
+      FROM ck a JOIN ck b
         ON a.ch = b.ch AND a.v = b.v AND a.doc_id < b.doc_id
     )
     SELECT c.doc_a, c.doc_b,
@@ -873,12 +891,19 @@ def tokenize_ids_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hashes to 64 pHash bits via the Arrow-batched mapInPandas stub "
     "(integer byte-sum cells + mean test standing in for "
     "decode/resize/DCT), and pairs within Hamming distance 3 surface "
-    "through 4x16-bit pigeonhole chunk blocking — provably lossless at "
-    "<= 3 (a pair differing in <= 3 bits matches on >= 1 intact "
-    "chunk), never all-pairs. The oracle recomputes the entire hash "
-    "from the payload bytes in integer algebra, making this a "
-    "mapInPandas stage whose OUTPUT is value-hash-checked cross-engine "
-    "— the stub swaps for PIL+DCT with the same schema and plan.",
+    "through 4x16-bit pigeonhole chunk blocking — never all-pairs. "
+    f"Buckets larger than {_PHASH_BUCKET_CAP} docs are dropped before "
+    "the self-join (the LSH frequent-bucket guard; see "
+    "_PHASH_BUCKET_CAP — an uncapped degenerate chunk value expanded "
+    "to 4.3e9 pairs in one task at sf10). Below the cap the blocking "
+    "is provably lossless at <= 3 (a pair differing in <= 3 bits "
+    "matches on >= 1 intact chunk); a pair whose ONLY intact chunk is "
+    "a dropped degenerate bucket is traded away — the same bounded "
+    "recall trade MinHash banding makes, documented rather than "
+    "silent. The oracle recomputes the entire hash AND the guard from "
+    "the payload bytes in integer algebra, making this a mapInPandas "
+    "stage whose OUTPUT is value-hash-checked cross-engine — the stub "
+    "swaps for PIL+DCT with the same schema and plan.",
     tags=("multimodal", "dedup"),
 )
 def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -903,8 +928,18 @@ def multimodal_phash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFram
             F.expr("transform(sequence(0, 3), ch -> struct(ch AS ch, element_at(array(h0, h1, h2, h3), ch + 1) AS v))")
         ).alias("p"),
     ).select("doc_id", F.col("p.ch").alias("ch"), F.col("p.v").alias("v"))
-    a = chunks.select(F.col("doc_id").alias("doc_a"), "ch", "v")
-    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("ch").alias("ch_b"), F.col("v").alias("v_b"))
+    # frequent-bucket guard (see _PHASH_BUCKET_CAP): degenerate chunk
+    # values would expand quadratically in one reducer; the kept-bucket
+    # list is at most 4 * 2^16 rows, so it broadcasts
+    keep = (
+        chunks.groupBy("ch", "v")
+        .agg(F.count("*").alias("bn"))
+        .filter(F.col("bn") <= _PHASH_BUCKET_CAP)
+        .select("ch", "v")
+    )
+    ck = chunks.join(F.broadcast(keep), ["ch", "v"])
+    a = ck.select(F.col("doc_id").alias("doc_a"), "ch", "v")
+    b = ck.select(F.col("doc_id").alias("doc_b"), F.col("ch").alias("ch_b"), F.col("v").alias("v_b"))
     cand = (
         a.join(
             b,
