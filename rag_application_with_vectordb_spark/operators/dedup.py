@@ -110,22 +110,76 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     min_jaccard: float = 0.0,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
     Inverted-index join: only documents sharing a shingle ever meet —
     no all-pairs cross join. Output: ``doc_a, doc_b, intersection,
     size_a, size_b, jaccard`` with ``doc_a < doc_b``.
+
+    Scale regime (measured, round 8): "no cross join" is only
+    sub-quadratic when shared shingles are SELECTIVE. On a Zipfian
+    vocabulary the posting lists that dominate the join are the rare
+    tail and the shape holds; on a low-entropy corpus (the sf10
+    synthetic fixture draws from a 40-word vocabulary, so every
+    3-gram shingle has df ≈ 1700) the pair expansion is effectively
+    all-pairs and OOMs — and PREFIX filtering (``prefix_filter_
+    jaccard_pairs``) does not save it, because with no rare tokens the
+    prefix postings are as dense as the full ones. In that regime use
+    MinHash-LSH (``minhash_lsh_pairs`` — sf10-green: band keys hash
+    the whole signature, so only truly-similar docs collide), or pass
+    ``max_df``:
+
+    ``max_df``: if set, shingles with document frequency > max_df are
+    excluded from CANDIDATE GENERATION only (the stopword-shingle
+    guard); surviving candidates are verified against the FULL shingle
+    sets, so every reported (intersection, jaccard) value stays exact.
+    Lossy only for pairs whose every shared shingle is ultra-frequent
+    — the same bounded trade the pHash frequent-bucket guard makes.
     """
     sets = _shingle_sets(docs, text_col, id_col, n)
     sizes = sets.select(F.col(id_col), F.size("shingles").alias("set_size"))
     posting = sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    a, b = posting.alias("a"), posting.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
-        .agg(F.count("*").alias("intersection"))
-    )
+    cand_posting = posting
+    if max_df is not None:
+        keep = (
+            posting.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= int(max_df))
+            .select("shingle")
+        )
+        cand_posting = posting.join(keep, "shingle")
+    a, b = cand_posting.alias("a"), cand_posting.alias("b")
+    if max_df is None:
+        # anchor form: candidate multiplicity IS the intersection count
+        inter = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .groupBy(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+            .agg(F.count("*").alias("intersection"))
+        )
+    else:
+        cand = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+            .distinct()
+        )
+        # verify stage: exact intersection over FULL postings, but only
+        # for the (few) surviving candidate pairs
+        pa = posting.select(F.col(id_col).alias("doc_a"), "shingle")
+        pb = posting.select(
+            F.col(id_col).alias("doc_b_r"), F.col("shingle").alias("shingle_b")
+        )
+        inter = (
+            cand.join(pa, "doc_a")
+            .join(
+                pb,
+                (F.col("doc_b") == F.col("doc_b_r"))
+                & (F.col("shingle") == F.col("shingle_b")),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("intersection"))
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("set_size").alias("size_b"))
     out = (

@@ -120,7 +120,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE jaccard >= 0.4
     """,
     doc="Exact n-gram Jaccard near-dup pairs via inverted-index join "
-    "(shared-shingle candidates only — never an all-pairs cross join).",
+    "(shared-shingle candidates only — never an all-pairs cross join). "
+    "SCALE REGIME (measured, round 8): sub-quadratic only while shared "
+    "shingles are selective (Zipfian vocabularies — i.e. real text). "
+    "On a low-entropy corpus every posting list is dense and the pair "
+    "expansion is effectively all-pairs: the sf10 synthetic fixture "
+    "(40-word vocabulary, df ≈ 1700 per shingle) OOMs this anchor AND "
+    "its prefix-filtered variant. This query is the exact ANCHOR; the "
+    "production paths are dedup_minhash_lsh_pairs (sf10-green — band "
+    "keys hash whole signatures, so only similar docs collide) and "
+    "ngram_jaccard_pairs(max_df=...) (stopword-shingle guard: capped "
+    "candidate generation + full-set verification, values stay exact; "
+    "pytest-proven in test_dedup_text.py).",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,7 +692,12 @@ def _pf_oracle(t: float) -> str:
     "unpruned posting join at the same threshold). The exact-but-pruned "
     "middle ground between dedup_ngram_jaccard (anchor) and "
     "MinHash-LSH (probabilistic); at 100 TB the prefix cut is what "
-    "makes an exact verify pass affordable.",
+    "makes an exact verify pass affordable. Caveat (measured, round "
+    "8): the cut relies on RARE tokens existing — on a low-entropy "
+    "corpus (sf10 synthetic, 40-word vocabulary) prefix postings are "
+    "as dense as full ones and this OOMs like the anchor; that regime "
+    "belongs to MinHash-LSH or the max_df candidate guard (see "
+    "dedup_ngram_jaccard's doc).",
     tags=("dedup", "text"),
 )
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

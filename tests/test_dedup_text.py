@@ -403,3 +403,43 @@ def test_plan_lsh_bands_minimizes_step_error():
     # the engine's default catalog plan (12 hashes, 4 bands of 3) is the
     # planner's own choice for a ~0.5 target — pin that correspondence
     assert plan_lsh_bands(0.5, 12) == (4, 3)
+
+
+def test_ngram_jaccard_max_df_guard(docs, spark):
+    # The stopword-shingle guard (round 8, found at sf10): max_df drops
+    # ultra-frequent shingles from CANDIDATE GENERATION only; surviving
+    # pairs verify against the full shingle sets, so every reported
+    # (intersection, jaccard) value stays exact.
+    # (a) a cap that never binds reproduces the anchor exactly
+    anchor = {
+        (r.doc_a, r.doc_b): (r.intersection, r.size_a, r.size_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): (r.intersection, r.size_a, r.size_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, max_df=1000).collect()
+    }
+    assert capped == anchor
+
+    # (b) a degenerate corpus: many docs share one stopword-ish shingle
+    # chain, two docs are true near-dups through a SELECTIVE shingle.
+    # With the cap the stopword shingle stops generating candidates,
+    # but the near-dup pair still surfaces and its values stay exact
+    # (verified against the full sets, cap notwithstanding).
+    rows = [(i, "aaa bbb ccc extra%d word%d" % (i, i)) for i in range(40)]
+    rows += [(100, "xxx yyy zzz qqq www"), (101, "xxx yyy zzz qqq vvv")]
+    deg = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'aaa bbb ccc' has df=40 > cap=10 → the 40 filler docs generate NO
+    # candidate pairs; 'xxx yyy zzz'/'yyy zzz qqq' have df=2 → survive
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in ngram_jaccard_pairs(deg, max_df=10).collect()
+    }
+    assert set(out) == {(100, 101)}
+    r = out[(100, 101)]
+    # full sets: each doc has 3 shingles, 2 shared → J = 2/4
+    assert r.intersection == 2 and r.size_a == 3 and r.size_b == 3
+    assert r.jaccard == 0.5
+    # the anchor (uncapped) additionally reports every filler pair
+    uncapped = ngram_jaccard_pairs(deg).count()
+    assert uncapped == 40 * 39 / 2 + 1
