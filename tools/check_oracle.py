@@ -6,6 +6,13 @@ order-insensitive value hash (values canonicalized: floats via repr,
 timestamps via isoformat). Exit code 1 if anything mismatches.
 
 Usage: python tools/check_oracle.py [sf_dir] [name_filter...]
+       python tools/check_oracle.py <sf_dir> --window        # the 50 driver slots
+       python tools/check_oracle.py <sf_dir> --backlog       # never-driver-checked, not in window
+       python tools/check_oracle.py <sf_dir> --spark-only [...]  # skip DuckDB (scale-up smoke)
+
+``--spark-only`` runs only the Spark side (rows + driver-canon check, no
+oracle) — the mode for scale-up fixtures (sf1/sf10) where unrolled
+iterative oracles would take hours in DuckDB.
 """
 
 from __future__ import annotations
@@ -77,6 +84,10 @@ def driver_canon_error(rows, colnames) -> str | None:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
+    spark_only = False
+    if "--spark-only" in name_filter:
+        name_filter.remove("--spark-only")
+        spark_only = True
     specs = load_all()
     if name_filter == ["--window"]:
         # exactly the driver's 50-slot correctness window (exact names,
@@ -86,6 +97,29 @@ def main() -> int:
         )
 
         specs = {n: specs[n] for n in DRIVER_WINDOW_PRIORITY}
+        name_filter = []
+    elif name_filter == ["--backlog"]:
+        # every oracle-backed query that has never produced a green driver
+        # CORRECTNESS row AND is not in the current window — the rotation
+        # candidates; run these at scale-up SFs before they reach a window
+        import glob
+        import json
+
+        from rag_application_with_vectordb_spark.plans.registry import (
+            DRIVER_WINDOW_PRIORITY,
+        )
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        green: set[str] = set()
+        for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+            for qname, row in json.load(open(f)).items():
+                if row.get("hash_match") or row.get("rows_match"):
+                    green.add(qname)
+        specs = {
+            n: s
+            for n, s in specs.items()
+            if n not in green and n not in DRIVER_WINDOW_PRIORITY and s.oracle
+        }
         name_filter = []
     spark = get_spark("oracle-check")
     con = duckdb.connect()
@@ -110,8 +144,17 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             failures.append(name)
             continue
-        if not spec.oracle:
-            print(f"rows  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+        if not spec.oracle or spark_only:
+            dce = driver_canon_error(srows, scols)
+            if dce:
+                print(f"FAIL  {name}: driver-canon incompatible: {dce}")
+                failures.append(name)
+            else:
+                print(
+                    f"rows  {name}: {len(srows)} rows"
+                    f"{' (no oracle)' if not spec.oracle else ''}"
+                    f" [{time.time()-t0:.1f}s]"
+                )
             continue
         try:
             cur = con.execute(spec.oracle)
