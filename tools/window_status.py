@@ -7,7 +7,17 @@ The driver checks only the first 50 registry entries per round
 actual CORRECTNESS_r*.json history — this script computes that diff so
 the registry comment never goes stale by hand.
 
-Usage: python tools/window_status.py
+Usage: python tools/window_status.py            # status report
+       python tools/window_status.py --propose  # print a ready-to-paste
+                                                # DRIVER_WINDOW_PRIORITY
+                                                # tuple for the NEXT round
+
+--propose applies the rotation policy mechanically: first-proofs beat
+re-confirmation (never-driver-checked oracle-backed queries in
+registration order fill the window first); any remaining slots go to
+the stalest greens (oldest last-green round first). Run it only AFTER
+the round's CORRECTNESS_r*.json has landed in the repo root — the
+proposal is computed from those files.
 """
 
 from __future__ import annotations
@@ -39,6 +49,25 @@ def main() -> int:
     never = [n for n in cat if n not in green and cat[n].oracle is not None]
     no_oracle = [n for n in cat if cat[n].oracle is None]
     window = list(DRIVER_WINDOW_PRIORITY)
+    if "--propose" in sys.argv:
+        # Registration order = module import order, which load_all()
+        # perturbs by putting the current window first — recover true
+        # registration order for the backlog by iterating the catalog
+        # minus the reorder (window names keep their slot eligibility).
+        proposal = [n for n in cat if n in set(never)][:50]
+        if len(proposal) < 50:
+            stale_first = sorted(
+                (n for n in cat if n in last_round), key=lambda n: last_round[n]
+            )
+            proposal += [n for n in stale_first if n not in proposal][
+                : 50 - len(proposal)
+            ]
+        print("DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (")
+        for n in proposal:
+            tag = "first-proof" if n in set(never) else f"re-confirm (r{last_round[n]:02d})"
+            print(f'    "{n}",  # {tag}')
+        print(")")
+        return 0
     first_proofs = [n for n in window if n not in green]
     print(f"registered:            {len(cat)}")
     print(f"oracle-backed:         {len(cat) - len(no_oracle)}")
