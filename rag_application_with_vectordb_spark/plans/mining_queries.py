@@ -82,7 +82,13 @@ _FI_MINSUP = 2
 def freq_itemsets_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    # NOT localCheckpoint'ed: b is the fact-sized basket relation — at
+    # sf10 (60M lineitem) pinning it in executor storage memory OOM'd an
+    # 8g heap, and at 100 TB it can never be materialized. Every reuse
+    # below ends in ONE returned plan, so Spark's ReusedExchange dedups
+    # the distinct's shuffle — same compute-once guarantee, zero pinned
+    # storage. Only the THRESHOLDED (bounded) relations are checkpointed.
+    b = li.select("l_orderkey", "l_partkey").distinct()
 
     a, c = b.alias("a"), b.alias("c")
     pair_occ = a.join(
@@ -338,8 +344,10 @@ _sql_query(
     "lift = conf / P(c) = sup(abc)*N / (sup(ab)*sup(c)) — the "
     "market-basket read-out layered on freq_itemsets_3's Apriori "
     "output. The Spark side reuses the Apriori-pruned triple plan and "
-    "joins the (already thresholded, broadcast-sized) pair relation "
-    "plus the single-item support aggregate; antecedent pairs are "
+    "joins the (already thresholded, broadcast-sized) pair relation; "
+    "the UNthresholded single-item support aggregate is the probe side "
+    "of a broadcast join (the bounded rule set broadcasts, never the "
+    "item relation — it spans every part key). Antecedent pairs are "
     "frequent BY CLOSURE, so the joins never miss (the oracle "
     "recomputes everything brute-force). Confidence and lift are "
     "single fp64 divisions of exact BIGINT cross-products.",
@@ -348,7 +356,10 @@ _sql_query(
 def assoc_rules_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     li = load_table(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint()
+    # Unchecked-pointed for the same reason as freq_itemsets_3's b: the
+    # basket relation is fact-sized (sf10 OOM proof), and ReusedExchange
+    # already shares the distinct shuffle across nb/s1/s2.
+    b = li.select("l_orderkey", "l_partkey").distinct()
     nb = b.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n"))
     s1 = b.groupBy(F.col("l_partkey").alias("item")).agg(
         F.count("*").cast("bigint").alias("isup")
@@ -381,12 +392,18 @@ def assoc_rules_conf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     rules = rots[0].unionAll(rots[1]).unionAll(rots[2])
-    return (
+    # Broadcast the RULES side into the item-support join, not s1: s1 is
+    # the unthresholded per-item support over every part key (multi-GB at
+    # 100 TB), while rules is bounded by the checkpointed frequent-triple
+    # relation. s1 stays the streamed probe side of a broadcast-hash join.
+    enriched = F.broadcast(
         rules.join(
             F.broadcast(s2),
             (F.col("ante_a") == F.col("px")) & (F.col("ante_b") == F.col("py")),
         )
-        .join(F.broadcast(s1), F.col("consequent") == F.col("item"))
+    )
+    return (
+        enriched.join(s1, F.col("consequent") == F.col("item"))
         .crossJoin(F.broadcast(nb))
         .select(
             F.col("ante_a").cast("bigint").alias("ante_a"),
