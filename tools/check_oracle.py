@@ -10,9 +10,16 @@ Usage: python tools/check_oracle.py [sf_dir] [name_filter...]
        python tools/check_oracle.py <sf_dir> --backlog       # never-driver-checked, not in window
        python tools/check_oracle.py <sf_dir> --spark-only [...]  # skip DuckDB (scale-up smoke)
 
-``--spark-only`` runs only the Spark side (rows + driver-canon check, no
-oracle) — the mode for scale-up fixtures (sf1/sf10) where unrolled
-iterative oracles would take hours in DuckDB.
+``--spark-only`` runs only the Spark side (no oracle) — the mode for
+scale-up fixtures (sf1/sf10) where unrolled iterative oracles would
+take hours in DuckDB. It forces full execution via ``count()`` and runs
+the driver-canon check on a 1000-row sample instead of collecting the
+whole result: a radius/similarity join's OUTPUT can grow quadratically
+with density (geo_radius_pairs ≈ 350M pairs at sf10), which the engine
+streams to a sink but a smoke harness must never pull to the driver.
+
+``--resume-log <path>`` skips queries that already have a green
+``rows``/``ok`` line in a previous run's log (failures re-run).
 """
 
 from __future__ import annotations
@@ -88,6 +95,14 @@ def main() -> int:
     if "--spark-only" in name_filter:
         name_filter.remove("--spark-only")
         spark_only = True
+    done: set[str] = set()
+    if "--resume-log" in name_filter:
+        i = name_filter.index("--resume-log")
+        with open(name_filter[i + 1]) as fh:
+            for line in fh.read().replace("\r", "\n").splitlines():
+                if line.startswith(("rows  ", "ok    ")):
+                    done.add(line.split()[1].rstrip(":"))
+        del name_filter[i : i + 2]
     specs = load_all()
     if name_filter == ["--window"]:
         # exactly the driver's 50-slot correctness window (exact names,
@@ -135,10 +150,19 @@ def main() -> int:
     for name, spec in sorted(specs.items()):
         if name_filter and not any(f in name for f in name_filter):
             continue
+        if name in done:
+            continue
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
-            srows = sdf.collect()
+            if spark_only:
+                # full execution without driver materialization — the
+                # result set itself can be huge at scale-up SFs
+                n_rows = sdf.count()
+                srows = sdf.limit(1000).collect()
+            else:
+                srows = sdf.collect()
+                n_rows = len(srows)
             scols = sdf.columns
         except Exception as exc:
             print(f"FAIL  {name}: spark error: {exc}")
@@ -151,7 +175,7 @@ def main() -> int:
                 failures.append(name)
             else:
                 print(
-                    f"rows  {name}: {len(srows)} rows"
+                    f"rows  {name}: {n_rows} rows"
                     f"{' (no oracle)' if not spec.oracle else ''}"
                     f" [{time.time()-t0:.1f}s]"
                 )
