@@ -22,6 +22,13 @@ standard scale shape for proximity joins on any engine:
   expansion multiplies the probe side 9x BEFORE the shuffle, which is
   the textbook trade against an O(n^2) cross join; skewed cells (urban
   density) are AQE skew-join territory, same as any hot key.
+- the 9 offsets are an EXPLODED array of composite neighbor cell keys,
+  never a relational CROSS JOIN (VALUES ...): with the offsets as
+  relations, the join condition spans three relations and Catalyst's
+  join reorder connects the two point relations through the distance
+  predicate instead — silently planning the all-pairs CartesianProduct
+  the blocking exists to avoid (invisible at sf0.01, ~2 h at sf10).
+  tests/test_plans.py pins the cartesian-free plan.
 """
 
 from __future__ import annotations
@@ -37,10 +44,39 @@ from .registry import register
 _GEO_R = 10_000  # radius in micro-units (0.01 of the unit square)
 
 
-def _geo_sql(hexfn, str_t: str) -> str:
+#: Composite cell key multiplier. Cells per axis = 1e6/_GEO_R, so cy <
+#: 1e6/_GEO_R + 1 << 1_000_000 for any radius >= 2 micro-units; the one
+#: aliasing encoding (ncy = -1 vs cy = 999_999) is therefore a cell that
+#: cannot exist on the b side, and the key is collision-free.
+_CELL_K = 1_000_000
+
+
+def _geo_sql(hexfn, str_t: str, unnestfn) -> str:
+    """``unnestfn(items) -> sql``: the dialect's select-list generator —
+    Spark ``explode(array(...))``, DuckDB ``unnest([...])``.
+
+    The 9-cell neighborhood MUST be this exploded-array form, never a
+    relational ``CROSS JOIN (VALUES ...)`` of the offsets: with the
+    offsets as separate relations, the join condition
+    ``b.cx = a.cx + dx`` spans three relations, and Catalyst's join
+    reorder connects a and b through the distance predicate FIRST —
+    planning a CartesianProduct over all customer pairs (2.25e12 at
+    sf10; observed, ~2 h) with the cell conditions demoted to
+    post-filters. Exploding the neighbor keys into one column makes the
+    join a plain attribute equi-join (shuffle on the cell key) that no
+    reorder can degrade; tests/test_plans.py pins the absence of
+    cartesian/nested-loop operators."""
     xs = hexfn(f"md5('geo|x|' || CAST(c_custkey AS {str_t}))")
     ys = hexfn(f"md5('geo|y|' || CAST(c_custkey AS {str_t}))")
     r = _GEO_R
+    k = _CELL_K
+    neighbors = unnestfn(
+        [
+            f"(cx + {dx}) * {k} + (cy + {dy})"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
     return f"""
     WITH p AS (
       SELECT c_custkey AS id,
@@ -54,14 +90,17 @@ def _geo_sql(hexfn, str_t: str) -> str:
              CAST((y - y % {r}) / {r} AS BIGINT) AS cy
       FROM p
     ),
+    cells AS (
+      SELECT id, x, y, cx * {k} + cy AS cell FROM c
+    ),
+    probe AS (
+      SELECT id, x, y, {neighbors} AS ncell FROM c
+    ),
     cand AS (
       SELECT a.id AS id_a, b.id AS id_b,
              (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist_sq
-      FROM c a
-      CROSS JOIN (VALUES (-1), (0), (1)) AS ox(dx)
-      CROSS JOIN (VALUES (-1), (0), (1)) AS oy(dy)
-      JOIN c b ON b.cx = a.cx + ox.dx AND b.cy = a.cy + oy.dy
-              AND a.id < b.id
+      FROM probe a
+      JOIN cells b ON b.cell = a.ncell AND a.id < b.id
     )
     SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
            CAST(dist_sq AS BIGINT) AS dist_sq
@@ -74,26 +113,42 @@ def _register_geo():
 
     @register(
         "geo_radius_pairs",
-        oracle=_geo_sql(duck_hex13_to_long, "VARCHAR"),
+        oracle=_geo_sql(
+            duck_hex13_to_long,
+            "VARCHAR",
+            lambda items: "unnest([" + ", ".join(items) + "])",
+        ),
         doc=f"Spatial radius self-join: all customer-point pairs within "
         f"L2 distance {_GEO_R} micro-units on the unit square "
         "(coordinates derived by keyed-md5 folds — deterministic, "
         "auditable). Candidates come ONLY from an r-sized grid-cell "
         "9-neighborhood equi-join (cell size == radius makes the "
         "blocking lossless by the triangle of |dx|<=r => cell diff "
-        "<=1 — proven equal to brute force in tests/test_geo_ops.py); "
-        "the exact integer squared-distance predicate runs on "
-        "candidates, never on the n^2 cross product. One shuffle on "
-        "the cell key; a pair matches exactly one (dx,dy) offset so "
-        "no DISTINCT is needed. The same shape serves as-of store "
-        "lookup, geofence screens, and trajectory contact tracing at "
+        "<=1 — proven equal to brute force in "
+        "tests/test_geo_forecast_ops.py); the exact integer "
+        "squared-distance predicate runs on candidates, never on the "
+        "n^2 cross product. The neighborhood is an EXPLODED composite "
+        "cell-key column, not a VALUES cross join — the relational "
+        "offset form lets the join reorderer connect the two point "
+        "relations through the distance predicate and plan a "
+        "CartesianProduct (observed at sf10: 2.25e12 pairs, ~2 h; the "
+        "exploded form is a plain cell-key equi-join, plan-asserted "
+        "cartesian-free). One shuffle on the cell key; a pair matches "
+        "exactly one neighbor offset so no DISTINCT is needed. The "
+        "same shape serves geofence screens and contact tracing at "
         "100 TB (cells shard the world; AQE handles dense-city skew).",
         tags=("geo", "analytics"),
     )
     def geo_radius_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tune(spark)
         register_views(spark, sf_dir, ("customer",))
-        return spark.sql(_geo_sql(_spark_hex13, "STRING"))
+        return spark.sql(
+            _geo_sql(
+                _spark_hex13,
+                "STRING",
+                lambda items: "explode(array(" + ", ".join(items) + "))",
+            )
+        )
 
     return geo_radius_pairs
 

@@ -601,3 +601,18 @@ def test_textrank_doc_walk_stays_keyed(spark, sf_dir, specs):
     assert "CartesianProduct" not in plan
     # final top-3 window partitions by doc_id
     assert "hashpartitioning(doc_id" in plan
+
+
+def test_geo_radius_blocking_survives_join_reorder(spark, sf_dir, specs):
+    # The 9-cell neighborhood must reach the physical plan as a cell-key
+    # equi-join. The previous VALUES-offsets form let Catalyst's join
+    # reorder connect the two point relations through the distance
+    # predicate instead — a CartesianProduct over ALL customer pairs
+    # (2.25e12 at sf10, ~2 h; correct output, quadratic plan) with the
+    # cell conditions demoted to nested-loop post-filters. The exploded
+    # neighbor-key form is a plain equi-join nothing can degrade.
+    plan = plan_of(specs["geo_radius_pairs"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan  # the neighbor-key fan-out
+    assert "ncell" in plan and "cell" in plan  # the equi keys
