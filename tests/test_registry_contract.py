@@ -119,3 +119,22 @@ def test_driver_window_queries_nonempty(spark, sf_dir):
         if specs[n].fn(spark, sf_dir).limit(1).count() == 0
     ]
     assert not empty, f"vacuous window queries (0 rows at sf0.001): {empty}"
+
+
+def test_no_cartesian_product_in_any_plan(spark, sf_dir):
+    # A query can be value-correct with a quadratic physical plan: the
+    # r8 geo_radius_pairs finding — its VALUES-offset cell join let
+    # Catalyst's join reorder connect the two point relations through
+    # the distance predicate and plan a CartesianProduct over all pairs
+    # (invisible at sf0.01, ~2 h at sf10). No value gate can see this
+    # class, so pin it mechanically: no registered query's physical plan
+    # may contain a CartesianProduct. (BroadcastNestedLoopJoin stays
+    # allowed — the catalog uses it deliberately for 1-row stat
+    # relations and bounded query sides, which are O(n).)
+    specs = load_all()
+    offenders = []
+    for name, spec in specs.items():
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian-product plans: {offenders}"
