@@ -2937,11 +2937,9 @@ _register_srm()
 
 # --- degree assortativity of the co-purchase graph -----------------------------
 
-_sql_query(
-    "graph_assortativity",
-    """
-    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    prs AS (
+_ASSORT_ORACLE = """
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    prs AS MATERIALIZED (
       SELECT a.l_partkey AS pa, b.l_partkey AS pb
       FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
                          AND a.l_partkey < b.l_partkey
@@ -2972,7 +2970,12 @@ _sql_query(
                           - CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)))
              AS DOUBLE) AS assortativity
     FROM m
-    """,
+    """
+
+
+@register(
+    "graph_assortativity",
+    oracle=_ASSORT_ORACLE,
     doc="Degree assortativity coefficient (Newman 2002) of the "
     "co-purchase part graph: Pearson correlation of endpoint degrees "
     "over the symmetrized directed edge list — positive means hubs "
@@ -2982,9 +2985,68 @@ _sql_query(
     "are exact BIGINT with the one fp expression at the end — the "
     "same moment discipline as the ACF/CCF family, applied to graph "
     "structure. Complements graph_kcore (which EXTRACTS the core this "
-    "statistic detects the existence of).",
+    "statistic detects the existence of). Spark side localCheckpoints "
+    "the bounded co-purchase pair relation ONCE (the pagerank/kcore "
+    "graph-input rule): as a shared-SQL CTE the basket self-join was "
+    "re-inlined per reference — 24 fact scans, 0 reused exchanges, "
+    "~105 s at sf10 vs ~35 s after (the oracle keeps the brute CTE "
+    "form, MATERIALIZED for the same reason on the DuckDB side).",
     tags=("analytics", "graph"),
 )
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    prs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("nco"))
+        .filter(F.col("nco") >= 2)
+        .select("pa", "pb")
+        .localCheckpoint()  # bounded co-purchase graph; pair-gen runs ONCE
+    )
+    edges = prs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
+        prs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    ds = deg.select(F.col("node").alias("sn"), F.col("d").alias("j"))
+    dd = deg.select(F.col("node").alias("dn"), F.col("d").alias("k"))
+    ed = (
+        edges.join(ds, F.col("src") == F.col("sn"))
+        .join(dd, F.col("dst") == F.col("dn"))
+        .select("j", "k")
+    )
+    m = ed.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("j").cast("bigint").alias("sj"),
+        F.sum("k").cast("bigint").alias("sk"),
+        F.sum(F.col("j") * F.col("k")).cast("bigint").alias("sjk"),
+        F.sum(F.col("j") * F.col("j")).cast("bigint").alias("sjj"),
+        F.sum(F.col("k") * F.col("k")).cast("bigint").alias("skk"),
+    )
+    md, sj, sk = F.col("m").cast("double"), F.col("sj").cast("double"), F.col("sk").cast("double")
+    sjk, sjj, skk = F.col("sjk").cast("double"), F.col("sjj").cast("double"), F.col("skk").cast("double")
+    return m.select(
+        F.col("m").alias("n_directed_edges"),
+        (
+            (md * sjk - sj * sk)
+            / (F.sqrt(md * sjj - sj * sj) * F.sqrt(md * skk - sk * sk))
+        )
+        .cast("double")
+        .alias("assortativity"),
+    )
 
 
 # --- OLS influence diagnostics (leverage + Cook's distance) --------------------
