@@ -39,7 +39,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import tune
@@ -1059,14 +1059,12 @@ _NV_CU, _NV_CO = 5, 2
 _NV_TOP = 5
 
 
-_sql_query(
-    "inventory_newsvendor",
-    f"""
-    WITH cal AS (
+_NV_ORACLE = f"""
+    WITH cal AS MATERIALIZED (
       SELECT CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT) AS n_days
       FROM orders
     ),
-    dd AS (
+    dd AS MATERIALIZED (
       SELECT l.l_partkey AS part, CAST(o.o_orderdate AS DATE) AS day,
              CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS d
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -1116,7 +1114,12 @@ _sql_query(
            CAST(cost.total_cost_units AS DOUBLE) / CAST(cal.n_days AS DOUBLE)
              AS expected_daily_cost_units
     FROM opt JOIN cost ON cost.part = opt.part CROSS JOIN cal
-    """,
+    """
+
+
+@register(
+    "inventory_newsvendor",
+    oracle=_NV_ORACLE,
     doc=f"Newsvendor stocking optimization for the top-{_NV_TOP} parts "
     f"by demand: optimal stock = the cu/(cu+co) = {_NV_CU}/{_NV_CU + _NV_CO} "
     "fractile of the DAILY demand distribution (zero-demand days "
@@ -1126,10 +1129,102 @@ _sql_query(
     "bounded demand histogram; expected over/under cost at the chosen "
     "level is an exact integer sum over the same histogram (pytest "
     "asserts it is the MINIMUM over all candidate levels — the "
-    "newsvendor optimality property). One fact scan to (part, day) "
-    "grain; everything after is histogram-sized.",
+    "newsvendor optimality property). Spark plan: rank parts from a "
+    "plain per-part aggregate (pass 1), THEN build the (part, day) "
+    "histogram only for the broadcast top-5-restricted fact (pass 2) "
+    "— the all-parts day-grain aggregate never materializes, and the "
+    "bounded 5-part histogram is checkpointed once. The former "
+    "dialect-shared CTE form re-derived the fact-grain dd per "
+    "reference (12 lineitem + 18 orders scans, ~58 s at sf10 vs ~37 s "
+    "after — the residual cost is the two inherent fact joins); the "
+    "DuckDB oracle keeps that form with MATERIALIZED dd.",
     tags=("mining", "analytics"),
 )
+def inventory_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    cal = orders.agg(
+        F.countDistinct(F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("n_days")
+    ).localCheckpoint()
+    fact = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("l_partkey").alias("part"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("q"),
+    )
+    topp = (
+        fact.groupBy("part")
+        .agg(F.sum("q").cast("bigint").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("part"))
+        .limit(_NV_TOP)
+        .select("part")
+        .localCheckpoint()
+    )
+    dd = (
+        fact.join(F.broadcast(topp), "part")
+        .groupBy("part", "day")
+        .agg(F.sum("q").cast("bigint").alias("d"))
+        .localCheckpoint()  # bounded: _NV_TOP parts x calendar days
+    )
+    present = dd.groupBy("part").agg(F.count("*").cast("bigint").alias("present"))
+    h = (
+        dd.groupBy("part", "d")
+        .agg(F.count("*").cast("bigint").alias("nd"))
+        .unionByName(
+            topp.join(present, "part")
+            .crossJoin(F.broadcast(cal))
+            .select(
+                "part",
+                F.lit(0).cast("bigint").alias("d"),
+                (F.col("n_days") - F.col("present")).alias("nd"),
+            )
+        )
+    )
+    w = Window.partitionBy("part").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = h.withColumn("cum", F.sum("nd").over(w).cast("bigint"))
+    opt = (
+        c.crossJoin(F.broadcast(cal))
+        .filter(
+            F.col("cum") * F.lit(_NV_CU + _NV_CO) >= F.lit(_NV_CU) * F.col("n_days")
+        )
+        .groupBy("part")
+        .agg(F.min("d").alias("stock_opt"))
+    )
+    cost = (
+        h.join(opt, "part")
+        .groupBy("part")
+        .agg(
+            F.sum(
+                F.col("nd")
+                * (
+                    F.lit(_NV_CO) * F.greatest(F.col("stock_opt") - F.col("d"), F.lit(0))
+                    + F.lit(_NV_CU) * F.greatest(F.col("d") - F.col("stock_opt"), F.lit(0))
+                )
+            )
+            .cast("bigint")
+            .alias("total_cost_units")
+        )
+    )
+    return (
+        opt.join(cost, "part")
+        .crossJoin(F.broadcast(cal))
+        .select(
+            F.col("part").alias("part_key"),
+            "n_days",
+            "stock_opt",
+            "total_cost_units",
+            (
+                F.col("total_cost_units").cast("double")
+                / F.col("n_days").cast("double")
+            ).alias("expected_daily_cost_units"),
+        )
+    )
 
 
 # --- off-policy evaluation: IPS / SNIPS ----------------------------------------------
