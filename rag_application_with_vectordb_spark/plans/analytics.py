@@ -3648,13 +3648,128 @@ def _register_ab_funnel():
         "one step improves and another regresses). Step shapes are the "
         "funnel queries' keyed min-joins with monotonically shrinking "
         "inputs; the z assembles from the six exact step counts in one "
-        "fixed fp chain.",
+        "fixed fp chain. Spark plan: ONE events scan + one shuffle on "
+        "user_id — the three step timestamps are sequential MIN windows "
+        "over the same user partitioning (each conditioned on the "
+        "previous step's time), then one per-user roll-up and a 1-row "
+        "checkpointed count relation fanned into the two step rows. "
+        "The former shared-SQL chain re-inlined armed->s->c->p per "
+        "reference: 16 events scans, ~32 s at sf10 vs ~10 s after. The "
+        "DuckDB oracle keeps the join-chain form (CTE semantics differ "
+        "there).",
         tags=("analytics", "stats"),
     )
     def ab_test_funnel_steps(spark, sf_dir):
+        from pyspark.sql import Window
+
         tune(spark)
         register_views(spark, sf_dir, ("events",))
-        return spark.sql(_ab_funnel_sql(_spark_hex13, "STRING"))
+        ev = spark.table("events")
+        arm_key = _spark_hex13(
+            "md5(concat('ab42|', CAST(user_id AS STRING)))"
+        )
+        armed = ev.select(
+            "user_id",
+            "ts",
+            "event_type",
+            F.when(F.expr(arm_key) % 2 == 0, F.lit("A"))
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+        )
+        w = Window.partitionBy("user_id")
+        staged = (
+            armed.withColumn(
+                "signup_ts",
+                F.min(
+                    F.when(F.col("event_type") == "signup", F.col("ts"))
+                ).over(w),
+            )
+            .withColumn(
+                "click_ts",
+                F.min(
+                    F.when(
+                        (F.col("event_type") == "click")
+                        & (F.col("ts") > F.col("signup_ts")),
+                        F.col("ts"),
+                    )
+                ).over(w),
+            )
+            .withColumn(
+                "purchase_ts",
+                F.min(
+                    F.when(
+                        (F.col("event_type") == "purchase")
+                        & (F.col("ts") > F.col("click_ts")),
+                        F.col("ts"),
+                    )
+                ).over(w),
+            )
+        )
+        per_user = staged.groupBy("user_id", "arm").agg(
+            F.max("signup_ts").alias("signup_ts"),
+            F.max("click_ts").alias("click_ts"),
+            F.max("purchase_ts").alias("purchase_ts"),
+        )
+
+        def _n(arm: str, col: str):
+            return F.sum(
+                F.when(
+                    (F.col("arm") == arm) & F.col(col).isNotNull(), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).cast("bigint")
+
+        counts = per_user.agg(
+            _n("A", "signup_ts").alias("sa"),
+            _n("B", "signup_ts").alias("sb"),
+            _n("A", "click_ts").alias("ca"),
+            _n("B", "click_ts").alias("cb"),
+            _n("A", "purchase_ts").alias("pa"),
+            _n("B", "purchase_ts").alias("pb"),
+        ).localCheckpoint()  # 1 row; fanned into two step rows below
+        steps = counts.select(
+            F.lit(2).cast("bigint").alias("step_no"),
+            F.lit("signup->click").alias("step"),
+            F.col("ca").alias("ka"),
+            F.col("sa").alias("na"),
+            F.col("cb").alias("kb"),
+            F.col("sb").alias("nb"),
+        ).unionByName(
+            counts.select(
+                F.lit(3).cast("bigint").alias("step_no"),
+                F.lit("click->purchase").alias("step"),
+                F.col("pa").alias("ka"),
+                F.col("ca").alias("na"),
+                F.col("pb").alias("kb"),
+                F.col("cb").alias("nb"),
+            )
+        )
+        ka, na = F.col("ka").cast("double"), F.col("na")
+        kb, nb = F.col("kb").cast("double"), F.col("nb")
+        pool = (F.col("ka") + F.col("kb")).cast("double") / (
+            F.col("na") + F.col("nb")
+        )
+        z = (ka / na - kb / nb) / F.sqrt(
+            pool
+            * (F.lit(1.0) - pool)
+            * (F.lit(1.0) / na + F.lit(1.0) / nb)
+        )
+        guard = (
+            (F.col("na") > 0)
+            & (F.col("nb") > 0)
+            & (F.col("ka") + F.col("kb") > 0)
+            & (F.col("ka") + F.col("kb") < F.col("na") + F.col("nb"))
+        )
+        return steps.select(
+            "step_no",
+            "step",
+            F.col("na").alias("n_a"),
+            F.col("ka").alias("k_a"),
+            F.col("nb").alias("n_b"),
+            F.col("kb").alias("k_b"),
+            (ka / F.nullif(na, F.lit(0))).alias("conv_a"),
+            (kb / F.nullif(nb, F.lit(0))).alias("conv_b"),
+            F.when(guard, z).otherwise(F.lit(None).cast("double")).alias("z_pooled"),
+        ).orderBy(F.asc("step_no"))
 
     return ab_test_funnel_steps
 
