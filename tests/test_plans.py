@@ -183,7 +183,10 @@ def test_lineitem_fact_never_broadcasts_at_sf10(spark, specs):
 
     import pytest
 
+    # gen_sf.py names the dir by the float sf ("sf10.0"); accept both
     sf_dir = "/root/repo/testdata_local/sf10"
+    if not os.path.isdir(sf_dir):
+        sf_dir = "/root/repo/testdata_local/sf10.0"
     if not os.path.isdir(sf_dir):
         pytest.skip("local sf10 fixture set not generated (tools/gen_sf.py)")
     for name in (
