@@ -104,9 +104,12 @@ ANNOTATED = {
     "postings only (rarest tokens) — posting lists shrink by the "
     "threshold factor, provably lossless at >= t; verification joins "
     "touch candidate pairs only.",
-    "graph_triangles": "Degree-oriented wedge enumeration: out-degrees "
-    "bounded ~sqrt(m) under the orientation, closing edge via one "
-    "equi-join to the sorted edge list — no OR-join, no cross product.",
+    "graph_triangles": "Degree-oriented wedge enumeration over the "
+    "ONCE-checkpointed pair/degree/oriented-edge relations (the "
+    "shared-SQL form re-ran the basket self-join per CTE reference); "
+    "out-degrees bounded ~sqrt(m) under the orientation, closing edge "
+    "via one semi-join to the checkpointed pair list — no OR-join, no "
+    "cross product.",
     "events_resample_linear": "Union of grid + events, two IGNORE-NULLS "
     "windows per user (asc/desc) recover bracketing events — no join "
     "against the raw stream; interpolation on exact integer micros.",
@@ -438,9 +441,11 @@ ANNOTATED = {
     "domain-bounded histogram (the single-partition window's input "
     "is <= |distinct values|, never the rows).",
     "geo_radius_pairs": "Cell-blocked spatial join: the 9-offset "
-    "expansion is a map-side VALUES cross join BEFORE the cell-key "
-    "equi-join shuffle; the exact distance predicate runs inside "
-    "codegen on candidates only — no CartesianProduct in the plan.",
+    "expansion is an EXPLODED composite neighbor-cell-key column "
+    "(never a VALUES relation — the relational offset form let the "
+    "join reorderer plan a CartesianProduct over all pairs), so the "
+    "join is a plain cell-key equi-join with the exact distance "
+    "predicate as codegen residual on candidates only.",
     "attribution_shapley": "Fact-sized work is one keyed window + "
     "two groupBys; the coalition lattice (16 masks x 4 channels) "
     "joins as constant-bounded relations — the Shapley math never "
@@ -490,9 +495,11 @@ ANNOTATED = {
     "geo_cell_density": "Map-side integer cell projection straight "
     "off the scan into a <=100-cell aggregate — the sizing pass "
     "that precedes the cell-blocked spatial join.",
-    "inventory_newsvendor": "One fact scan to (part, day) grain; "
-    "fractile search and the expected-cost curve both run on the "
-    "bounded daily-demand histogram with exact integer comparisons.",
+    "inventory_newsvendor": "Rank parts from a per-part aggregate "
+    "first; the (part, day) grain is built only for the broadcast "
+    "top-5-restricted fact and checkpointed. Fractile search and the "
+    "expected-cost curve run on that bounded histogram with exact "
+    "integer comparisons.",
     "forecast_croston": "Per-part folds over demand days only (day "
     "index leads the sort encoding); the only fact-sized work is "
     "the (part, day) aggregate.",
