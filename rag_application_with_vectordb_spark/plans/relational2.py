@@ -1338,7 +1338,7 @@ def approx_distinct_kmv_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- join-size estimation via count-min inner product --------------------------
 
 
-def _cms_join_sql(hexfn, str_t: str) -> str:
+def _cms_join_sql(hexfn, str_t: str, mat: str = "") -> str:
     """Shared SQL text modulo the hex fold. Estimates |H1 join H2 on
     l_suppkey| (two ship-date halves of lineitem) as the count-min
     inner product min_r sum_b cmsA[r][b]*cmsB[r][b]."""
@@ -1347,19 +1347,32 @@ def _cms_join_sql(hexfn, str_t: str) -> str:
         h = hexfn(f"md5(CAST(q.r AS {str_t}) || '|' || CAST({key} AS {str_t}))")
         return f"CAST({h} % {_CMS_W} AS BIGINT)"
 
+    # The sketches are built FROM the per-key count relations, not from
+    # the raw halves: a CMS cell is Sum(n_k) over keys hashing into it,
+    # so fanning the KEY-GRAIN relation x4 is identical to fanning the
+    # fact — but the x4 expansion then touches ~|suppliers| rows instead
+    # of the fact (at sf10 the fact-side fan-out put 240M rows through
+    # the sketch aggregate: ~44 s; this form is ~13 s). The key-grain
+    # relations are MATERIALIZED on the DuckDB side (CTE-inlining rule);
+    # Spark re-inlines them per reference, but each is now a plain
+    # column-pruned aggregate scan — cheap, and AQE reuses the exchange.
     return f"""
     WITH q (r) AS (VALUES (0), (1), (2), (3)),
-    h1 AS (SELECT l_suppkey AS k FROM lineitem
-           WHERE l_shipdate < DATE '1995-06-01'),
-    h2 AS (SELECT l_suppkey AS k FROM lineitem
-           WHERE l_shipdate >= DATE '1995-06-01'),
+    ca AS{mat} (
+      SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+      WHERE l_shipdate < DATE '1995-06-01' GROUP BY 1
+    ),
+    cb AS{mat} (
+      SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem
+      WHERE l_shipdate >= DATE '1995-06-01' GROUP BY 1
+    ),
     cmsa AS (
-      SELECT q.r, {bkt('k')} AS b, CAST(COUNT(*) AS BIGINT) AS c
-      FROM h1 CROSS JOIN q GROUP BY q.r, {bkt('k')}
+      SELECT q.r, {bkt('k')} AS b, CAST(SUM(n) AS BIGINT) AS c
+      FROM ca CROSS JOIN q GROUP BY q.r, {bkt('k')}
     ),
     cmsb AS (
-      SELECT q.r, {bkt('k')} AS b, CAST(COUNT(*) AS BIGINT) AS c
-      FROM h2 CROSS JOIN q GROUP BY q.r, {bkt('k')}
+      SELECT q.r, {bkt('k')} AS b, CAST(SUM(n) AS BIGINT) AS c
+      FROM cb CROSS JOIN q GROUP BY q.r, {bkt('k')}
     ),
     ip AS (
       SELECT a.r, CAST(SUM(a.c * b.c) AS BIGINT) AS dot
@@ -1367,8 +1380,6 @@ def _cms_join_sql(hexfn, str_t: str) -> str:
       GROUP BY a.r
     ),
     est AS (SELECT CAST(MIN(dot) AS BIGINT) AS est_rows FROM ip),
-    ca AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM h1 GROUP BY k),
-    cb AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM h2 GROUP BY k),
     exact AS (
       SELECT CAST(COALESCE(SUM(ca.n * cb.n), 0) AS BIGINT) AS exact_rows
       FROM ca JOIN cb ON ca.k = cb.k
@@ -1388,7 +1399,7 @@ def _register_cms_join():
 
     @register(
         "sketch_cms_join_size",
-        oracle=_cms_join_sql(duck_hex13_to_long, "VARCHAR"),
+        oracle=_cms_join_sql(duck_hex13_to_long, "VARCHAR", mat=" MATERIALIZED"),
         doc="Join-size estimation via the count-min inner product "
         "(Cormode & Muthukrishnan 2005, sec. 4.2): |A join B on k| = "
         "sum_k a_k*b_k, estimated as min over the 4 hash rows of the "
