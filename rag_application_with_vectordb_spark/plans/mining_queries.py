@@ -1314,21 +1314,28 @@ _register_ope()
 # the calendar span).
 
 
-def _croston_sql(spark_side: bool) -> str:
+def _croston_spark_parts() -> tuple[str, str, str]:
+    """(collect, lst, fold_open) in the Spark dialect — shared by the
+    full shared-SQL form and the hybrid plan's tail."""
+    collect, lst = "sort_array(collect_list(enc))", "size"
+    q0 = ("CAST(CAST((element_at(arr, 1) - element_at(arr, 1) % 10000) / 10000 "
+          "AS BIGINT) % 10000 AS DOUBLE)")
+    i0 = "CAST(element_at(arr, 1) % 10000 AS DOUBLE)"
+    qx = "CAST(CAST((x - x % 10000) / 10000 AS BIGINT) % 10000 AS DOUBLE)"
+    ix = "CAST(x % 10000 AS DOUBLE)"
+    fold_open = (
+        f"aggregate(slice(arr, 2, size(arr) - 1), "
+        f"array({q0}, {i0}), "
+        f"(acc, x) -> array("
+        f"CAST(0.2 AS DOUBLE) * {qx} + CAST(0.8 AS DOUBLE) * acc[0], "
+        f"CAST(0.2 AS DOUBLE) * {ix} + CAST(0.8 AS DOUBLE) * acc[1]))"
+    )
+    return collect, lst, fold_open
+
+
+def _croston_sql(spark_side: bool, mat: str = "") -> str:
     if spark_side:
-        collect, lst = "sort_array(collect_list(enc))", "size"
-        q0 = ("CAST(CAST((element_at(arr, 1) - element_at(arr, 1) % 10000) / 10000 "
-              "AS BIGINT) % 10000 AS DOUBLE)")
-        i0 = "CAST(element_at(arr, 1) % 10000 AS DOUBLE)"
-        qx = "CAST(CAST((x - x % 10000) / 10000 AS BIGINT) % 10000 AS DOUBLE)"
-        ix = "CAST(x % 10000 AS DOUBLE)"
-        fold_open = (
-            f"aggregate(slice(arr, 2, size(arr) - 1), "
-            f"array({q0}, {i0}), "
-            f"(acc, x) -> array("
-            f"CAST(0.2 AS DOUBLE) * {qx} + CAST(0.8 AS DOUBLE) * acc[0], "
-            f"CAST(0.2 AS DOUBLE) * {ix} + CAST(0.8 AS DOUBLE) * acc[1]))"
-        )
+        collect, lst, fold_open = _croston_spark_parts()
         daydiff = "datediff(CAST(o.o_orderdate AS DATE), DATE '1970-01-01')"
     else:
         fold_open = (
@@ -1345,7 +1352,7 @@ def _croston_sql(spark_side: bool) -> str:
     sel_z = "element_at(st, 1)" if spark_side else "st[1]"
     sel_p = "element_at(st, 2)" if spark_side else "st[2]"
     return f"""
-    WITH dd AS (
+    WITH dd AS{mat} (
       SELECT l.l_partkey AS part, CAST({daydiff} AS BIGINT) AS didx,
              CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -1385,10 +1392,9 @@ def _croston_sql(spark_side: bool) -> str:
     """
 
 
-_sql_query(
+@register(
     "forecast_croston",
-    _croston_sql(True),
-    oracle=_croston_sql(False),
+    oracle=_croston_sql(False, mat=" MATERIALIZED"),
     doc="Croston intermittent-demand forecast for the top-5 parts: "
     "demand SIZE and inter-demand INTERVAL smoothed separately "
     "(alpha=0.2) over the part's demand days, rate forecast = z/p — "
@@ -1399,11 +1405,72 @@ _sql_query(
     "fold replays chronologically (q/gap assumed < 1e4 — true for "
     "daily part demand and calendar spans at any tested SF); the fold is the Holt-Winters array idiom "
     "with [z, p] state and [q1, i1] init, bit-identical in "
-    "aggregate()/list_reduce. One (part, day) aggregate + one "
-    "per-part keyed window for gaps; folds run over demand days "
-    "only.",
+    "aggregate()/list_reduce. Spark plan (the newsvendor rule): rank "
+    "parts from a per-part aggregate first, build the (part, day) "
+    "grain only for the broadcast top-5-restricted fact, checkpoint "
+    "the bounded result, and run the gap window + fold tail over it — "
+    "the shared-SQL form re-inlined the fact-grain dd per CTE "
+    "reference (3 lineitem + 3 orders scans, ~42 s at sf10 vs ~26 s). "
+    "The oracle keeps the CTE form with MATERIALIZED dd. Folds run "
+    "over demand days only.",
     tags=("mining", "timeseries"),
 )
+def forecast_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    fact = li.join(orders, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        F.col("l_partkey").alias("part"),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("didx"),
+        F.floor(F.col("l_quantity")).cast("bigint").alias("qq"),
+    )
+    topp = (
+        fact.groupBy("part")
+        .agg(F.sum("qq").alias("tot"))
+        .orderBy(F.desc("tot"), F.asc("part"))
+        .limit(5)
+        .select("part")
+        .localCheckpoint()
+    )
+    base = fact.agg(F.min("didx").cast("bigint").alias("d0")).localCheckpoint()
+    dd = (
+        fact.join(F.broadcast(topp), "part")
+        .groupBy("part", "didx")
+        .agg(F.sum("qq").cast("bigint").alias("q"))
+        .localCheckpoint()  # bounded: 5 parts x calendar days
+    )
+    dd.createOrReplaceTempView("croston_dd")
+    base.createOrReplaceTempView("croston_base")
+    _, lst, fold_open = _croston_spark_parts()
+    collect = "sort_array(collect_list(enc))"
+    return spark.sql(f"""
+    WITH seq AS (
+      SELECT dd.part, dd.didx, dd.q,
+             dd.didx - COALESCE(lag(dd.didx) OVER (PARTITION BY dd.part
+                                                   ORDER BY dd.didx),
+                                b.d0 - 1) AS gap
+      FROM croston_dd dd CROSS JOIN croston_base b
+    ),
+    enc AS (
+      SELECT part, didx, didx * 100000000 + q * 10000 + gap AS enc FROM seq
+    ),
+    g AS (
+      SELECT part, {collect} AS arr FROM enc GROUP BY part
+    ),
+    f AS (
+      SELECT part, CAST({lst}(arr) AS BIGINT) AS n_demand_days,
+             {fold_open} AS st
+      FROM g
+    )
+    SELECT CAST(part AS BIGINT) AS part_key, n_demand_days,
+           element_at(st, 1) AS z_size, element_at(st, 2) AS p_interval,
+           element_at(st, 1) / element_at(st, 2) AS demand_rate_per_day
+    FROM f
+    """)
 
 
 # --- ABC-XYZ inventory classification -------------------------------------------------
