@@ -53,71 +53,66 @@ _loaded = False
 # not hand-maintained: ``python tools/window_status.py`` diffs the
 # catalog against every CORRECTNESS_r*.json in the repo root.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Round-8 window: ALL 50 slots are FIRST PROOFS (VERDICT r7 item 3 —
-    # 146 registered queries had never produced a driver CORRECTNESS row
-    # after r07; zero re-confirmation slots until that backlog drains).
-    # (a) the two r7-verdict fix items, leading the window:
-    # text_tokenize_ids was the r07 red row (driver canonicalizer can't
-    # hash top-level arrays — now projects token_ids_csv, the identical
-    # transform on both engines); audit_duplicate_payments was never
-    # driver-checked and its 0-rows form was vacuous — it now PLANTS
-    # resubmitted invoices in-query, so green proves detection.
-    "text_tokenize_ids",
-    "audit_duplicate_payments",
-    # (b) the 25 continuation-session queries named in the r7 rotation
-    # note (oldest never-checked tier; each re-verified green via
-    # tools/check_oracle.py at sf0.01 — now including the driver-faithful
-    # pandas-canonicalizer check — immediately before this rotation)
-    "events_acf_daily",
-    "ann_rp_recall",
-    "feature_corr_matrix",
-    "feature_mi_lang_source",
-    "text_phrase_search_positional",
-    "events_holt_linear",
-    "approx_distinct_diff_kmv",
-    "incremental_join_merge",
-    "approx_distinct_kmv_cube",
-    "split_balance_chi2",
-    "text_pmi_collocations",
-    "stats_jackknife_se",
-    "audit_benford_prices",
-    "ab_test_spend_welch",
-    "eval_calibration_bins",
-    "regress_spend_on_activity",
-    "forecast_seasonal_decompose",
-    "sketch_ams_f2",
-    "stats_anova_lang_length",
-    "feature_target_encode_loo",
-    "parts_pareto_abc",
-    "events_rolling_median",
-    "events_active_users",
-    "text_zipf_fit",
-    "ab_test_power_mde",
-    # (c) family-diverse fill from the remaining never-checked backlog
-    # (retrieval, encoders/governance, graph, eval, analytics, ANN)
-    "retrieval_wand_topk",
-    "retrieval_prf_terms",
-    "retrieval_prf_expanded_topk",
-    "feature_woe_iv",
-    "feature_hash_buckets",
-    "audit_l_diversity",
-    "text_distinct_ngram_ratio",
-    "eval_calibration_isotonic",
-    "regress_theil_sen",
-    "events_top_paths",
-    "cluster_grid_density",
-    "sales_yoy_mom",
-    "intervals_coverage_supplier",
-    "funnel_deadline_48h",
-    "skyline_parts_price_size",
-    "er_fuzzy_trigram_match",
-    "graph_lpa_communities",
-    "graph_kcore",
-    "stats_mann_kendall",
-    "eval_pr_curve",
-    "events_max_drawdown",
-    "audit_t_closeness",
-    "knn_radius",
+    # Round-9 window: ALL 50 slots are FIRST PROOFS again (VERDICT r8
+    # item 1 — 93 oracle-backed queries had never produced a driver
+    # CORRECTNESS row after r08; this window drains 50 of them, leaving
+    # 43 for r10). Generated mechanically by
+    # ``python tools/window_status.py --propose`` against the full
+    # CORRECTNESS_r01..r08 history; policy: never-driver-checked
+    # oracle-backed queries in registration order fill the window first,
+    # then (once the backlog is short) the stalest greens — oldest
+    # last-green round first — rotate in as re-confirmations (VERDICT r8
+    # item 4; the r01/r03-tier greens will backfill from mid-r10).
+    "mine_hard_negatives",  # first-proof
+    "knn_analogy",  # first-proof
+    "text_winnow_fingerprints",  # first-proof
+    "text_textrank_keywords",  # first-proof
+    "text_textrank_doc_keywords",  # first-proof
+    "multimodal_scene_changes",  # first-proof
+    "decontaminate_semantic",  # first-proof
+    "dedup_winnow_pairs",  # first-proof
+    "sketch_cms_join_size",  # first-proof
+    "events_ccf_click_purchase",  # first-proof
+    "ab_test_cuped",  # first-proof
+    "stats_spearman_activity_spend",  # first-proof
+    "weights_raking_ipf",  # first-proof
+    "graph_modularity",  # first-proof
+    "survival_logrank_arms",  # first-proof
+    "causal_cem_att",  # first-proof
+    "eval_reco_hitrate",  # first-proof
+    "regress_kfold_cv",  # first-proof
+    "graph_betweenness_4src",  # first-proof
+    "graph_random_walks",  # first-proof
+    "survival_nelson_aalen",  # first-proof
+    "graph_rich_club",  # first-proof
+    "ab_test_srm",  # first-proof
+    "graph_assortativity",  # first-proof
+    "regress_influence_cooks",  # first-proof
+    "feature_quantile_normalize",  # first-proof
+    "ab_test_diff_in_diff",  # first-proof
+    "events_value_histogram",  # first-proof
+    "revenue_bridge_weekly",  # first-proof
+    "cohort_ltv_curve",  # first-proof
+    "orders_backlog_daily",  # first-proof
+    "price_elasticity_by_brand",  # first-proof
+    "ab_test_wilson_ci",  # first-proof
+    "ab_test_funnel_steps",  # first-proof
+    "events_interarrival_expfit",  # first-proof
+    "audit_expectations",  # first-proof
+    "churn_labels_cohort",  # first-proof
+    "stats_overdispersion_daily",  # first-proof
+    "forecast_quantile_pinball",  # first-proof
+    "forecast_holt_winters",  # first-proof
+    "eval_qini_uplift",  # first-proof
+    "slo_burn_rate_daily",  # first-proof
+    "private_rate_randomized_response",  # first-proof
+    "graph_ppr_seed",  # first-proof
+    "events_changepoint_binseg",  # first-proof
+    "retrieval_lm_dirichlet_topk",  # first-proof
+    "audit_partition_fingerprints",  # first-proof
+    "er_symspell_match",  # first-proof
+    "eval_cohens_kappa",  # first-proof
+    "classify_nearest_centroid",  # first-proof
 )
 
 
