@@ -60,6 +60,22 @@ def _ship_package(spark: SparkSession) -> None:
                 if f.endswith(".py"):
                     full = os.path.join(root, f)
                     zf.write(full, os.path.join(pkg_name, os.path.relpath(full, pkg_dir)))
+        # the vendored protobuf runtime (transformWithStateInPandas'
+        # worker-side state protocol) rides the same zip so executor
+        # Python workers can import google.protobuf when the runtime
+        # lacks it — see protobuf_compat.py
+        vend = os.path.join(os.path.dirname(pkg_dir), "vendor", "google")
+        if os.path.isdir(vend):
+            for root, _dirs, files in os.walk(vend):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        zf.write(
+                            full,
+                            os.path.join(
+                                "google", os.path.relpath(full, vend)
+                            ),
+                        )
     try:
         sc.addPyFile(zpath)
     except Exception:
@@ -93,6 +109,12 @@ def get_spark(
     deployment would size this to ~2-3x total executor cores and lean
     on AQE coalescing).
     """
+    # Must precede JVM launch: local-mode Python workers inherit the
+    # JVM's env, and the vendored-protobuf fallback rides an env var
+    # (see protobuf_compat.ensure_protobuf).
+    from .protobuf_compat import ensure_protobuf
+
+    ensure_protobuf()
     if cpus is None:
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     if shuffle_partitions is None:

@@ -17,11 +17,16 @@ Scale posture: state is one double per user (bounded by user
 cardinality, not stream length); keys hash-partition across the state
 store; no shuffle beyond the groupBy.
 
-Runtime requirement: ``transformWithStateInPandas`` speaks protobuf to
-the JVM state server, so it needs the ``protobuf`` package at runtime
-— check :func:`tws_available` first. :func:`.stateful.high_water_marks`
-is the same operator on ``applyInPandasWithState`` with no such
-dependency.
+Runtime requirements: ``transformWithStateInPandas`` speaks protobuf to
+the JVM state server — a real ``protobuf`` install or the repo-vendored
+pure-Python runtime (``protobuf_compat.ensure_protobuf``) satisfies it;
+check :func:`tws_available` first. Its typed state handles also need
+the multi-column-family RocksDB state store
+(``spark.sql.streaming.stateStore.providerClass =
+org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``,
+bundled with Spark 4 — the default HDFS-backed provider raises
+UNSUPPORTED_FEATURE). :func:`.stateful.high_water_marks` is the same
+operator on ``applyInPandasWithState`` with neither dependency.
 """
 
 from __future__ import annotations
@@ -39,11 +44,13 @@ __all__ = ["high_water_marks", "HighWaterMarkProcessor", "tws_available"]
 
 def tws_available() -> bool:
     """True iff the typed-state API can actually run in this Python env
-    (its state-server protocol needs google.protobuf)."""
-    try:
-        return importlib.util.find_spec("google.protobuf") is not None
-    except ModuleNotFoundError:  # parent 'google' namespace absent
+    (its state-server protocol needs google.protobuf — a real install,
+    or the repo-vendored pure-Python runtime, see protobuf_compat)."""
+    from ..protobuf_compat import ensure_protobuf
+
+    if not ensure_protobuf():
         return False
+    return importlib.util.find_spec("google.protobuf") is not None
 
 _OUT_SCHEMA = T.StructType(
     [

@@ -79,16 +79,28 @@ def test_high_water_marks_match_batch_prefix_max(spark, sf_dir):
 
 def test_high_water_marks_typed_state_api(spark, sf_dir):
     # Same operator on Spark 4's transformWithStateInPandas; its state
-    # server speaks protobuf, absent from some runtimes.
+    # server speaks protobuf (satisfied here by the repo-vendored
+    # pure-Python runtime when no real install exists — protobuf_compat)
+    # and its typed state handles need the multi-column-family RocksDB
+    # state store, which ships inside Spark 4.
     from rag_application_with_vectordb_spark.streaming import tws
 
     if not tws.tws_available():
         pytest.skip("google.protobuf not installed; typed-state API cannot run")
-    stream = tws.high_water_marks(read_events_stream(spark, sf_dir))
-    got = {
-        (r["user_id"], r["event_id"])
-        for r in run_to_completion(stream, "hwm_tws", mode="append").collect()
-    }
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = tws.high_water_marks(read_events_stream(spark, sf_dir))
+        got = {
+            (r["user_id"], r["event_id"])
+            for r in run_to_completion(stream, "hwm_tws", mode="append").collect()
+        }
+    finally:
+        spark.conf.set(provider_key, prev)
     assert got == _batch_new_maxima(spark, sf_dir)
 
 
