@@ -320,12 +320,18 @@ _NB_ORACLE = rf"""
     "token counts with Laplace smoothing as the training aggregate, "
     "log-probs quantized to integer micro-log-units so scoring is an "
     "exact integer sum (associative — partitioning cannot flap the "
-    "argmax), confusion matrix out. The weight table is |classes| x "
-    "|vocab| rows — broadcast-sized for any bounded vocabulary, so at "
-    "100 TB scoring is a map-side join + one groupBy per document: "
-    "the fastText serving shape. Out-of-vocabulary test tokens drop "
-    "out of the score (standard NB practice), and a test document "
-    "with no known tokens still gets the prior-only argmax.",
+    "argmax), confusion matrix out. The weight relation is SPARSE: "
+    "only OBSERVED (class, word) pairs carry a delta lp(c,w) - "
+    "default_c, and each class's absent-word mass folds into one "
+    "per-class default weight, so score = prior_c + L_doc * default_c "
+    "+ sum(tf * delta) with L_doc the doc's in-vocab token count — "
+    "identical integer arithmetic to the dense |C| x |V| form (the "
+    "oracle keeps that form as the anchor) without ever materializing "
+    "it, so an OPEN vocabulary costs only the observed-pair table. At "
+    "100 TB scoring is a map-side broadcast join + one groupBy per "
+    "document: the fastText serving shape. Out-of-vocabulary test "
+    "tokens drop out of the score (standard NB practice), and a test "
+    "document with no known tokens still gets the prior-only argmax.",
     tags=("text", "classify", "ml"),
 )
 def text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,24 +355,37 @@ def text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctot = train_tok.groupBy(F.col("lang").alias("c")).agg(
         F.count("*").cast("bigint").alias("tot")
     )
-    weights = (
-        cls.select("c")
-        .crossJoin(vocab)
+    # Per-class default weight (the cnt=0 cell of the dense form) and a
+    # sparse delta over OBSERVED (c, w) pairs only. Both lp and default
+    # round separately to micro-log-units, exactly as the dense oracle
+    # rounds each (c, w) cell, so delta = lp - default is exact integer
+    # parity with the |C| x |V| crossJoin this replaces.
+    defaults = ctot.crossJoin(F.broadcast(v_size)).select(
+        "c",
+        F.round(
+            F.log(1.0 / (F.col("tot").cast("double") + F.col("v").cast("double")))
+            * 1000000
+        )
+        .cast("bigint")
+        .alias("dflt"),
+    )
+    deltas = (
+        cw.join(ctot, "c")
         .crossJoin(F.broadcast(v_size))
-        .join(ctot, "c")
-        .join(cw, ["c", "w"], "left")
+        .join(F.broadcast(defaults), "c")
         .select(
             "c",
             "w",
-            F.round(
-                F.log(
-                    (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + 1.0)
-                    / (F.col("tot").cast("double") + F.col("v").cast("double"))
-                )
-                * 1000000
-            )
-            .cast("bigint")
-            .alias("lp"),
+            (
+                F.round(
+                    F.log(
+                        (F.col("cnt").cast("double") + 1.0)
+                        / (F.col("tot").cast("double") + F.col("v").cast("double"))
+                    )
+                    * 1000000
+                ).cast("bigint")
+                - F.col("dflt")
+            ).alias("delta"),
         )
     )
     priors = cls.crossJoin(F.broadcast(n_train)).select(
@@ -382,21 +401,34 @@ def text_nb_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "lang", "w")
         .agg(F.count("*").cast("bigint").alias("tf"))
     )
+    # sparse score pieces: sum(tf * delta) over observed (c, w) pairs,
+    # plus the per-doc in-vocab token mass L that multiplies default_c
     tok_scores = (
-        test_tok.join(F.broadcast(weights), "w")
+        test_tok.join(F.broadcast(deltas), "w")
         .groupBy("doc_id", "c")
-        .agg(F.sum(F.col("tf") * F.col("lp")).cast("bigint").alias("s"))
+        .agg(F.sum(F.col("tf") * F.col("delta")).cast("bigint").alias("s"))
     )
+    invocab_len = (
+        test_tok.join(F.broadcast(vocab), "w", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sum("tf").cast("bigint").alias("l_invocab"))
+    )
+    class_consts = priors.join(F.broadcast(defaults), "c")
     scores = (
         docs.filter(_split_col("test"))
         .select("doc_id", F.col("lang").alias("lang_true"))
-        .crossJoin(F.broadcast(priors))
+        .join(invocab_len, "doc_id", "left")
+        .crossJoin(F.broadcast(class_consts))
         .join(tok_scores, ["doc_id", "c"], "left")
         .select(
             "doc_id",
             "lang_true",
             "c",
-            (F.col("prior") + F.coalesce(F.col("s"), F.lit(0))).alias("score"),
+            (
+                F.col("prior")
+                + F.coalesce(F.col("l_invocab"), F.lit(0)) * F.col("dflt")
+                + F.coalesce(F.col("s"), F.lit(0))
+            ).alias("score"),
         )
     )
     win = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("c"))
