@@ -963,12 +963,19 @@ _FUNNEL_NEAR_T = 0.6
     "id) -> near-dedup drop (inverted-index Jaccard >= 0.6, higher id "
     "of each pair dropped). On the planted corpus the exact stage peels "
     "exactly the 20 planted copies; the near stage drops the 20 planted "
-    "near copies plus the corpus's natural >= 0.6 pairs, so the funnel "
-    "numbers are deterministic and every stage's intermediate is the "
-    "SAME relation the standalone queries check. The near-dup stage is "
-    "MinHash-LSH banding (dedup_minhash_lsh_pairs' 12x4x3 convention, "
+    "near copies plus the corpus's LSH-COLLIDING >= 0.6 pairs, so the "
+    "funnel numbers are deterministic and every stage's intermediate is "
+    "the SAME relation the standalone queries check. The near-dup stage "
+    "is MinHash-LSH banding (dedup_minhash_lsh_pairs' 12x4x3 convention, "
     "mirrored in the oracle) with exact-Jaccard verification of "
-    "colliding pairs against FULL shingle sets — a shared-shingle "
+    "colliding pairs against FULL shingle sets. Recall is the 4x3 "
+    "S-curve P(collide)=1-(1-s^3)^4: ~62% at Jaccard exactly 0.6, ~94% "
+    "at 0.8, >99.4% at 0.9 (midpoint s~0.54) — a true pair at the bare "
+    "threshold can be missed, and because the oracle mirrors the same "
+    "candidate generation, such misses are invisible to the value gate; "
+    "raise num_hashes/bands if the release bar needs recall at 0.6 "
+    "itself rather than at the near-copy band the funnel targets. "
+    "A shared-shingle "
     "inverted-index join here (even df-capped) is Sum(df^2) candidate "
     "volume and never finished on the dense round-8 scale-up fixtures "
     "(see the module constant note). At 100 TB each stage is one "

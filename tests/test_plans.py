@@ -8,6 +8,8 @@ bug even when results stay correct.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from rag_application_with_vectordb_spark.plans.registry import load_all
@@ -618,4 +620,8 @@ def test_geo_radius_blocking_survives_join_reorder(spark, sf_dir, specs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Generate explode" in plan  # the neighbor-key fan-out
-    assert "ncell" in plan and "cell" in plan  # the equi keys
+    # both equi keys must appear as INDEPENDENT attributes ('ncell'
+    # containing 'cell' as a substring made the old conjunct vacuous):
+    # require the attribute-reference forms ncell#N and a bare cell#N
+    assert re.search(r"\bncell#\d+", plan)  # probe-side neighbor key
+    assert re.search(r"(?<![a-z_])cell#\d+", plan)  # build-side cell key

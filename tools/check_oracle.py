@@ -101,7 +101,12 @@ def main() -> int:
         with open(name_filter[i + 1]) as fh:
             for line in fh.read().replace("\r", "\n").splitlines():
                 if line.startswith(("rows  ", "ok    ")):
-                    done.add(line.split()[1].rstrip(":"))
+                    # the resume scenario IS the interrupted-mid-write
+                    # scenario — a truncated trailing line must not kill
+                    # the sweep it exists to resume
+                    parts = line.split()
+                    if len(parts) > 1:
+                        done.add(parts[1].rstrip(":"))
         del name_filter[i : i + 2]
     specs = load_all()
     if name_filter == ["--window"]:
@@ -157,9 +162,18 @@ def main() -> int:
             sdf = spec.fn(spark, sf_dir)
             if spark_only:
                 # full execution without driver materialization — the
-                # result set itself can be huge at scale-up SFs
-                n_rows = sdf.count()
-                srows = sdf.limit(1000).collect()
+                # result set itself can be huge at scale-up SFs. DISK_ONLY
+                # persist so count() and the 1000-row sample are ONE
+                # execution of the (possibly hours-long at sf10) plan,
+                # without holding a giant result in executor memory.
+                from pyspark import StorageLevel
+
+                sdf = sdf.persist(StorageLevel.DISK_ONLY)
+                try:
+                    n_rows = sdf.count()
+                    srows = sdf.limit(1000).collect()
+                finally:
+                    sdf.unpersist()
             else:
                 srows = sdf.collect()
                 n_rows = len(srows)
