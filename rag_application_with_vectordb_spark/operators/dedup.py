@@ -111,6 +111,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.0,
     max_df: int | None = None,
+    persist: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
@@ -137,8 +138,16 @@ def ngram_jaccard_pairs(
     sets, so every reported (intersection, jaccard) value stays exact.
     Lossy only for pairs whose every shared shingle is ultra-frequent
     — the same bounded trade the pHash frequent-bucket guard makes.
+
+    ``persist=True`` caches the shingle-set relation (it feeds the size
+    table, both posting sides and — with ``max_df`` — the verify pass,
+    each of which would otherwise re-scan the source and re-shingle;
+    the same convention, and the same 100 TB materialized-intermediate
+    reading, as :func:`minhash_lsh_pairs`).
     """
     sets = _shingle_sets(docs, text_col, id_col, n)
+    if persist:
+        sets = sets.persist()
     sizes = sets.select(F.col(id_col), F.size("shingles").alias("set_size"))
     posting = sets.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     cand_posting = posting
@@ -1009,7 +1018,17 @@ def decontaminate(
 
     tg = gram_positions(train)
     eg = gram_positions(evalset).select("sh").distinct()
-    counts = tg.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    # per-doc gram count is arithmetic on the token count (a doc with
+    # t >= n tokens has exactly t-n+1 gram positions) — no second pass
+    # through the exploded md5 posting, no gram-side re-aggregation
+    counts = (
+        _spread(train, id_col)
+        .select(
+            F.col(id_col),
+            (F.size(tokens(F.col(text_col))) - (n - 1)).alias("n_grams"),
+        )
+        .filter(F.col("n_grams") > 0)
+    )
     hits = (
         tg.join(eg, "sh", "left_semi")
         .groupBy(id_col)

@@ -370,6 +370,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 2)
+        # bounded co-purchase pair relation (HAVING-pruned): checkpoint
+        # once so the symmetrizing union + the operator's deg/ed cache
+        # fills read it instead of re-running the scan + self-join 4x
+        .localCheckpoint()
     )
     edges = prs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionAll(
         prs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
@@ -847,6 +851,8 @@ def graph_pagerank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("long").alias("w"))
         .filter(F.col("w") >= 2)
+        # same bounded-pair checkpoint as graph_pagerank
+        .localCheckpoint()
     )
     edges = prs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst"), "w"
@@ -997,22 +1003,18 @@ def _median_sql(src: str, val: str, out: str) -> str:
     return f"""{out}_r AS (
       SELECT l_returnflag, {val} AS x,
              row_number() OVER (PARTITION BY l_returnflag ORDER BY {val}) - 1 AS rn,
-             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+             0.5 * (COUNT(*) OVER (PARTITION BY l_returnflag) - 1) AS h
       FROM {src}
     ),
-    {out}_h AS (
-      SELECT l_returnflag, 0.5 * (MAX(n) - 1) AS h FROM {out}_r GROUP BY l_returnflag
-    ),
     {out} AS (
-      SELECT r.l_returnflag,
-             MAX(CASE WHEN r.rn = CAST(FLOOR(h.h) AS BIGINT) THEN r.x END)
-             + (h.h - FLOOR(h.h)) *
-               (MAX(CASE WHEN r.rn = CAST(CEILING(h.h) AS BIGINT) THEN r.x END)
-                - MAX(CASE WHEN r.rn = CAST(FLOOR(h.h) AS BIGINT) THEN r.x END)) AS med
-      FROM {out}_r r JOIN {out}_h h ON h.l_returnflag = r.l_returnflag
-                 AND r.rn >= CAST(FLOOR(h.h) AS BIGINT)
-                 AND r.rn <= CAST(CEILING(h.h) AS BIGINT)
-      GROUP BY r.l_returnflag, h.h
+      SELECT l_returnflag,
+             MAX(CASE WHEN rn = CAST(FLOOR(h) AS BIGINT) THEN x END)
+             + (MAX(h) - FLOOR(MAX(h))) *
+               (MAX(CASE WHEN rn = CAST(CEILING(h) AS BIGINT) THEN x END)
+                - MAX(CASE WHEN rn = CAST(FLOOR(h) AS BIGINT) THEN x END)) AS med
+      FROM {out}_r
+      WHERE rn >= CAST(FLOOR(h) AS BIGINT) AND rn <= CAST(CEILING(h) AS BIGINT)
+      GROUP BY l_returnflag
     )"""
 
 
@@ -2330,31 +2332,43 @@ def intervals_coverage_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FUNNEL_DEADLINE_H = 48
 
 
-def _funnel_deadline_sql(micros: str) -> str:
-    h = _FUNNEL_DEADLINE_H
-    return f"""
-    WITH s AS (
+_FD_S_SQL = """
       SELECT user_id, min(ts) AS signup_ts
       FROM events WHERE event_type = 'signup' GROUP BY user_id
-    ),
-    c AS (
+"""
+
+
+def _fd_c_sql(s: str) -> str:
+    return f"""
       SELECT e.user_id, s.signup_ts, min(e.ts) AS click_ts
-      FROM events e JOIN s ON e.user_id = s.user_id
+      FROM events e JOIN {s} s ON e.user_id = s.user_id
       WHERE e.event_type = 'click' AND e.ts > s.signup_ts
-        AND e.ts <= s.signup_ts + INTERVAL {h} HOUR
+        AND e.ts <= s.signup_ts + INTERVAL {_FUNNEL_DEADLINE_H} HOUR
       GROUP BY e.user_id, s.signup_ts
-    ),
-    p AS (
+"""
+
+
+def _fd_p_sql(c: str) -> str:
+    return f"""
       SELECT e.user_id, c.click_ts, min(e.ts) AS purchase_ts
-      FROM events e JOIN c ON e.user_id = c.user_id
+      FROM events e JOIN {c} c ON e.user_id = c.user_id
       WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
-        AND e.ts <= c.click_ts + INTERVAL {h} HOUR
+        AND e.ts <= c.click_ts + INTERVAL {_FUNNEL_DEADLINE_H} HOUR
       GROUP BY e.user_id, c.click_ts
-    ),
+"""
+
+
+def _fd_tail_sql(micros, s: str, c: str, p: str) -> str:
+    """Latency-median + step-count roll-up downstream of the three step
+    relations — shared verbatim between the DuckDB oracle (in-query
+    CTEs) and the Spark side (localCheckpoint'ed step views, so each
+    monotonically-shrinking step relation computes once instead of once
+    per CTE reference — CTE re-inlining was 11 events scans)."""
+    return f"""
     lat AS (
-      SELECT 2 AS step_no, {micros("click_ts")} - {micros("signup_ts")} AS us FROM c
+      SELECT 2 AS step_no, {micros("click_ts")} - {micros("signup_ts")} AS us FROM {c}
       UNION ALL
-      SELECT 3 AS step_no, {micros("purchase_ts")} - {micros("click_ts")} AS us FROM p
+      SELECT 3 AS step_no, {micros("purchase_ts")} - {micros("click_ts")} AS us FROM {p}
     ),
     ranked AS (
       SELECT step_no, us,
@@ -2367,17 +2381,25 @@ def _funnel_deadline_sql(micros: str) -> str:
       WHERE rn = CAST(floor((CAST(n AS DOUBLE) + 1.0) / 2.0) AS BIGINT)
     ),
     steps AS (
-      SELECT 1 AS step_no, 'signup' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM s
+      SELECT 1 AS step_no, 'signup' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM {s}
       UNION ALL
-      SELECT 2 AS step_no, 'click' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM c
+      SELECT 2 AS step_no, 'click' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM {c}
       UNION ALL
-      SELECT 3 AS step_no, 'purchase' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM p
+      SELECT 3 AS step_no, 'purchase' AS step, CAST(COUNT(*) AS BIGINT) AS users FROM {p}
     )
     SELECT CAST(st.step_no AS BIGINT) AS step_no, st.step, st.users,
            CAST(m.median_latency_us AS BIGINT) AS median_latency_us
     FROM steps st LEFT JOIN med m ON st.step_no = m.step_no
     ORDER BY step_no ASC
     """
+
+
+def _funnel_deadline_sql(micros) -> str:
+    return f"""
+    WITH s AS ({_FD_S_SQL}),
+    c AS ({_fd_c_sql("s")}),
+    p AS ({_fd_p_sql("c")}),
+    {_fd_tail_sql(micros, "s", "c", "p")}"""
 
 
 @register(
@@ -2398,7 +2420,15 @@ def _funnel_deadline_sql(micros: str) -> str:
 def funnel_deadline_48h(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_funnel_deadline_sql(lambda col: f"unix_micros({col})"))
+    s = spark.sql(_FD_S_SQL).localCheckpoint()
+    s.createOrReplaceTempView("fd_s")
+    c = spark.sql(_fd_c_sql("fd_s")).localCheckpoint()
+    c.createOrReplaceTempView("fd_c")
+    p = spark.sql(_fd_p_sql("fd_c")).localCheckpoint()
+    p.createOrReplaceTempView("fd_p")
+    return spark.sql(
+        "WITH " + _fd_tail_sql(lambda col: f"unix_micros({col})", "fd_s", "fd_c", "fd_p")
+    )
 
 
 from .registry import QUERIES as _Q_FD  # noqa: E402

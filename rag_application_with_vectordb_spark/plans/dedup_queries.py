@@ -984,28 +984,40 @@ _FUNNEL_NEAR_T = 0.6
     tags=("dedup", "pipeline", "text"),
 )
 def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.text import token_count
+    from ..functions.text import fingerprint, token_count
 
     tune(spark)
     aug = _augmented_docs(spark, sf_dir)
-    tok = aug.select(
-        "doc_id", "text", token_count(F.col("text")).cast("bigint").alias("n_tokens")
-    )
-    s1 = tok.filter(F.col("n_tokens") >= _FUNNEL_MIN_TOKENS)
-    canon = (
-        exact_dup_groups(s1)
-        .filter(F.col("is_canonical"))
-        .select("doc_id")
-    )
-    s2 = s1.join(canon, "doc_id")
+    # ONE text-bearing pass computes everything the stage roll-ups need
+    # (token count + exact-dup fingerprint), checkpointed WITHOUT the
+    # text column — ids/counts/32-byte hashes only, so the checkpoint
+    # is orders of magnitude under the corpus (the r8 Apriori lesson:
+    # never pin a text/fact-sized relation). Every stage aggregate and
+    # the canonical-selection join re-read this checkpoint; documents
+    # itself is scanned twice total (meta build + the text re-attach
+    # for shingling) instead of ~24x from per-stage re-derivation.
+    meta = aug.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        fingerprint(F.col("text")).alias("fingerprint"),
+    ).localCheckpoint()
+    q = meta.filter(F.col("n_tokens") >= _FUNNEL_MIN_TOKENS)
+    canon = q.groupBy("fingerprint").agg(F.min("doc_id").alias("canonical_id"))
+    s2_ids = q.join(canon, "fingerprint").filter(
+        F.col("doc_id") == F.col("canonical_id")
+    ).select("doc_id", "n_tokens")
+    # re-attach text only for the LSH stage's survivors; the helper
+    # persists its shingle/signature intermediates so the banding and
+    # the exact-Jaccard verify share one scan of this join
+    s2_docs = aug.join(s2_ids.select("doc_id"), "doc_id").select("doc_id", "text")
     near_drop = (
         minhash_lsh_pairs(
-            s2, num_hashes=12, bands=4, min_jaccard=_FUNNEL_NEAR_T
+            s2_docs, num_hashes=12, bands=4, min_jaccard=_FUNNEL_NEAR_T
         )
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    s3 = s2.join(near_drop, "doc_id", "left_anti")
+    s3 = s2_ids.join(near_drop, "doc_id", "left_anti")
 
     def stage(no: int, name: str, df: DataFrame) -> DataFrame:
         return df.agg(
@@ -1016,9 +1028,9 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        stage(0, "raw", tok)
-        .unionByName(stage(1, "quality_min_tokens", s1))
-        .unionByName(stage(2, "exact_dedup_canonical", s2))
+        stage(0, "raw", meta)
+        .unionByName(stage(1, "quality_min_tokens", q))
+        .unionByName(stage(2, "exact_dedup_canonical", s2_ids))
         .unionByName(stage(3, "near_dedup_jaccard", s3))
     )
 
@@ -1330,7 +1342,11 @@ def _register_winnow_pairs():
     def dedup_winnow_pairs(spark, sf_dir):
         tune(spark)
         fp = winnow_fingerprints_df(_augmented_docs(spark, sf_dir))
-        fpd = fp.select("doc_id", "gram_hash").distinct()
+        # the winnowed sketch is ~1/8 of the corpus and carries only
+        # (id, hash) — checkpoint it once so the df-cap aggregate and
+        # both join sides re-read the sketch, not the corpus (was 3
+        # full re-winnowings / 12 documents scans in one plan)
+        fpd = fp.select("doc_id", "gram_hash").distinct().localCheckpoint()
         dfq = (
             fpd.groupBy("gram_hash")
             .agg(F.count("*").alias("df"))

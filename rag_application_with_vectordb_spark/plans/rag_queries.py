@@ -400,10 +400,14 @@ def knn_analogy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias(f"v{vid}")
         )
 
+    # explicit broadcast hints: each side is one row by construction,
+    # but a bounded side must be DECLARED bounded — without the hints
+    # these crossJoins fall back to CartesianProduct whenever auto-
+    # broadcast is off (the no-broadcast plan lint pins this)
     t = (
         vec(1)
-        .crossJoin(vec(2))
-        .crossJoin(vec(3))
+        .crossJoin(F.broadcast(vec(2)))
+        .crossJoin(F.broadcast(vec(3)))
         .select(
             F.expr(
                 "transform(sequence(1, size(v1)), i -> "

@@ -1704,8 +1704,20 @@ def _reco_eval_sql(hexfn, str_t: str) -> str:
                                 ORDER BY {hk} DESC, ui.item ASC) AS rn
       FROM ui JOIN multi ON multi.user_id = ui.user_id
     ),
-    hold AS (SELECT user_id, item AS held_item FROM keyed WHERE rn = 1),
-    train AS (SELECT user_id, item FROM keyed WHERE rn > 1),
+    {_reco_eval_tail("keyed")}"""
+
+
+def _reco_eval_tail(keyed: str) -> str:
+    """Eval CTEs downstream of the leave-one-out ``keyed`` relation —
+    shared verbatim between the DuckDB oracle (as more CTEs over the
+    in-query ``keyed``) and the Spark side (over the localCheckpoint'ed
+    ``keyed`` view, so events is scanned once, not once per CTE
+    reference — Spark re-inlines CTEs). ``multi`` re-derives as the
+    distinct users of ``keyed`` (identical by construction: keyed is
+    ui restricted to multi-item users)."""
+    return f"""
+    hold AS (SELECT user_id, item AS held_item FROM {keyed} WHERE rn = 1),
+    train AS (SELECT user_id, item FROM {keyed} WHERE rn > 1),
     co AS (
       SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS c
       FROM train a JOIN train b ON a.user_id = b.user_id AND a.item <> b.item
@@ -1735,7 +1747,7 @@ def _reco_eval_sql(hexfn, str_t: str) -> str:
     ),
     popu AS (
       SELECT m.user_id, p.item
-      FROM multi m CROSS JOIN pop p
+      FROM (SELECT DISTINCT user_id FROM {keyed}) m CROSS JOIN pop p
       LEFT JOIN train t ON t.user_id = m.user_id AND t.item = p.item
       WHERE t.item IS NULL
     ),
@@ -1782,7 +1794,10 @@ def _register_reco_eval():
         "scoring are keyed joins bounded by the item domain, per-user "
         "top-3 are keyed windows, and the only global numbers are the "
         "three COUNT roll-ups. The md5 holdout makes the split (and "
-        "so both hit-rates) bit-identical cross-engine.",
+        "so both hit-rates) bit-identical cross-engine. Spark "
+        "localCheckpoints the bounded keyed split relation once, so "
+        "the 8 downstream CTE references re-read the checkpoint, not "
+        "the events fact (CTE re-inlining was 21 events scans).",
         tags=("analytics", "eval"),
     )
     def eval_reco_hitrate(spark, sf_dir):
@@ -1790,10 +1805,27 @@ def _register_reco_eval():
 
         tune(spark)
         register_views(spark, sf_dir, ("events",))
-        sql = _reco_eval_sql(_spark_hex13, "STRING").replace(
-            "{jx}", "get_json_object(props, '$.k')"
+        hk = _spark_hex13(
+            "md5('loo42|' || CAST(ui.user_id AS STRING) || '|' || CAST(ui.item AS STRING))"
         )
-        return spark.sql(sql)
+        keyed = spark.sql(
+            f"""
+            WITH ui AS (
+              SELECT DISTINCT user_id,
+                     CAST(get_json_object(props, '$.k') AS BIGINT) AS item
+              FROM events WHERE event_type IN ('click', 'purchase')
+            ),
+            multi AS (
+              SELECT user_id FROM ui GROUP BY user_id HAVING COUNT(*) >= 2
+            )
+            SELECT ui.user_id, ui.item,
+                   ROW_NUMBER() OVER (PARTITION BY ui.user_id
+                                      ORDER BY {hk} DESC, ui.item ASC) AS rn
+            FROM ui JOIN multi ON multi.user_id = ui.user_id
+            """
+        ).localCheckpoint()
+        keyed.createOrReplaceTempView("reco_eval_keyed")
+        return spark.sql("WITH " + _reco_eval_tail("reco_eval_keyed"))
 
     return eval_reco_hitrate
 
@@ -2262,11 +2294,21 @@ _register_na()
 
 
 def _rich_club_sql(ui: str) -> str:
-    ks = ", ".join(f"({k})" for k in (1, 2, 3, 4, 5, 6))
     return f"""
     WITH {_lpa_edges(ui)},
+    {_rich_club_tail("edges")}"""
+
+
+def _rich_club_tail(edges: str) -> str:
+    """Threshold sweep downstream of the symmetrized edge list — shared
+    verbatim between the DuckDB oracle (over the in-query ``edges``
+    CTE) and the Spark side (over a localCheckpoint'ed edges view, so
+    the 6-threshold hub semi-joins re-read the bounded checkpoint
+    instead of re-deriving the co-occurrence graph from events 16x)."""
+    ks = ", ".join(f"({k})" for k in (1, 2, 3, 4, 5, 6))
+    return f"""
     deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
-            FROM edges GROUP BY src),
+            FROM {edges} GROUP BY src),
     ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES {ks}) AS v(k)),
     hubs AS (
       SELECT ks.k, deg.node FROM ks JOIN deg ON deg.d > ks.k
@@ -2274,7 +2316,7 @@ def _rich_club_sql(ui: str) -> str:
     hn AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_hubs FROM hubs GROUP BY k),
     ew AS (
       SELECT h1.k, CAST(COUNT(*) AS BIGINT) AS e_directed
-      FROM edges e
+      FROM {edges} e
       JOIN hubs h1 ON h1.node = e.src
       JOIN hubs h2 ON h2.k = h1.k AND h2.node = e.dst
       GROUP BY h1.k
@@ -2302,10 +2344,17 @@ def _rich_club_sql(ui: str) -> str:
     "structure screen (graph_assortativity gives the correlation; "
     "this gives the density curve). Degree table once, one "
     "(k x hubs) semi-join per threshold over the bounded node "
-    "relation; exact integer counts to one final division.",
+    "relation; exact integer counts to one final division. Spark "
+    "localCheckpoints the bounded top-capped edge list once (the "
+    "graph_lpa_communities pattern) so the threshold sweep re-reads "
+    "the checkpoint, not the events fact.",
     tags=("graph", "analytics"),
 )
 def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     register_views(spark, sf_dir, ("events",))
-    return spark.sql(_rich_club_sql(_UI_SPARK))
+    edges = spark.sql(
+        "WITH " + _lpa_edges(_UI_SPARK) + " SELECT src, dst, co FROM edges"
+    ).localCheckpoint()
+    edges.createOrReplaceTempView("rich_club_edges")
+    return spark.sql("WITH " + _rich_club_tail("rich_club_edges"))

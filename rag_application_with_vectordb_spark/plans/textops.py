@@ -1491,6 +1491,10 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("w"))
         .filter(F.col("w") >= _TR_MIN_CO)
+        # vocabulary-bounded pair relation: checkpoint once so the
+        # symmetrizing union + pagerank_fp's deg/ed cache fills re-read
+        # it instead of re-tokenizing the corpus per reference
+        .localCheckpoint()
     )
     edges = prs.select(F.col("wa").alias("src"), F.col("wb").alias("dst"), "w").unionAll(
         prs.select(F.col("wb").alias("src"), F.col("wa").alias("dst"), "w")
@@ -1634,6 +1638,9 @@ def text_textrank_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("w"))
         .filter(F.col("w") >= _TRD_MIN_CO)
+        # per-doc support-pruned pair relation: same checkpoint-once
+        # rationale as the corpus variant above
+        .localCheckpoint()
     )
 
     def leg(src_w, dst_w):
