@@ -2608,15 +2608,17 @@ _sql_query(
                AS peak
       FROM c
     ),
-    dd AS (SELECT day, CAST(peak - bal AS BIGINT) AS draw, peak, bal FROM p)
-    SELECT CAST(MAX(draw) AS BIGINT) AS max_drawdown_cents,
-           CAST(MIN(CASE WHEN draw = (SELECT MAX(draw) FROM dd) THEN day END) AS DATE)
-             AS trough_day,
-           CAST(MIN(CASE WHEN draw = (SELECT MAX(draw) FROM dd) THEN peak END) AS BIGINT)
-             AS peak_cents,
-           CAST(MIN(CASE WHEN draw = (SELECT MAX(draw) FROM dd) THEN bal END) AS BIGINT)
-             AS trough_cents
-    FROM dd
+    dd AS (SELECT day, CAST(peak - bal AS BIGINT) AS draw, peak, bal FROM p),
+    r AS (
+      SELECT day, draw, peak, bal,
+             ROW_NUMBER() OVER (ORDER BY draw DESC, day ASC) AS rn
+      FROM dd
+    )
+    SELECT CAST(draw AS BIGINT) AS max_drawdown_cents,
+           CAST(day AS DATE) AS trough_day,
+           CAST(peak AS BIGINT) AS peak_cents,
+           CAST(bal AS BIGINT) AS trough_cents
+    FROM r WHERE rn = 1
     """,
     doc="Maximum drawdown of the daily net cash balance (purchase revenue "
     "minus error losses, cumulated): drawdown_t = running_peak_t - "
@@ -2627,7 +2629,10 @@ _sql_query(
     "— the fact collapses to day grain first (exact integer cents), so "
     "the unpartitioned windows touch 365 rows/year regardless of fact "
     "size (the ACF/CUSUM precedent). Deterministic: all integers until "
-    "the final casts; the argmax day uses MIN on ties.",
+    "the final casts; the report row is the single rank-1 row under "
+    "(draw DESC, day ASC) — earliest trough on ties, with that row's "
+    "own peak/balance (one dd reference; the old 3-scalar-subquery "
+    "argmax re-derived the day relation 4x).",
     tags=("analytics", "timeseries"),
 )
 

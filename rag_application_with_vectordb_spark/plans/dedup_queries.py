@@ -85,7 +85,13 @@ _JACCARD_SQL = rf"""
 
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    head = docs.filter(F.col("doc_id") < 20)
+    # The planted-copy branches re-read documents per UNION arm, so every
+    # reference to the augmented relation used to cost 3 scan nodes (1
+    # corpus-sized + 2 id<20-pruned). Checkpointing the 20-row head makes
+    # each reference exactly ONE corpus scan + two 20-row local reads —
+    # catalog-wide, since every dedup/decontamination query derives from
+    # this relation.
+    head = docs.filter(F.col("doc_id") < 20).localCheckpoint()
     exact = head.select((F.col("doc_id") + _AUG_EXACT_OFF).alias("doc_id"), F.col("text"))
     near = head.select(
         (F.col("doc_id") + _AUG_NEAR_OFF).alias("doc_id"),

@@ -121,20 +121,64 @@ def test_driver_window_queries_nonempty(spark, sf_dir):
     assert not empty, f"vacuous window queries (0 rows at sf0.001): {empty}"
 
 
-def test_no_cartesian_product_in_any_plan(spark, sf_dir):
-    # A query can be value-correct with a quadratic physical plan: the
-    # r8 geo_radius_pairs finding — its VALUES-offset cell join let
-    # Catalyst's join reorder connect the two point relations through
-    # the distance predicate and plan a CartesianProduct over all pairs
-    # (invisible at sf0.01, ~2 h at sf10). No value gate can see this
-    # class, so pin it mechanically: no registered query's physical plan
-    # may contain a CartesianProduct. (BroadcastNestedLoopJoin stays
-    # allowed — the catalog uses it deliberately for 1-row stat
-    # relations and bounded query sides, which are O(n).)
+#: Max EFFECTIVE parquet scans of any single fact table per registered
+#: plan (see plans/plan_introspect.py for "effective"). Rationale for 6:
+#: a full pass costs 1 scan; legitimate multi-branch shapes cost small
+#: multiples (train/test splits and dual-sided self-joins read a fact
+#: twice per branch; step-funnels once per step), and the worst
+#: justified shape in the catalog today is 6. The bug class this pins
+#: (r8 sf10 audit: graph_triangles 70, curation_funnel 24,
+#: eval_reco_hitrate 21 before their fixes) sits an order of magnitude
+#: above. Tighten this as shapes improve; never allowlist past it.
+MAX_FACT_SCANS = 6
+
+
+def test_catalog_plan_shapes(spark, sf_dir):
+    # Two plan-shape bug classes no value gate can see (a query can be
+    # hash-green at every tested SF and still melt at 100 TB):
+    #
+    # 1. CartesianProduct — the r8 geo_radius_pairs finding (a join
+    #    reorder connected two point relations through the distance
+    #    predicate: 2.25e12 pairs at sf10). Built here under
+    #    autoBroadcastJoinThreshold=-1 (the ADVICE r8 hardening): at
+    #    fixture scale EVERY relation is under the 2 MB auto-broadcast
+    #    threshold, so a would-be cartesian planned as the allowed
+    #    BroadcastNestedLoopJoin and the lint never saw the shape it
+    #    was written for. With auto-broadcast off, a bounded side must
+    #    be DECLARED bounded via an explicit broadcast() hint (which
+    #    still applies at -1) — exactly the 100 TB contract, where
+    #    "accidentally small at fixture scale" is not a plan. This
+    #    caught knn_analogy's unhinted 1-row crossJoins.
+    # 2. N-fold fact re-scans — the r8/r9 audit's other class
+    #    (graph_triangles 70 lineitem scans, curation_funnel 24
+    #    documents scans): linear, not quadratic, but a 20-70x tax on
+    #    the dominant cost at 100 TB. Counted EFFECTIVELY (cached
+    #    subplans once — plans/plan_introspect.py) on the same build;
+    #    scan counts don't depend on the broadcast threshold.
+    from rag_application_with_vectordb_spark.plans.plan_introspect import (
+        effective_fact_scans,
+    )
+
     specs = load_all()
-    offenders = []
-    for name, spec in specs.items():
-        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        if "CartesianProduct" in plan:
-            offenders.append(name)
-    assert not offenders, f"cartesian-product plans: {offenders}"
+    cartesian, rescans = [], []
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, spec in specs.items():
+            df = spec.fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if "CartesianProduct" in plan:
+                cartesian.append(name)
+            worst = {
+                t: c
+                for t, c in effective_fact_scans(df).items()
+                if c > MAX_FACT_SCANS
+            }
+            if worst:
+                rescans.append(f"{name}: {worst}")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert not cartesian, f"cartesian-product plans (at no-broadcast): {cartesian}"
+    assert not rescans, (
+        f"plans re-scanning a fact table > {MAX_FACT_SCANS}x:\n" + "\n".join(rescans)
+    )

@@ -27,53 +27,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from rag_application_with_vectordb_spark.plans.registry import load_all  # noqa: E402
+from rag_application_with_vectordb_spark.plans.plan_introspect import (  # noqa: E402
+    effective_fact_scans,
+)
 from rag_application_with_vectordb_spark.session import get_spark  # noqa: E402
-
-FACTS = ("lineitem", "events", "documents")
-
-
-def fact_scan_counts(spark, df) -> dict[str, int]:
-    """EFFECTIVE parquet scans of the fact tables in the physical plan:
-    tree-walk counting each scan node once, descending into each
-    DISTINCT cached (InMemoryRelation) subplan once — a relation that
-    five branches read from cache fills with ONE scan, and a raw text
-    count of the explain output would report five."""
-    from collections import Counter
-
-    counts: Counter = Counter()
-    seen_caches: set[int] = set()
-
-    def walk(node):
-        cls = node.getClass().getSimpleName()
-        if cls == "AdaptiveSparkPlanExec":
-            walk(node.initialPlan())
-            return
-        if cls in ("FileSourceScanExec", "BatchScanExec"):
-            s = node.toString()
-            for t in FACTS:
-                if f"{t}.parquet" in s:
-                    counts[t] += 1
-            return
-        if cls == "InMemoryTableScanExec":
-            rel = node.relation()
-            key = rel.cachedPlan().semanticHash()
-            if key not in seen_caches:
-                seen_caches.add(key)
-                walk(rel.cachedPlan())
-            return
-        ch = node.children()
-        for i in range(ch.size()):
-            walk(ch.apply(i))
-        try:  # scalar/IN subqueries carry their own plans
-            sq = node.subqueries()
-            for i in range(sq.size()):
-                walk(sq.apply(i))
-        except Exception:  # noqa: BLE001
-            pass
-
-    walk(df._jdf.queryExecution().executedPlan())
-    return {t: c for t, c in counts.items()}
-
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
@@ -95,7 +52,7 @@ def main() -> int:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(2 * 1024 * 1024))
         try:
-            counts = fact_scan_counts(spark, spec.fn(spark, sf_dir))
+            counts = effective_fact_scans(spec.fn(spark, sf_dir))
             worst = {t: c for t, c in counts.items() if c > 3}
             if worst:
                 n_scan += 1
