@@ -30,7 +30,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import as_double, cosine_sim, dot, lit_double_matrix, lit_doubles, lit_longs
+from ..functions.vector import (
+    as_double,
+    cosine_sim,
+    cosine_sim_prenormed,
+    dot,
+    lit_double_matrix,
+    lit_doubles,
+    lit_longs,
+)
 
 __all__ = [
     "hyperplane",
@@ -51,6 +59,11 @@ __all__ = [
 #: (the generated expression would be enormous) and the broadcast
 #: crossJoin + window path takes over.
 LITERAL_CENTROID_MAX = 256
+#: Above this many centroids the literal argmax expression (k*dim
+#: nodes) exceeds whole-stage codegen's method-size budget and falls
+#: back to interpreted eval — measured ~100 s for 200k x 64d rows at
+#: k=195 vs seconds via the broadcast-join + max_by aggregate path.
+LITERAL_ASSIGN_MAX = 64
 
 
 def _centroids_as_literals(
@@ -348,7 +361,7 @@ def ivf_assign(
     back to broadcast crossJoin + per-vector window (which shuffles the
     corpus by id)."""
     cents = _centroids_as_literals(centroids, centroid_id, centroid_vec)
-    if cents is not None:
+    if cents is not None and len(cents) <= LITERAL_ASSIGN_MAX:
         pre = corpus.select(
             corpus_id, corpus_vec, as_double(F.col(corpus_vec)).alias("__vd")
         ).withColumn("__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd"))))
@@ -356,14 +369,44 @@ def ivf_assign(
         return pre.select(
             corpus_id, corpus_vec, F.element_at(nearest, 1).alias(centroid_id)
         )
-    scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
-        "__csim", cosine_sim(F.col(corpus_vec), F.col(centroid_vec))
+    if cents is not None:
+        # mid-size centroid set: the literal argmax expression tree is
+        # k*dim nodes and falls out of whole-stage codegen (measured
+        # 100 s for 200k rows at k=195, d=64 — interpreted eval), so
+        # rebuild a broadcastable DataFrame and take the join path.
+        centroids = corpus.sparkSession.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in cents],
+            f"{centroid_id} bigint, {centroid_vec} array<double>",
+        )
+    # Broadcast-join + max_by aggregate: the argmax runs as a partial
+    # (map-side) aggregate right on top of the broadcast join, so the
+    # only shuffle carries one slim row per corpus vector — never the
+    # k-fanned score relation, and never a per-vector sort window.
+    # Both norms are materialized ONCE per side before the join (one
+    # fold per pair instead of three — same values, the literal path's
+    # exact arithmetic). Tie order matches the window form and the
+    # oracle: csim DESC, centroid_id ASC == max over
+    # struct(csim, -centroid_id).
+    pre = corpus.select(
+        corpus_id, corpus_vec, as_double(F.col(corpus_vec)).alias("__vd")
+    ).withColumn("__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd"))))
+    cpre = centroids.select(
+        F.col(centroid_id).alias("__cid"),
+        as_double(F.col(centroid_vec)).alias("__cd"),
+    ).withColumn("__cn", F.sqrt(dot(F.col("__cd"), F.col("__cd"))))
+    scored = pre.crossJoin(F.broadcast(cpre)).select(
+        corpus_id,
+        corpus_vec,
+        "__cid",
+        cosine_sim_prenormed(
+            F.col("__vd"), F.col("__nv"), F.col("__cd"), F.col("__cn")
+        ).alias("__csim"),
     )
-    w = Window.partitionBy(corpus_id).orderBy(F.desc("__csim"), F.asc(centroid_id))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(corpus_id, corpus_vec, centroid_id)
+    return scored.groupBy(corpus_id).agg(
+        F.first(corpus_vec).alias(corpus_vec),  # constant within the group
+        F.max_by(
+            F.col("__cid"), F.struct(F.col("__csim"), (-F.col("__cid")).alias("__nc"))
+        ).alias(centroid_id),
     )
 
 

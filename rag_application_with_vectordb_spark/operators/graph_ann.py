@@ -59,9 +59,15 @@ def knn_graph_edges(
     codegen'd pair stage narrow (the full cosine tree per pair measured
     ~4× slower to JIT and run on the |cell|² stage)."""
     assigned = ivf_assign(corpus, centroids, corpus_id, corpus_vec)
-    prep = assigned.select(
-        F.col(corpus_id), "centroid_id", as_double(F.col(corpus_vec)).alias("__vd")
-    ).withColumn("__n", l2_norm(F.col("__vd")))
+    # both pair sides reference this relation — persist so the
+    # nearest-centroid assignment computes once, not once per side
+    prep = (
+        assigned.select(
+            F.col(corpus_id), "centroid_id", as_double(F.col(corpus_vec)).alias("__vd")
+        )
+        .withColumn("__n", l2_norm(F.col("__vd")))
+        .persist()
+    )
     a = prep.select(
         F.col(corpus_id).alias("src"), F.col("__vd").alias("__sv"),
         F.col("__n").alias("__sn"), "centroid_id",
@@ -71,11 +77,17 @@ def knn_graph_edges(
         F.col("__n").alias("__dn"), "centroid_id",
     )
     pairs = a.join(b, "centroid_id").filter(F.col("src") != F.col("dst"))
-    scored = pairs.withColumn(
-        "__sim",
+    # project to (src, dst, sim) BEFORE the top-m window: the window
+    # shuffles the whole pair relation, and carrying the two dim-length
+    # vectors through it is ~40x the bytes of the 24-byte triple (at
+    # sf10: ~2e8 pairs — the difference between a few-GB shuffle and a
+    # few-hundred-GB one; this was the wedge the r9 sf10 sweep caught)
+    scored = pairs.select(
+        "src",
+        "dst",
         cosine_sim_prenormed(
             F.col("__sv"), F.col("__sn"), F.col("__dv"), F.col("__dn")
-        ),
+        ).alias("__sim"),
     )
     w = Window.partitionBy("src").orderBy(F.desc("__sim"), F.asc("dst"))
     top = (

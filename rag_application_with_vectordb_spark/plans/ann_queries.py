@@ -8,6 +8,7 @@ identical buckets, probes, and scores.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2852,6 +2853,22 @@ def eval_knn_label_accuracy_clustered(spark: SparkSession, sf_dir: str) -> DataF
 # === graph ANN (HNSW-lite, round 7) ==========================================
 
 _GR_M, _GR_BEAM, _GR_HOPS, _GR_K = 6, 8, 3, 5
+#: Graph-build cell sizing: the kNN-graph build scores |cell|^2 pairs
+#: per cell, so the CELL COUNT must grow with the corpus — a fixed 8
+#: cells is corpus^2/8 work (the r9 sf10 sweep caught ann_graph_topk
+#: wedged on 5e9 pairs: 8 cells x 25k members). cells = max(8,
+#: floor(sqrt(N))) is the standard IVF-flat balance: assignment costs
+#: N*k dots and candidate generation N*(N/k), equal at k = sqrt(N) —
+#: total O(N^1.5) build instead of O(N^2/8). Identical arithmetic on
+#: both engines (the oracle computes it as a scalar subquery; isqrt ==
+#: floor(sqrt(double)) exactly at these magnitudes). Cell count now
+#: varies with SF (22 at the 500-vector driver fixtures), so results
+#: change versus the old fixed-8 build — on BOTH engines at once (hash
+#: parity holds; the graph pytest re-pins recall). A 100 TB deployment
+#: trains the quantizer and materializes the graph as an index table
+#: instead of rebuilding in-query — see the persisted-IVF family for
+#: that path.
+_GR_CELLS_SQL = "(SELECT GREATEST(8, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM embeddings)"
 
 
 def _graph_index_sql(corpus: str, cent: str, m: int) -> str:
@@ -2939,7 +2956,8 @@ def _graph_beam_sql(corpus: str, cent: str, beam: int, hops: int, entries: int =
 @register(
     "ann_graph_topk",
     oracle=f"""
-    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+    WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+                  WHERE vec_id < {_GR_CELLS_SQL}),
     q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id >= 100 AND vec_id < 103),
     {_graph_index_sql('embeddings', 'cent', _GR_M)},
     {_graph_beam_sql('embeddings', 'cent', _GR_BEAM, _GR_HOPS)}
@@ -2958,7 +2976,8 @@ def _graph_beam_sql(corpus: str, cent: str, beam: int, hops: int, entries: int =
     "unrolled-iteration pattern — so the whole search, graph build "
     "included, bit-matches DuckDB. Per-query search cost is "
     "O(hops*beam*M*dim), independent of corpus size; the build is "
-    "cell-blocked, never all-pairs.",
+    "cell-blocked with an SF-ADAPTIVE cell count (max(8, N div 1024) — "
+    "see _GR_CELL_TARGET), never all-pairs and never corpus^2/cells.",
     tags=("ann", "graph"),
 )
 def ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2966,7 +2985,8 @@ def ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = emb.filter(F.col("vec_id") < 8).select(
+    n_cells = max(8, math.isqrt(emb.count()))
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
     )
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103)).select(
