@@ -16,6 +16,8 @@ id-uniqueness precondition and silently breaking cross-engine parity
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -324,17 +326,23 @@ def dedup_embedding_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NEARDUP_PLANES = 6
+_NEARDUP_BUCKET_TARGET = 256
 _NEARDUP_MIN_COS = 0.2
 
 
 @register(
     "dedup_embedding_lsh_pairs",
     oracle=f"""
-    WITH planes AS (
+    WITH np AS (
+      SELECT GREATEST({_NEARDUP_PLANES},
+                      CAST(CEIL(LOG2(COUNT(*) / {_NEARDUP_BUCKET_TARGET}.0)) AS BIGINT)) AS n
+      FROM embeddings
+    ),
+    planes AS (
       SELECT CAST(t.p AS INTEGER) AS p,
              list_transform(range(0, 64),
                             j -> {duck_fold_unit("'plane|' || t.p || '|' || j")}) AS pv
-      FROM (SELECT unnest(range(0, {_NEARDUP_PLANES}))) t(p)
+      FROM (SELECT unnest(range(0, (SELECT n FROM np)))) t(p)
     ),
     b AS (
       SELECT s.vec_id, s.embedding,
@@ -348,19 +356,29 @@ _NEARDUP_MIN_COS = 0.2
     FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
     WHERE {duck_cosine('a.embedding', 'bb.embedding')} >= {_NEARDUP_MIN_COS}
     """,
-    doc="Embedding near-dup at scale: hyperplane-LSH blocking (6 planes, "
-    "64 buckets) then within-bucket cosine ≥ 0.2 — the sub-quadratic "
-    "production form of dedup_embedding_topk_pairs (which stays as the "
-    "exact all-pairs oracle anchor). One shuffle on the bucket key; "
-    "deterministic md5-fold planes make even the blocked candidate set "
+    doc="Embedding near-dup at scale: hyperplane-LSH blocking, then "
+    "within-bucket cosine ≥ 0.2 — the sub-quadratic production form of "
+    "dedup_embedding_topk_pairs (which stays as the exact all-pairs "
+    "oracle anchor). Plane count is SF-ADAPTIVE: max(6, "
+    "ceil(log2(N/256))) keeps buckets near the 256-member target, so "
+    "pair cost stays ~N*target instead of N^2/2^6 (the r9 sf10 sweep "
+    "timed out the fixed-6-plane form: 200k vectors in 64 buckets is "
+    "6e8 within-bucket cosines). Identical arithmetic on both engines "
+    "(scalar subquery in the oracle; boundary caveat: N an exact power "
+    "of 2 times the target could round differently in fp log2 — no "
+    "fixture hits one). One shuffle on the bucket key; deterministic "
+    "md5-fold planes make even the blocked candidate set "
     "value-checkable cross-engine.",
     tags=("dedup", "ann"),
 )
 def dedup_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    n_planes = max(
+        _NEARDUP_PLANES, math.ceil(math.log2(emb.count() / _NEARDUP_BUCKET_TARGET))
+    )
     return embedding_lsh_neardup_pairs(
-        emb, n_planes=_NEARDUP_PLANES, min_cosine=_NEARDUP_MIN_COS
+        emb, n_planes=n_planes, min_cosine=_NEARDUP_MIN_COS
     )
 
 
