@@ -195,7 +195,7 @@ def kmeans_fit_spherical_fp_values(
     only loads it), so callers that issue many queries against one
     corpus should train once via this function and reuse the values —
     training is deterministic, making the reuse result-invisible."""
-    from ..operators.ann import nearest_centroid_ids
+    from ..operators.ann import LITERAL_ASSIGN_MAX, nearest_centroid_ids
 
     s = int(scale)
     if sample_mod is not None and int(sample_mod) > 1:
@@ -221,19 +221,59 @@ def kmeans_fit_spherical_fp_values(
     # update sums exact integers (order-independent).
     parallelism = points.sparkSession.sparkContext.defaultParallelism
     pre = (
-        points.select(as_double(F.col(vec_col)).alias("__vd"))
+        points.select(
+            F.col(id_col).alias("__id"), as_double(F.col(vec_col)).alias("__vd")
+        )
         .repartition(parallelism)
         .withColumn("__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd"))))
         .persist()
     )
     try:
         for _ in range(int(iterations)):
-            nearest = nearest_centroid_ids(F.col("__vd"), F.col("__nv"), cents, nprobe=1)
-            # two selects: a Generate (posexplode) in the same projection as
-            # the struct-array argmax strips the struct field names
-            assigned = pre.select(
-                F.element_at(nearest, 1).alias("centroid_id"), F.col("__vd")
-            )
+            if len(cents) > LITERAL_ASSIGN_MAX:
+                # large k: the literal argmax expression (k*dim nodes)
+                # drops out of codegen and evaluates interpreted — use
+                # the broadcast-join + max_by aggregate instead (the
+                # ivf_assign join path; identical fold arithmetic and
+                # sim DESC / centroid-id ASC tie order, so the trained
+                # centroids are bit-identical to the literal path's)
+                from ..functions.vector import cosine_sim_prenormed
+
+                spark = points.sparkSession
+                cdf = spark.createDataFrame(
+                    [(int(c), [float(x) for x in v]) for c, v in cents],
+                    "centroid_id bigint, cvec array<double>",
+                )
+                cpre = cdf.select(
+                    "centroid_id", as_double(F.col("cvec")).alias("__cd")
+                ).withColumn("__cn", F.sqrt(dot(F.col("__cd"), F.col("__cd"))))
+                scored = pre.crossJoin(F.broadcast(cpre)).select(
+                    "__id",
+                    "__vd",
+                    "centroid_id",
+                    cosine_sim_prenormed(
+                        F.col("__vd"), F.col("__nv"), F.col("__cd"), F.col("__cn")
+                    ).alias("__csim"),
+                )
+                assigned = scored.groupBy("__id").agg(
+                    F.first("__vd").alias("__vd"),
+                    F.max_by(
+                        F.col("centroid_id"),
+                        F.struct(
+                            F.col("__csim"), (-F.col("centroid_id")).alias("__nc")
+                        ),
+                    ).alias("centroid_id"),
+                )
+            else:
+                nearest = nearest_centroid_ids(
+                    F.col("__vd"), F.col("__nv"), cents, nprobe=1
+                )
+                # two selects: a Generate (posexplode) in the same
+                # projection as the struct-array argmax strips the
+                # struct field names
+                assigned = pre.select(
+                    F.element_at(nearest, 1).alias("centroid_id"), F.col("__vd")
+                )
             comps = assigned.select(
                 "centroid_id", F.posexplode("__vd").alias("dim", "val")
             )

@@ -166,7 +166,7 @@ def _duck_l2(dim: int, a: str, b: str) -> str:
 
 
 def _kmeans_fp_sql_g(
-    prefix: str, train: str, k: int, iters: int, dim: int, scale: int, metric: str = "cosine"
+    prefix: str, train: str, k: int | str, iters: int, dim: int, scale: int, metric: str = "cosine"
 ) -> str:
     """Generalized unrolled-k-means CTE generator: ``train`` is any
     relation exposing ``(vec_id, embedding)`` — e.g. a subvector slice

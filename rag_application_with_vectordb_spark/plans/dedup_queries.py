@@ -538,8 +538,12 @@ _SD_AUG_SQL = f"""aug AS MATERIALIZED (
     "exceeds 0.98 (output: dropped id, the smallest qualifying keeper, "
     "their cosine). The cluster assignment bounds the quadratic: "
     "pairwise cosine runs within clusters only — SemDeDup's own "
-    "complexity contract, and at 100 TB clusters are additionally "
-    "size-capped. Augmentation plants 20 hash-perturbed near-copies "
+    "complexity contract — and the CLUSTER COUNT is SF-adaptive, "
+    "k = max(8, floor(sqrt(N))) (identical on both engines: scalar "
+    "subquery in the oracle's LIMIT), so within-cluster pair cost "
+    "stays ~N*sqrt(N) instead of N^2/8 (the r9 sf10 sweep timed out "
+    "the fixed-k form on 200k vectors). Augmentation plants 20 "
+    "hash-perturbed near-copies "
     "(cosine ~0.9988) so the drop set is non-vacuous on the "
     "near-uniform fixture; training, assignment, pairwise cosines, and "
     "the keep-lowest-id rule are all value-checked in DuckDB.",
@@ -548,27 +552,39 @@ _SD_AUG_SQL = f"""aug AS MATERIALIZED (
 def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..functions.vector import cosine_sim
     from ..operators.ann import ivf_assign
     from ..operators.kmeans import kmeans_fit_spherical_fp_values
 
     tune(spark)
     aug = _sd_aug_spark(spark, sf_dir).persist()
+    k = max(_SD_K, math.isqrt(aug.count()))
     cents = kmeans_fit_spherical_fp_values(
-        aug, k=_SD_K, iterations=_SD_ITERS, scale=_SD_SCALE
+        aug, k=k, iterations=_SD_ITERS, scale=_SD_SCALE
     )
     cents_df = spark.createDataFrame(
         [(cid, cvec) for cid, cvec in cents], "centroid_id int, cvec array<double>"
     )
-    assigned = ivf_assign(aug, cents_df)
-    a = assigned.select(
+    # prenormed pair scoring: one fold per within-cluster pair instead
+    # of three (norms computed once per side; identical fp64 values —
+    # the knn_graph_edges precedent), and the projection keeps the pair
+    # relation slim past the join
+    from ..functions.vector import as_double, cosine_sim_prenormed, l2_norm
+
+    normed = ivf_assign(aug, cents_df).select(
+        "vec_id",
+        "centroid_id",
+        as_double(F.col("embedding")).alias("__v"),
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    a = normed.select(
         F.col("vec_id").alias("kept_id"),
-        F.col("embedding").alias("emb_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
         "centroid_id",
     )
-    b = assigned.select(
+    b = normed.select(
         F.col("vec_id").alias("dropped_id"),
-        F.col("embedding").alias("emb_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
         "centroid_id",
     )
     pairs = (
@@ -577,7 +593,9 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "dropped_id",
             "kept_id",
-            cosine_sim(F.col("emb_a"), F.col("emb_b")).alias("similarity"),
+            cosine_sim_prenormed(
+                F.col("__va"), F.col("__na"), F.col("__vb"), F.col("__nb")
+            ).alias("similarity"),
         )
         .filter(F.col("similarity") >= _SD_TAU)
     )
@@ -592,9 +610,12 @@ def dedup_semantic_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sd_oracle() -> str:
     from .ann_queries import _kmeans_fp_sql_g
 
+    k_sql = (
+        f"(SELECT GREATEST({_SD_K}, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) FROM aug)"
+    )
     return f"""
     WITH {_SD_AUG_SQL},
-    {_kmeans_fp_sql_g("sd", "aug", _SD_K, _SD_ITERS, _SD_DIM, _SD_SCALE)},
+    {_kmeans_fp_sql_g("sd", "aug", k_sql, _SD_ITERS, _SD_DIM, _SD_SCALE)},
     cent AS MATERIALIZED (SELECT centroid_id, cvec FROM sdcent{_SD_ITERS}),
     assign AS MATERIALIZED (
       SELECT vec_id, embedding, centroid_id FROM (
@@ -775,7 +796,12 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The oracle keeps the literal global ordinal — matching it is "
     "exactly the equivalence claim. Runs at t=0.4 (longer prefixes, "
     "more candidates) so this row exercises a harder pruning slice "
-    "than the t=0.5 global-ordinal row.",
+    "than the t=0.5 global-ordinal row. 'Scalable' here means the "
+    "PLAN shape (no single-partition stage) — the prefix CUT itself "
+    "still needs rare tokens, so on the low-entropy scale-up corpus "
+    "this explodes exactly like the anchor (r9 sf10 sweep: disk-full; "
+    "same caveat as dedup_prefix_filter_pairs — that regime belongs "
+    "to MinHash-LSH).",
     tags=("dedup", "text"),
 )
 def dedup_prefix_filter_pairs_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
