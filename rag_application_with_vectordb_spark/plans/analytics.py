@@ -918,7 +918,7 @@ _sql_query(
     agg AS (
       SELECT MAX(n) AS n,
              SUM(cents) AS total,
-             SUM((2 * i - n - 1) * cents) AS wsum
+             SUM(CAST(2 * i - n - 1 AS DECIMAL(38,0)) * cents) AS wsum
       FROM r
     )
     SELECT CAST(n AS BIGINT) AS n_customers,
@@ -931,8 +931,12 @@ _sql_query(
     "the sorted-rank identity G = Σ(2i−n−1)·x_i / (n·Σx): spend goes "
     "through DECIMAL cents (exact BIGINT), ranks come from one global "
     "sort of the per-customer aggregate (small — customers, not "
-    "orders), and the weighted sum is pure integer arithmetic, so the "
-    "coefficient hash-matches DuckDB bit-for-bit. The data-mixture "
+    "orders), and the weighted sum accumulates in DECIMAL(38,0) — "
+    "still exact integer arithmetic, but with 38-digit headroom: the "
+    "BIGINT form overflows near n*max_cents ~ 2^63 (hit at the sf10 "
+    "sweep's 1.5M customers) while n^2*max_cents stays under 38 "
+    "digits past 1e12 customers — so the coefficient hash-matches "
+    "DuckDB bit-for-bit. The data-mixture "
     "analogue (token share per source) is the dataset-card metric "
     "curation teams watch.",
     tags=("analytics",),
