@@ -76,18 +76,36 @@ def knn_graph_edges(
         F.col(corpus_id).alias("dst"), F.col("__vd").alias("__dv"),
         F.col("__n").alias("__dn"), "centroid_id",
     )
-    pairs = a.join(b, "centroid_id").filter(F.col("src") != F.col("dst"))
-    # project to (src, dst, sim) BEFORE the top-m window: the window
-    # shuffles the whole pair relation, and carrying the two dim-length
-    # vectors through it is ~40x the bytes of the 24-byte triple (at
-    # sf10: ~2e8 pairs — the difference between a few-GB shuffle and a
-    # few-hundred-GB one; this was the wedge the r9 sf10 sweep caught)
-    scored = pairs.select(
+    # Score each UNORDERED pair once (src < dst) and mirror the slim
+    # triple afterwards — the fold-order dot is bitwise-symmetric
+    # (element-wise products commute, fold order is the shared zip
+    # order), so this halves the dominant cost of the build. Projecting
+    # to (src, dst, sim) BEFORE the top-m window also matters: the
+    # window shuffles the whole pair relation, and carrying the two
+    # dim-length vectors through it is ~40x the bytes of the 24-byte
+    # triple (at sf10: ~1e8 pairs — the difference between a few-GB
+    # shuffle and a few-hundred-GB one; the wedge the r9 sweep caught).
+    pairs = a.join(b, "centroid_id").filter(F.col("src") < F.col("dst"))
+    half = pairs.select(
         "src",
         "dst",
         cosine_sim_prenormed(
             F.col("__sv"), F.col("__sn"), F.col("__dv"), F.col("__dn")
         ).alias("__sim"),
+    )
+    # mirror via an inline explode (a Generate in the same stage), NOT a
+    # self-union — a union would reference the scoring subtree twice and
+    # recompute every dot product, undoing the halving
+    scored = half.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
+                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
+            )
+        ).alias("__e"),
+        "__sim",
+    ).select(
+        F.col("__e.s").alias("src"), F.col("__e.d").alias("dst"), "__sim"
     )
     w = Window.partitionBy("src").orderBy(F.desc("__sim"), F.asc("dst"))
     top = (
