@@ -132,6 +132,89 @@ def test_driver_window_queries_nonempty(spark, sf_dir):
 #: above. Tighten this as shapes improve; never allowlist past it.
 MAX_FACT_SCANS = 6
 
+#: SinglePartition shuffle exchanges fed by fact-derived rows that a
+#: bounding node (limit / scalar aggregate) does NOT protect, per plan —
+#: the third plan-shape class (after CartesianProduct and N-fold fact
+#: re-scans): at 100 TB every row of an unbounded relation funneling
+#: through ONE task IS the job. The detector
+#: (plans/plan_introspect.single_partition_fact_exposures) cannot see
+#: SEMANTIC bounds — a grouped aggregate whose key domain is small by
+#: construction still reads as unbounded — so each allowlisted entry
+#: states its bound; all of them ran green at sf10 (60 M-row lineitem)
+#: in <= 12 s (SF10_SWEEP_r09.log). Any query NOT listed here must have
+#: ZERO exposed single-partition exchanges; never add an entry without
+#: a documented bound.
+#:
+#: Bound classes:
+#: - calendar/time grain (rows = days/weeks in the data's time span,
+#:   invariant to data volume): orders_backlog_daily,
+#:   slo_burn_rate_daily, forecast_{holt_winters,theta,snaive_mase,
+#:   seasonal_decompose,quantile_pinball}, events_{seasonal_anomaly,
+#:   changepoint_binseg,max_drawdown,interarrival_expfit},
+#:   survival_{km_signup_purchase,nelson_aalen,logrank_arms},
+#:   stats_permutation_test (1-row d_obs lookup window).
+#: - distinct-VALUE histogram grain (windows run over the value domain,
+#:   not the rows; domains here are lengths/amounts/thresholds that
+#:   grow far sublinearly): stats_spearman_activity_spend,
+#:   feature_quantile_normalize, eval_auc_doclang, stats_ks_lang_length,
+#:   length_buckets, length_buckets_approx, eval_pr_curve,
+#:   stats_wilcoxon_signed_rank, stats_median_ci, stats_trimmed_mean,
+#:   stats_hill_tail_index (top-tail order statistics).
+#: - small fixed grids (deciles/thresholds/strata/classes):
+#:   eval_lift_gains, eval_qini_uplift, eval_threshold_utility,
+#:   tree_split_gini, sample_neyman_allocation.
+#: - vocabulary grain (Heaps-law sublinear): text_zipf_fit,
+#:   text_heaps_law_fit, text_vocab_coverage.
+#: - entity-grain cumulative-share anchors (|parts|-sized, ~1/60 of
+#:   fact rows at TPC-H ratios; the two-level histogram rank-select of
+#:   stats_conformal_interval is the documented scale path past ~1e8
+#:   entities): parts_pareto_abc, inventory_abc_xyz.
+#: - documented exact anchors with scalable twins beside them:
+#:   chunk_global_ids (parity-mode global ids; composite-key mode is
+#:   the scale path, operators/chunker.py), dedup_prefix_filter_pairs
+#:   (global vocabulary ordinal; dedup_prefix_filter_pairs_scalable has
+#:   zero SinglePartition exchanges — plan-asserted in test_plans.py).
+SINGLE_PARTITION_ALLOW: dict[str, int] = {
+    "stats_spearman_activity_spend": 2,
+    "survival_logrank_arms": 1,
+    "survival_nelson_aalen": 1,
+    "feature_quantile_normalize": 1,
+    "orders_backlog_daily": 1,
+    "events_interarrival_expfit": 1,
+    "forecast_quantile_pinball": 2,
+    "forecast_holt_winters": 1,
+    "eval_qini_uplift": 2,
+    "slo_burn_rate_daily": 1,
+    "events_changepoint_binseg": 1,
+    "chunk_global_ids": 1,
+    "dedup_prefix_filter_pairs": 2,
+    "eval_auc_doclang": 1,
+    "parts_pareto_abc": 1,
+    "text_zipf_fit": 1,
+    "eval_pr_curve": 1,
+    "events_max_drawdown": 1,
+    "stats_ks_lang_length": 3,
+    "survival_km_signup_purchase": 1,
+    "forecast_snaive_mase": 1,
+    "length_buckets": 1,
+    "length_buckets_approx": 1,
+    "stats_permutation_test": 1,
+    "forecast_seasonal_decompose": 1,
+    "events_seasonal_anomaly": 4,
+    "eval_lift_gains": 2,
+    "eval_threshold_utility": 1,
+    "tree_split_gini": 1,
+    "stats_hill_tail_index": 4,
+    "sample_neyman_allocation": 1,
+    "stats_wilcoxon_signed_rank": 1,
+    "text_vocab_coverage": 1,
+    "inventory_abc_xyz": 1,
+    "forecast_theta": 1,
+    "stats_median_ci": 1,
+    "stats_trimmed_mean": 2,
+    "text_heaps_law_fit": 1,
+}
+
 
 def test_catalog_plan_shapes(spark, sf_dir):
     # Two plan-shape bug classes no value gate can see (a query can be
@@ -155,12 +238,19 @@ def test_catalog_plan_shapes(spark, sf_dir):
     #    the dominant cost at 100 TB. Counted EFFECTIVELY (cached
     #    subplans once — plans/plan_introspect.py) on the same build;
     #    scan counts don't depend on the broadcast threshold.
+    # 3. SinglePartition funnels — an unbounded fact-derived relation
+    #    shuffled into ONE task (global Window.orderBy and friends).
+    #    Counted on the same build; semantic bounds the detector cannot
+    #    see are allowlisted with their documented bound above
+    #    (SINGLE_PARTITION_ALLOW) — exact allowlist equality, so a fix
+    #    that removes an exposure must also retire its entry.
     from rag_application_with_vectordb_spark.plans.plan_introspect import (
         effective_fact_scans,
+        single_partition_fact_exposures,
     )
 
     specs = load_all()
-    cartesian, rescans = [], []
+    cartesian, rescans, funnels = [], [], {}
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -176,9 +266,29 @@ def test_catalog_plan_shapes(spark, sf_dir):
             }
             if worst:
                 rescans.append(f"{name}: {worst}")
+            sp = single_partition_fact_exposures(df)
+            if sp:
+                funnels[name] = sp
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     assert not cartesian, f"cartesian-product plans (at no-broadcast): {cartesian}"
     assert not rescans, (
         f"plans re-scanning a fact table > {MAX_FACT_SCANS}x:\n" + "\n".join(rescans)
+    )
+    new = {
+        n: c for n, c in funnels.items() if c > SINGLE_PARTITION_ALLOW.get(n, 0)
+    }
+    stale = {
+        n: c
+        for n, c in SINGLE_PARTITION_ALLOW.items()
+        if funnels.get(n, 0) < c
+    }
+    assert not new, (
+        "plans funneling unbounded fact rows through a SinglePartition "
+        f"exchange beyond their allowlisted bound: {new} — either "
+        "restructure (limit-to-k first / histogram rank-select / keyed "
+        "windows) or document the semantic bound in SINGLE_PARTITION_ALLOW"
+    )
+    assert not stale, (
+        f"stale SINGLE_PARTITION_ALLOW entries (plan improved — retire them): {stale}"
     )

@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from rag_application_with_vectordb_spark.plans.registry import load_all  # noqa: E402
 from rag_application_with_vectordb_spark.plans.plan_introspect import (  # noqa: E402
     effective_fact_scans,
+    single_partition_fact_exposures,
 )
 from rag_application_with_vectordb_spark.session import get_spark  # noqa: E402
 
@@ -39,7 +40,7 @@ def main() -> int:
     specs = load_all()
     if names:
         specs = {n: specs[n] for n in names}
-    n_cart = n_scan = 0
+    n_cart = n_scan = n_sp = 0
     for name, spec in specs.items():
         try:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -52,14 +53,22 @@ def main() -> int:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(2 * 1024 * 1024))
         try:
-            counts = effective_fact_scans(spec.fn(spark, sf_dir))
+            df = spec.fn(spark, sf_dir)
+            counts = effective_fact_scans(df)
             worst = {t: c for t, c in counts.items() if c > 3}
             if worst:
                 n_scan += 1
                 print(f"FACT-RESCAN>3  {name}  {worst}")
+            sp = single_partition_fact_exposures(df)
+            if sp:
+                n_sp += 1
+                print(f"SINGLE-PARTITION-FACT  {name}  {sp} exchange(s)")
         except Exception as exc:  # noqa: BLE001
             print(f"ERR(scan) {name}: {exc}")
-    print(f"done: {len(specs)} plans, {n_cart} cartesian-at-nobroadcast, {n_scan} fact-rescan>3")
+    print(
+        f"done: {len(specs)} plans, {n_cart} cartesian-at-nobroadcast, "
+        f"{n_scan} fact-rescan>3, {n_sp} single-partition-fact"
+    )
     return 0
 
 
