@@ -1,0 +1,116 @@
+"""Distributed order-preserving prefix aggregation (scalable running sums).
+
+A global running sum — ``SUM(x) OVER (ORDER BY k)`` — physically plans
+as a SinglePartition shuffle: every row of the relation funnels through
+ONE task. Fine when the ordered domain is bounded (days, histogram
+buckets); a silent scale-killer on entity-grain relations (parts,
+users, documents), where the catalog's single-partition lint
+(tests/test_registry_contract.py) flags it.
+
+``bucketed_running_sum`` is the textbook two-level prefix sum,
+expressed declaratively so Catalyst keeps every stage parallel:
+
+1. Sketch equal-frequency boundaries of the leading order key
+   (``percentile_approx`` — exact data values, deterministic), collect
+   them once, and assign each row a bucket with a broadcast-literal
+   comparison chain. The bucket is a monotone function of the leading
+   key ALONE, so ties always share a bucket and bucket order == key
+   order — which makes the decomposition exact for ANY boundary
+   placement; the sketch only balances work, never affects values.
+2. Per-bucket partial sums → a bounded (≤ n_buckets-row) offsets
+   relation, localCheckpoint'ed (bounded by construction — the
+   documented contract for every checkpoint site in this repo) and
+   cumulated with a tiny window.
+3. The running sum WITHIN each bucket (a keyed window — parallel
+   across buckets) plus the bucket's offset:
+   ``cum(row) = offset(bucket(row)) + within_bucket_cum(row)``.
+
+Exactness: the regrouped addition order is only safe on types where
+addition is associative-exact — BIGINT and DECIMAL. Do NOT point this
+at raw DOUBLE sums (the catalog-wide rule: grid-land or use DECIMAL
+before any cross-group reduction).
+
+Skew: buckets are equal-frequency by sketch; the worst case is a
+single leading-key value carrying most rows (all tied rows must share
+a bucket to keep the decomposition exact) — the same bound any
+order-preserving method has without a secondary-key split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: sketch accuracy for boundary selection (percentile_approx parameter);
+#: boundary QUALITY only affects balance, never values.
+_SKETCH_ACCURACY = 10_000
+
+
+def bucketed_running_sum(
+    df: DataFrame,
+    value_col: str,
+    lead_col: str,
+    tiebreak: list[Column] | None = None,
+    lead_desc: bool = False,
+    n_buckets: int = 64,
+    out_col: str = "cum",
+    total_col: str | None = None,
+) -> DataFrame:
+    """``df`` + ``out_col`` = running sum of ``value_col`` over
+    ``ORDER BY lead_col [DESC], *tiebreak`` — with no single-partition
+    stage over the input relation.
+
+    ``lead_col`` must be non-null and numeric (BIGINT/DECIMAL for exact
+    results); ``tiebreak`` columns complete the total order inside the
+    keyed window. With ``total_col`` set, the grand total is attached
+    as a column too (it falls out of the offsets relation for free).
+
+    The input is localCheckpoint'ed: the boundary sketch is a driver
+    action at plan-build time, and the checkpoint keeps the whole
+    operator at ONE pass over the input lineage (entity-grain by
+    contract — callers hand an aggregated relation, not the raw fact).
+    """
+    src = df.localCheckpoint(eager=True)
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    row = src.select(
+        F.percentile_approx(F.col(lead_col), fracs, F.lit(_SKETCH_ACCURACY)).alias("b")
+    ).first()
+    bounds = sorted(set(row["b"] or [])) if row is not None else []
+    lead_t = src.schema[lead_col].dataType.simpleString()
+    # bucket = #boundaries strictly below this row's leading key — a
+    # monotone (ascending) function of the key; exact string literals
+    # re-cast to the column's own type so DECIMAL comparisons stay exact.
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col(lead_col) > F.lit(str(b)).cast(lead_t), 1).otherwise(0)
+    bucketed = src.withColumn("__pb", bucket)
+
+    border = F.desc("__pb") if lead_desc else F.asc("__pb")
+    offsets = (
+        bucketed.groupBy("__pb")
+        .agg(F.sum(value_col).alias("__bsum"))
+        .localCheckpoint(eager=True)  # bounded: ≤ n_buckets rows
+    )
+    woff = Window.orderBy(border).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    off_cols = [
+        F.col("__pb"),
+        (F.sum("__bsum").over(woff) - F.col("__bsum")).alias("__off"),
+    ]
+    if total_col is not None:
+        off_cols.append(F.sum("__bsum").over(wtot).alias(total_col))
+    off = offsets.select(*off_cols)
+
+    lead_order = F.desc(lead_col) if lead_desc else F.asc(lead_col)
+    win = (
+        Window.partitionBy("__pb")
+        .orderBy(lead_order, *(tiebreak or []))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        bucketed.withColumn("__cumin", F.sum(value_col).over(win))
+        .join(F.broadcast(off), "__pb")
+        .withColumn(out_col, F.col("__off") + F.col("__cumin"))
+        .drop("__pb", "__cumin", "__off")
+    )
+    return out

@@ -1750,9 +1750,9 @@ _sql_query(
 
 # --- Pareto / ABC inventory classification --------------------------------------
 
-_sql_query(
+@register(
     "parts_pareto_abc",
-    """
+    oracle="""
     WITH rev AS (
       SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
       FROM lineitem GROUP BY l_partkey
@@ -1783,11 +1783,49 @@ _sql_query(
     "DESC, partkey ASC) so ties are deterministic; class boundaries "
     "compare cum*100 <= total*K in EXACT decimal arithmetic (a "
     "cum/total double ratio would flap at the boundary in the last "
-    "ulp). The fact collapses to the part grain first — the global "
-    "cumulative window sorts the PART domain, which is the bounded "
-    "dimension (the 100-TB fact never sorts).",
+    "ulp). The oracle's global cumulative window (`SUM(r) OVER (ORDER "
+    "BY ...)`) would funnel the whole PART domain through one task at "
+    "scale; the Spark side instead runs the two-level distributed "
+    "prefix sum (operators/prefix.py): sketched equal-frequency "
+    "revenue buckets, checkpointed ≤64-row offset relation, running "
+    "sum keyed by bucket — identical DECIMAL-exact cums, zero "
+    "single-partition stages over the part relation.",
     tags=("analytics",),
 )
+def parts_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import bucketed_running_sum
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    ranked = bucketed_running_sum(
+        rev,
+        value_col="r",
+        lead_col="r",
+        tiebreak=[F.asc("l_partkey")],
+        lead_desc=True,
+        out_col="cum",
+        total_col="total",
+    )
+    cls = ranked.withColumn(
+        "abc",
+        F.when(F.col("cum") * 100 <= F.col("total") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("total") * 95, "B")
+        .otherwise("C"),
+    )
+    return (
+        cls.groupBy(F.col("abc").alias("abc_class"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("r").cast("double").alias("class_revenue"),
+            (F.sum("r").cast("double") / F.max("total").cast("double")).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy(F.asc("abc_class"))
+    )
 
 
 # --- per-user rolling median of purchase amounts --------------------------------

@@ -1475,9 +1475,9 @@ def forecast_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ABC-XYZ inventory classification -------------------------------------------------
 
-_sql_query(
+@register(
     "inventory_abc_xyz",
-    """
+    oracle="""
     WITH dd AS (
       SELECT l.l_partkey AS part, CAST(o.o_orderdate AS DATE) AS day,
              CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS q
@@ -1529,10 +1529,72 @@ _sql_query(
     "flap; X < 0.5 CV, Y < 1, else Z) — the 2-d segmentation that "
     "routes parts to forecasting methods (AX: EWMA; AZ/CZ "
     "intermittent: forecast_croston; the companion query). One fact "
-    "scan to (part, day), one part aggregate, windows over the part "
-    "relation.",
+    "scan to (part, day), one part aggregate; the oracle ranks the "
+    "part relation with a global cumulative window, the Spark side "
+    "uses the distributed two-level prefix sum "
+    "(operators/prefix.py, exact BIGINT regrouped addition) so no "
+    "single-partition stage touches the part domain.",
     tags=("mining", "analytics"),
 )
+def inventory_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import bucketed_running_sum
+
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    dd = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("l_quantity")).cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    cal = o.agg(
+        F.countDistinct(F.col("o_orderdate").cast("date")).cast("bigint").alias("n_days")
+    )
+    m = dd.groupBy("part").agg(
+        F.sum("q").cast("bigint").alias("s"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sq"),
+    )
+    ranked = bucketed_running_sum(
+        m,
+        value_col="s",
+        lead_col="s",
+        tiebreak=[F.asc("part")],
+        lead_desc=True,
+        out_col="cum_s",
+        total_col="tot_s",
+    )
+    r = ranked.crossJoin(F.broadcast(cal)).select(
+        "part",
+        "s",
+        "sq",
+        "n_days",
+        F.col("cum_s").cast("bigint").alias("cum_s"),
+        F.col("tot_s").cast("bigint").alias("tot_s"),
+    )
+    k = r.select(
+        F.col("part"),
+        F.col("s").alias("total_qty"),
+        F.col("n_days"),
+        F.when(F.col("cum_s") * 10 <= F.col("tot_s") * 8, "A")
+        .when(F.col("cum_s") * 100 <= F.col("tot_s") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        F.when(F.col("n_days") * F.col("sq") * 4 < F.col("s") * F.col("s") * 5, "X")
+        .when(F.col("n_days") * F.col("sq") < F.col("s") * F.col("s") * 2, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    return k.groupBy("abc_class", "xyz_class").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.sum("total_qty").cast("bigint").alias("total_qty"),
+    )
 
 
 # --- financial reconciliation: order headers vs line sums ---------------------------

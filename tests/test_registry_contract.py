@@ -165,10 +165,10 @@ MAX_FACT_SCANS = 6
 #:   tree_split_gini, sample_neyman_allocation.
 #: - vocabulary grain (Heaps-law sublinear): text_zipf_fit,
 #:   text_heaps_law_fit, text_vocab_coverage.
-#: - entity-grain cumulative-share anchors (|parts|-sized, ~1/60 of
-#:   fact rows at TPC-H ratios; the two-level histogram rank-select of
-#:   stats_conformal_interval is the documented scale path past ~1e8
-#:   entities): parts_pareto_abc, inventory_abc_xyz.
+#: - (parts_pareto_abc and inventory_abc_xyz — the former entity-grain
+#:   cumulative-share entries — were rewritten on the distributed
+#:   two-level prefix sum, operators/prefix.py, and now have ZERO
+#:   exposures; the oracle keeps the global-window form.)
 #: - documented exact anchors with scalable twins beside them:
 #:   chunk_global_ids (parity-mode global ids; composite-key mode is
 #:   the scale path, operators/chunker.py), dedup_prefix_filter_pairs
@@ -189,7 +189,6 @@ SINGLE_PARTITION_ALLOW: dict[str, int] = {
     "chunk_global_ids": 1,
     "dedup_prefix_filter_pairs": 2,
     "eval_auc_doclang": 1,
-    "parts_pareto_abc": 1,
     "text_zipf_fit": 1,
     "eval_pr_curve": 1,
     "events_max_drawdown": 1,
@@ -208,7 +207,6 @@ SINGLE_PARTITION_ALLOW: dict[str, int] = {
     "sample_neyman_allocation": 1,
     "stats_wilcoxon_signed_rank": 1,
     "text_vocab_coverage": 1,
-    "inventory_abc_xyz": 1,
     "forecast_theta": 1,
     "stats_median_ci": 1,
     "stats_trimmed_mean": 2,
