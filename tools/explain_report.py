@@ -510,6 +510,13 @@ ANNOTATED = {
     "(corpus-bounded); contributions grid-land per cell before the "
     "per-source sum — the lexical drift monitor stays one "
     "vocabulary-sized join.",
+    "parts_pareto_abc": "Distributed two-level prefix sum "
+    "(operators/prefix.py) instead of the oracle's global cumulative "
+    "window: sketched revenue-bucket literals assign buckets "
+    "map-side, the running sum is keyed by bucket (parallel window, "
+    "hashpartitioning — NOT SinglePartition), and only the "
+    "checkpointed <=64-row offsets relation ever cumulates globally. "
+    "The part domain never funnels through one task.",
 }
 
 
