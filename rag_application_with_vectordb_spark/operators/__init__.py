@@ -14,6 +14,6 @@ from .dedup import (  # noqa: F401
 from .kmeans import assign_clusters, kmeans_fit  # noqa: F401
 from .knn import knn, knn_join  # noqa: F401
 from .multimodal import decode_media_stub, with_binary_payload  # noqa: F401
-from .prefix import bucketed_running_sum  # noqa: F401
+from .prefix import bucketed_row_number, bucketed_running_sum  # noqa: F401
 from .rangejoin import range_join_within  # noqa: F401
 from .skew import salted_join  # noqa: F401

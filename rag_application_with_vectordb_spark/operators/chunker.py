@@ -81,23 +81,43 @@ GLOBAL_INDEX_MAX_ROWS = 10_000_000
 
 
 def global_chunk_index(
-    chunks: DataFrame, id_col: str = "doc_id", max_rows: int | None = GLOBAL_INDEX_MAX_ROWS
+    chunks: DataFrame,
+    id_col: str = "doc_id",
+    max_rows: int | None = GLOBAL_INDEX_MAX_ROWS,
+    scalable: bool = False,
 ) -> DataFrame:
     """Reference-parity globally-dense chunk id (``App.tsx:72-76``).
 
-    Single-partition window — small corpora only; at scale keep the
-    ``(doc_id, chunk_id)`` composite key (or ``zipWithIndex``-style
-    per-partition offsets). Guarded: refuses corpora above ``max_rows``
-    (pass ``max_rows=None`` to opt out, accepting the single-reducer
-    cost knowingly).
+    Default mode is the reference-shaped single-partition window —
+    small corpora only, guarded by ``max_rows`` (pass ``max_rows=None``
+    to opt out, accepting the single-reducer cost knowingly).
+
+    ``scalable=True`` computes the IDENTICAL dense ids with the
+    distributed two-level prefix count (``operators/prefix.py:
+    bucketed_row_number`` — sketched ``id_col`` buckets, keyed windows,
+    checkpointed ≤64-row offsets): no single-partition stage, no row
+    ceiling. Requires a numeric ``id_col`` (the boundary sketch runs
+    ``percentile_approx``); at 100 TB this is the mode to use when a
+    composite ``(doc_id, chunk_id)`` key won't do.
     """
+    if scalable:
+        from .prefix import bucketed_row_number
+
+        out = bucketed_row_number(
+            chunks,
+            lead_col=id_col,
+            tiebreak=[F.asc("chunk_id")],
+            out_col="__rn",
+        )
+        return out.withColumn("global_id", (F.col("__rn") - 1).cast("int")).drop("__rn")
     if max_rows is not None:
         n = chunks.limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
                 f"global_chunk_index funnels all rows through one reducer; "
                 f"corpus exceeds max_rows={max_rows}. Use the (doc_id, chunk_id) "
-                f"composite key at scale, or pass max_rows=None to force."
+                f"composite key at scale, scalable=True for distributed dense "
+                f"ids, or pass max_rows=None to force."
             )
     w = Window.orderBy(F.col(id_col), F.col("chunk_id"))
     return chunks.withColumn("global_id", F.row_number().over(w) - 1)

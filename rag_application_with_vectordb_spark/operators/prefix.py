@@ -114,3 +114,28 @@ def bucketed_running_sum(
         .drop("__pb", "__cumin", "__off")
     )
     return out
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    lead_col: str,
+    tiebreak: list[Column] | None = None,
+    lead_desc: bool = False,
+    n_buckets: int = 64,
+    out_col: str = "rn",
+) -> DataFrame:
+    """``df`` + ``out_col`` = 1-based ``row_number() OVER (ORDER BY
+    lead_col [DESC], *tiebreak)`` with no single-partition stage — the
+    running COUNT special case of :func:`bucketed_running_sum`
+    (value ≡ 1; counting is exact under any regrouping). The usual
+    zipWithIndex escape hatch, kept declarative."""
+    out = bucketed_running_sum(
+        df.withColumn("__one", F.lit(1).cast("bigint")),
+        value_col="__one",
+        lead_col=lead_col,
+        tiebreak=tiebreak,
+        lead_desc=lead_desc,
+        n_buckets=n_buckets,
+        out_col=out_col,
+    )
+    return out.drop("__one")

@@ -78,6 +78,28 @@ def test_bigint_values_exact(spark):
     assert j.filter(F.col("cum") != F.col("cum_ref")).count() == 0
 
 
+def test_scalable_global_chunk_index_matches_parity_mode(spark, sf_dir):
+    # The chunker's reference-parity dense id (single-partition window,
+    # row-ceiling guarded) and the prefix-count mode must agree row for
+    # row — same ids, no ceiling, no single-partition stage.
+    from rag_application_with_vectordb_spark.operators.chunker import (
+        chunk_documents,
+        global_chunk_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs)
+    parity = global_chunk_index(chunks)
+    scalable = global_chunk_index(chunks, scalable=True)
+    assert scalable.schema["global_id"].dataType == parity.schema["global_id"].dataType
+    j = parity.select("doc_id", "chunk_id", F.col("global_id").alias("g1")).join(
+        scalable.select("doc_id", "chunk_id", F.col("global_id").alias("g2")),
+        ["doc_id", "chunk_id"],
+    )
+    assert j.filter(F.col("g1") != F.col("g2")).count() == 0
+    assert single_partition_fact_exposures(scalable) == 0
+
+
 def test_no_single_partition_stage_over_fact(spark, sf_dir):
     # The operator's reason to exist: on a fact-derived entity relation
     # the catalog's single-partition detector must see ZERO exposures
