@@ -104,6 +104,35 @@ def _shingle_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFr
     )
 
 
+def _guard_candidate_volume(
+    posting: DataFrame, max_candidate_pairs: int | None, op: str, alternative: str
+) -> None:
+    """Refuse a posting self-join whose candidate volume Σ df·(df−1)/2
+    exceeds ``max_candidate_pairs`` — the mechanical form of the "scale
+    regime" docstrings on the exact inverted-index anchors. One cheap
+    per-shingle aggregate (linear in postings) turns an hours-long
+    quadratic wedge into a fast, actionable error naming the scalable
+    path (the ``global_chunk_index`` max_rows precedent). ``None``
+    disables the check."""
+    if max_candidate_pairs is None:
+        return
+    est = (
+        posting.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .agg(F.sum(F.col("df").cast("double") * (F.col("df") - 1).cast("double")).alias("p2"))
+        .first()["p2"]
+    )
+    est = 0.0 if est is None else est / 2.0
+    if est > float(max_candidate_pairs):
+        raise ValueError(
+            f"{op}: estimated candidate volume {est:.3g} pairs exceeds "
+            f"max_candidate_pairs={max_candidate_pairs:.3g} — the posting "
+            f"lists are too dense for an exact inverted-index join on this "
+            f"corpus (low-entropy vocabulary). Use {alternative}, or pass "
+            f"max_candidate_pairs=None to force."
+        )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -112,6 +141,7 @@ def ngram_jaccard_pairs(
     min_jaccard: float = 0.0,
     max_df: int | None = None,
     persist: bool = True,
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs that share ≥1 shingle.
 
@@ -159,6 +189,12 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         cand_posting = posting.join(keep, "shingle")
+    _guard_candidate_volume(
+        cand_posting,
+        max_candidate_pairs,
+        "ngram_jaccard_pairs",
+        "minhash_lsh_pairs (LSH candidates) or max_df= (stopword-shingle cap)",
+    )
     a, b = cand_posting.alias("a"), cand_posting.alias("b")
     if max_df is None:
         # anchor form: candidate multiplicity IS the intersection count
@@ -343,6 +379,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     min_containment: float = 0.5,
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Containment near-dup pairs over shared-shingle candidates.
 
@@ -366,7 +403,10 @@ def containment_pairs(
     containment_a, containment_b`` (``containment_a`` = fraction of
     A's shingles inside B).
     """
-    pairs = ngram_jaccard_pairs(docs, text_col, id_col, n, min_jaccard=0.0)
+    pairs = ngram_jaccard_pairs(
+        docs, text_col, id_col, n, min_jaccard=0.0,
+        max_candidate_pairs=max_candidate_pairs,
+    )
     out = pairs.select(
         "doc_a",
         "doc_b",
@@ -862,6 +902,7 @@ def prefix_filter_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     vocab_ordinal: str = "global",
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Set-similarity self-join with PREFIX FILTERING (the All-Pairs /
     PPJoin candidate rule, Bayardo et al. WWW'07; Xiao et al. WWW'08).
@@ -934,6 +975,14 @@ def prefix_filter_jaccard_pairs(
     )
     prefix = ranked.filter(F.col("rn") <= F.col("prefix_len")).select(
         F.col(id_col), "shingle"
+    )
+    _guard_candidate_volume(
+        prefix,
+        max_candidate_pairs,
+        "prefix_filter_jaccard_pairs",
+        "minhash_lsh_pairs (prefix filtering needs rare tokens; a "
+        "low-entropy vocabulary leaves the prefix postings as dense as "
+        "the full ones)",
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

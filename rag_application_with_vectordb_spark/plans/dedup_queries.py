@@ -35,6 +35,19 @@ from ..operators.dedup import (
 )
 from ..operators.cc import twostar_components
 from ..session import tune
+
+#: Mechanical ceiling for the four EXACT inverted-index anchors
+#: (dedup_ngram_jaccard, text_containment_pairs, both prefix-filter
+#: forms): their docstrings state the scale regime — sub-quadratic only
+#: on selective (Zipfian) vocabularies — and the r9 sf10 sweep showed
+#: the low-entropy scale-up corpus wedging them for hours. The
+#: operators now pre-estimate candidate volume (Σ df·(df−1)/2, one
+#: linear aggregate) and refuse past this ceiling with an error naming
+#: the scalable path (MinHash-LSH / max_df), instead of going silently
+#: quadratic. 2e9 pairs ≈ minutes of join work — comfortably past every
+#: in-regime fixture (sf1.0 is ~1.4e8) and far below the sf10
+#: low-entropy blow-up (~5e9+).
+MAX_EXACT_CANDIDATE_PAIRS = 2_000_000_000
 from ..sources.catalog import load_table
 from .oracle_dialect import duck_cosine, duck_fold_unit, duck_hex13_to_long
 from .registry import QUERIES, register
@@ -139,12 +152,20 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "keys hash whole signatures, so only similar docs collide) and "
     "ngram_jaccard_pairs(max_df=...) (stopword-shingle guard: capped "
     "candidate generation + full-set verification, values stay exact; "
-    "pytest-proven in test_dedup_text.py).",
+    "pytest-proven in test_dedup_text.py). The regime is now ENFORCED "
+    "mechanically: the operator pre-estimates Σ df·(df−1)/2 and "
+    "refuses past MAX_EXACT_CANDIDATE_PAIRS with an error naming the "
+    "scalable path (sf10: trips in seconds at est 4.0e9 instead of "
+    "wedging for hours).",
     tags=("dedup",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    pairs = ngram_jaccard_pairs(_augmented_docs(spark, sf_dir), min_jaccard=0.4)
+    pairs = ngram_jaccard_pairs(
+        _augmented_docs(spark, sf_dir),
+        min_jaccard=0.4,
+        max_candidate_pairs=MAX_EXACT_CANDIDATE_PAIRS,
+    )
     return pairs.select(
         "doc_a",
         "doc_b",
@@ -474,7 +495,11 @@ def text_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import containment_pairs
 
     tune(spark)
-    pairs = containment_pairs(_augmented_docs(spark, sf_dir), min_containment=0.5)
+    pairs = containment_pairs(
+        _augmented_docs(spark, sf_dir),
+        min_containment=0.5,
+        max_candidate_pairs=MAX_EXACT_CANDIDATE_PAIRS,
+    )
     return pairs.select(
         "doc_a",
         "doc_b",
@@ -779,7 +804,9 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tune(spark)
     return prefix_filter_jaccard_pairs(
-        _augmented_docs(spark, sf_dir), threshold=_PF_T
+        _augmented_docs(spark, sf_dir),
+        threshold=_PF_T,
+        max_candidate_pairs=MAX_EXACT_CANDIDATE_PAIRS,
     )
 
 
@@ -801,7 +828,9 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "still needs rare tokens, so on the low-entropy scale-up corpus "
     "this explodes exactly like the anchor (r9 sf10 sweep: disk-full; "
     "same caveat as dedup_prefix_filter_pairs — that regime belongs "
-    "to MinHash-LSH).",
+    "to MinHash-LSH, and is now enforced by the candidate-volume "
+    "guard: out-of-regime corpora fail fast with the alternative "
+    "named instead of wedging).",
     tags=("dedup", "text"),
 )
 def dedup_prefix_filter_pairs_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -809,7 +838,10 @@ def dedup_prefix_filter_pairs_scalable(spark: SparkSession, sf_dir: str) -> Data
 
     tune(spark)
     return prefix_filter_jaccard_pairs(
-        _augmented_docs(spark, sf_dir), threshold=_PF_T_SCALABLE, vocab_ordinal="per-doc"
+        _augmented_docs(spark, sf_dir),
+        threshold=_PF_T_SCALABLE,
+        vocab_ordinal="per-doc",
+        max_candidate_pairs=MAX_EXACT_CANDIDATE_PAIRS,
     )
 
 

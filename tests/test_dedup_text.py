@@ -443,3 +443,25 @@ def test_ngram_jaccard_max_df_guard(docs, spark):
     # the anchor (uncapped) additionally reports every filler pair
     uncapped = ngram_jaccard_pairs(deg).count()
     assert uncapped == 40 * 39 / 2 + 1
+
+
+def test_candidate_volume_guard_refuses_dense_corpora(docs):
+    # The shared docs fixture has shingle df > 1 (three dup docs), so a
+    # 1-pair ceiling must trip with an error naming the scalable path;
+    # a roomy ceiling and None must both pass through unchanged.
+    from rag_application_with_vectordb_spark.operators.dedup import (
+        containment_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(docs, max_candidate_pairs=1).collect()
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        prefix_filter_jaccard_pairs(docs, max_candidate_pairs=1).collect()
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        containment_pairs(docs, max_candidate_pairs=1).collect()
+    guarded = ngram_jaccard_pairs(docs, max_candidate_pairs=10**9)
+    unguarded = ngram_jaccard_pairs(docs)
+    assert sorted(map(tuple, guarded.collect())) == sorted(
+        map(tuple, unguarded.collect())
+    )
