@@ -98,6 +98,19 @@ _JACCARD_SQL = rf"""
 """
 
 
+#: per-(SparkContext, fixture) cache of the checkpointed 20-row planted
+#: head. A localCheckpoint mints a FRESH RDD on every call, so an
+#: un-memoized checkpoint gives every _augmented_docs invocation a
+#: distinct logical plan — which silently defeats Spark's persisted-
+#: relation cache lookup in everything derived from it (the bench's
+#: warm passes of dedup_minhash_lsh_pairs went 3.7 s -> 31 s at sf10:
+#: each pass re-shingled and re-persisted 520k signatures instead of
+#: hitting the previous pass's cache). Memoizing restores a stable
+#: lineage; entries are keyed by the context so a restarted session
+#: (dead checkpoint RDDs) re-checkpoints instead of reusing a corpse.
+_AUG_HEAD_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # The planted-copy branches re-read documents per UNION arm, so every
@@ -106,7 +119,11 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each reference exactly ONE corpus scan + two 20-row local reads —
     # catalog-wide, since every dedup/decontamination query derives from
     # this relation.
-    head = docs.filter(F.col("doc_id") < 20).localCheckpoint()
+    key = (id(spark.sparkContext), sf_dir)
+    head = _AUG_HEAD_CACHE.get(key)
+    if head is None:
+        head = docs.filter(F.col("doc_id") < 20).localCheckpoint()
+        _AUG_HEAD_CACHE[key] = head
     exact = head.select((F.col("doc_id") + _AUG_EXACT_OFF).alias("doc_id"), F.col("text"))
     near = head.select(
         (F.col("doc_id") + _AUG_NEAR_OFF).alias("doc_id"),
