@@ -465,3 +465,23 @@ def test_candidate_volume_guard_refuses_dense_corpora(docs):
     assert sorted(map(tuple, guarded.collect())) == sorted(
         map(tuple, unguarded.collect())
     )
+
+
+def test_augmented_docs_lineage_is_stable(spark):
+    # Two invocations must produce semantically IDENTICAL plans: a
+    # localCheckpoint mints a fresh RDD per call, and an un-memoized
+    # checkpoint inside this builder gave every invocation a distinct
+    # lineage — silently defeating Spark's persisted-relation cache in
+    # everything derived from it (dedup_minhash_lsh_pairs warm passes
+    # went 3.7 s -> 31 s at sf10 before the (SparkContext, fixture)
+    # memoization). Value gates and plan lints can't see this class;
+    # this pin can.
+    from rag_application_with_vectordb_spark.plans.dedup_queries import (
+        _augmented_docs,
+    )
+
+    a = _augmented_docs(spark, "/root/testdata/sf0.001")
+    b = _augmented_docs(spark, "/root/testdata/sf0.001")
+    ha = a._jdf.queryExecution().analyzed().semanticHash()
+    hb = b._jdf.queryExecution().analyzed().semanticHash()
+    assert ha == hb, "augmented-docs lineage drifted between invocations"
