@@ -100,6 +100,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     specs = load_all()
+    # Cold-number interpretability: a fresh machine starts with an empty
+    # index store, so the cold pass of bench_knn_1m_ivf includes the
+    # ONE-TIME 1M index build (~25 s extra; measured ~80 s vs ~44 s
+    # cold_total at sf0.1). Record which regime this run measured.
+    try:
+        from rag_application_with_vectordb_spark.plans.ann_queries import _b1m_store
+
+        index_prebuilt = os.path.isdir(_b1m_store())
+    except Exception:  # noqa: BLE001 — observability only, never fail the bench
+        index_prebuilt = None
     spark = get_spark("bench")
     errors: dict[str, str] = {}
 
@@ -156,6 +166,7 @@ def main() -> None:
             "queries_warm_spread": spread,
             "queries_cold": {k: v for k, v in cold.items() if v is not None},
             "cold_total": round(sum(v for v in cold.values() if v is not None), 3),
+            "index_prebuilt": index_prebuilt,
             "errors": errors,
             "regressions": regressions,
             "regressions_vs": prev.get("ts") if prev else None,
@@ -182,6 +193,7 @@ def main() -> None:
             "n_err": len(errors),
             "n_regressed": len(regressions),
             "cold_total": round(sum(v for v in cold.values() if v is not None), 3),
+            "index_prebuilt": index_prebuilt,
             "sf": sf_val,
         }
     )
