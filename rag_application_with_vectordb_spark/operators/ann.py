@@ -544,23 +544,25 @@ def ann_ivf_topk(
     list once at ingest; pass it here so per-query cost is only the
     probed lists."""
     cents = _centroids_as_literals(centroids, centroid_id, centroid_vec)
-    if inverted is not None:
-        pass
-    elif cents is not None:
-        cpre = corpus.select(
-            corpus_id, corpus_vec, as_double(F.col(corpus_vec)).alias("__vd")
-        ).withColumn("__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd"))))
-        inverted = cpre.select(
-            corpus_id,
-            corpus_vec,
-            F.element_at(
-                nearest_centroid_ids(F.col("__vd"), F.col("__nv"), cents, nprobe=1), 1
-            ).alias(centroid_id),
-        )
-    else:
-        inverted = ivf_assign(
-            corpus, centroids, corpus_id, corpus_vec, centroid_id, centroid_vec
-        )
+    if inverted is None:
+        if cents is not None:
+            cpre = corpus.select(
+                corpus_id, corpus_vec, as_double(F.col(corpus_vec)).alias("__vd")
+            ).withColumn("__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd"))))
+            inverted = cpre.select(
+                corpus_id,
+                corpus_vec,
+                F.element_at(
+                    nearest_centroid_ids(
+                        F.col("__vd"), F.col("__nv"), cents, nprobe=1
+                    ),
+                    1,
+                ).alias(centroid_id),
+            )
+        else:
+            inverted = ivf_assign(
+                corpus, centroids, corpus_id, corpus_vec, centroid_id, centroid_vec
+            )
     if cents is not None:
         # two selects: a Generate (explode) in the same projection as the
         # struct-array ranking strips the struct field names

@@ -99,6 +99,11 @@ def global_chunk_index(
     ceiling. Requires a numeric ``id_col`` (the boundary sketch runs
     ``percentile_approx``); at 100 TB this is the mode to use when a
     composite ``(doc_id, chunk_id)`` key won't do.
+
+    Dtype note: scalable mode returns ``global_id`` as BIGINT — its whole
+    point is corpora past the parity guard, where an INT id would wrap
+    past 2^31−1 rows (silently, under non-ANSI Spark). Parity mode keeps
+    the reference-shaped INT, which its ``max_rows`` ceiling makes safe.
     """
     if scalable:
         from .prefix import bucketed_row_number
@@ -109,7 +114,7 @@ def global_chunk_index(
             tiebreak=[F.asc("chunk_id")],
             out_col="__rn",
         )
-        return out.withColumn("global_id", (F.col("__rn") - 1).cast("int")).drop("__rn")
+        return out.withColumn("global_id", F.col("__rn") - F.lit(1)).drop("__rn")
     if max_rows is not None:
         n = chunks.limit(max_rows + 1).count()
         if n > max_rows:

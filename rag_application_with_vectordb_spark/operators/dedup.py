@@ -105,7 +105,11 @@ def _shingle_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFr
 
 
 def _guard_candidate_volume(
-    posting: DataFrame, max_candidate_pairs: int | None, op: str, alternative: str
+    posting: DataFrame,
+    max_candidate_pairs: int | None,
+    op: str,
+    alternative: str,
+    unpersist_on_raise: DataFrame | None = None,
 ) -> None:
     """Refuse a posting self-join whose candidate volume Σ df·(df−1)/2
     exceeds ``max_candidate_pairs`` — the mechanical form of the "scale
@@ -113,7 +117,16 @@ def _guard_candidate_volume(
     per-shingle aggregate (linear in postings) turns an hours-long
     quadratic wedge into a fast, actionable error naming the scalable
     path (the ``global_chunk_index`` max_rows precedent). ``None``
-    disables the check."""
+    disables the check.
+
+    EAGER: when ``max_candidate_pairs`` is set, the estimate is a
+    driver action INSIDE an otherwise lazy plan builder — the full
+    shingle+aggregate job runs at plan-construction time. Callers that
+    only want the plan shape (lints, audits) must leave the guard off
+    (the default); bench/driver paths opt in explicitly.
+    ``unpersist_on_raise``: a lazily-persisted relation to release when
+    the guard refuses, so a rejected build doesn't leave a cache entry
+    marked persisted that no job will ever materialize or release."""
     if max_candidate_pairs is None:
         return
     est = (
@@ -124,6 +137,11 @@ def _guard_candidate_volume(
     )
     est = 0.0 if est is None else est / 2.0
     if est > float(max_candidate_pairs):
+        if unpersist_on_raise is not None:
+            try:
+                unpersist_on_raise.unpersist()
+            except Exception:
+                pass
         raise ValueError(
             f"{op}: estimated candidate volume {est:.3g} pairs exceeds "
             f"max_candidate_pairs={max_candidate_pairs:.3g} — the posting "
@@ -194,6 +212,7 @@ def ngram_jaccard_pairs(
         max_candidate_pairs,
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs (LSH candidates) or max_df= (stopword-shingle cap)",
+        unpersist_on_raise=sets if persist else None,
     )
     a, b = cand_posting.alias("a"), cand_posting.alias("b")
     if max_df is None:
@@ -983,6 +1002,7 @@ def prefix_filter_jaccard_pairs(
         "minhash_lsh_pairs (prefix filtering needs rare tokens; a "
         "low-entropy vocabulary leaves the prefix postings as dense as "
         "the full ones)",
+        unpersist_on_raise=sets,
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

@@ -19,8 +19,9 @@ expressed declaratively so Catalyst keeps every stage parallel:
    placement; the sketch only balances work, never affects values.
 2. Per-bucket partial sums → a bounded (≤ n_buckets-row) offsets
    relation, localCheckpoint'ed (bounded by construction — the
-   documented contract for every checkpoint site in this repo) and
-   cumulated with a tiny window.
+   documented contract for every checkpoint site in this repo: ONLY
+   the ≤ n_buckets-row relation is ever checkpointed, never the
+   input) and cumulated with a tiny window.
 3. The running sum WITHIN each bucket (a keyed window — parallel
    across buckets) plus the bucket's offset:
    ``cum(row) = offset(bucket(row)) + within_bucket_cum(row)``.
@@ -40,6 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 #: sketch accuracy for boundary selection (percentile_approx parameter);
 #: boundary QUALITY only affects balance, never values.
@@ -65,12 +67,22 @@ def bucketed_running_sum(
     keyed window. With ``total_col`` set, the grand total is attached
     as a column too (it falls out of the offsets relation for free).
 
-    The input is localCheckpoint'ed: the boundary sketch is a driver
-    action at plan-build time, and the checkpoint keeps the whole
-    operator at ONE pass over the input lineage (entity-grain by
-    contract — callers hand an aggregated relation, not the raw fact).
+    The operator makes THREE passes over the input lineage (boundary
+    sketch at plan-build time, offsets materialization, the final keyed
+    window), so the input is ``persist(MEMORY_AND_DISK)``-ed — NOT
+    localCheckpoint'ed (ADVICE r9): a checkpoint would materialize the
+    whole input to non-reliable executor-local storage (executor loss
+    kills the job at 100 TB) and hide the input plan from the catalog's
+    plan-shape lints behind an RDD scan. ``persist`` is fault-tolerant
+    (lineage recompute), evictable, and deduped by Spark's CacheManager
+    across repeated invocations of the same plan, so repeated builders
+    reuse one cache entry instead of minting fresh materializations
+    (the r9 checkpoint-memoization lesson). Callers whose input lineage
+    is NON-DETERMINISTIC must checkpoint it themselves first — under
+    cache eviction a recompute that changes values would make the three
+    passes disagree (true of any multi-pass operator).
     """
-    src = df.localCheckpoint(eager=True)
+    src = df.persist(StorageLevel.MEMORY_AND_DISK)
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     row = src.select(
         F.percentile_approx(F.col(lead_col), fracs, F.lit(_SKETCH_ACCURACY)).alias("b")

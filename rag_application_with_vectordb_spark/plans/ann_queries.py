@@ -1976,7 +1976,7 @@ _CL_K, _CL_ITERS = 8, 2
 #: wide md5-fold expression whose whole-stage codegen dominates the tiny
 #: 512-row dataflow, so both clustered-recall queries share one cached
 #: materialization instead of recompiling it per plan branch.
-_CL_CORPUS_CACHE: dict[int, DataFrame] = {}
+_CL_CORPUS_CACHE: dict[str, DataFrame] = {}
 
 
 def _clustered_corpus_df(spark: SparkSession) -> DataFrame:
@@ -1987,7 +1987,7 @@ def _clustered_corpus_df(spark: SparkSession) -> DataFrame:
     ``spark.range``, zero I/O, reproducible in DuckDB SQL."""
     from ..functions.text import hex13_to_long
 
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     cached = _CL_CORPUS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -2074,13 +2074,13 @@ def _cl_recall_sql(tag: str, out: str) -> str:
 
 #: Trained clustered-corpus quantizer, one per session (deterministic —
 #: memoization is result-invisible; both clustered queries share it).
-_CL_TRAIN_CACHE: dict[int, list[tuple[int, list[float]]]] = {}
+_CL_TRAIN_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
 
 
 def _cl_trained_centroids(spark: SparkSession, corpus: DataFrame):
     from ..operators.kmeans import kmeans_fit_spherical_fp_values
 
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     cents = _CL_TRAIN_CACHE.get(key)
     if cents is None:
         cents = kmeans_fit_spherical_fp_values(
@@ -2334,7 +2334,7 @@ def ann_ivfpq_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CLPQ_TRAIN_ITERS, _CLPQ_TRAIN_MOD = 2, 4
 
-_CL_TRAINED_CB_CACHE: dict[int, list[list[list[float]]]] = {}
+_CL_TRAINED_CB_CACHE: dict[str, list[list[list[float]]]] = {}
 
 
 def _cl_trained_codebooks(
@@ -2342,7 +2342,7 @@ def _cl_trained_codebooks(
 ) -> list[list[list[float]]]:
     from ..operators.pq import pq_codebook_trained
 
-    key = id(spark)
+    key = spark.sparkContext.applicationId
     books = _CL_TRAINED_CB_CACHE.get(key)
     if books is None:
         books = pq_codebook_trained(
@@ -3004,7 +3004,7 @@ def ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: plan references the edge relation in every hop, and without the cache
 #: each reference re-runs the cell-pair scoring (measured 31 s -> ~2 s
 #: warm at sf0.1).
-_GRAPH_INDEX_CACHE: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+_GRAPH_INDEX_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 
 def _graph_disk_dir(sf_dir: str) -> str | None:
@@ -3030,7 +3030,7 @@ def _graph_disk_dir(sf_dir: str) -> str | None:
 def _graph_index(spark: SparkSession, sf_dir: str, corpus: DataFrame, cents: DataFrame):
     from ..operators.graph_ann import cell_medoids, knn_graph_edges
 
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _GRAPH_INDEX_CACHE.get(key)
     if cached is None:
         d = _graph_disk_dir(sf_dir)

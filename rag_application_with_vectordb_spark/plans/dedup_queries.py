@@ -106,9 +106,13 @@ _JACCARD_SQL = rf"""
 #: warm passes of dedup_minhash_lsh_pairs went 3.7 s -> 31 s at sf10:
 #: each pass re-shingled and re-persisted 520k signatures instead of
 #: hitting the previous pass's cache). Memoizing restores a stable
-#: lineage; entries are keyed by the context so a restarted session
-#: (dead checkpoint RDDs) re-checkpoints instead of reusing a corpse.
-_AUG_HEAD_CACHE: dict[tuple[int, str], DataFrame] = {}
+#: lineage; entries are keyed by the context's applicationId — NOT
+#: id(sparkContext) (ADVICE r9: CPython reuses object ids after GC, so
+#: a restarted session could be handed a cached DataFrame whose
+#: checkpointed RDDs belong to a dead context) — so a restarted session
+#: (fresh applicationId, dead checkpoint RDDs) re-checkpoints instead
+#: of reusing a corpse.
+_AUG_HEAD_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -119,7 +123,7 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each reference exactly ONE corpus scan + two 20-row local reads —
     # catalog-wide, since every dedup/decontamination query derives from
     # this relation.
-    key = (id(spark.sparkContext), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     head = _AUG_HEAD_CACHE.get(key)
     if head is None:
         head = docs.filter(F.col("doc_id") < 20).localCheckpoint()
@@ -828,10 +832,13 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_prefix_filter_pairs_scalable",
+    "dedup_prefix_filter_pairs_keyed",
     oracle=_pf_oracle(_PF_T_SCALABLE),
-    doc="The prefix-filter join's SCALE formulation (VERDICT r5 item 5): "
-    "identical All-Pairs/PPJoin semantics, but the vocabulary-wide "
+    doc="The prefix-filter join's KEYED-ORDINAL formulation (VERDICT r5 "
+    "item 5; renamed from _scalable per VERDICT r9 item 2 — a name "
+    "claiming 'scalable' must finish the sf10 sweep, and no exact "
+    "prefix-filter can on a 40-word-vocabulary corpus): identical "
+    "All-Pairs/PPJoin semantics, but the vocabulary-wide "
     "single-partition row_number ordinal is GONE — each document ranks "
     "its own postings directly by the joined (df, shingle) key inside "
     "the per-doc window (the same total order, ties impossible, so "
@@ -840,17 +847,22 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The oracle keeps the literal global ordinal — matching it is "
     "exactly the equivalence claim. Runs at t=0.4 (longer prefixes, "
     "more candidates) so this row exercises a harder pruning slice "
-    "than the t=0.5 global-ordinal row. 'Scalable' here means the "
-    "PLAN shape (no single-partition stage) — the prefix CUT itself "
-    "still needs rare tokens, so on the low-entropy scale-up corpus "
-    "this explodes exactly like the anchor (r9 sf10 sweep: disk-full; "
+    "than the t=0.5 global-ordinal row. KEYED means the PLAN shape "
+    "(every window partitioned by doc_id, no single-partition stage) — "
+    "the prefix CUT itself still needs rare tokens, so on the "
+    "low-entropy scale-up corpus the candidate volume degenerates to "
+    "all-pairs exactly like the anchor (r9 sf10 sweep: disk-full; "
     "same caveat as dedup_prefix_filter_pairs — that regime belongs "
-    "to MinHash-LSH, and is now enforced by the candidate-volume "
+    "to MinHash-LSH, and is enforced by the candidate-volume "
     "guard: out-of-regime corpora fail fast with the alternative "
-    "named instead of wedging).",
+    "named instead of wedging). No max_df cap is offered here on "
+    "purpose: with no rare tokens, any cap that cuts candidate volume "
+    "cuts essentially ALL candidates — the 'capped' query would go "
+    "green at sf10 by returning ~zero pairs, which is worse than an "
+    "honest fast refusal.",
     tags=("dedup", "text"),
 )
-def dedup_prefix_filter_pairs_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_prefix_filter_pairs_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import prefix_filter_jaccard_pairs
 
     tune(spark)

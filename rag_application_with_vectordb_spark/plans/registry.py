@@ -53,66 +53,70 @@ _loaded = False
 # not hand-maintained: ``python tools/window_status.py`` diffs the
 # catalog against every CORRECTNESS_r*.json in the repo root.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Round-9 window: ALL 50 slots are FIRST PROOFS again (VERDICT r8
-    # item 1 — 93 oracle-backed queries had never produced a driver
-    # CORRECTNESS row after r08; this window drains 50 of them, leaving
-    # 43 for r10). Generated mechanically by
+    # Round-10 window: the LAST 43 never-driver-checked oracle-backed
+    # queries (VERDICT r9 item 1 — after this window lands, every
+    # registered oracle-backed query has a green driver row and the
+    # backlog is ZERO), plus 7 re-confirmations of the stalest greens
+    # (r01 tier first, then r03 — VERDICT r9 item "stale-green
+    # re-confirmation"). Generated mechanically by
     # ``python tools/window_status.py --propose`` against the full
-    # CORRECTNESS_r01..r08 history; policy: never-driver-checked
-    # oracle-backed queries in registration order fill the window first,
-    # then (once the backlog is short) the stalest greens — oldest
-    # last-green round first — rotate in as re-confirmations (VERDICT r8
-    # item 4; the r01/r03-tier greens will backfill from mid-r10).
-    "mine_hard_negatives",  # first-proof
-    "knn_analogy",  # first-proof
-    "text_winnow_fingerprints",  # first-proof
-    "text_textrank_keywords",  # first-proof
-    "text_textrank_doc_keywords",  # first-proof
-    "multimodal_scene_changes",  # first-proof
-    "decontaminate_semantic",  # first-proof
-    "dedup_winnow_pairs",  # first-proof
-    "sketch_cms_join_size",  # first-proof
-    "events_ccf_click_purchase",  # first-proof
-    "ab_test_cuped",  # first-proof
-    "stats_spearman_activity_spend",  # first-proof
-    "weights_raking_ipf",  # first-proof
-    "graph_modularity",  # first-proof
-    "survival_logrank_arms",  # first-proof
-    "causal_cem_att",  # first-proof
-    "eval_reco_hitrate",  # first-proof
-    "regress_kfold_cv",  # first-proof
-    "graph_betweenness_4src",  # first-proof
-    "graph_random_walks",  # first-proof
-    "survival_nelson_aalen",  # first-proof
-    "graph_rich_club",  # first-proof
-    "ab_test_srm",  # first-proof
-    "graph_assortativity",  # first-proof
-    "regress_influence_cooks",  # first-proof
-    "feature_quantile_normalize",  # first-proof
-    "ab_test_diff_in_diff",  # first-proof
-    "events_value_histogram",  # first-proof
-    "revenue_bridge_weekly",  # first-proof
-    "cohort_ltv_curve",  # first-proof
-    "orders_backlog_daily",  # first-proof
-    "price_elasticity_by_brand",  # first-proof
-    "ab_test_wilson_ci",  # first-proof
-    "ab_test_funnel_steps",  # first-proof
-    "events_interarrival_expfit",  # first-proof
-    "audit_expectations",  # first-proof
-    "churn_labels_cohort",  # first-proof
-    "stats_overdispersion_daily",  # first-proof
-    "forecast_quantile_pinball",  # first-proof
-    "forecast_holt_winters",  # first-proof
-    "eval_qini_uplift",  # first-proof
-    "slo_burn_rate_daily",  # first-proof
-    "private_rate_randomized_response",  # first-proof
-    "graph_ppr_seed",  # first-proof
-    "events_changepoint_binseg",  # first-proof
-    "retrieval_lm_dirichlet_topk",  # first-proof
-    "audit_partition_fingerprints",  # first-proof
-    "er_symspell_match",  # first-proof
-    "eval_cohens_kappa",  # first-proof
-    "classify_nearest_centroid",  # first-proof
+    # CORRECTNESS_r01..r09 history. From r11 onward the window becomes a
+    # pure staleness rotation (oldest-green-first), which --propose
+    # already implements.
+    "events_seasonal_anomaly",  # first-proof
+    "eval_lift_gains",  # first-proof
+    "eval_brier_decomposition",  # first-proof
+    "eval_threshold_utility",  # first-proof
+    "freq_itemsets_3",  # first-proof
+    "tree_split_gini",  # first-proof
+    "stats_ar2_yule_walker",  # first-proof
+    "assoc_rules_conf",  # first-proof
+    "stats_hill_tail_index",  # first-proof
+    "events_rate_limit_audit",  # first-proof
+    "sales_price_volume_decomp",  # first-proof
+    "sample_neyman_allocation",  # first-proof
+    "driver_analysis_eta2",  # first-proof
+    "supplier_return_eb_shrunk",  # first-proof
+    "stats_wilcoxon_signed_rank",  # first-proof
+    "text_vocab_coverage",  # first-proof
+    "audit_functional_deps",  # first-proof
+    "inventory_newsvendor",  # first-proof
+    "eval_offpolicy_ips",  # first-proof
+    "forecast_croston",  # first-proof
+    "inventory_abc_xyz",  # first-proof
+    "audit_order_reconciliation",  # first-proof
+    "eval_cluster_silhouette",  # first-proof
+    "eval_ece",  # first-proof
+    "anomaly_fpof_baskets",  # first-proof
+    "events_haar_energy",  # first-proof
+    "audit_k_anon_generalization",  # first-proof
+    "forecast_theta",  # first-proof
+    "eval_markov_next_event",  # first-proof
+    "stats_negbin_mom",  # first-proof
+    "text_js_divergence_sources",  # first-proof
+    "reco_decayed_popularity",  # first-proof
+    "audit_column_entropy",  # first-proof
+    "stats_median_ci",  # first-proof
+    "market_concentration_hhi",  # first-proof
+    "events_entropy_rate",  # first-proof
+    "optimize_knapsack_greedy",  # first-proof
+    "stats_trimmed_mean",  # first-proof
+    "text_heaps_law_fit",  # first-proof
+    "geo_radius_pairs",  # first-proof
+    "geo_cell_density",  # first-proof
+    "attribution_shapley",  # first-proof
+    "attribution_markov_removal",  # first-proof
+    "window_running_spend",  # re-confirm (r01)
+    "set_nations_customers_and_suppliers",  # re-confirm (r01)
+    "set_union_all_keys",  # re-confirm (r01)
+    "pivot_status_by_priority",  # re-confirm (r03)
+    "dedup_minhash_lsh_pairs",  # re-confirm (r03)
+    "ann_ivf_topk",  # re-confirm (r03)
+    # first-proof under its NEW name (renamed from _scalable per VERDICT
+    # r9 item 2; its r06 row is under the old name, so window_status
+    # counts it never-checked — this slot keeps the backlog at zero).
+    # knn_topk_prenormed (r03) rotates to r11 to make room.
+    "dedup_prefix_filter_pairs_keyed",  # first-proof (renamed)
 )
 
 

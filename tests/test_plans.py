@@ -260,7 +260,7 @@ def test_prefix_filter_scalable_has_no_global_window(spark, sf_dir, specs):
     # window is partitioned by doc_id (VERDICT r5 item 5).
     legacy = plan_of(specs["dedup_prefix_filter_pairs"].fn(spark, sf_dir))
     assert "SinglePartition" in legacy  # contrast: the ordinal's exchange
-    plan = plan_of(specs["dedup_prefix_filter_pairs_scalable"].fn(spark, sf_dir))
+    plan = plan_of(specs["dedup_prefix_filter_pairs_keyed"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan

@@ -91,7 +91,14 @@ def test_scalable_global_chunk_index_matches_parity_mode(spark, sf_dir):
     chunks = chunk_documents(docs)
     parity = global_chunk_index(chunks)
     scalable = global_chunk_index(chunks, scalable=True)
-    assert scalable.schema["global_id"].dataType == parity.schema["global_id"].dataType
+    # Dtype contract (ADVICE r9): scalable mode is BIGINT — an int cast
+    # would silently wrap past 2^31-1 rows under non-ANSI Spark, exactly
+    # the no-row-ceiling regime the mode exists for. Parity mode keeps
+    # the reference-shaped INT (safe under its max_rows ceiling).
+    from pyspark.sql.types import IntegerType, LongType
+
+    assert isinstance(scalable.schema["global_id"].dataType, LongType)
+    assert isinstance(parity.schema["global_id"].dataType, IntegerType)
     j = parity.select("doc_id", "chunk_id", F.col("global_id").alias("g1")).join(
         scalable.select("doc_id", "chunk_id", F.col("global_id").alias("g2")),
         ["doc_id", "chunk_id"],

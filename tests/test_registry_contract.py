@@ -172,7 +172,7 @@ MAX_FACT_SCANS = 6
 #: - documented exact anchors with scalable twins beside them:
 #:   chunk_global_ids (parity-mode global ids; composite-key mode is
 #:   the scale path, operators/chunker.py), dedup_prefix_filter_pairs
-#:   (global vocabulary ordinal; dedup_prefix_filter_pairs_scalable has
+#:   (global vocabulary ordinal; dedup_prefix_filter_pairs_keyed has
 #:   zero SinglePartition exchanges — plan-asserted in test_plans.py).
 SINGLE_PARTITION_ALLOW: dict[str, int] = {
     "stats_spearman_activity_spend": 2,

@@ -123,7 +123,7 @@ ANNOTATED = {
     "recall arithmetic is three hash joins on (query_id, vec_id); both "
     "quantizer trainings are k×dim literal expressions, never a corpus "
     "shuffle.",
-    "dedup_prefix_filter_pairs_scalable": "The PPJoin prefix cut with NO "
+    "dedup_prefix_filter_pairs_keyed": "The PPJoin prefix cut with NO "
     "vocabulary-wide window: each doc ranks its postings by the joined "
     "(df, shingle) key inside the doc_id-partitioned window — zero "
     "SinglePartition exchanges anywhere (plan-asserted).",
