@@ -2843,9 +2843,7 @@ _sql_query(
 
 # --- Spearman rank correlation (histogram-form average ranks) ------------------
 
-_sql_query(
-    "stats_spearman_activity_spend",
-    """
+_SPEARMAN_ORACLE = """
     WITH per_user AS (
       SELECT user_id,
              CAST(COUNT(*) AS BIGINT) AS x,
@@ -2887,7 +2885,12 @@ _sql_query(
                 / (SQRT(CAST(saa AS DOUBLE)) * SQRT(CAST(sbb AS DOUBLE)))
              AS DOUBLE) AS spearman_rho
     FROM m
-    """,
+    """
+
+
+@register(
+    "stats_spearman_activity_spend",
+    oracle=_SPEARMAN_ORACLE,
     doc="Spearman rank correlation between per-user activity (event "
     "count) and per-user purchase spend — the monotone-association "
     "probe that is robust to the heavy right tail Pearson chokes on. "
@@ -2900,11 +2903,69 @@ _sql_query(
     "before the products, so the co-moments are plain sums of "
     "~n^3-magnitude integers (no n*Sxy - Sx*Sy cancellation blowup) — "
     "exact BIGINT to ~2e6 users; beyond that switch ranks to the "
-    "1e-3-quantile grid. Nothing sorts the user relation: two "
-    "domain-sized rank maps join back by value (broadcast-sized), the "
-    "fact shuffles once to user grain.",
+    "1e-3-quantile grid. Nothing sorts the user relation: two rank "
+    "maps join back by value (keyed shuffles), the fact shuffles once "
+    "to user grain. The SPEND domain is entity-scale (distinct cent "
+    "sums approach n_users at 100 TB), so since r10 both domain prefix "
+    "sums run on the distributed two-level prefix sum "
+    "(operators/prefix.py, exact BIGINT regrouped addition) — zero "
+    "single-partition stages; the oracle keeps the global-window SQL.",
     tags=("analytics", "stats"),
 )
+def stats_spearman_activity_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import bucketed_running_sum
+
+    tune(spark)
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.round(F.col("value") * 100).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint"))
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+
+    def rank_map(var: str) -> DataFrame:
+        # histogram over the variable's DISTINCT values, then the
+        # cumulative count via the distributed prefix sum; doubled
+        # average rank r2 = 2*cum_lower + ties + 1 (cum_lower excludes
+        # the current value's own bucket: inclusive cum minus n).
+        h = per_user.groupBy(var).agg(F.count("*").cast("bigint").alias("n"))
+        cum = bucketed_running_sum(h, value_col="n", lead_col=var, out_col="__cc")
+        return cum.select(
+            var,
+            (2 * (F.col("__cc") - F.col("n")) + F.col("n") + 1).alias(f"__r2{var}"),
+        )
+
+    nn = per_user.agg(F.count("*").cast("bigint").alias("__n"))
+    j = (
+        per_user.join(rank_map("x"), "x")
+        .join(rank_map("y"), "y")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            (F.col("__r2x") - (F.col("__n") + 1)).alias("a"),
+            (F.col("__r2y") - (F.col("__n") + 1)).alias("b"),
+        )
+    )
+    m = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("sab"),
+        F.sum(F.col("a") * F.col("a")).cast("bigint").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("bigint").alias("sbb"),
+    )
+    return m.select(
+        F.col("n").alias("n_users"),
+        (
+            F.col("sab").cast("double")
+            / (F.sqrt(F.col("saa").cast("double")) * F.sqrt(F.col("sbb").cast("double")))
+        )
+        .cast("double")
+        .alias("spearman_rho"),
+    )
 
 
 # --- survey raking / iterative proportional fitting ----------------------------
@@ -3295,9 +3356,7 @@ _sql_query(
 
 # --- quantile normalization of per-source length distributions -----------------
 
-_sql_query(
-    "feature_quantile_normalize",
-    """
+_QNORM_ORACLE = """
     WITH d AS (
       SELECT doc_id, source, n_chars FROM documents
     ),
@@ -3330,7 +3389,12 @@ _sql_query(
            CAST(MIN(cum.v) AS BIGINT) AS normalized_chars
     FROM keyed k2 JOIN cum ON cum.cc >= k2.k
     GROUP BY k2.doc_id, k2.source, k2.n_chars, k2.rnk
-    """,
+    """
+
+
+@register(
+    "feature_quantile_normalize",
+    oracle=_QNORM_ORACLE,
     doc="Quantile normalization: each document's length is replaced by "
     "the POOLED distribution's value at the same quantile its rank "
     "holds WITHIN its source — the transform that forces every "
@@ -3344,12 +3408,51 @@ _sql_query(
     "truncates in Spark but rounds half-even in DuckDB, the classic "
     "cross-engine trap; the exact-multiple quotient is fp64-exact in "
     "both. The rank->value lookup is MIN(v) over "
-    "the cumulative histogram of the bounded length DOMAIN (the "
+    "the cumulative histogram of the length DOMAIN (the "
     "AUC/KS histogram discipline) — the fanout is |domain| per doc "
     "at worst and the broadcast side is domain-sized. Fully "
-    "deterministic: ranks tiebreak on doc_id, everything is BIGINT.",
+    "deterministic: ranks tiebreak on doc_id, everything is BIGINT. "
+    "The length domain is value-bounded but can reach millions of "
+    "distinct values on a 100 TB corpus, so since r10 the domain "
+    "prefix sum runs on the distributed two-level prefix sum "
+    "(operators/prefix.py) — zero single-partition stages; the oracle "
+    "keeps the global-window SQL.",
     tags=("analytics", "feature"),
 )
+def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import bucketed_running_sum
+
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    ns = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_s"))
+    nt = d.agg(F.count("*").cast("bigint").alias("__nt"))
+    r = d.join(ns, "source").withColumn(
+        "rnk",
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id")))
+        .cast("bigint"),
+    )
+    h = d.groupBy(F.col("n_chars").alias("v")).agg(F.count("*").cast("bigint").alias("c"))
+    cum = bucketed_running_sum(h, value_col="c", lead_col="v", out_col="cc").select(
+        "v", "cc"
+    )
+    a = (2 * F.col("rnk") - 1) * F.col("__nt") + F.col("n_s")
+    b = 2 * F.col("n_s")
+    keyed = r.crossJoin(F.broadcast(nt)).withColumn(
+        "k", ((a - a % b) / b).cast("bigint")
+    )
+    return (
+        keyed.join(cum, F.col("cc") >= F.col("k"))
+        .groupBy("doc_id", "source", "n_chars", "rnk")
+        .agg(F.min("v").cast("bigint").alias("normalized_chars"))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("rnk").alias("source_rank"),
+            "normalized_chars",
+        )
+    )
 
 
 # --- difference-in-differences read-out ----------------------------------------

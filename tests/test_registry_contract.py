@@ -155,8 +155,7 @@ MAX_FACT_SCANS = 6
 #:   stats_permutation_test (1-row d_obs lookup window).
 #: - distinct-VALUE histogram grain (windows run over the value domain,
 #:   not the rows; domains here are lengths/amounts/thresholds that
-#:   grow far sublinearly): stats_spearman_activity_spend,
-#:   feature_quantile_normalize, eval_auc_doclang, stats_ks_lang_length,
+#:   grow far sublinearly): eval_auc_doclang, stats_ks_lang_length,
 #:   length_buckets, length_buckets_approx, eval_pr_curve,
 #:   stats_wilcoxon_signed_rank, stats_median_ci, stats_trimmed_mean,
 #:   stats_hill_tail_index (top-tail order statistics).
@@ -165,20 +164,20 @@ MAX_FACT_SCANS = 6
 #:   tree_split_gini, sample_neyman_allocation.
 #: - vocabulary grain (Heaps-law sublinear): text_zipf_fit,
 #:   text_heaps_law_fit, text_vocab_coverage.
-#: - (parts_pareto_abc and inventory_abc_xyz — the former entity-grain
-#:   cumulative-share entries — were rewritten on the distributed
-#:   two-level prefix sum, operators/prefix.py, and now have ZERO
-#:   exposures; the oracle keeps the global-window form.)
+#: - (parts_pareto_abc, inventory_abc_xyz — r9 — and
+#:   stats_spearman_activity_spend, feature_quantile_normalize — r10,
+#:   their spend/length value domains are entity-scale at 100 TB —
+#:   were rewritten on the distributed two-level prefix sum,
+#:   operators/prefix.py, and now have ZERO exposures; the oracles
+#:   keep the global-window form.)
 #: - documented exact anchors with scalable twins beside them:
 #:   chunk_global_ids (parity-mode global ids; composite-key mode is
 #:   the scale path, operators/chunker.py), dedup_prefix_filter_pairs
 #:   (global vocabulary ordinal; dedup_prefix_filter_pairs_keyed has
 #:   zero SinglePartition exchanges — plan-asserted in test_plans.py).
 SINGLE_PARTITION_ALLOW: dict[str, int] = {
-    "stats_spearman_activity_spend": 2,
     "survival_logrank_arms": 1,
     "survival_nelson_aalen": 1,
-    "feature_quantile_normalize": 1,
     "orders_backlog_daily": 1,
     "events_interarrival_expfit": 1,
     "forecast_quantile_pinball": 2,
