@@ -215,6 +215,14 @@ def main() -> None:
                         "value": total,
                         "queries": times,
                         "queries_warm_spread": spread,
+                        # cold-regime attribution (VERDICT r9 item 5):
+                        # cold totals are only comparable when the
+                        # record says whether the one-time 1M IVF build
+                        # was already on disk.
+                        "cold_total": round(
+                            sum(v for v in cold.values() if v is not None), 3
+                        ),
+                        "index_prebuilt": index_prebuilt,
                     }
                 )
                 + "\n"
