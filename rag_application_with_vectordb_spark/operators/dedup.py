@@ -104,12 +104,26 @@ def _shingle_sets(docs: DataFrame, text_col: str, id_col: str, n: int) -> DataFr
     )
 
 
+#: Verify-stage ceiling used by the guard when a ``verify_sets``
+#: relation is supplied: candidate pairs × (2 × mean set size) — the
+#: rows the exact-intersection stage materializes by joining BOTH full
+#: posting lists onto every candidate pair. The r10 sf10 sweep proved
+#: the pair count alone under-prices prefix filtering on a low-entropy
+#: corpus: 1.65e9 candidate pairs passed the 2e9 pair cap, but the
+#: verify join was ~1.5e11 cells — heap-OOM (r9: disk-full) instead of
+#: a fast refusal. sf1.0 in-regime runs are ~2e9 cells, so 2e10 keeps
+#: an order of magnitude of headroom on both sides.
+MAX_EXACT_VERIFY_CELLS = 20_000_000_000
+
+
 def _guard_candidate_volume(
     posting: DataFrame,
     max_candidate_pairs: int | None,
     op: str,
     alternative: str,
     unpersist_on_raise: DataFrame | None = None,
+    verify_sets: DataFrame | None = None,
+    max_verify_cells: float = MAX_EXACT_VERIFY_CELLS,
 ) -> None:
     """Refuse a posting self-join whose candidate volume Σ df·(df−1)/2
     exceeds ``max_candidate_pairs`` — the mechanical form of the "scale
@@ -119,11 +133,21 @@ def _guard_candidate_volume(
     path (the ``global_chunk_index`` max_rows precedent). ``None``
     disables the check.
 
+    ``verify_sets``: for operators with a SEPARATE verify stage (prefix
+    filtering; ``max_df``-capped ngram Jaccard), the candidate join is
+    thin (id, id) rows but verification joins BOTH full shingle sets
+    onto every surviving pair — pairs × 2·mean(|S|) cells. Pass the
+    shingle-set relation here and the guard prices that stage too,
+    refusing past ``max_verify_cells``; without it, a candidate count
+    under the pair cap can still be a heap/disk blow-up (measured at
+    sf10: 1.65e9 pairs ⇒ ~1.5e11 verify cells).
+
     EAGER: when ``max_candidate_pairs`` is set, the estimate is a
     driver action INSIDE an otherwise lazy plan builder — the full
-    shingle+aggregate job runs at plan-construction time. Callers that
-    only want the plan shape (lints, audits) must leave the guard off
-    (the default); bench/driver paths opt in explicitly.
+    shingle+aggregate job runs at plan-construction time (two actions
+    when ``verify_sets`` is also given). Callers that only want the
+    plan shape (lints, audits) must leave the guard off (the default);
+    bench/driver paths opt in explicitly.
     ``unpersist_on_raise``: a lazily-persisted relation to release when
     the guard refuses, so a rejected build doesn't leave a cache entry
     marked persisted that no job will ever materialize or release."""
@@ -136,19 +160,36 @@ def _guard_candidate_volume(
         .first()["p2"]
     )
     est = 0.0 if est is None else est / 2.0
-    if est > float(max_candidate_pairs):
+
+    def _refuse(msg: str) -> None:
         if unpersist_on_raise is not None:
             try:
                 unpersist_on_raise.unpersist()
             except Exception:
                 pass
-        raise ValueError(
+        raise ValueError(msg)
+
+    if est > float(max_candidate_pairs):
+        _refuse(
             f"{op}: estimated candidate volume {est:.3g} pairs exceeds "
             f"max_candidate_pairs={max_candidate_pairs:.3g} — the posting "
             f"lists are too dense for an exact inverted-index join on this "
             f"corpus (low-entropy vocabulary). Use {alternative}, or pass "
             f"max_candidate_pairs=None to force."
         )
+    if verify_sets is not None:
+        row = verify_sets.agg(F.avg(F.size("shingles")).alias("s")).first()
+        avg_set = float(row["s"] or 0.0)
+        cells = est * 2.0 * avg_set
+        if cells > float(max_verify_cells):
+            _refuse(
+                f"{op}: estimated verify volume {cells:.3g} cells "
+                f"({est:.3g} candidate pairs x 2 x {avg_set:.1f} mean set "
+                f"size) exceeds max_verify_cells={max_verify_cells:.3g} — "
+                f"the exact-intersection stage would materialize both full "
+                f"posting lists per candidate pair. Use {alternative}, or "
+                f"pass max_candidate_pairs=None to force."
+            )
 
 
 def ngram_jaccard_pairs(
@@ -213,6 +254,10 @@ def ngram_jaccard_pairs(
         "ngram_jaccard_pairs",
         "minhash_lsh_pairs (LSH candidates) or max_df= (stopword-shingle cap)",
         unpersist_on_raise=sets if persist else None,
+        # the max_df form verifies candidates against FULL postings —
+        # price that stage too (the anchor form has no verify join:
+        # candidate multiplicity IS the intersection)
+        verify_sets=sets if max_df is not None else None,
     )
     a, b = cand_posting.alias("a"), cand_posting.alias("b")
     if max_df is None:
@@ -1003,6 +1048,10 @@ def prefix_filter_jaccard_pairs(
         "low-entropy vocabulary leaves the prefix postings as dense as "
         "the full ones)",
         unpersist_on_raise=sets,
+        # prefix candidates are thin pairs, but verification joins both
+        # FULL shingle sets per pair — at sf10 that stage, not the pair
+        # count, is what blew the heap (r10 sweep)
+        verify_sets=sets,
     )
     a, b = prefix.alias("a"), prefix.alias("b")
     cand = (

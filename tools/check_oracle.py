@@ -217,6 +217,21 @@ def main() -> int:
         if "err" in out:
             print(f"FAIL  {name}: spark error: {out['err']}")
             failures.append(name)
+            try:
+                dead = spark.sparkContext._jsc.sc().isStopped()
+            except Exception:  # noqa: BLE001 — a dead gateway IS dead
+                dead = True
+            if dead:
+                # A heap-OOM in one query kills the whole JVM; burning
+                # through the rest of the sweep against a stopped
+                # context sprays misleading FAIL rows (160 of them in
+                # the r10 sf10 sweep). Abort so a --resume-log rerun
+                # restarts clean from the real failure point.
+                print(
+                    "ABORT: SparkContext stopped (executor OOM/fatal). "
+                    "Re-run with --resume-log to continue from here."
+                )
+                break
             continue
         srows, n_rows, scols = out["srows"], out["n_rows"], out["scols"]
         if not spec.oracle or spark_only:

@@ -178,41 +178,69 @@ def main() -> int:
 
     tag = "SF10" if "sf10" in os.path.basename(os.path.normpath(args.sf_dir)) else "SCALE"
     log = args.log or os.path.join(REPO, f"{tag}_SWEEP_r{args.round:02d}.log")
-    cmd = [
-        sys.executable,
-        os.path.join(REPO, "tools", "check_oracle.py"),
-        args.sf_dir,
-        "--spark-only",
-        "--timeout-per-query",
-        str(args.timeout),
-    ]
-    if os.path.exists(log):
-        cmd += ["--resume-log", log]
-        print(f"resuming {log}")
-    cmd += selected
+
+    def parse(selected_set: set[str]) -> tuple[set[str], set[str]]:
+        green, failed = set(), set()
+        if os.path.exists(log):
+            for line in open(log):
+                if line.startswith(("rows  ", "ok    ")):
+                    green.add(line.split()[1].rstrip(":"))
+                elif line.startswith(("FAIL  ", "TIMEOUT  ")):
+                    failed.add(line.split()[1].rstrip(":"))
+        green &= selected_set
+        # a later resumed green supersedes an earlier FAIL (a query that
+        # FAILed only because the session had already died re-runs green
+        # on resume)
+        return green, (failed & selected_set) - green
+
+    sel = set(selected)
     print(f"logging to {log}")
-    with open(log, "a") as fh:
-        fh.write(f"# scale_sweep round={args.round} sf_dir={args.sf_dir} since={since[:12]} selected={len(selected)}\n")
-        fh.flush()
-        subprocess.run(cmd, stdout=fh, stderr=subprocess.STDOUT, cwd=REPO)
+    # Retry loop: one fatal error (heap OOM) kills the whole JVM and
+    # every later query FAILs on the stopped context. check_oracle now
+    # aborts at that point; each retry resumes from the log, so a sweep
+    # with K fatal queries completes in K+1 sessions. Attempts are
+    # bounded and each must make progress.
+    for attempt in range(4):
+        green, failed = parse(sel)
+        pending = sel - green - failed if attempt else sel - green
+        if not pending:
+            break
+        cmd = [
+            sys.executable,
+            os.path.join(REPO, "tools", "check_oracle.py"),
+            args.sf_dir,
+            "--spark-only",
+            "--timeout-per-query",
+            str(args.timeout),
+        ]
+        if os.path.exists(log):
+            cmd += ["--resume-log", log]
+            print(f"attempt {attempt + 1}: resuming {log} ({len(pending)} pending)")
+        cmd += selected
+        with open(log, "a") as fh:
+            fh.write(
+                f"# scale_sweep round={args.round} sf_dir={args.sf_dir} "
+                f"since={since[:12]} selected={len(selected)} attempt={attempt + 1}\n"
+            )
+            fh.flush()
+            subprocess.run(cmd, stdout=fh, stderr=subprocess.STDOUT, cwd=REPO)
+        green2, failed2 = parse(sel)
+        if len(green2) + len(failed2) <= len(green) + len(failed) and attempt:
+            print("no progress this attempt — stopping retries")
+            break
+
     # Gate verdict: greens are resumable rows; the only acceptable
     # failures are the documented exact-anchor refusals.
-    green, failed = set(), set()
-    for line in open(log):
-        if line.startswith(("rows  ", "ok    ")):
-            green.add(line.split()[1].rstrip(":"))
-        elif line.startswith(("FAIL  ", "TIMEOUT  ")):
-            failed.add(line.split()[1].rstrip(":"))
-    failed -= green  # a later resumed green supersedes an earlier FAIL
+    green, failed = parse(sel)
     unexpected = sorted(failed - EXPECTED_SCALE_REFUSALS)
     expected = sorted(failed & EXPECTED_SCALE_REFUSALS)
-    print(f"green: {len(green & set(selected))}/{len(selected)}")
+    print(f"green: {len(green)}/{len(selected)}")
     if expected:
         print(f"documented anchor refusals (ok): {expected}")
     if unexpected:
         print(f"GATE RED — unexpected failures: {unexpected}")
         return 1
-    missing = sorted(set(selected) - green - failed)
+    missing = sorted(sel - green - failed)
     if missing:
         print(f"GATE INCOMPLETE — never ran (crashed sweep? rerun to resume): {missing[:10]}")
         return 2
