@@ -18,7 +18,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..session import tune
@@ -458,9 +458,7 @@ def skew_salted_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact interpolated percentiles (the sketch's ground truth) ---------------
 
-_sql_query(
-    "percentile_exact",
-    """
+_PCTL_ORACLE = """
     WITH v AS (
       SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
     ),
@@ -492,18 +490,83 @@ _sql_query(
            MAX(CASE WHEN tag = 'p50' THEN val END) AS price_p50,
            MAX(CASE WHEN tag = 'p95' THEN val END) AS price_p95
     FROM f GROUP BY l_returnflag
-    """,
+    """
+
+
+@register(
+    "percentile_exact",
+    oracle=_PCTL_ORACLE,
     doc="EXACT linear-interpolated p50/p95 of lineitem prices per return "
-    "flag, spelled as rank-select + interpolation in dialect-shared SQL "
-    "so both engines execute the identical fp expression (h = p*(n-1); "
-    "x_lo + frac*(x_hi - x_lo)) — engine-native percentile()/"
+    "flag, with the identical fp expression on both engines (h = "
+    "p*(n-1); x_lo + frac*(x_hi - x_lo)) — engine-native percentile()/"
     "quantile_cont() interpolate with algebraically-equal-but-fp-"
     "different formulas and can differ in the last ulp. This is the "
     "ground truth the sampling sketch (approx_percentile_sketch) is "
-    "judged against; the per-group sort (window rank) is the cost that "
-    "makes the sketch worth having at 100 TB.",
+    "judged against. The oracle keeps the textbook rank-select (a "
+    "per-flag window rank over every row); the Spark side does NOT — "
+    "only 3 return flags exist, so that window sorts ~N/3 fact rows "
+    "per task and heap-OOMed the r10 sf10 sweep once session cache "
+    "pressure rose (r9: 82 s, memory-marginal). Since r10 it is "
+    "HISTOGRAM rank-select: group to the (flag, price) value domain, "
+    "one keyed cumulative over the per-flag distinct-price histogram "
+    "(value-domain grain — the AUC/KS discipline), then x@rank k = "
+    "MIN x with cum >= k+1 via a 6-row broadcast range probe. "
+    "Identical values (a rank range [cum_lower, cum-1] contains k iff "
+    "x is the minimal value with cum > k), fact touched by ONE "
+    "hash aggregate.",
     tags=("analytics", "approx"),
 )
+def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
+    )
+    hist = v.groupBy("l_returnflag", "x").agg(F.count("*").cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.asc("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    ng = v.groupBy("l_returnflag").agg(F.count("*").cast("bigint").alias("n"))
+    # h via F.expr so the 0.5/0.95 literals type as DECIMAL exactly as
+    # they do in the oracle SQL (both engines parse decimal literals as
+    # DECIMAL): h and h - FLOOR(h) stay EXACT, where a double 0.95*(n-1)
+    # puts frac off by an ulp and flips the last bit of the
+    # interpolation (caught at sf1.0: R/p95 95034.83849999998 vs ...8385)
+    t = ng.select(
+        "l_returnflag", F.lit("p50").alias("tag"), F.expr("0.5 * (n - 1)").alias("h")
+    ).unionByName(
+        ng.select(
+            "l_returnflag", F.lit("p95").alias("tag"), F.expr("0.95 * (n - 1)").alias("h")
+        )
+    )
+
+    def x_at(k: Column, out: str) -> DataFrame:
+        # x at 0-indexed rank k = the minimal value whose inclusive
+        # cumulative count exceeds k (duplicates of x own the rank
+        # range [cum - c, cum - 1], so cum >= k + 1 <=> k in-or-after
+        # that range, and MIN picks the containing value)
+        return (
+            F.broadcast(t)
+            .join(cum, "l_returnflag")
+            .filter(F.col("cum") >= k + 1)
+            .groupBy("l_returnflag", "tag", "h")
+            .agg(F.min("x").alias(out))
+        )
+
+    lo = x_at(F.expr("CAST(FLOOR(h) AS BIGINT)"), "xlo")
+    hi = x_at(F.expr("CAST(CEILING(h) AS BIGINT)"), "xhi")
+    f = lo.join(hi, ["l_returnflag", "tag", "h"]).select(
+        "l_returnflag",
+        "tag",
+        F.expr("xlo + (h - FLOOR(h)) * (xhi - xlo)").alias("val"),
+    )
+    return f.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("tag") == "p50", F.col("val"))).alias("price_p50"),
+        F.max(F.when(F.col("tag") == "p95", F.col("val"))).alias("price_p95"),
+    )
 
 
 # --- triangle counting / clustering coefficient (degree-oriented) -------------

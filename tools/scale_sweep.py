@@ -179,30 +179,38 @@ def main() -> int:
     tag = "SF10" if "sf10" in os.path.basename(os.path.normpath(args.sf_dir)) else "SCALE"
     log = args.log or os.path.join(REPO, f"{tag}_SWEEP_r{args.round:02d}.log")
 
-    def parse(selected_set: set[str]) -> tuple[set[str], set[str]]:
-        green, failed = set(), set()
+    def parse(selected_set: set[str]) -> tuple[set[str], set[str], dict[str, int]]:
+        """LAST state per query wins (a resumed green supersedes a FAIL
+        row from a session that had already died); ``fail_counts``
+        counts FAIL/TIMEOUT rows per query across all attempts — a
+        query that failed twice is settled (re-running a fatal query
+        forever would OOM-loop the retry budget away)."""
+        state: dict[str, str] = {}
+        fail_counts: dict[str, int] = {}
         if os.path.exists(log):
             for line in open(log):
                 if line.startswith(("rows  ", "ok    ")):
-                    green.add(line.split()[1].rstrip(":"))
+                    state[line.split()[1].rstrip(":")] = "green"
                 elif line.startswith(("FAIL  ", "TIMEOUT  ")):
-                    failed.add(line.split()[1].rstrip(":"))
-        green &= selected_set
-        # a later resumed green supersedes an earlier FAIL (a query that
-        # FAILed only because the session had already died re-runs green
-        # on resume)
-        return green, (failed & selected_set) - green
+                    q = line.split()[1].rstrip(":")
+                    state[q] = "failed"
+                    fail_counts[q] = fail_counts.get(q, 0) + 1
+        green = {q for q, s in state.items() if s == "green"} & selected_set
+        failed = {q for q, s in state.items() if s == "failed"} & selected_set
+        return green, failed, fail_counts
 
     sel = set(selected)
     print(f"logging to {log}")
-    # Retry loop: one fatal error (heap OOM) kills the whole JVM and
-    # every later query FAILs on the stopped context. check_oracle now
-    # aborts at that point; each retry resumes from the log, so a sweep
-    # with K fatal queries completes in K+1 sessions. Attempts are
-    # bounded and each must make progress.
+    # Retry loop: one fatal error (heap OOM) kills the whole JVM;
+    # check_oracle aborts at that point, so queries after the fatal one
+    # never ran and must re-run in a fresh session. Every non-green
+    # query gets retried until it has failed TWICE (so a FAIL row
+    # sprayed by a dead session gets its fresh-session chance, while a
+    # genuinely fatal query can't OOM-loop the retry budget away).
     for attempt in range(4):
-        green, failed = parse(sel)
-        pending = sel - green - failed if attempt else sel - green
+        green, failed, fail_counts = parse(sel)
+        settled = {q for q in failed if fail_counts.get(q, 0) >= 2}
+        pending = sel - green - settled
         if not pending:
             break
         cmd = [
@@ -216,7 +224,9 @@ def main() -> int:
         if os.path.exists(log):
             cmd += ["--resume-log", log]
             print(f"attempt {attempt + 1}: resuming {log} ({len(pending)} pending)")
-        cmd += selected
+        # pass only the pending names: settled failures (2 strikes, e.g.
+        # the documented anchor refusals) must not re-run every attempt
+        cmd += sorted(pending)
         with open(log, "a") as fh:
             fh.write(
                 f"# scale_sweep round={args.round} sf_dir={args.sf_dir} "
@@ -224,14 +234,14 @@ def main() -> int:
             )
             fh.flush()
             subprocess.run(cmd, stdout=fh, stderr=subprocess.STDOUT, cwd=REPO)
-        green2, failed2 = parse(sel)
+        green2, failed2, _ = parse(sel)
         if len(green2) + len(failed2) <= len(green) + len(failed) and attempt:
             print("no progress this attempt — stopping retries")
             break
 
     # Gate verdict: greens are resumable rows; the only acceptable
     # failures are the documented exact-anchor refusals.
-    green, failed = parse(sel)
+    green, failed, _ = parse(sel)
     unexpected = sorted(failed - EXPECTED_SCALE_REFUSALS)
     expected = sorted(failed & EXPECTED_SCALE_REFUSALS)
     print(f"green: {len(green)}/{len(selected)}")
