@@ -518,18 +518,7 @@ _PCTL_ORACLE = """
 )
 def percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    li = load_table(spark, sf_dir, "lineitem")
-    v = li.select(
-        "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
-    )
-    hist = v.groupBy("l_returnflag", "x").agg(F.count("*").cast("bigint").alias("c"))
-    wcum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy(F.asc("x"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hist.withColumn("cum", F.sum("c").over(wcum))
-    ng = v.groupBy("l_returnflag").agg(F.count("*").cast("bigint").alias("n"))
+    v, cum, ng = _price_cum_hist(spark, sf_dir)
     # h via F.expr so the 0.5/0.95 literals type as DECIMAL exactly as
     # they do in the oracle SQL (both engines parse decimal literals as
     # DECIMAL): h and h - FLOOR(h) stay EXACT, where a double 0.95*(n-1)
@@ -1085,9 +1074,7 @@ def _median_sql(src: str, val: str, out: str) -> str:
     )"""
 
 
-_sql_query(
-    "robust_outliers_mad",
-    f"""
+_MAD_ORACLE = f"""
     WITH v AS (
       SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
     ),
@@ -1106,26 +1093,93 @@ _sql_query(
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev d JOIN med2 USING (l_returnflag)
     GROUP BY d.l_returnflag
-    """,
+    """
+
+
+def _interp_median_from_hist(grouped: DataFrame, ng: DataFrame, out: str) -> DataFrame:
+    """Interpolated per-flag median from a ``(l_returnflag, x)`` relation
+    via the distinct-value histogram cumulative (the percentile_exact
+    recipe): h = 0.5*(n-1) as exact DECIMAL, x@0-based-rank k = MIN x
+    with inclusive cum >= k+1, median = xlo + (h-FLOOR(h))*(xhi-xlo).
+    No task ever sorts more than the per-flag distinct-value domain."""
+    hist = grouped.groupBy("l_returnflag", "x").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.asc("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    t = ng.select("l_returnflag", F.expr("0.5 * (n - 1)").alias("h"))
+
+    def x_at(kexpr: str, col: str) -> DataFrame:
+        return (
+            F.broadcast(t)
+            .join(cum, "l_returnflag")
+            .filter(F.col("cum") >= F.expr(kexpr) + 1)
+            .groupBy("l_returnflag", "h")
+            .agg(F.min("x").alias(col))
+        )
+
+    lo = x_at("CAST(FLOOR(h) AS BIGINT)", "xlo")
+    hi = x_at("CAST(CEILING(h) AS BIGINT)", "xhi")
+    return lo.join(hi, ["l_returnflag", "h"]).select(
+        "l_returnflag",
+        F.expr("xlo + (h - FLOOR(h)) * (xhi - xlo)").alias(out),
+    )
+
+
+@register(
+    "robust_outliers_mad",
+    oracle=_MAD_ORACLE,
     doc="Robust outlier detection per return flag: modified z-score "
     "0.6745*(x - median)/MAD with the |z| > 3.5 rule (Iglewicz & "
     "Hoaglin) — the data-cleaning screen that, unlike the mean/std "
-    "z-score, one fat-tailed value cannot poison. Two rank-select "
-    "interpolated medians (the percentile_exact recipe, dialect-shared "
-    "fp arithmetic) feed a single flagged-count aggregate; every "
-    "intermediate is deterministic, so even the outlier COUNTS "
-    "hash-match. The per-group sort behind each median is the 100 TB "
-    "cost — the sketch analogue (approx_percentile_sketch) is the "
-    "screening alternative when exactness can be traded.",
+    "z-score, one fat-tailed value cannot poison. Two interpolated "
+    "medians feed a single flagged-count aggregate; every intermediate "
+    "is deterministic (identical fp expressions both engines), so even "
+    "the outlier COUNTS hash-match. The oracle keeps the textbook "
+    "rank-select windows; the Spark side (since r10) takes both "
+    "medians from distinct-value HISTOGRAM cumulatives — the price "
+    "domain first, then the |x - median| deviation domain — so no "
+    "task ever sorts fact rows (the old plan sorted ~N/3 rows per "
+    "flag TWICE; same fix class as percentile_exact, which heap-OOMed "
+    "the r10 sf10 sweep at 24g).",
     tags=("analytics", "approx"),
 )
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    v, _, ng = _price_cum_hist(spark, sf_dir)
+    med1 = _interp_median_from_hist(v, ng, "med")
+    dev = v.join(F.broadcast(med1), "l_returnflag").select(
+        "l_returnflag",
+        F.expr("ABS(x - med)").alias("x"),
+        F.col("x").alias("orig"),
+        "med",
+    )
+    med2 = _interp_median_from_hist(
+        dev.select("l_returnflag", "x"), ng, "mad"
+    )
+    return (
+        dev.join(F.broadcast(med2), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+            F.max("med").alias("median_price"),
+            F.max("mad").alias("mad"),
+            F.expr(
+                "CAST(SUM(CASE WHEN CAST(0.6745 AS DOUBLE) * (orig - med) / mad > 3.5 "
+                "OR CAST(0.6745 AS DOUBLE) * (orig - med) / mad < -3.5 "
+                "THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_outliers"),
+        )
+    )
 
 
 # --- winsorization: per-group percentile clipping (round-6 breadth) -----------
 
-_sql_query(
-    "feature_winsorize_prices",
-    """
+_WINSOR_ORACLE = """
     WITH v AS (
       SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
     ),
@@ -1156,20 +1210,81 @@ _sql_query(
            MAX(xw) AS hi_bound,
            CAST(CAST(SUM(CAST(xw AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS mean_winsorized
     FROM w GROUP BY l_returnflag
-    """,
+    """
+
+
+def _price_cum_hist(spark: SparkSession, sf_dir: str):
+    """Shared by the histogram rank-select family (percentile_exact,
+    feature_winsorize_prices, robust_outliers_mad): lineitem prices as
+    the per-flag (x, count, inclusive-cum) DISTINCT-VALUE histogram plus
+    the per-flag total. Value-domain grain — the keyed cumulative sorts
+    |distinct prices| rows per flag, never the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select("l_returnflag", F.col("l_extendedprice").cast("double").alias("x"))
+    hist = v.groupBy("l_returnflag", "x").agg(F.count("*").cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.asc("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    ng = v.groupBy("l_returnflag").agg(F.count("*").cast("bigint").alias("n"))
+    return v, cum, ng
+
+
+@register(
+    "feature_winsorize_prices",
+    oracle=_WINSOR_ORACLE,
     doc="Per-group winsorization (outlier clipping) of lineitem prices at "
     "the NEAREST-RANK p05/p95 — the feature-scaling step a training "
     "pipeline runs on heavy-tailed numerics before normalization. "
     "Nearest-rank (not interpolated) bounds are actual data values, so "
     "the clipped column stays on the fixture's 2-decimal grid and the "
     "mean goes through an exact DECIMAL sum — every output bit "
-    "reproduces in DuckDB (dialect-shared SQL). Counts of clipped rows "
-    "per side make the query double as a tail-mass monitor. The "
-    "per-group window rank is the same cost class as percentile_exact "
-    "(weak-by-design at 100 TB; approx_percentile_sketch is the "
-    "shipped sort-free alternative for the bounds).",
+    "reproduces in DuckDB. Counts of clipped rows per side make the "
+    "query double as a tail-mass monitor. The oracle keeps the textbook "
+    "per-group window rank; the Spark side (since r10) selects the "
+    "bounds from the per-flag distinct-price HISTOGRAM cumulative — "
+    "x at 1-based rank k = MIN x with cum >= k — so no task ever sorts "
+    "fact rows (the old plan sorted ~N/3 rows per flag; same fix class "
+    "as percentile_exact, which heap-OOMed the r10 sf10 sweep).",
     tags=("analytics", "pipeline"),
 )
+def feature_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    v, cum, ng = _price_cum_hist(spark, sf_dir)
+
+    def bound(kexpr: str, out: str) -> DataFrame:
+        # x at 1-based rank k = minimal value whose inclusive cum >= k
+        # (duplicates own the 1-based rank range [cum-c+1, cum])
+        k = F.expr(kexpr)
+        return (
+            F.broadcast(ng)
+            .join(cum, "l_returnflag")
+            .filter(F.col("cum") >= k)
+            .groupBy("l_returnflag")
+            .agg(F.min("x").alias(out))
+        )
+
+    b = bound("GREATEST(CAST(CEILING(0.05 * n) AS BIGINT), 1)", "lo").join(
+        bound("GREATEST(CAST(CEILING(0.95 * n) AS BIGINT), 1)", "hi"), "l_returnflag"
+    )
+    w = v.join(F.broadcast(b), "l_returnflag").select(
+        "l_returnflag",
+        F.expr("LEAST(GREATEST(x, lo), hi)").alias("xw"),
+        F.expr("CASE WHEN x < lo THEN 1 ELSE 0 END").alias("clip_lo"),
+        F.expr("CASE WHEN x > hi THEN 1 ELSE 0 END").alias("clip_hi"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(clip_lo) AS BIGINT)").alias("n_clipped_lo"),
+        F.expr("CAST(SUM(clip_hi) AS BIGINT)").alias("n_clipped_hi"),
+        F.min("xw").alias("lo_bound"),
+        F.max("xw").alias("hi_bound"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(xw AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE)"
+        ).alias("mean_winsorized"),
+    )
 
 
 # --- rolling z-score anomaly screen (round 6) ---------------------------------
