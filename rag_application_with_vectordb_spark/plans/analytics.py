@@ -1101,7 +1101,11 @@ def _interp_median_from_hist(grouped: DataFrame, ng: DataFrame, out: str) -> Dat
     via the distinct-value histogram cumulative (the percentile_exact
     recipe): h = 0.5*(n-1) as exact DECIMAL, x@0-based-rank k = MIN x
     with inclusive cum >= k+1, median = xlo + (h-FLOOR(h))*(xhi-xlo).
-    No task ever sorts more than the per-flag distinct-value domain."""
+    No task ever sorts more than the per-flag distinct-value domain.
+    The cumulative is persisted (the lo and hi probes share one build)
+    and the 3-row result is localCheckpoint'ed (its consumers join it
+    broadcast — they must not re-derive the whole median pipeline per
+    reference)."""
     hist = grouped.groupBy("l_returnflag", "x").agg(
         F.count("*").cast("bigint").alias("c")
     )
@@ -1110,7 +1114,7 @@ def _interp_median_from_hist(grouped: DataFrame, ng: DataFrame, out: str) -> Dat
         .orderBy(F.asc("x"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = hist.withColumn("cum", F.sum("c").over(wcum))
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).persist()
     t = ng.select("l_returnflag", F.expr("0.5 * (n - 1)").alias("h"))
 
     def x_at(kexpr: str, col: str) -> DataFrame:
@@ -1124,10 +1128,11 @@ def _interp_median_from_hist(grouped: DataFrame, ng: DataFrame, out: str) -> Dat
 
     lo = x_at("CAST(FLOOR(h) AS BIGINT)", "xlo")
     hi = x_at("CAST(CEILING(h) AS BIGINT)", "xhi")
-    return lo.join(hi, ["l_returnflag", "h"]).select(
+    med = lo.join(hi, ["l_returnflag", "h"]).select(
         "l_returnflag",
         F.expr("xlo + (h - FLOOR(h)) * (xhi - xlo)").alias(out),
     )
+    return med.localCheckpoint()  # bounded: one row per return flag
 
 
 @register(
@@ -1218,7 +1223,11 @@ def _price_cum_hist(spark: SparkSession, sf_dir: str):
     feature_winsorize_prices, robust_outliers_mad): lineitem prices as
     the per-flag (x, count, inclusive-cum) DISTINCT-VALUE histogram plus
     the per-flag total. Value-domain grain — the keyed cumulative sorts
-    |distinct prices| rows per flag, never the fact."""
+    |distinct prices| rows per flag, never the fact. ``cum`` is
+    persisted (domain-sized, CacheManager-deduped across the family's
+    rank probes — lo and hi each reference it); ``ng`` (3 rows) is
+    localCheckpoint'ed so every downstream reference reads 3 local rows
+    instead of re-scanning the fact."""
     li = load_table(spark, sf_dir, "lineitem")
     v = li.select("l_returnflag", F.col("l_extendedprice").cast("double").alias("x"))
     hist = v.groupBy("l_returnflag", "x").agg(F.count("*").cast("bigint").alias("c"))
@@ -1227,8 +1236,12 @@ def _price_cum_hist(spark: SparkSession, sf_dir: str):
         .orderBy(F.asc("x"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = hist.withColumn("cum", F.sum("c").over(wcum))
-    ng = v.groupBy("l_returnflag").agg(F.count("*").cast("bigint").alias("n"))
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).persist()
+    ng = (
+        v.groupBy("l_returnflag")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint()  # bounded: one row per return flag
+    )
     return v, cum, ng
 
 
