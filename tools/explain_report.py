@@ -135,11 +135,12 @@ ANNOTATED = {
     "LEFT SEMI join (grams travel as md5 keys, eval side distinct-"
     "reduced) — contamination checking at corpus scale without an "
     "all-pairs document comparison.",
-    "feature_winsorize_prices": "Per-group rank window sizes the bounds "
-    "(same cost class as percentile_exact — the documented sort anchor; "
-    "approx_percentile_sketch is the shipped sort-free path), then one "
-    "broadcast of 3 bound rows back onto the fact for the clip + "
-    "DECIMAL-exact aggregate.",
+    "feature_winsorize_prices": "Nearest-rank bounds from the per-flag "
+    "distinct-price HISTOGRAM cumulative (x@rank k = MIN x with "
+    "cum >= k — r10; the old per-group rank window sorted ~N/3 fact "
+    "rows per task, the shape that heap-OOMed percentile_exact in the "
+    "sf10 sweep), then one broadcast of 3 bound rows back onto the "
+    "fact for the clip + DECIMAL-exact aggregate.",
     "text_tokenize_ids": "Tokenization stage: TakeOrdered 256-row vocab "
     "candidate -> dense ids -> BROADCAST onto the exploded postings -> "
     "per-doc positional reassembly; no vocabulary-wide sort, no Python, "
