@@ -1906,9 +1906,7 @@ _sql_query(
 
 # --- leakage-safe leave-one-out target encoding ---------------------------------
 
-_sql_query(
-    "feature_target_encode_loo",
-    """
+_LOO_ORACLE = """
     WITH d AS (
       SELECT doc_id, source,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
@@ -1925,18 +1923,47 @@ _sql_query(
                 ELSE CAST(s - y AS DOUBLE) / CAST(n - 1 AS DOUBLE)
            END AS loo_encoding
     FROM enc
-    """,
+    """
+
+
+@register(
+    "feature_target_encode_loo",
+    oracle=_LOO_ORACLE,
     doc="Leakage-safe leave-one-out target encoding of the source "
     "categorical against the is-English target: each row's encoding is "
     "the target mean of its category EXCLUDING the row itself, "
     "(sum_cat - y_i)/(n_cat - 1) — the standard high-cardinality "
     "categorical feature for tree/linear models that a naive "
-    "category-mean join would leak. One category-keyed window pass "
-    "(sum+count per category, no self-join), exact integer numerators, "
+    "category-mean join would leak. The oracle keeps the category "
+    "window form; the Spark side (r10) is a category groupBy joined "
+    "back — the unordered PARTITION BY window buffers each category's "
+    "whole partition in ONE task, and with a handful of sources that "
+    "is N/|sources| fact rows per task (the percentile_exact OOM "
+    "class); the aggregate+join form is safe at BOTH cardinality "
+    "extremes (tiny → broadcast, huge → keyed shuffle). "
     "NULL for singleton categories rather than a fabricated prior. "
     "Scales as one shuffle on the category key at any corpus size.",
     tags=("analytics", "pipeline"),
 )
+def feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.expr("CASE WHEN lang = 'en' THEN 1 ELSE 0 END").alias("y"),
+    )
+    agg = d.groupBy("source").agg(
+        F.expr("SUM(y)").alias("s"), F.expr("COUNT(*)").alias("n")
+    )
+    return d.join(agg, "source").select(
+        "doc_id",
+        "source",
+        F.expr("CAST(y AS BIGINT)").alias("y"),
+        F.expr(
+            "CASE WHEN n = 1 THEN NULL "
+            "ELSE CAST(s - y AS DOUBLE) / CAST(n - 1 AS DOUBLE) END"
+        ).alias("loo_encoding"),
+    )
 
 
 # --- Pareto / ABC inventory classification --------------------------------------
@@ -2646,11 +2673,19 @@ def _funnel_deadline_sql(micros) -> str:
     "a deadline makes step rates comparable across cohorts and is what "
     "marketing attribution actually uses). Step joins stay keyed on "
     "user_id with monotonically shrinking inputs; medians are exact "
-    "rank selects over the two transition partitions; latencies are "
-    "exact microsecond integers.",
+    "rank selects over the two transition latencies — the oracle keeps "
+    "the PARTITION BY step_no rank window (TWO partitions: each task "
+    "would sort ~half the converted users — the percentile_exact OOM "
+    "class), the Spark side (r10) runs each step's nearest-rank select "
+    "on the distributed two-level prefix sum over the latency-value "
+    "histogram (operators/prefix.py — no single-partition or "
+    "two-partition stage anywhere); latencies are exact microsecond "
+    "integers, so the selected value is bit-identical.",
     tags=("analytics",),
 )
 def funnel_deadline_48h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import bucketed_running_sum
+
     tune(spark)
     register_views(spark, sf_dir, ("events",))
     s = spark.sql(_FD_S_SQL).localCheckpoint()
@@ -2659,8 +2694,52 @@ def funnel_deadline_48h(spark: SparkSession, sf_dir: str) -> DataFrame:
     c.createOrReplaceTempView("fd_c")
     p = spark.sql(_fd_p_sql("fd_c")).localCheckpoint()
     p.createOrReplaceTempView("fd_p")
-    return spark.sql(
-        "WITH " + _fd_tail_sql(lambda col: f"unix_micros({col})", "fd_s", "fd_c", "fd_p")
+
+    def step_median(rel: DataFrame, a: str, b: str, step_no: int) -> DataFrame:
+        # median = us at 1-based rank floor((n+1)/2) = MIN us with
+        # inclusive cum >= k; the cum runs on the two-level prefix sum
+        # over the DISTINCT-latency histogram (total_col carries n)
+        lat = rel.select(
+            (F.expr(f"unix_micros({b})") - F.expr(f"unix_micros({a})")).alias("us")
+        )
+        hist = lat.groupBy("us").agg(F.count("*").cast("bigint").alias("c"))
+        cum = bucketed_running_sum(
+            hist, value_col="c", lead_col="us", out_col="cum", total_col="n"
+        )
+        k = F.expr("CAST(floor((CAST(n AS DOUBLE) + 1.0) / 2.0) AS BIGINT)")
+        return (
+            cum.filter(F.col("cum") >= k)
+            .agg(F.min("us").alias("median_latency_us"))
+            .select(F.lit(step_no).alias("__sn"), "median_latency_us")
+        )
+
+    med = step_median(c, "signup_ts", "click_ts", 2).unionByName(
+        step_median(p, "click_ts", "purchase_ts", 3)
+    )
+    steps = (
+        s.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("users")).select(
+            F.lit(1).alias("__sn"), F.lit("signup").alias("step"), "users"
+        )
+        .unionByName(
+            c.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("users")).select(
+                F.lit(2).alias("__sn"), F.lit("click").alias("step"), "users"
+            )
+        )
+        .unionByName(
+            p.agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("users")).select(
+                F.lit(3).alias("__sn"), F.lit("purchase").alias("step"), "users"
+            )
+        )
+    )
+    return (
+        steps.join(med, "__sn", "left")
+        .select(
+            F.expr("CAST(__sn AS BIGINT)").alias("step_no"),
+            "step",
+            "users",
+            F.expr("CAST(median_latency_us AS BIGINT)").alias("median_latency_us"),
+        )
+        .orderBy(F.asc("step_no"))
     )
 
 
@@ -3592,8 +3671,11 @@ _QNORM_ORACLE = """
     "source's feature distribution onto a common shape (the "
     "bioinformatics/array-normalization classic, used in curation to "
     "neutralize per-source length bias before mixing). Exact integer "
-    "construction: within-source ranks from one keyed window "
-    "(PARTITION BY source — never a global sort), pooled quantile "
+    "construction: within-source ranks DECOMPOSED as per-source "
+    "length-histogram base + tie rank keyed by (source, n_chars) — a "
+    "window partitioned by the ~handful of sources would sort "
+    "N/|sources| fact rows per task (r10; the oracle keeps the coarse "
+    "window form), pooled quantile "
     "rank k = round-half-up midpoint scaling (2r-1)n/(2n_s) as an "
     "EXPLICIT floor division (a - a%b)/b — a bare CAST(a/b AS BIGINT) "
     "truncates in Spark but rounds half-even in DuckDB, the classic "
@@ -3617,11 +3699,32 @@ def feature_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
     ns = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_s"))
     nt = d.agg(F.count("*").cast("bigint").alias("__nt"))
-    r = d.join(ns, "source").withColumn(
-        "rnk",
-        F.row_number()
-        .over(Window.partitionBy("source").orderBy(F.asc("n_chars"), F.asc("doc_id")))
-        .cast("bigint"),
+    # Within-source rank DECOMPOSED (r10): a row_number window
+    # partitioned by the ~handful of sources sorts N/|sources| fact
+    # rows per task (the percentile_exact OOM class). Instead:
+    # rnk = (# same-source docs with a strictly smaller length)   [base]
+    #     + (rank of doc_id among same (source, length) docs)     [fine]
+    # base comes from the per-source DISTINCT-length histogram
+    # cumulative (value-domain grain); fine is a window keyed by the
+    # full (source, n_chars) pair — groups are ties only, never the
+    # source's whole corpus. Bit-identical to the coarse window.
+    hs = d.groupBy("source", "n_chars").agg(F.count("*").cast("bigint").alias("__c"))
+    wcs = (
+        Window.partitionBy("source")
+        .orderBy(F.asc("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = hs.withColumn("__cum", F.sum("__c").over(wcs)).select(
+        "source", "n_chars", (F.col("__cum") - F.col("__c")).alias("__base")
+    )
+    fine = F.row_number().over(
+        Window.partitionBy("source", "n_chars").orderBy(F.asc("doc_id"))
+    )
+    r = (
+        d.join(ns, "source")
+        .join(base, ["source", "n_chars"])
+        .withColumn("rnk", (F.col("__base") + fine).cast("bigint"))
+        .drop("__base")
     )
     h = d.groupBy(F.col("n_chars").alias("v")).agg(F.count("*").cast("bigint").alias("c"))
     cum = bucketed_running_sum(h, value_col="c", lead_col="v", out_col="cc").select(
