@@ -648,8 +648,14 @@ _KMV_K = 64
     "hashing, so the ESTIMATE itself is value-checked cross-engine, "
     "alongside the exact count for error inspection. At 100 TB the "
     "k-smallest-per-group selection is a bounded-heap aggregate "
-    "(k·8 bytes of state per group, mergeable map-side); the window "
-    "formulation here is the oracle-exact equivalent on the fixtures.",
+    "(k·8 bytes of state per group, mergeable map-side) — the Spark "
+    "side realizes exactly that (r10): the rank window is filtered to "
+    "rn <= K, which Catalyst rewrites to a WindowGroupLimit (each map "
+    "task keeps only K rows per group BEFORE the shuffle), and the "
+    "per-group distinct count comes from a keyed aggregate instead of "
+    "an unordered window that would buffer each status's whole "
+    "partition in one task. The oracle keeps the textbook window SQL; "
+    "values are identical (u_k is u at rn == K either way).",
     tags=("relational", "approx"),
 )
 def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -665,19 +671,21 @@ def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (hex13_to_long(F.md5(F.col("o_custkey").cast("string"))) / F.lit(4503599627370496.0)).alias("u"),
     )
     w = Window.partitionBy("o_orderstatus").orderBy("u")
-    wc = Window.partitionBy("o_orderstatus")
-    r = u.select(
-        "o_orderstatus",
-        "u",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(wc).alias("n_d"),
+    topk = u.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= _KMV_K)
+    nd = d.groupBy("o_orderstatus").agg(F.count("*").alias("n_d"))
+    uk = topk.groupBy("o_orderstatus").agg(
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("u"))).alias("u_k")
     )
-    return r.groupBy("o_orderstatus").agg(
-        F.when(F.max("n_d") < _KMV_K, F.max("n_d").cast("double"))
-        .otherwise(F.lit(float(_KMV_K - 1)) / F.max(F.when(F.col("rn") == _KMV_K, F.col("u"))))
-        .cast("double")
-        .alias("approx_customers_kmv"),
-        F.max("n_d").cast("bigint").alias("exact_customers"),
+    return (
+        nd.join(uk, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            F.when(F.col("n_d") < _KMV_K, F.col("n_d").cast("double"))
+            .otherwise(F.lit(float(_KMV_K - 1)) / F.col("u_k"))
+            .cast("double")
+            .alias("approx_customers_kmv"),
+            F.col("n_d").cast("bigint").alias("exact_customers"),
+        )
     )
 
 
