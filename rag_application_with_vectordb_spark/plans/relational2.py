@@ -759,17 +759,83 @@ _PCT_ROWKEY = "'pct42|' || CAST(l_orderkey AS {V}) || '|' || CAST(l_linenumber A
     "so the ESTIMATE itself is value-checked against DuckDB, with "
     "percentile_exact as the accuracy yardstick. At 100 TB the sample "
     "is map-side filtered at the scan (hash predicate pushes past the "
-    "shuffle), and only the 25% sample pays the per-group sort.",
+    "shuffle) — and since r10 the sample's percentiles come from the "
+    "distinct-value HISTOGRAM cumulative (the percentile_exact "
+    "recipe), not a per-flag rank window: a 25% sample of a 100 TB "
+    "fact is still fact-scale, and PARTITION BY the 3 return flags "
+    "would sort a third of it per task. The oracle keeps the textbook "
+    "window SQL; values are identical.",
     tags=("relational", "approx"),
 )
 def approx_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     tune(spark)
-    register_views(spark, sf_dir, ["lineitem"])
+    li = load_table(spark, sf_dir, "lineitem")
     u = (
         f"conv(substring(md5({_PCT_ROWKEY.format(V='STRING')}), 1, 13), 16, 10)"
         " / 4503599627370496.0"
     )
-    return spark.sql(_pct_sketch_sql(u))
+    v = li.select(
+        "l_returnflag",
+        F.expr("CAST(l_extendedprice AS DOUBLE)").alias("x"),
+        F.expr(u).alias("u"),
+    )
+    tot = v.groupBy("l_returnflag").agg(F.count("*").alias("n_total")).localCheckpoint()
+    s = v.filter(F.col("u") < 0.25).select("l_returnflag", "x")
+    hist = s.groupBy("l_returnflag", "x").agg(F.count("*").cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.asc("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).persist()
+    ng = (
+        s.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # bounded: one row per return flag
+    )
+    t = ng.select(
+        "l_returnflag", F.lit("p50").alias("tag"), F.expr("0.5 * (n - 1)").alias("h"), "n"
+    ).unionByName(
+        ng.select(
+            "l_returnflag", F.lit("p95").alias("tag"), F.expr("0.95 * (n - 1)").alias("h"), "n"
+        )
+    )
+
+    def x_at(kexpr: str, col: str) -> DataFrame:
+        return (
+            F.broadcast(t)
+            .join(cum, "l_returnflag")
+            .filter(F.col("cum") >= F.expr(kexpr) + 1)
+            .groupBy("l_returnflag", "tag", "h", "n")
+            .agg(F.min("x").alias(col))
+        )
+
+    lo = x_at("CAST(FLOOR(h) AS BIGINT)", "xlo")
+    hi = x_at("CAST(CEILING(h) AS BIGINT)", "xhi")
+    f = lo.join(hi, ["l_returnflag", "tag", "h", "n"]).select(
+        "l_returnflag",
+        "tag",
+        F.col("n").alias("n_sample"),
+        F.expr("xlo + (h - FLOOR(h)) * (xhi - xlo)").alias("val"),
+    )
+    return (
+        f.groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("tag") == "p50", F.col("val"))).alias("price_p50"),
+            F.max(F.when(F.col("tag") == "p95", F.col("val"))).alias("price_p95"),
+            F.expr("CAST(MAX(n_sample) AS BIGINT)").alias("n_sample"),
+        )
+        .join(F.broadcast(tot), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "price_p50",
+            "price_p95",
+            "n_sample",
+            F.expr("CAST(n_total AS BIGINT)").alias("n_total"),
+        )
+    )
 
 
 @register(
