@@ -1017,17 +1017,69 @@ def _winsorize_sketch_sql(unit_u: str) -> str:
     "with the exact variant as its accuracy anchor (same output "
     "schema, directly diffable). Nearest-rank sample bounds are real "
     "data values, keeping the DECIMAL mean exact; the estimate itself "
-    "hash-matches DuckDB.",
+    "hash-matches DuckDB. Since r10 the sample's bounds come from the "
+    "distinct-value histogram cumulative (x@1-based rank k = MIN x "
+    "with cum >= k) — a 25% sample of a 100 TB fact is still "
+    "fact-scale, and the per-flag rank window sorted a third of it "
+    "per task; the oracle keeps the window SQL.",
     tags=("analytics", "pipeline", "approx"),
 )
 def feature_winsorize_prices_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
     tune(spark)
-    register_views(spark, sf_dir, ["lineitem"])
+    li = load_table(spark, sf_dir, "lineitem")
     u = (
         f"conv(substring(md5({_PCT_ROWKEY.format(V='STRING')}), 1, 13), 16, 10)"
         " / 4503599627370496.0"
     )
-    return spark.sql(_winsorize_sketch_sql(u))
+    v = li.select(
+        "l_returnflag",
+        F.expr("CAST(l_extendedprice AS DOUBLE)").alias("x"),
+        F.expr(u).alias("u0"),
+    )
+    s = v.filter(F.col("u0") < 0.25).select("l_returnflag", "x")
+    hist = s.groupBy("l_returnflag", "x").agg(F.count("*").cast("bigint").alias("c"))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy(F.asc("x"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wcum)).persist()
+    ns = (
+        s.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()  # bounded: one row per return flag
+    )
+
+    def bound(kexpr: str, out: str) -> DataFrame:
+        return (
+            F.broadcast(ns)
+            .join(cum, "l_returnflag")
+            .filter(F.col("cum") >= F.expr(kexpr))
+            .groupBy("l_returnflag")
+            .agg(F.min("x").alias(out))
+        )
+
+    b = bound("GREATEST(CAST(CEILING(0.05 * n) AS BIGINT), 1)", "lo").join(
+        bound("GREATEST(CAST(CEILING(0.95 * n) AS BIGINT), 1)", "hi"), "l_returnflag"
+    )
+    w = v.join(F.broadcast(b), "l_returnflag").select(
+        "l_returnflag",
+        F.expr("LEAST(GREATEST(x, lo), hi)").alias("xw"),
+        F.expr("CASE WHEN x < lo THEN 1 ELSE 0 END").alias("clip_lo"),
+        F.expr("CASE WHEN x > hi THEN 1 ELSE 0 END").alias("clip_hi"),
+    )
+    return w.groupBy("l_returnflag").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(clip_lo) AS BIGINT)").alias("n_clipped_lo"),
+        F.expr("CAST(SUM(clip_hi) AS BIGINT)").alias("n_clipped_hi"),
+        F.min("xw").alias("lo_bound"),
+        F.max("xw").alias("hi_bound"),
+        F.expr(
+            "CAST(CAST(SUM(CAST(xw AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE)"
+        ).alias("mean_winsorized"),
+    )
 
 
 # --- deterministic HyperLogLog (value-checkable, unlike the native sketch) ------
