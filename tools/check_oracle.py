@@ -157,12 +157,25 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
 
     failures = []
+    n_run = 0
     for name, spec in sorted(specs.items()):
         if name_filter and not any(f in name for f in name_filter):
             continue
         if name in done:
             continue
         t0 = time.time()
+        if spark_only and n_run and n_run % 25 == 0:
+            # Long scale-up sweeps accumulate persisted relations from
+            # every query family (dedup signatures, graph edges, rank
+            # histograms); the r10 sweep heap-OOMed on a memory-marginal
+            # query ~95 entries in purely from that pressure. Dropping
+            # the cache every 25 queries trades some cross-query reuse
+            # for a session that survives the whole catalog.
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001 — hygiene must never kill a sweep
+                pass
+        n_run += 1
 
         def run_spark(out: dict) -> None:
             try:
