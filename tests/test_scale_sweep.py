@@ -74,3 +74,80 @@ def test_rotation_third_partitions_catalog():
 def test_expected_refusals_are_registered_queries():
     tool, specs = _tool(), _specs()
     assert tool.EXPECTED_SCALE_REFUSALS <= set(specs)
+
+
+def _oracle_tool():
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle_mod", os.path.join(REPO, "tools", "check_oracle.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_parse_log_retry_and_supersede_semantics(tmp_path):
+    """ADVICE r10: the full retry contract — TIMEOUT is a 1-strike
+    retryable failure (not resume-done), 2 strikes settle, and a
+    re-run green supersedes earlier FAIL rows (last state wins)."""
+    tool = _tool()
+    log = tmp_path / "sweep.log"
+    log.write_text(
+        "# header\n"
+        "ok    a: 5 rows [1.0s]\n"
+        "TIMEOUT  b: exceeded 600s, jobs cancelled\n"
+        "FAIL  c: spark error: OOM\n"
+        "FAIL  c: spark error: OOM\n"
+        "FAIL  d: spark error: dead context\n"
+        "rows  d: 12 rows [2.0s]\n"
+    )
+    sel = {"a", "b", "c", "d", "e"}
+    green, failed, fc = tool.parse_log(str(log), sel)
+    assert green == {"a", "d"}  # d's green supersedes its FAIL row
+    assert failed == {"b", "c"}
+    assert fc == {"b": 1, "c": 2, "d": 1}
+    pending = tool.pending_queries(sel, green, failed, fc)
+    # b (1 strike) gets its fresh-session second chance; c (2 strikes)
+    # is settled; e never ran
+    assert pending == {"b", "e"}
+    # progress heuristic input: a failed->green conversion SHRINKS
+    # pending even though len(green)+len(failed) is unchanged
+    log.write_text(log.read_text() + "ok    b: 3 rows [1.0s]\n")
+    g2, f2, fc2 = tool.parse_log(str(log), sel)
+    assert len(g2) + len(f2) == len(green) + len(failed)  # the old heuristic's blind spot
+    assert tool.pending_queries(sel, g2, f2, fc2) == {"e"}
+
+
+def test_check_oracle_resume_excludes_timeouts(tmp_path):
+    """ADVICE r10 (medium): check_oracle's resume done-set must not
+    contain TIMEOUT rows, or scale_sweep's retry loop passes the name
+    as pending forever while check_oracle silently skips it."""
+    co = _oracle_tool()
+    log = tmp_path / "sweep.log"
+    log.write_text(
+        "rows  a: 5 rows [1.0s]\n"
+        "ok    b: 2 rows [0.5s]\n"
+        "TIMEOUT  c: exceeded 600s, jobs cancelled\n"
+        "FAIL  d: spark error: boom\n"
+        "rows  \n"  # truncated mid-write line must not crash the resume
+    )
+    assert co.parse_resume_done(str(log)) == {"a", "b"}
+
+
+def test_check_oracle_exact_name_filter():
+    """ADVICE r10 (medium): scale_sweep passes --exact so a pending
+    name that is a PREFIX of a settled query can't re-run it."""
+    co = _oracle_tool()
+    flt = ["dedup_prefix_filter_pairs"]
+    # substring mode (default): the settled _keyed twin matches too
+    assert co.name_selected("dedup_prefix_filter_pairs_keyed", flt, exact=False)
+    # exact mode: only the whole name
+    assert not co.name_selected("dedup_prefix_filter_pairs_keyed", flt, exact=True)
+    assert co.name_selected("dedup_prefix_filter_pairs", flt, exact=True)
+    assert co.name_selected("anything", [], exact=True)  # no filter = all
+
+
+def test_scale_sweep_passes_exact_flag():
+    """The sweep's check_oracle invocation must carry --exact (pin the
+    wiring, not just the helper)."""
+    src = open(os.path.join(REPO, "tools", "scale_sweep.py")).read()
+    assert '"--exact"' in src

@@ -19,7 +19,16 @@ with density (geo_radius_pairs ≈ 350M pairs at sf10), which the engine
 streams to a sink but a smoke harness must never pull to the driver.
 
 ``--resume-log <path>`` skips queries that already have a green
-``rows``/``ok`` line in a previous run's log (failures re-run).
+``rows``/``ok`` line in a previous run's log (failures re-run —
+including TIMEOUT rows: a timed-out query's documented second chance
+is a fresh-session re-run, so the resume done-set must NOT treat
+TIMEOUT as settled; scale_sweep's own 2-strike accounting decides when
+to stop retrying it).
+
+``--exact`` makes positional name filters whole-name matches instead of
+substrings — scale_sweep passes it so a pending name that is a prefix
+of a settled query (``dedup_prefix_filter_pairs`` vs ``..._keyed``)
+can't re-run the settled one and defeat the 2-strike OOM protection.
 """
 
 from __future__ import annotations
@@ -88,6 +97,33 @@ def driver_canon_error(rows, colnames) -> str | None:
     return None
 
 
+def parse_resume_done(path: str) -> set[str]:
+    """Names settled GREEN in a previous run's log — and only green:
+    FAIL and TIMEOUT rows must re-run on resume (a timed-out query's
+    documented second chance IS the fresh-session re-run; marking it
+    done stalled scale_sweep's 2-strike retry loop, ADVICE r10)."""
+    done: set[str] = set()
+    with open(path) as fh:
+        for line in fh.read().replace("\r", "\n").splitlines():
+            if line.startswith(("rows  ", "ok    ")):
+                # the resume scenario IS the interrupted-mid-write
+                # scenario — a truncated trailing line must not kill
+                # the sweep it exists to resume
+                parts = line.split()
+                if len(parts) > 1:
+                    done.add(parts[1].rstrip(":"))
+    return done
+
+
+def name_selected(name: str, name_filter: list[str], exact: bool) -> bool:
+    """Positional-filter semantics: substring by default; whole-name
+    with ``--exact`` (scale_sweep's mode — a pending name that prefixes
+    a settled one must not re-run the settled one, ADVICE r10)."""
+    if not name_filter:
+        return True
+    return name in name_filter if exact else any(f in name for f in name_filter)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     name_filter = sys.argv[2:]
@@ -95,6 +131,10 @@ def main() -> int:
     if "--spark-only" in name_filter:
         name_filter.remove("--spark-only")
         spark_only = True
+    exact = False
+    if "--exact" in name_filter:
+        name_filter.remove("--exact")
+        exact = True
     qtimeout: float | None = None
     if "--timeout-per-query" in name_filter:
         i = name_filter.index("--timeout-per-query")
@@ -103,15 +143,7 @@ def main() -> int:
     done: set[str] = set()
     if "--resume-log" in name_filter:
         i = name_filter.index("--resume-log")
-        with open(name_filter[i + 1]) as fh:
-            for line in fh.read().replace("\r", "\n").splitlines():
-                if line.startswith(("rows  ", "ok    ", "TIMEOUT  ")):
-                    # the resume scenario IS the interrupted-mid-write
-                    # scenario — a truncated trailing line must not kill
-                    # the sweep it exists to resume
-                    parts = line.split()
-                    if len(parts) > 1:
-                        done.add(parts[1].rstrip(":"))
+        done = parse_resume_done(name_filter[i + 1])
         del name_filter[i : i + 2]
     specs = load_all()
     if name_filter == ["--window"]:
@@ -159,7 +191,7 @@ def main() -> int:
     failures = []
     n_run = 0
     for name, spec in sorted(specs.items()):
-        if name_filter and not any(f in name for f in name_filter):
+        if not name_selected(name, name_filter, exact):
             continue
         if name in done:
             continue

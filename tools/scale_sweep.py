@@ -137,6 +137,35 @@ def _touched_queries(specs: dict, changed: set[str]) -> set[str]:
     return touched
 
 
+def parse_log(log: str, selected_set: set[str]) -> tuple[set[str], set[str], dict[str, int]]:
+    """LAST state per query wins (a resumed green supersedes a FAIL
+    row from a session that had already died); ``fail_counts``
+    counts FAIL/TIMEOUT rows per query across all attempts — a
+    query that failed twice is settled (re-running a fatal query
+    forever would OOM-loop the retry budget away)."""
+    state: dict[str, str] = {}
+    fail_counts: dict[str, int] = {}
+    if os.path.exists(log):
+        for line in open(log):
+            if line.startswith(("rows  ", "ok    ")):
+                state[line.split()[1].rstrip(":")] = "green"
+            elif line.startswith(("FAIL  ", "TIMEOUT  ")):
+                q = line.split()[1].rstrip(":")
+                state[q] = "failed"
+                fail_counts[q] = fail_counts.get(q, 0) + 1
+    green = {q for q, s in state.items() if s == "green"} & selected_set
+    failed = {q for q, s in state.items() if s == "failed"} & selected_set
+    return green, failed, fail_counts
+
+
+def pending_queries(
+    sel: set[str], green: set[str], failed: set[str], fail_counts: dict[str, int]
+) -> set[str]:
+    """Still owed a run: not green and not settled (2 strikes)."""
+    settled = {q for q in failed if fail_counts.get(q, 0) >= 2}
+    return sel - green - settled
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--round", type=int, required=True, help="round number (rotation phase + log name)")
@@ -179,27 +208,13 @@ def main() -> int:
     tag = "SF10" if "sf10" in os.path.basename(os.path.normpath(args.sf_dir)) else "SCALE"
     log = args.log or os.path.join(REPO, f"{tag}_SWEEP_r{args.round:02d}.log")
 
-    def parse(selected_set: set[str]) -> tuple[set[str], set[str], dict[str, int]]:
-        """LAST state per query wins (a resumed green supersedes a FAIL
-        row from a session that had already died); ``fail_counts``
-        counts FAIL/TIMEOUT rows per query across all attempts — a
-        query that failed twice is settled (re-running a fatal query
-        forever would OOM-loop the retry budget away)."""
-        state: dict[str, str] = {}
-        fail_counts: dict[str, int] = {}
-        if os.path.exists(log):
-            for line in open(log):
-                if line.startswith(("rows  ", "ok    ")):
-                    state[line.split()[1].rstrip(":")] = "green"
-                elif line.startswith(("FAIL  ", "TIMEOUT  ")):
-                    q = line.split()[1].rstrip(":")
-                    state[q] = "failed"
-                    fail_counts[q] = fail_counts.get(q, 0) + 1
-        green = {q for q, s in state.items() if s == "green"} & selected_set
-        failed = {q for q, s in state.items() if s == "failed"} & selected_set
-        return green, failed, fail_counts
-
     sel = set(selected)
+
+    def parse(selected_set: set[str]) -> tuple[set[str], set[str], dict[str, int]]:
+        return parse_log(log, selected_set)
+
+    def pending_of(green: set[str], failed: set[str], fail_counts: dict[str, int]) -> set[str]:
+        return pending_queries(sel, green, failed, fail_counts)
     print(f"logging to {log}")
     # Retry loop: one fatal error (heap OOM) kills the whole JVM;
     # check_oracle aborts at that point, so queries after the fatal one
@@ -209,8 +224,7 @@ def main() -> int:
     # genuinely fatal query can't OOM-loop the retry budget away).
     for attempt in range(4):
         green, failed, fail_counts = parse(sel)
-        settled = {q for q in failed if fail_counts.get(q, 0) >= 2}
-        pending = sel - green - settled
+        pending = pending_of(green, failed, fail_counts)
         if not pending:
             break
         cmd = [
@@ -218,6 +232,9 @@ def main() -> int:
             os.path.join(REPO, "tools", "check_oracle.py"),
             args.sf_dir,
             "--spark-only",
+            "--exact",  # pending names are WHOLE names — a substring
+            # match would re-run settled queries whose name extends a
+            # pending one (..._pairs vs ..._pairs_keyed, ADVICE r10)
             "--timeout-per-query",
             str(args.timeout),
         ]
@@ -227,35 +244,61 @@ def main() -> int:
         # pass only the pending names: settled failures (2 strikes, e.g.
         # the documented anchor refusals) must not re-run every attempt
         cmd += sorted(pending)
+        retrying = sorted(pending & failed)
         with open(log, "a") as fh:
             fh.write(
                 f"# scale_sweep round={args.round} sf_dir={args.sf_dir} "
                 f"since={since[:12]} selected={len(selected)} attempt={attempt + 1}\n"
             )
+            if retrying:
+                # mark re-runs at write time so a later reader knows any
+                # earlier FAIL row for these names is under retry, not
+                # a settled verdict
+                fh.write(f"# RETRY (1-strike, fresh-session second chance): {retrying}\n")
             fh.flush()
             subprocess.run(cmd, stdout=fh, stderr=subprocess.STDOUT, cwd=REPO)
-        green2, failed2, _ = parse(sel)
-        if len(green2) + len(failed2) <= len(green) + len(failed) and attempt:
+        green2, failed2, fc2 = parse(sel)
+        # progress = the PENDING set shrank (green+failed counts stay
+        # constant on a failed→green conversion because last-state-wins
+        # removes the query from failed — the old sum-based heuristic
+        # read that as no progress and stopped retrying, ADVICE r10)
+        if len(pending_of(green2, failed2, fc2)) >= len(pending) and attempt:
             print("no progress this attempt — stopping retries")
             break
 
     # Gate verdict: greens are resumable rows; the only acceptable
     # failures are the documented exact-anchor refusals.
-    green, failed, _ = parse(sel)
+    green, failed, fail_counts = parse(sel)
     unexpected = sorted(failed - EXPECTED_SCALE_REFUSALS)
     expected = sorted(failed & EXPECTED_SCALE_REFUSALS)
-    print(f"green: {len(green)}/{len(selected)}")
-    if expected:
-        print(f"documented anchor refusals (ok): {expected}")
-    if unexpected:
-        print(f"GATE RED — unexpected failures: {unexpected}")
-        return 1
+    # Superseded rows: FAIL/TIMEOUT lines for queries whose FINAL state
+    # is green (dead-session poisoning, later re-run clean). The r10 log
+    # carried 156 of these for 4 real refusals — a reader grepping FAIL
+    # without this reconciliation gets 161 hits. Count them and close
+    # the log with a summary block so its tail states the verdict.
+    superseded = sum(n for q, n in fail_counts.items() if q in green)
     missing = sorted(sel - green - failed)
+    if unexpected:
+        verdict, rc = "RED", 1
+    elif missing:
+        verdict, rc = "INCOMPLETE", 2
+    else:
+        verdict, rc = "GREEN", 0
+    summary = [
+        f"# scale_sweep RECONCILED round={args.round}: gate={verdict} "
+        f"green={len(green)}/{len(selected)} superseded-fail-rows={superseded}",
+        f"# refused (documented anchors, ok): {expected}",
+    ]
+    if unexpected:
+        summary.append(f"# UNEXPECTED failures: {unexpected}")
     if missing:
-        print(f"GATE INCOMPLETE — never ran (crashed sweep? rerun to resume): {missing[:10]}")
-        return 2
-    print("GATE GREEN")
-    return 0
+        summary.append(f"# never ran (crashed sweep? rerun to resume): {missing[:10]}")
+    with open(log, "a") as fh:
+        fh.write("\n".join(summary) + "\n")
+    for line in summary:
+        print(line.lstrip("# "))
+    print(f"GATE {verdict}")
+    return rc
 
 
 if __name__ == "__main__":
