@@ -96,6 +96,53 @@ def last_history_record(hist_path: str, sf_val) -> dict | None:
     return prev
 
 
+def spread_norms(hist_path: str, sf_val) -> dict[str, float]:
+    """Per-query warm-spread family norm: the MEDIAN of each query's
+    recorded warm spreads across history records at this sf. The norm
+    is what 'quiet machine' means for that query — contended runs show
+    spreads ~10x these (BENCH_r10: bench_knn_1m spread 1.59 s vs a
+    0.10 s family norm)."""
+    if not os.path.exists(hist_path):
+        return {}
+    samples: dict[str, list[float]] = {}
+    for line in open(hist_path):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if rec.get("sf") != sf_val:
+            continue
+        for name, s in (rec.get("queries_warm_spread") or {}).items():
+            if s is not None:
+                samples.setdefault(name, []).append(float(s))
+    return {
+        name: sorted(v)[len(v) // 2] for name, v in samples.items() if v
+    }
+
+
+def detect_contention(
+    spread: dict[str, float], norms: dict[str, float]
+) -> tuple[bool, dict[str, dict]]:
+    """VERDICT r10 item 1: the official r10 artifact recorded a
+    contended run (39.5 s / n_regressed 19) for code that measured
+    18-19 s quiet, and shipped un-annotated. Flag a query as noisy
+    when its warm spread exceeds 3x its family norm plus a 0.05 s
+    floor (absorbs scheduler jitter on sub-100 ms queries); call the
+    RUN contended when >= max(3, a quarter of the suite) are noisy —
+    machine contention inflates spreads suite-wide, a real plan
+    regression moves one query's median with a normal spread."""
+    noisy = {}
+    for name, s in spread.items():
+        norm = norms.get(name)
+        if norm is None:
+            continue
+        if s > 3.0 * norm + 0.05:
+            noisy[name] = {"spread": s, "family_norm": norm}
+    measured = [n for n in spread if n in norms]
+    contended = len(noisy) >= max(3, len(measured) // 4) if measured else False
+    return contended, noisy
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -131,13 +178,38 @@ def main() -> None:
     # robust to a single GC/scheduler hiccup, and never mixed with the
     # cold pass, so rounds compare warm-to-warm.
     cold = {name: run(name) for name in HEADLINE}
-    warm = [{name: run(name) for name in HEADLINE} for _ in range(3)]
-    times, spread = {}, {}
-    for name in HEADLINE:
-        vals = sorted(w[name] for w in warm if w.get(name) is not None)
-        if vals:  # median of however many warm passes succeeded (>=1)
-            times[name] = vals[len(vals) // 2]
-            spread[name] = round(vals[-1] - vals[0], 3)
+
+    def warm_set() -> tuple[dict, dict]:
+        warm = [{name: run(name) for name in HEADLINE} for _ in range(3)]
+        t, s = {}, {}
+        for name in HEADLINE:
+            vals = sorted(w[name] for w in warm if w.get(name) is not None)
+            if vals:  # median of however many warm passes succeeded (>=1)
+                t[name] = vals[len(vals) // 2]
+                s[name] = round(vals[-1] - vals[0], 3)
+        return t, s
+
+    times, spread = warm_set()
+
+    # Contention guard (VERDICT r10 item 1): if this run's warm spreads
+    # blow past family norms suite-wide, the numbers measure the
+    # machine, not the plans. Re-measure once (contention is usually
+    # transient); if still noisy, stamp the artifact regime=contended
+    # so no reader mistakes it for a plan regression — and keep it out
+    # of bench_history.jsonl so it can't become the next baseline.
+    here = os.path.dirname(os.path.abspath(__file__))
+    hist_path = os.path.join(here, "bench_history.jsonl")
+    sf_val_early = float(sf) if sf.replace(".", "").isdigit() else sf
+    norms = spread_norms(hist_path, sf_val_early)
+    contended, noisy = detect_contention(spread, norms)
+    remeasured = False
+    if contended:
+        remeasured = True
+        times2, spread2 = warm_set()
+        contended2, noisy2 = detect_contention(spread2, norms)
+        if not contended2 or sum(times2.values()) < sum(times.values()):
+            times, spread, contended, noisy = times2, spread2, contended2, noisy2
+    regime = "contended" if contended else "quiet"
 
     # A query with zero successful warm passes would silently shrink the
     # headline total and break round-over-round comparability — report
@@ -153,8 +225,6 @@ def main() -> None:
     # and flag any query beyond 1.5x the previous median plus its
     # recorded warm spread. Flag-only, never fail: a bench that refuses
     # to emit numbers is worse than one that emits flagged numbers.
-    here = os.path.dirname(os.path.abspath(__file__))
-    hist_path = os.path.join(here, "bench_history.jsonl")
     prev = last_history_record(hist_path, sf_val)
     regressions = compute_regressions(times, prev)
     detail = json.dumps(
@@ -170,6 +240,9 @@ def main() -> None:
             "errors": errors,
             "regressions": regressions,
             "regressions_vs": prev.get("ts") if prev else None,
+            "regime": regime,
+            "contention_remeasured": remeasured,
+            "noisy_queries": noisy,
             "n_ok": len(times),
             "n_total": len(HEADLINE),
             "sf": sf_val,
@@ -192,6 +265,7 @@ def main() -> None:
             "n_total": len(HEADLINE),
             "n_err": len(errors),
             "n_regressed": len(regressions),
+            "regime": regime,
             "cold_total": round(sum(v for v in cold.values() if v is not None), 3),
             "index_prebuilt": index_prebuilt,
             "sf": sf_val,
@@ -205,7 +279,10 @@ def main() -> None:
     # lower the bar).
     with open(os.path.join(here, "bench_out.json"), "w") as fh:
         fh.write(detail + "\n")
-    if not errors and not fully_failed:
+    # only quiet fully-green runs become the next regression baseline —
+    # a contended run's inflated medians would mask real regressions
+    # (and its spreads would inflate every future family norm)
+    if not errors and not fully_failed and regime == "quiet":
         with open(hist_path, "a") as fh:
             fh.write(
                 json.dumps(

@@ -40,3 +40,46 @@ def test_last_history_record_picks_latest_matching_sf(tmp_path):
     rec = bench.last_history_record(str(p), 0.1)
     assert rec["queries"]["q1"] == 2.0  # latest 0.1 row, 1.0 row ignored
     assert bench.last_history_record(str(tmp_path / "missing"), 0.1) is None
+
+
+def test_spread_norms_median_per_query(tmp_path):
+    p = tmp_path / "hist.jsonl"
+    rows = [
+        {"sf": 0.1, "queries": {}, "queries_warm_spread": {"q1": 0.10, "q2": 0.02}},
+        {"sf": 0.1, "queries": {}, "queries_warm_spread": {"q1": 0.30}},
+        {"sf": 0.1, "queries": {}, "queries_warm_spread": {"q1": 0.12}},
+        {"sf": 1.0, "queries": {}, "queries_warm_spread": {"q1": 9.99}},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    norms = bench.spread_norms(str(p), 0.1)
+    # median of [0.10, 0.12, 0.30]; the sf=1.0 record is excluded
+    assert norms == {"q1": 0.12, "q2": 0.02}
+    assert bench.spread_norms(str(tmp_path / "missing.jsonl"), 0.1) == {}
+
+
+def test_detect_contention_suite_wide_not_single_query():
+    norms = {f"q{i}": 0.1 for i in range(12)}
+    quiet = {f"q{i}": 0.12 for i in range(12)}
+    ok, noisy = bench.detect_contention(quiet, norms)
+    assert not ok and not noisy
+    # ONE noisy query = possible plan problem, not machine contention
+    one = dict(quiet, q0=5.0)
+    ok, noisy = bench.detect_contention(one, norms)
+    assert not ok and set(noisy) == {"q0"}
+    # a third of the suite noisy → contended (r10's artifact showed
+    # spreads ~10x family norms across 19 queries)
+    many = dict(quiet, **{f"q{i}": 1.5 for i in range(4)})
+    ok, noisy = bench.detect_contention(many, norms)
+    assert ok and len(noisy) == 4
+
+
+def test_detect_contention_floor_absorbs_submillisecond_norms():
+    # 3x a 1 ms norm is 3 ms — scheduler jitter alone exceeds that; the
+    # 0.05 s floor keeps sub-100 ms queries from crying wolf
+    ok, noisy = bench.detect_contention({"q1": 0.04}, {"q1": 0.001})
+    assert not ok and not noisy
+
+
+def test_detect_contention_no_history_never_contended():
+    ok, noisy = bench.detect_contention({"q1": 99.0}, {})
+    assert not ok and not noisy
