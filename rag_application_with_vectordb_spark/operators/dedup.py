@@ -142,6 +142,18 @@ def _guard_candidate_volume(
     under the pair cap can still be a heap/disk blow-up (measured at
     sf10: 1.65e9 pairs ⇒ ~1.5e11 verify cells).
 
+    Bound semantics (ADVICE r10): ``est`` = Σ df·(df−1)/2 counts
+    candidate pairs WITH MULTIPLICITY (one per shared shingle), while
+    the verify join runs on DISTINCT pairs — so both checks price an
+    UPPER bound. On corpora where pairs share many shingles, ``est``
+    can exceed the distinct-pair volume by up to the mean shared-shingle
+    multiplicity, and the guard refuses correspondingly earlier than
+    the raw ceilings suggest — conservative in the safe direction (a
+    refusal names a scalable twin; an OOM names nothing). The measured
+    headroom claims above are in multiplicity units on the fixture
+    corpora, where low vocabulary entropy keeps multiplicity high and
+    the upper bound tight relative to the blow-up actually observed.
+
     EAGER: when ``max_candidate_pairs`` is set, the estimate is a
     driver action INSIDE an otherwise lazy plan builder — the full
     shingle+aggregate job runs at plan-construction time (two actions

@@ -81,8 +81,17 @@ def bucketed_running_sum(
     is NON-DETERMINISTIC must checkpoint it themselves first — under
     cache eviction a recompute that changes values would make the three
     passes disagree (true of any multi-pass operator).
+
+    The persist is registered with
+    :func:`..session.release_tracked_persists` (ADVICE r10): a
+    long-running session invoking many different builders should call
+    that hook periodically — CacheManager dedup only collapses
+    IDENTICAL plans, so distinct builders otherwise accumulate distinct
+    cache entries for the life of the session.
     """
-    src = df.persist(StorageLevel.MEMORY_AND_DISK)
+    from ..session import track_persist
+
+    src = track_persist(df.persist(StorageLevel.MEMORY_AND_DISK))
     fracs = [i / n_buckets for i in range(1, n_buckets)]
     row = src.select(
         F.percentile_approx(F.col(lead_col), fracs, F.lit(_SKETCH_ACCURACY)).alias("b")

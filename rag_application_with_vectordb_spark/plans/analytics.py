@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..session import tune
+from ..session import track_persist, tune
 from ..sources.catalog import load_table, register_views, tables_in_sql
 from .registry import register
 
@@ -1114,7 +1114,7 @@ def _interp_median_from_hist(grouped: DataFrame, ng: DataFrame, out: str) -> Dat
         .orderBy(F.asc("x"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = hist.withColumn("cum", F.sum("c").over(wcum)).persist()
+    cum = track_persist(hist.withColumn("cum", F.sum("c").over(wcum)).persist())
     t = ng.select("l_returnflag", F.expr("0.5 * (n - 1)").alias("h"))
 
     def x_at(kexpr: str, col: str) -> DataFrame:
@@ -1236,7 +1236,7 @@ def _price_cum_hist(spark: SparkSession, sf_dir: str):
         .orderBy(F.asc("x"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = hist.withColumn("cum", F.sum("c").over(wcum)).persist()
+    cum = track_persist(hist.withColumn("cum", F.sum("c").over(wcum)).persist())
     ng = (
         v.groupBy("l_returnflag")
         .agg(F.count("*").cast("bigint").alias("n"))

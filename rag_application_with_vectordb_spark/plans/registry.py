@@ -46,77 +46,85 @@ _loaded = False
 # re-confirmation while never-driver-checked queries remain (146 after
 # r07 at a 362-query catalog — the window drains 50/round); within the
 # backlog, oldest-registered-first, then family diversity. No-oracle
-# bench demos (bench_knn_1m, bench_knn_1m_ivf, approx_distinct_sketch)
-# stay EXCLUDED — a slot recording ``err: no_oracle`` is wasted; they
-# keep their rows-only rows. Entries not named here follow in
+# bench demos (bench_knn_1m, bench_knn_1m_ivf — the only two remaining,
+# both 1M-generated-corpus throughput demos, tagged "bench") stay
+# EXCLUDED — a slot recording ``err: no_oracle`` is wasted; they keep
+# their rows-only rows. (approx_distinct_sketch gained a band-check
+# oracle in r11 and rotates through the window.) Entries not named
+# here follow in
 # registration order. The authoritative never-checked list is computed,
 # not hand-maintained: ``python tools/window_status.py`` diffs the
 # catalog against every CORRECTNESS_r*.json in the repo root.
 DRIVER_WINDOW_PRIORITY: tuple[str, ...] = (
-    # Round-10 window: the LAST 43 never-driver-checked oracle-backed
-    # queries (VERDICT r9 item 1 — after this window lands, every
-    # registered oracle-backed query has a green driver row and the
-    # backlog is ZERO), plus 7 re-confirmations of the stalest greens
-    # (r01 tier first, then r03 — VERDICT r9 item "stale-green
-    # re-confirmation"). Generated mechanically by
-    # ``python tools/window_status.py --propose`` against the full
-    # CORRECTNESS_r01..r09 history. From r11 onward the window becomes a
-    # pure staleness rotation (oldest-green-first), which --propose
-    # already implements.
-    "events_seasonal_anomaly",  # first-proof
-    "eval_lift_gains",  # first-proof
-    "eval_brier_decomposition",  # first-proof
-    "eval_threshold_utility",  # first-proof
-    "freq_itemsets_3",  # first-proof
-    "tree_split_gini",  # first-proof
-    "stats_ar2_yule_walker",  # first-proof
-    "assoc_rules_conf",  # first-proof
-    "stats_hill_tail_index",  # first-proof
-    "events_rate_limit_audit",  # first-proof
-    "sales_price_volume_decomp",  # first-proof
-    "sample_neyman_allocation",  # first-proof
-    "driver_analysis_eta2",  # first-proof
-    "supplier_return_eb_shrunk",  # first-proof
-    "stats_wilcoxon_signed_rank",  # first-proof
-    "text_vocab_coverage",  # first-proof
-    "audit_functional_deps",  # first-proof
-    "inventory_newsvendor",  # first-proof
-    "eval_offpolicy_ips",  # first-proof
-    "forecast_croston",  # first-proof
-    "inventory_abc_xyz",  # first-proof
-    "audit_order_reconciliation",  # first-proof
-    "eval_cluster_silhouette",  # first-proof
-    "eval_ece",  # first-proof
-    "anomaly_fpof_baskets",  # first-proof
-    "events_haar_energy",  # first-proof
-    "audit_k_anon_generalization",  # first-proof
-    "forecast_theta",  # first-proof
-    "eval_markov_next_event",  # first-proof
-    "stats_negbin_mom",  # first-proof
-    "text_js_divergence_sources",  # first-proof
-    "reco_decayed_popularity",  # first-proof
-    "audit_column_entropy",  # first-proof
-    "stats_median_ci",  # first-proof
-    "market_concentration_hhi",  # first-proof
-    "events_entropy_rate",  # first-proof
-    "optimize_knapsack_greedy",  # first-proof
-    "stats_trimmed_mean",  # first-proof
-    "text_heaps_law_fit",  # first-proof
-    "geo_radius_pairs",  # first-proof
-    "geo_cell_density",  # first-proof
-    "attribution_shapley",  # first-proof
-    "attribution_markov_removal",  # first-proof
-    "window_running_spend",  # re-confirm (r01)
-    "set_nations_customers_and_suppliers",  # re-confirm (r01)
-    "set_union_all_keys",  # re-confirm (r01)
-    "pivot_status_by_priority",  # re-confirm (r03)
-    "dedup_minhash_lsh_pairs",  # re-confirm (r03)
-    "ann_ivf_topk",  # re-confirm (r03)
-    # first-proof under its NEW name (renamed from _scalable per VERDICT
-    # r9 item 2; its r06 row is under the old name, so window_status
-    # counts it never-checked — this slot keeps the backlog at zero).
-    # knn_topk_prenormed (r03) rotates to r11 to make room.
-    "dedup_prefix_filter_pairs_keyed",  # first-proof (renamed)
+    # Round-11 window: the FIRST PURE STALENESS ROTATION (VERDICT r10
+    # item 2). The never-checked backlog hit zero in r10, so every slot
+    # is a re-confirmation, oldest-green-first: the full r03 tier (15
+    # queries, many refactored since their last green — knn family,
+    # TPC-H q4/q7/q10/q13/q16/q17/q18/q21, rag_e2e_retrieval,
+    # calendar/scalar demos), then the oldest r04 greens. Generated
+    # mechanically by ``python tools/window_status.py --propose``
+    # against CORRECTNESS_r01..r10; preflighted via
+    # ``tools/check_oracle.py /root/testdata/sf0.01 --window``.
+    "knn_topk_prenormed",  # re-confirm (r03)
+    "rag_e2e_retrieval",  # re-confirm (r03)
+    "unpivot_part_measures",  # re-confirm (r03)
+    "calendar_dim_order_counts",  # re-confirm (r03)
+    "scalar_date_arithmetic",  # re-confirm (r03)
+    "scalar_array_ops",  # re-confirm (r03)
+    "q7_nation_pair_revenue",  # re-confirm (r03)
+    "window_range_frame_spend",  # re-confirm (r03)
+    "q4_order_priority",  # re-confirm (r03)
+    "q10_returned_items",  # re-confirm (r03)
+    "q16_supplier_part_counts",  # re-confirm (r03)
+    "q18_large_volume_customers",  # re-confirm (r03)
+    "q21_sole_late_supplier",  # re-confirm (r03)
+    "q13_customer_distribution",  # re-confirm (r03)
+    "q17_small_quantity_revenue",  # re-confirm (r03)
+    "knn_topk",  # re-confirm (r04)
+    "knn_batch",  # re-confirm (r04)
+    "q1_pricing_summary",  # re-confirm (r04)
+    "scalar_json_events",  # re-confirm (r04)
+    "text_redact_pii",  # re-confirm (r04)
+    "text_train_heldout_split",  # re-confirm (r04)
+    "dedup_simhash_allpairs_anchor",  # re-confirm (r04)
+    "dedup_embedding_lsh_pairs",  # re-confirm (r04)
+    "dedup_components",  # re-confirm (r04)
+    "ann_ivf_firstc_topk",  # re-confirm (r04)
+    "ann_ivf_recall",  # re-confirm (r04)
+    "ann_lsh_multiprobe_recall",  # re-confirm (r04)
+    "quant_int8_topk",  # re-confirm (r04)
+    "quant_int8_rerank_topk",  # re-confirm (r04)
+    "quant_int8_roundtrip_error",  # re-confirm (r04)
+    "events_sessionized",  # re-confirm (r04)
+    # range_join_error_after_purchase, q22_idle_customers, and
+    # q11_important_stock (all r04 greens) are 0-rows at the sf0.001
+    # fixture (data-dependent: the smallest fixture carries no matching
+    # cases), which the window's nonempty contract
+    # (test_driver_window_queries_nonempty) forbids — a 0-row green is
+    # vacuous. They stay oracle-green at sf0.01 and rotate in when a
+    # fixture generation carries their cases; the next-stalest r04
+    # greens take their slots.
+    "funnel_signup_click_purchase",  # re-confirm (r04)
+    "grouping_sets_order_stats",  # re-confirm (r04)
+    "having_big_orders",  # re-confirm (r04)
+    "q2_cheapest_part_per_brand",  # re-confirm (r04)
+    "scalar_string_parts",  # re-confirm (r04)
+    "q19_disjunctive_predicate",  # re-confirm (r04)
+    "scalar_map_ops",  # re-confirm (r04)
+    "window_distribution_funcs",  # re-confirm (r04)
+    "approx_distinct_kmv",  # re-confirm (r04)
+    "q6_forecast_revenue",  # re-confirm (r04)
+    "q8_market_share",  # re-confirm (r04)
+    "q9_product_profit",  # re-confirm (r04)
+    "q12_late_priority",  # re-confirm (r04)
+    "q14_promo_revenue",  # re-confirm (r04)
+    "contamination_check",  # re-confirm (r04)
+    "events_forward_fill",  # re-confirm (r04)
+    "q15_top_supplier",  # re-confirm (r04)
+    "q20_promotion_suppliers",  # re-confirm (r04)
+    # first-proof under its NEW oracle (r11 gave the HLL monitor a
+    # band-check oracle — VERDICT r10 item 5).
+    "approx_distinct_sketch",  # first-proof (new oracle)
 )
 
 

@@ -83,6 +83,53 @@ def _ship_package(spark: SparkSession) -> None:
     sc._rag_pkg_shipped = True
 
 
+# Persisted relations minted by multi-pass operator builders
+# (operators/prefix.bucketed_running_sum, the histogram cumulatives in
+# plans/analytics.py), keyed by applicationId. Spark's CacheManager
+# dedupes IDENTICAL plans, but a long-running session invoking many
+# DIFFERENT builders accumulates distinct cache entries — the
+# cache-pressure class the r10 sf10 sweep heap-OOMed on (ADVICE r10).
+# ``release_tracked_persists`` is the explicit hook; sweep tooling calls
+# it alongside its periodic ``catalog.clearCache()`` so the Python-side
+# references are dropped too.
+_TRACKED_PERSISTS: dict[str, list] = {}
+
+
+def track_persist(df):
+    """Register a persist()-ed DataFrame for later bulk release.
+
+    Returns ``df`` unchanged so call sites stay one-liners:
+    ``src = track_persist(df.persist(...))``. Tracking never affects
+    values — only when storage is handed back.
+    """
+    try:
+        app = df.sparkSession.sparkContext.applicationId
+        _TRACKED_PERSISTS.setdefault(app, []).append(df)
+    except Exception:
+        pass  # an untracked persist is only a missed release, never wrong
+    return df
+
+
+def release_tracked_persists(spark: SparkSession) -> int:
+    """Unpersist every relation tracked in this application; return the
+    count released. Idempotent (unpersist on a cold relation is a no-op)
+    and safe mid-session: a released relation recomputes from lineage if
+    some later plan still references it."""
+    try:
+        app = spark.sparkContext.applicationId
+    except Exception:
+        return 0
+    rels = _TRACKED_PERSISTS.pop(app, [])
+    n = 0
+    for r in rels:
+        try:
+            r.unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an existing session."""
     for k, v in RUNTIME_CONF.items():

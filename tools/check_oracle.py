@@ -29,6 +29,12 @@ to stop retrying it).
 substrings — scale_sweep passes it so a pending name that is a prefix
 of a settled query (``dedup_prefix_filter_pairs`` vs ``..._keyed``)
 can't re-run the settled one and defeat the 2-strike OOM protection.
+
+``--cache-drop-every N`` (default 25; 0 disables) controls how often a
+``--spark-only`` sweep clears the persisted-relation cache (and the
+tracked-persist registry) — the session-survival hygiene the r10 sweep
+OOM motivated, exposed as a flag so an A/B sweep can prove no query's
+green depends on a neighbor's cache entry.
 """
 
 from __future__ import annotations
@@ -140,6 +146,13 @@ def main() -> int:
         i = name_filter.index("--timeout-per-query")
         qtimeout = float(name_filter[i + 1])
         del name_filter[i : i + 2]
+    cache_drop_every = 25
+    if "--cache-drop-every" in name_filter:
+        # 0 disables — the A/B lever for auditing whether any query's
+        # green depends on a neighbor's cache entry (VERDICT r10 item 4)
+        i = name_filter.index("--cache-drop-every")
+        cache_drop_every = int(name_filter[i + 1])
+        del name_filter[i : i + 2]
     done: set[str] = set()
     if "--resume-log" in name_filter:
         i = name_filter.index("--resume-log")
@@ -196,7 +209,7 @@ def main() -> int:
         if name in done:
             continue
         t0 = time.time()
-        if spark_only and n_run and n_run % 25 == 0:
+        if spark_only and cache_drop_every and n_run and n_run % cache_drop_every == 0:
             # Long scale-up sweeps accumulate persisted relations from
             # every query family (dedup signatures, graph edges, rank
             # histograms); the r10 sweep heap-OOMed on a memory-marginal
@@ -205,6 +218,14 @@ def main() -> int:
             # for a session that survives the whole catalog.
             try:
                 spark.catalog.clearCache()
+                # also drop the Python-side references multi-pass
+                # builders registered, so re-invocations re-track
+                # cleanly instead of growing the registry (ADVICE r10)
+                from rag_application_with_vectordb_spark.session import (
+                    release_tracked_persists,
+                )
+
+                release_tracked_persists(spark)
             except Exception:  # noqa: BLE001 — hygiene must never kill a sweep
                 pass
         n_run += 1
