@@ -45,24 +45,54 @@ def _sql_query(name: str, sql: str, doc: str = "", oracle: str | None = None, ta
 
 # --- TPC-H-style aggregation -------------------------------------------------
 
+# CAST(DECIMAL AS DOUBLE) is NOT ulp-reproducible across engines once
+# the unscaled value exceeds 2^53 (~9e15): Spark correctly-rounds the
+# exact BigDecimal, DuckDB double-rounds through the scaled int128 —
+# found r11 when q1's sum_charge (scale 6, unscaled 2.7e16 at sf1.0)
+# drifted one ulp while the DECIMAL sums themselves were bit-identical.
+# The portable conversion: land the exact decimal on integer
+# micro-units (integral-valued, so the BIGINT cast is exact in both
+# engines regardless of their rounding modes), then rebuild the double
+# as int_part + frac_part/10^s — every step is a correctly-rounded op
+# on identical exact inputs, hence bit-identical. Bounds: micros fit
+# BIGINT to ~9.2e18 (sf ~3e4 for charge), int part exact in double to
+# 2^53 (sf ~3e5). Spark spells integer division DIV, DuckDB // — the
+# ONLY divergence between the two texts below.
+def _q1_sql(idiv: str) -> str:
+    return f"""
+    WITH agg AS (
+      SELECT l_returnflag, l_linestatus,
+        SUM(CAST(l_quantity AS {_D})) AS sq,
+        SUM(CAST(l_extendedprice AS {_D})) AS sbp,
+        CAST(SUM(CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D}))) * 10000 AS BIGINT) AS sdp_e4,
+        CAST(SUM(CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D})) * (1 + CAST(l_tax AS {_D}))) * 1000000 AS BIGINT) AS sc_e6,
+        SUM(CAST(l_discount AS {_D})) AS sd,
+        COUNT(*) AS n
+      FROM lineitem
+      WHERE l_shipdate <= DATE '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus,
+      CAST(sq AS DOUBLE) AS sum_qty,
+      CAST(sbp AS DOUBLE) AS sum_base_price,
+      CAST(sdp_e4 {idiv} 10000 AS DOUBLE) + CAST(sdp_e4 % 10000 AS DOUBLE) / 10000.0 AS sum_disc_price,
+      CAST(sc_e6 {idiv} 1000000 AS DOUBLE) + CAST(sc_e6 % 1000000 AS DOUBLE) / 1000000.0 AS sum_charge,
+      CAST(CAST(sq AS DOUBLE) / n AS DOUBLE) AS avg_qty,
+      CAST(CAST(sbp AS DOUBLE) / n AS DOUBLE) AS avg_price,
+      CAST(CAST(sd AS DOUBLE) / n AS DOUBLE) AS avg_disc,
+      n AS count_order
+    FROM agg
+    """
+
+
 _sql_query(
     "q1_pricing_summary",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS {_D})) AS DOUBLE) AS sum_base_price,
-      CAST(SUM(CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D}))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D})) * (1 + CAST(l_tax AS {_D}))) AS DOUBLE) AS sum_charge,
-      CAST(CAST(SUM(CAST(l_quantity AS {_D})) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
-      CAST(CAST(SUM(CAST(l_extendedprice AS {_D})) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
-      CAST(CAST(SUM(CAST(l_discount AS {_D})) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
-      COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= DATE '1998-09-02'
-    GROUP BY l_returnflag, l_linestatus
-    """,
+    _q1_sql("DIV"),
+    oracle=_q1_sql("//"),
     doc="TPC-H Q1 shape: scan + hash aggregate with map-side partial agg; "
-    "decimal-exact money sums.",
+    "decimal-exact money sums, converted to DOUBLE via the integer "
+    "micro-unit split (see the comment above: the naive decimal→double "
+    "cast diverges cross-engine past 2^53 unscaled).",
 )
 
 _sql_query(

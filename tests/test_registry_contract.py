@@ -140,10 +140,16 @@ MAX_FACT_SCANS = 6
 #: (plans/plan_introspect.single_partition_fact_exposures) cannot see
 #: SEMANTIC bounds — a grouped aggregate whose key domain is small by
 #: construction still reads as unbounded — so each allowlisted entry
-#: states its bound; all of them ran green at sf10 (60 M-row lineitem)
-#: in <= 12 s (SF10_SWEEP_r09.log). Any query NOT listed here must have
-#: ZERO exposed single-partition exchanges; never add an entry without
-#: a documented bound.
+#: states its bound; all 34 have a green sf10 row (60 M-row lineitem)
+#: across the standing sweep logs, each <= 12.1 s at its latest green
+#: (slowest: orders_backlog_daily 12.1 s, SF10_SWEEP_r11.log; take each
+#: query's LATEST green row — earlier rows in a log can be superseded
+#: dead-context noise). Re-judged r11: every bound class below is
+#: volume-invariant (calendar/value-histogram/fixed-grid/vocabulary)
+#: and no entity-scale candidates remain — the four entity-scale
+#: ex-entries were moved onto operators/prefix.py in r9/r10. Any query
+#: NOT listed here must have ZERO exposed single-partition exchanges;
+#: never add an entry without a documented bound.
 #:
 #: Bound classes:
 #: - calendar/time grain (rows = days/weeks in the data's time span,
