@@ -96,6 +96,52 @@ def last_history_record(hist_path: str, sf_val) -> dict | None:
     return prev
 
 
+def history_anchor(hist_path: str, sf_val, n: int = 12) -> dict | None:
+    """Rolling drift anchor (VERDICT r11 item 2): the BEST (minimum)
+    fully-green quiet-regime headline total over the last ``n`` records
+    at this sf, plus each query's best recorded warm median. The
+    prev-round regression gate is a RATCHET — r9→r11 quiet drifted
+    17.1→~22 s with ``n_regressed: 0`` every round because each round's
+    tolerance re-anchored on the previous round's (already drifted)
+    numbers. Comparing against the rolling best makes compounding creep
+    visible even when every single step is inside warm spread.
+
+    Records stamped ``regime: contended`` are excluded (they measure
+    the machine); pre-r11 records carry no regime stamp and are treated
+    as quiet — the one known contended artifact (r10 official) was
+    never appended to history by design.
+    """
+    if not os.path.exists(hist_path):
+        return None
+    recs = []
+    for line in open(hist_path):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            continue
+        if rec.get("sf") != sf_val or not rec.get("queries"):
+            continue
+        if rec.get("regime") == "contended":
+            continue
+        recs.append(rec)
+    recs = recs[-n:]
+    if not recs:
+        return None
+    with_total = [r for r in recs if isinstance(r.get("value"), (int, float))]
+    best_rec = min(with_total, key=lambda r: r["value"]) if with_total else None
+    best_q: dict[str, float] = {}
+    for r in recs:
+        for k, v in r["queries"].items():
+            if v is not None and (k not in best_q or v < best_q[k]):
+                best_q[k] = v
+    return {
+        "best_total": best_rec["value"] if best_rec else None,
+        "best_cpu_ref": best_rec.get("cpu_ref") if best_rec else None,
+        "n_records": len(recs),
+        "best_queries": best_q,
+    }
+
+
 def spread_norms(hist_path: str, sf_val) -> dict[str, float]:
     """Per-query warm-spread family norm: the MEDIAN of each query's
     recorded warm spreads across history records at this sf. The norm
@@ -159,6 +205,33 @@ def main() -> None:
         index_prebuilt = None
     spark = get_spark("bench")
     errors: dict[str, str] = {}
+
+    # CPU reference (r12): a FIXED JVM-side workload whose runtime
+    # tracks machine speed only — plans never touch it. r12 found a
+    # uniform ~1.5x suite-wide shift across two instance boots (every
+    # per-query ratio 1.1-2.1x vs the rolling best, median 1.5,
+    # including plans frozen since r6) that no per-query or spread
+    # guard could classify; the host the numbers were recorded on is
+    # not the host they are compared on. cpu_ref lets the drift flag
+    # separate "machine got slower" (total/cpu_ref stable) from "plans
+    # got slower" (total/cpu_ref up). Median of 3 after one codegen
+    # warm-up pass.
+    def _cpu_ref() -> float | None:
+        try:
+            job = lambda: spark.range(200_000_000).selectExpr(  # noqa: E731
+                "sum(id * id % 7) AS s"
+            ).collect()
+            job()  # codegen warm-up, untimed
+            vals = []
+            for _ in range(3):
+                t0 = time.time()
+                job()
+                vals.append(time.time() - t0)
+            return round(sorted(vals)[1], 3)
+        except Exception:  # noqa: BLE001 — observability only
+            return None
+
+    cpu_ref = _cpu_ref()
 
     def run(name: str) -> float | None:
         if name in errors:  # failed cold — don't re-raise twice more
@@ -227,6 +300,40 @@ def main() -> None:
     # to emit numbers is worse than one that emits flagged numbers.
     prev = last_history_record(hist_path, sf_val)
     regressions = compute_regressions(times, prev)
+
+    # Drift anchor (VERDICT r11 item 2): also compare against the
+    # rolling BEST quiet total, so N rounds of "0 regressed" can't hide
+    # a compounding creep. Flag when > 1.25x the best; name the top
+    # movers vs their own best medians so a drift hunt knows where to
+    # start. Flag-only, like the regression gate.
+    anchor = history_anchor(hist_path, sf_val)
+    drift_vs_best = None
+    drift_norm = None
+    drift_flag = False
+    drift_movers: dict[str, dict] = {}
+    if anchor and anchor["best_total"] and total is not None:
+        drift_vs_best = round(total / anchor["best_total"], 3)
+        # machine-speed-normalized drift: ratio of plan-work per unit of
+        # machine throughput. Only computable when BOTH records carry a
+        # cpu_ref (r12+); when present, IT gates the flag — raw drift
+        # against a faster former host is the machine's fault, not the
+        # plans' (the r12 adjudication: raw 1.45x, every query uniformly
+        # up, boot id changed between records).
+        if cpu_ref and anchor.get("best_cpu_ref"):
+            drift_norm = round(
+                (total / cpu_ref) / (anchor["best_total"] / anchor["best_cpu_ref"]), 3
+            )
+        drift_flag = (drift_norm if drift_norm is not None else drift_vs_best) > 1.25
+        if drift_flag:
+            deltas = {
+                q: round(t - anchor["best_queries"][q], 3)
+                for q, t in times.items()
+                if q in anchor["best_queries"]
+            }
+            drift_movers = {
+                q: {"cur": times[q], "best": anchor["best_queries"][q], "delta": d}
+                for q, d in sorted(deltas.items(), key=lambda kv: -kv[1])[:5]
+            }
     detail = json.dumps(
         {
             "metric": "headline_suite_runtime",
@@ -240,6 +347,12 @@ def main() -> None:
             "errors": errors,
             "regressions": regressions,
             "regressions_vs": prev.get("ts") if prev else None,
+            "drift_vs_best": drift_vs_best,
+            "drift_vs_best_normalized": drift_norm,
+            "drift_flag": drift_flag,
+            "drift_movers": drift_movers,
+            "drift_anchor_n": anchor["n_records"] if anchor else 0,
+            "cpu_ref": cpu_ref,
             "regime": regime,
             "contention_remeasured": remeasured,
             "noisy_queries": noisy,
@@ -265,6 +378,10 @@ def main() -> None:
             "n_total": len(HEADLINE),
             "n_err": len(errors),
             "n_regressed": len(regressions),
+            "drift_vs_best": drift_vs_best,
+            "drift_vs_best_normalized": drift_norm,
+            "drift_flag": drift_flag,
+            "cpu_ref": cpu_ref,
             "regime": regime,
             "cold_total": round(sum(v for v in cold.values() if v is not None), 3),
             "index_prebuilt": index_prebuilt,
@@ -300,6 +417,10 @@ def main() -> None:
                             sum(v for v in cold.values() if v is not None), 3
                         ),
                         "index_prebuilt": index_prebuilt,
+                        # machine-speed reference for cross-host drift
+                        # normalization (r12; see _cpu_ref above)
+                        "cpu_ref": cpu_ref,
+                        "regime": regime,
                     }
                 )
                 + "\n"

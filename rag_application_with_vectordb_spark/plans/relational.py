@@ -54,34 +54,49 @@ def _sql_query(name: str, sql: str, doc: str = "", oracle: str | None = None, ta
 # micro-units (integral-valued, so the BIGINT cast is exact in both
 # engines regardless of their rounding modes), then rebuild the double
 # as int_part + frac_part/10^s — every step is a correctly-rounded op
-# on identical exact inputs, hence bit-identical. Bounds: micros fit
-# BIGINT to ~9.2e18 (sf ~3e4 for charge), int part exact in double to
+# on identical exact inputs, hence bit-identical. ALL FIVE decimal
+# sums go through the split (r11 converted only sdp/sc; the r11 ADVICE
+# flagged sbp's own ~sf800 threshold at scale 2 — closed here by
+# converting the class, and the avg_* numerators reuse the split
+# doubles so no direct decimal→double cast remains). Bounds: the
+# scaled integers fit BIGINT to ~9.2e18 (sf ~3e4 for sc_e6, the
+# tightest; ~2e7 for the e2 columns), int part exact in double to
 # 2^53 (sf ~3e5). Spark spells integer division DIV, DuckDB // — the
 # ONLY divergence between the two texts below.
 def _q1_sql(idiv: str) -> str:
+    def split(col: str, e: int) -> str:
+        p = 10**e
+        return f"CAST({col} {idiv} {p} AS DOUBLE) + CAST({col} % {p} AS DOUBLE) / {p}.0"
+
     return f"""
     WITH agg AS (
       SELECT l_returnflag, l_linestatus,
-        SUM(CAST(l_quantity AS {_D})) AS sq,
-        SUM(CAST(l_extendedprice AS {_D})) AS sbp,
+        CAST(SUM(CAST(l_quantity AS {_D})) * 100 AS BIGINT) AS sq_e2,
+        CAST(SUM(CAST(l_extendedprice AS {_D})) * 100 AS BIGINT) AS sbp_e2,
         CAST(SUM(CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D}))) * 10000 AS BIGINT) AS sdp_e4,
         CAST(SUM(CAST(l_extendedprice AS {_D}) * (1 - CAST(l_discount AS {_D})) * (1 + CAST(l_tax AS {_D}))) * 1000000 AS BIGINT) AS sc_e6,
-        SUM(CAST(l_discount AS {_D})) AS sd,
+        CAST(SUM(CAST(l_discount AS {_D})) * 100 AS BIGINT) AS sd_e2,
         COUNT(*) AS n
       FROM lineitem
       WHERE l_shipdate <= DATE '1998-09-02'
       GROUP BY l_returnflag, l_linestatus
+    ),
+    conv AS (
+      SELECT l_returnflag, l_linestatus, n,
+        {split('sq_e2', 2)} AS sum_qty,
+        {split('sbp_e2', 2)} AS sum_base_price,
+        {split('sdp_e4', 4)} AS sum_disc_price,
+        {split('sc_e6', 6)} AS sum_charge,
+        {split('sd_e2', 2)} AS sum_disc
+      FROM agg
     )
     SELECT l_returnflag, l_linestatus,
-      CAST(sq AS DOUBLE) AS sum_qty,
-      CAST(sbp AS DOUBLE) AS sum_base_price,
-      CAST(sdp_e4 {idiv} 10000 AS DOUBLE) + CAST(sdp_e4 % 10000 AS DOUBLE) / 10000.0 AS sum_disc_price,
-      CAST(sc_e6 {idiv} 1000000 AS DOUBLE) + CAST(sc_e6 % 1000000 AS DOUBLE) / 1000000.0 AS sum_charge,
-      CAST(CAST(sq AS DOUBLE) / n AS DOUBLE) AS avg_qty,
-      CAST(CAST(sbp AS DOUBLE) / n AS DOUBLE) AS avg_price,
-      CAST(CAST(sd AS DOUBLE) / n AS DOUBLE) AS avg_disc,
+      sum_qty, sum_base_price, sum_disc_price, sum_charge,
+      CAST(sum_qty / n AS DOUBLE) AS avg_qty,
+      CAST(sum_base_price / n AS DOUBLE) AS avg_price,
+      CAST(sum_disc / n AS DOUBLE) AS avg_disc,
       n AS count_order
-    FROM agg
+    FROM conv
     """
 
 

@@ -61,18 +61,30 @@ def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "range_join_error_after_purchase",
     oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT event_id + 1000000000, user_id, ts + INTERVAL 2 MINUTE
+      FROM p WHERE event_id % 50 = 0
+    )
     SELECT p.event_id AS a_event_id, e.event_id AS b_event_id, p.user_id,
            p.ts AS a_ts, e.ts AS b_ts
-    FROM events p JOIN events e
+    FROM p JOIN e
       ON p.user_id = e.user_id
      AND e.ts > p.ts
      AND epoch_us(e.ts) - epoch_us(p.ts) <= 600 * 1000000
-    WHERE p.event_type = 'purchase' AND e.event_type = 'error'
     """,
     doc="Interval join (errors within 10 min after a purchase, same user) "
     "via time-bucket blocking: equi-join on (key, floor(ts/W)) with a "
     "two-bucket probe — candidates bounded by local density, never a "
-    "per-key cartesian product.",
+    "per-key cartesian product. The smallest fixture carries no organic "
+    "error-within-10-min-of-purchase case, so the query PLANTS one error "
+    "2 min after every 50th-id purchase (re-keyed +1e9 — the "
+    "audit_duplicate_payments move): the green row proves DETECTION at "
+    "every SF, not absence.",
     tags=("relational", "rangejoin"),
 )
 def range_join_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -81,7 +93,15 @@ def range_join_error_after_purchase(spark: SparkSession, sf_dir: str) -> DataFra
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    errors = events.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    organic_errors = events.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    planted_errors = purchases.filter(F.col("event_id") % 50 == 0).select(
+        (F.col("event_id") + F.lit(1000000000)).alias("event_id"),
+        "user_id",
+        F.expr("timestampadd(MINUTE, 2, ts)").alias("ts"),
+    )
+    errors = organic_errors.unionByName(planted_errors)
     out = range_join_within(purchases, errors, on="ts", key="user_id", window_seconds=600)
     return out.select(
         F.col("a_event_id"), F.col("b_event_id"), F.col("user_id"), F.col("a_ts"), F.col("b_ts")

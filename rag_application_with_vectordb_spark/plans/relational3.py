@@ -398,25 +398,41 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 _sql_query(
     "q22_idle_customers",
     f"""
+    WITH aug AS (
+      SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
+      FROM customer
+      UNION ALL
+      SELECT CASE CAST(c_custkey % 7 AS INTEGER)
+               WHEN 0 THEN '01' WHEN 1 THEN '12' WHEN 2 THEN '23'
+               WHEN 3 THEN '34' WHEN 4 THEN '45' WHEN 5 THEN '56'
+               ELSE '67' END,
+             c_acctbal + 10000.0, c_custkey + 100000000
+      FROM customer WHERE c_custkey % 50 = 0
+    )
     SELECT cntrycode, COUNT(*) AS numcust,
       CAST(SUM(CAST(c_acctbal AS {_D})) AS DOUBLE) AS totacctbal
     FROM (
-      SELECT substring(c_name, 17, 2) AS cntrycode, c_acctbal, c_custkey
-      FROM customer
-      WHERE substring(c_name, 17, 2) IN ('01', '12', '23', '34', '45', '56', '67')
+      SELECT cntrycode, c_acctbal, c_custkey
+      FROM aug
+      WHERE cntrycode IN ('01', '12', '23', '34', '45', '56', '67')
         AND c_acctbal > (
           SELECT CAST(SUM(CAST(c_acctbal AS {_D})) AS DOUBLE) / COUNT(*)
-          FROM customer WHERE c_acctbal > 0
+          FROM aug WHERE c_acctbal > 0
         )
     ) hot
     WHERE NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+                      WHERE o_custkey = hot.c_custkey AND o_orderpriority = '1-URGENT')
     GROUP BY cntrycode
     """,
     doc="TPC-H Q22 shape: scalar subquery threshold (evaluated once, "
     "broadcast) + NOT EXISTS anti join; country code proxied by the "
     "customer-name digits (no c_phone), and 'has never ordered' by "
-    "'has never ordered URGENT' (every fixture customer has orders).",
+    "'has never ordered URGENT' (every fixture customer has orders). "
+    "The smallest fixture carries no organic idle-high-balance case, so "
+    "the query PLANTS one per 50th custkey (re-keyed +1e8, balance "
+    "+10000 — above the augmented positive mean by construction, and "
+    "orderless by re-keying): the green row proves DETECTION at every "
+    "SF, not absence.",
 )
 
 # --- Q11: important stock (HAVING > fraction of a global scalar subquery) ------
@@ -428,25 +444,44 @@ _sql_query(
 _sql_query(
     "q11_important_stock",
     f"""
+    WITH s_aug AS (
+      SELECT s_suppkey, s_nationkey FROM supplier
+      UNION ALL
+      SELECT s_suppkey + 100000000,
+             (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_2')
+      FROM supplier
+    ),
+    l_aug AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice, l_quantity FROM lineitem
+      UNION ALL
+      SELECT l_partkey, l_suppkey + 100000000, l_extendedprice, l_quantity
+      FROM lineitem WHERE l_orderkey % 20 = 0 AND l_linenumber = 1
+    )
     SELECT l_partkey,
       CAST(SUM(CAST(l_extendedprice AS {_D}) * CAST(l_quantity AS {_D})) AS DOUBLE) AS stock_value
-    FROM lineitem
-    JOIN supplier ON s_suppkey = l_suppkey
-    JOIN nation   ON s_nationkey = n_nationkey
+    FROM l_aug
+    JOIN s_aug ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name = 'NATION_2'
     GROUP BY l_partkey
     HAVING CAST(SUM(CAST(l_extendedprice AS {_D}) * CAST(l_quantity AS {_D})) AS DOUBLE) > (
       SELECT 0.001 * CAST(SUM(CAST(l_extendedprice AS {_D}) * CAST(l_quantity AS {_D})) AS DOUBLE)
-      FROM lineitem
-      JOIN supplier ON s_suppkey = l_suppkey
-      JOIN nation   ON s_nationkey = n_nationkey
+      FROM l_aug
+      JOIN s_aug ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_2'
     )
     """,
     doc="TPC-H Q11 shape: per-part value vs a fraction of the global total "
     "— the inner scalar subquery evaluates once (one extra pass) and "
     "broadcasts as a literal into the HAVING; both passes share the "
-    "broadcast supplier⋈nation dim filter. Decimal-exact sums both sides.",
+    "broadcast supplier⋈nation dim filter. Decimal-exact sums both sides. "
+    "The smallest fixture has zero NATION_2 suppliers (organically empty), "
+    "so the query PLANTS a NATION_2-re-keyed clone of every supplier "
+    "(+1e8) plus one lineitem per 20th order remapped onto the clones: "
+    "the green row proves the join+HAVING shape at every SF, not absence. "
+    "The threshold stays self-bounding (at most 1000 parts can each "
+    "exceed 0.1%% of the total).",
     tags=("relational", "subquery"),
 )
 

@@ -113,13 +113,30 @@ def track_persist(df):
 def release_tracked_persists(spark: SparkSession) -> int:
     """Unpersist every relation tracked in this application; return the
     count released. Idempotent (unpersist on a cold relation is a no-op)
-    and safe mid-session: a released relation recomputes from lineage if
-    some later plan still references it."""
+    and safe BETWEEN queries / for deterministic lineage: a released
+    relation recomputes from lineage if some later plan still references
+    it. For a NON-deterministic source feeding a multi-pass builder
+    (bucketed_running_sum's three passes must agree), a release between
+    passes would reintroduce the disagreement the persist prevents —
+    such inputs must be checkpointed first, as operators/prefix.py
+    already requires (ADVICE r11).
+
+    Also evicts tracked lists of OTHER (stopped) applications: entries
+    are keyed by applicationId, so a process that starts several
+    sessions without calling this hook would otherwise leak every prior
+    app's references for process lifetime (ADVICE r11). Relations from
+    a stopped app cannot be unpersisted (their context is gone) — the
+    references are simply dropped.
+    """
     try:
         app = spark.sparkContext.applicationId
     except Exception:
         return 0
     rels = _TRACKED_PERSISTS.pop(app, [])
+    # stale keys belong to stopped apps; their JVM state died with the
+    # context, only the Python references linger — drop them
+    for stale in [k for k in _TRACKED_PERSISTS if k != app]:
+        del _TRACKED_PERSISTS[stale]
     n = 0
     for r in rels:
         try:

@@ -149,8 +149,13 @@ def main() -> int:
     cache_drop_every = 25
     if "--cache-drop-every" in name_filter:
         # 0 disables — the A/B lever for auditing whether any query's
-        # green depends on a neighbor's cache entry (VERDICT r10 item 4)
+        # green depends on a neighbor's cache entry (VERDICT r10 item 4).
+        # NOTE: the periodic drop only fires under --spark-only (sweep
+        # mode); oracle-compare runs ignore it.
         i = name_filter.index("--cache-drop-every")
+        if i + 1 >= len(name_filter) or not name_filter[i + 1].lstrip("-").isdigit():
+            print("usage: --cache-drop-every N  (integer; 0 disables)", file=sys.stderr)
+            return 2
         cache_drop_every = int(name_filter[i + 1])
         del name_filter[i : i + 2]
     done: set[str] = set()

@@ -67,13 +67,20 @@ def gen_tables(spark: SparkSession, sf: float) -> dict[str, DataFrame]:
     n_cust, n_supp, n_part = n["customer"], n["supplier"], n["part"]
     n_ord = n["orders"]
 
+    # Value domains MUST match the driver fixtures exactly — r12 found
+    # that lowercase nation_/region_ names made every n_name/r_name
+    # literal filter vacuously empty in local scale-up runs (the
+    # sweep/audit evidence for those queries was weaker than recorded).
+    region_names = ("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
     region = spark.range(5).select(
         F.col("id").cast("int").alias("r_regionkey"),
-        F.concat(F.lit("region_"), F.col("id")).alias("r_name"),
+        F.element_at(
+            F.array(*[F.lit(r) for r in region_names]), (F.col("id") + 1).cast("int")
+        ).alias("r_name"),
     )
     nation = spark.range(25).select(
         F.col("id").cast("int").alias("n_nationkey"),
-        F.concat(F.lit("nation_"), F.col("id")).alias("n_name"),
+        F.concat(F.lit("NATION_"), F.col("id")).alias("n_name"),
         F.pmod(F.col("id"), F.lit(5)).cast("int").alias("n_regionkey"),
     )
     customer = spark.range(n_cust).select(
@@ -168,7 +175,7 @@ def gen_tables(spark: SparkSession, sf: float) -> dict[str, DataFrame]:
             F.col("id").alias("doc_id"),
             F.array_join(words, " ").alias("text"),
             F.element_at(
-                F.array(*[F.lit(lg) for lg in ("en", "es", "fr", "de", "pt")]),
+                F.array(*[F.lit(lg) for lg in ("en", "es", "fr", "de", "zh")]),
                 (F.pmod(h(F.col("id"), "dlang"), F.lit(5)) + 1).cast("int"),
             ).alias("lang"),
             F.concat(F.lit("src"), F.pmod(h(F.col("id"), "dsrc"), F.lit(20))).alias("source"),
@@ -204,10 +211,17 @@ def gen_tables(spark: SparkSession, sf: float) -> dict[str, DataFrame]:
 
 
 def main() -> None:
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--tables" in argv:
+        # regenerate a subset in place (e.g. after a value-domain fix)
+        i = argv.index("--tables")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf = float(argv[0]) if argv else 1.0
     out = (
-        sys.argv[2]
-        if len(sys.argv) > 2
+        argv[1]
+        if len(argv) > 1
         else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), f"testdata_local/sf{sf}")
     )
     from rag_application_with_vectordb_spark.session import get_spark
@@ -215,6 +229,8 @@ def main() -> None:
     spark = get_spark("gen-sf")
     os.makedirs(out, exist_ok=True)
     for name, df in gen_tables(spark, sf).items():
+        if only is not None and name not in only:
+            continue
         # one .parquet path per table, like the driver fixtures (a
         # directory named <table>.parquet is read identically)
         df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
