@@ -214,8 +214,11 @@ def main() -> None:
     # guard could classify; the host the numbers were recorded on is
     # not the host they are compared on. cpu_ref lets the drift flag
     # separate "machine got slower" (total/cpu_ref stable) from "plans
-    # got slower" (total/cpu_ref up). Median of 3 after one codegen
-    # warm-up pass.
+    # got slower" (total/cpu_ref up). MIN of 5 after one codegen
+    # warm-up pass: the minimum is the host's achievable throughput
+    # ceiling (jitter only ever ADDS time), and r12 measured the
+    # median-of-3 varying 47% run-to-run on a jittery host — useless
+    # as a normalizer.
     def _cpu_ref() -> float | None:
         try:
             job = lambda: spark.range(200_000_000).selectExpr(  # noqa: E731
@@ -223,11 +226,11 @@ def main() -> None:
             ).collect()
             job()  # codegen warm-up, untimed
             vals = []
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.time()
                 job()
                 vals.append(time.time() - t0)
-            return round(sorted(vals)[1], 3)
+            return round(min(vals), 3)
         except Exception:  # noqa: BLE001 — observability only
             return None
 
@@ -276,13 +279,34 @@ def main() -> None:
     norms = spread_norms(hist_path, sf_val_early)
     contended, noisy = detect_contention(spread, norms)
     remeasured = False
+    regime = "quiet"
     if contended:
         remeasured = True
+        total1 = sum(times.values())
         times2, spread2 = warm_set()
         contended2, noisy2 = detect_contention(spread2, norms)
-        if not contended2 or sum(times2.values()) < sum(times.values()):
+        total2 = sum(times2.values())
+        if not contended2 or total2 < total1:
             times, spread, contended, noisy = times2, spread2, contended2, noisy2
-    regime = "contended" if contended else "quiet"
+        if contended:
+            # Host-jitter reclassification (r12): TRANSIENT contention
+            # moves the total between back-to-back measurements; a host
+            # whose steady-state jitter simply exceeds the recorded
+            # family norms inflates SPREADS while REPRODUCING the
+            # total. r12's host change made 16/27 queries "noisy" at
+            # 5-20x the old host's norms on four consecutive runs whose
+            # totals agreed within 6% — stamping those contended would
+            # starve bench_history of new records and the norms could
+            # never recalibrate to the new host (a deadlock: only
+            # quiet-stamped runs append). Totals within 5% across the
+            # two warm sets => quiet-jittery: treated as quiet for
+            # history/baseline purposes, distinguishable in the
+            # artifact, and its (larger, real) spreads recalibrate the
+            # family norms for this host.
+            if total1 and abs(total2 - total1) / min(total1, total2) <= 0.05:
+                regime = "quiet-jittery"
+            else:
+                regime = "contended"
 
     # A query with zero successful warm passes would silently shrink the
     # headline total and break round-over-round comparability — report
@@ -399,7 +423,7 @@ def main() -> None:
     # only quiet fully-green runs become the next regression baseline —
     # a contended run's inflated medians would mask real regressions
     # (and its spreads would inflate every future family norm)
-    if not errors and not fully_failed and regime == "quiet":
+    if not errors and not fully_failed and regime in ("quiet", "quiet-jittery"):
         with open(hist_path, "a") as fh:
             fh.write(
                 json.dumps(

@@ -441,9 +441,9 @@ _sql_query(
 # preserves the shape — join + group + HAVING over a global scalar
 # subquery of the SAME aggregate, computed once and broadcast.
 
-_sql_query(
+@register(
     "q11_important_stock",
-    f"""
+    oracle=f"""
     WITH s_aug AS (
       SELECT s_suppkey, s_nationkey FROM supplier
       UNION ALL
@@ -457,33 +457,79 @@ _sql_query(
       SELECT l_partkey, l_suppkey + 100000000, l_extendedprice, l_quantity
       FROM lineitem WHERE l_orderkey % 20 = 0 AND l_linenumber = 1
     )
-    SELECT l_partkey,
-      CAST(SUM(CAST(l_extendedprice AS {_D}) * CAST(l_quantity AS {_D})) AS DOUBLE) AS stock_value
-    FROM l_aug
-    JOIN s_aug ON s_suppkey = l_suppkey
-    JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name = 'NATION_2'
-    GROUP BY l_partkey
-    HAVING CAST(SUM(CAST(l_extendedprice AS {_D}) * CAST(l_quantity AS {_D})) AS DOUBLE) > (
-      SELECT 0.001 * CAST(SUM(CAST(l_extendedprice AS {_D}) * CAST(l_quantity AS {_D})) AS DOUBLE)
+    , pp AS (
+      SELECT l_partkey,
+        SUM(CAST(l_extendedprice AS {_D}) * CAST(l_quantity AS {_D})) AS sv
       FROM l_aug
       JOIN s_aug ON s_suppkey = l_suppkey
       JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_2'
+      GROUP BY l_partkey
     )
+    SELECT l_partkey, CAST(sv AS DOUBLE) AS stock_value
+    FROM pp
+    WHERE CAST(sv AS DOUBLE) > 0.5 * (SELECT CAST(MAX(sv) AS DOUBLE) FROM pp)
     """,
-    doc="TPC-H Q11 shape: per-part value vs a fraction of the global total "
-    "— the inner scalar subquery evaluates once (one extra pass) and "
-    "broadcasts as a literal into the HAVING; both passes share the "
-    "broadcast supplier⋈nation dim filter. Decimal-exact sums both sides. "
-    "The smallest fixture has zero NATION_2 suppliers (organically empty), "
-    "so the query PLANTS a NATION_2-re-keyed clone of every supplier "
-    "(+1e8) plus one lineitem per 20th order remapped onto the clones: "
-    "the green row proves the join+HAVING shape at every SF, not absence. "
-    "The threshold stays self-bounding (at most 1000 parts can each "
-    "exceed 0.1%% of the total).",
+    doc="TPC-H Q11 shape: per-part value vs a global scalar-subquery "
+    "threshold. Q11's official fraction shrinks with SF (0.0001/SF) — "
+    "unknowable in-query — so a fixed fraction goes 0-rows once parts "
+    "multiply (organic 0.1% was empty by sf0.1); the scale-free "
+    "analogue used here is HALF THE MAX per-part value: nonempty at "
+    "every SF by construction (the max part always qualifies), "
+    "selective (11/52/307/564/2489 rows at sf0.001/0.01/0.1/1/10), and "
+    "0.5x is a power of two so the threshold double is exact in both "
+    "engines. The oracle spells the two-pass scalar-subquery form; the "
+    "Spark plan joins and aggregates ONCE, persists the small per-part "
+    "aggregate (#NATION_2-parts rows, released via track_persist), and "
+    "derives the threshold from it with a broadcast 1-row cross join — "
+    "2 effective fact scans (organic + planted branch), the plan you'd "
+    "want at 100 TB. Decimal-exact sums until the final display cast. "
+    "The smallest fixture has zero NATION_2 suppliers (organically "
+    "empty), so the query PLANTS a NATION_2-re-keyed clone of every "
+    "supplier (+1e8) plus one lineitem per 20th order remapped onto the "
+    "clones: the green row proves the join+threshold shape at every SF, "
+    "not absence.",
     tags=("relational", "subquery"),
 )
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import track_persist
+
+    tune(spark)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber",
+    )
+    n2 = nation.filter(F.col("n_name") == "NATION_2").select("n_nationkey")
+    s_aug = supplier.unionByName(
+        supplier.crossJoin(F.broadcast(n2)).select(
+            (F.col("s_suppkey") + F.lit(100000000)).alias("s_suppkey"),
+            F.col("n_nationkey").alias("s_nationkey"),
+        )
+    )
+    l_aug = lineitem.unionByName(
+        lineitem.filter(
+            (F.col("l_orderkey") % 20 == 0) & (F.col("l_linenumber") == 1)
+        ).withColumn("l_suppkey", F.col("l_suppkey") + F.lit(100000000))
+    ).select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    n2_suppliers = s_aug.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_2")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    value = F.col("l_extendedprice").cast(_D) * F.col("l_quantity").cast(_D)
+    per_part = (
+        l_aug.join(F.broadcast(n2_suppliers), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(value).alias("sv"))
+    )
+    per_part = track_persist(per_part.persist())
+    total = per_part.agg((F.lit(0.5) * F.max("sv").cast("double")).alias("threshold"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("sv").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.col("sv").cast("double").alias("stock_value"))
+    )
 
 
 # --- Q13: customer order-count distribution (outer join + double agg) ----------

@@ -83,3 +83,47 @@ def test_detect_contention_floor_absorbs_submillisecond_norms():
 def test_detect_contention_no_history_never_contended():
     ok, noisy = bench.detect_contention({"q1": 99.0}, {})
     assert not ok and not noisy
+
+
+def test_history_anchor_best_quiet_record(tmp_path):
+    p = tmp_path / "hist.jsonl"
+    rows = [
+        {"sf": 0.1, "value": 20.0, "queries": {"q1": 2.0, "q2": 3.0}},
+        # contended records measure the machine — excluded from the anchor
+        {"sf": 0.1, "value": 10.0, "queries": {"q1": 1.0}, "regime": "contended"},
+        {"sf": 0.1, "value": 17.0, "queries": {"q1": 1.5, "q2": 4.0}, "cpu_ref": 0.2},
+        {"sf": 1.0, "value": 5.0, "queries": {"q1": 0.1}},  # other sf ignored
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    a = bench.history_anchor(str(p), 0.1)
+    assert a["best_total"] == 17.0  # the contended 10.0 does not win
+    assert a["best_cpu_ref"] == 0.2
+    assert a["n_records"] == 2
+    # per-query best spans all quiet records, not just the best-total one
+    assert a["best_queries"] == {"q1": 1.5, "q2": 3.0}
+    assert bench.history_anchor(str(tmp_path / "missing.jsonl"), 0.1) is None
+
+
+def test_history_anchor_rolling_window(tmp_path):
+    p = tmp_path / "hist.jsonl"
+    rows = [{"sf": 0.1, "value": 1.0, "queries": {"q": 1.0}}] + [
+        {"sf": 0.1, "value": 30.0 + i, "queries": {"q": 30.0}} for i in range(12)
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    a = bench.history_anchor(str(p), 0.1, n=12)
+    # the ancient 1.0s record fell out of the 12-record window — the
+    # anchor tracks the recent best, not the all-time best (a fixture
+    # or catalog change legitimately moves the attainable floor)
+    assert a["best_total"] == 30.0
+
+
+def test_audit_sf1_heavy_rotation_never_proven_first(tmp_path, monkeypatch):
+    import tools.audit_sf1 as audit
+
+    monkeypatch.setattr(audit, "LEDGER", str(tmp_path / "ledger.json"))
+    heavy = {"b_old": None, "a_never": None, "c_oldest": None, "d_new": None}
+    (tmp_path / "ledger.json").write_text(
+        json.dumps({"b_old": 9, "c_oldest": 8, "d_new": 11})
+    )
+    # never-proven first, then oldest round, alphabetical tiebreak
+    assert audit.pick_heavy(heavy, 3) == ["a_never", "c_oldest", "b_old"]

@@ -210,6 +210,57 @@ def gen_tables(spark: SparkSession, sf: float) -> dict[str, DataFrame]:
     }
 
 
+#: Categorical columns whose VALUE DOMAIN is contract surface: a
+#: literal-filter query (n_name = 'NATION_2', r_name = 'ASIA',
+#: lang = 'zh') against a wrong-domain fixture is vacuously empty in
+#: both engines — green, proving nothing (the r12 find: lowercase
+#: nation_/region_ names silently voided every such query's local
+#: scale-up evidence for three rounds). After writing, gen_sf checks
+#: each domain against the driver's smallest fixture and FAILS loudly
+#: on drift. Keys whose domains legitimately grow with sf (p_brand at
+#: tiny sf) use subset direction driver ⊆ generated ∪ generated ⊆
+#: driver as appropriate: these are all FIXED-cardinality domains, so
+#: exact equality is required.
+DOMAIN_COLS = (
+    ("region", "r_name"),
+    ("nation", "n_name"),
+    ("customer", "c_mktsegment"),
+    ("orders", "o_orderstatus"),
+    ("orders", "o_orderpriority"),
+    ("lineitem", "l_returnflag"),
+    ("lineitem", "l_linestatus"),
+    ("events", "event_type"),
+    ("part", "p_type"),
+    ("documents", "lang"),
+)
+
+
+def check_domains(spark: SparkSession, out: str, driver_dir: str = "/root/testdata/sf0.001") -> list[str]:
+    """Compare fixed-cardinality categorical domains against the driver
+    fixture; return a list of human-readable mismatches (empty = ok)."""
+    from pyspark.sql import functions as F  # local: keep module import light
+
+    problems: list[str] = []
+    for table, col in DOMAIN_COLS:
+        drv_path = os.path.join(driver_dir, f"{table}.parquet")
+        gen_path = os.path.join(out, f"{table}.parquet")
+        if not os.path.exists(drv_path) or not os.path.exists(gen_path):
+            continue
+        drv = {
+            r[0]
+            for r in spark.read.parquet(drv_path).select(col).distinct().collect()
+        }
+        gen = {
+            r[0]
+            for r in spark.read.parquet(gen_path).select(col).distinct().collect()
+        }
+        if drv != gen:
+            problems.append(
+                f"{table}.{col}: driver={sorted(drv)[:8]} generated={sorted(gen)[:8]}"
+            )
+    return problems
+
+
 def main() -> None:
     argv = list(sys.argv[1:])
     only: set[str] | None = None
@@ -235,7 +286,14 @@ def main() -> None:
         # directory named <table>.parquet is read identically)
         df.write.mode("overwrite").parquet(os.path.join(out, f"{name}.parquet"))
         print("wrote", name)
+    problems = check_domains(spark, out)
     spark.stop()
+    if problems:
+        print("DOMAIN DRIFT vs driver fixture (literal-filter queries would be vacuous):")
+        for p in problems:
+            print("  " + p)
+        raise SystemExit(1)
+    print("domain parity vs driver fixture: ok")
 
 
 if __name__ == "__main__":
