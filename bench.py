@@ -129,6 +129,7 @@ def history_anchor(hist_path: str, sf_val, n: int = 12) -> dict | None:
         return None
     with_total = [r for r in recs if isinstance(r.get("value"), (int, float))]
     best_rec = min(with_total, key=lambda r: r["value"]) if with_total else None
+    best_job = best_rec.get("cpu_ref_job") if best_rec else None
     best_q: dict[str, float] = {}
     for r in recs:
         for k, v in r["queries"].items():
@@ -137,6 +138,7 @@ def history_anchor(hist_path: str, sf_val, n: int = 12) -> dict | None:
     return {
         "best_total": best_rec["value"] if best_rec else None,
         "best_cpu_ref": best_rec.get("cpu_ref") if best_rec else None,
+        "best_cpu_ref_job": best_job,
         "n_records": len(recs),
         "best_queries": best_q,
     }
@@ -214,19 +216,26 @@ def main() -> None:
     # guard could classify; the host the numbers were recorded on is
     # not the host they are compared on. cpu_ref lets the drift flag
     # separate "machine got slower" (total/cpu_ref stable) from "plans
-    # got slower" (total/cpu_ref up). MIN of 5 after one codegen
-    # warm-up pass: the minimum is the host's achievable throughput
-    # ceiling (jitter only ever ADDS time), and r12 measured the
-    # median-of-3 varying 47% run-to-run on a jittery host — useless
-    # as a normalizer.
+    # got slower" (total/cpu_ref up). MIN after one codegen warm-up
+    # pass: the minimum is the host's achievable throughput ceiling
+    # (jitter only ever ADDS time). Sizing lesson (late r12): the
+    # original 200M-row reference ran ~0.15-0.35 s — task-scheduling
+    # noise territory — and its min-of-5 still swung 2.1x between two
+    # same-host quiet runs, which blew drift_vs_best_normalized to 2.6
+    # on a run whose RAW drift was 1.14. A 1G-row reference (~1 s+)
+    # amortizes per-task overhead; cpu_ref_job tags the workload so
+    # normalization only ever compares like with like (records with a
+    # different/absent tag fall back to the raw gate).
+    CPU_REF_JOB = "range1e9_sumsq7_min3"
+
     def _cpu_ref() -> float | None:
         try:
-            job = lambda: spark.range(200_000_000).selectExpr(  # noqa: E731
+            job = lambda: spark.range(1_000_000_000).selectExpr(  # noqa: E731
                 "sum(id * id % 7) AS s"
             ).collect()
             job()  # codegen warm-up, untimed
             vals = []
-            for _ in range(5):
+            for _ in range(3):
                 t0 = time.time()
                 job()
                 vals.append(time.time() - t0)
@@ -339,15 +348,24 @@ def main() -> None:
         drift_vs_best = round(total / anchor["best_total"], 3)
         # machine-speed-normalized drift: ratio of plan-work per unit of
         # machine throughput. Only computable when BOTH records carry a
-        # cpu_ref (r12+); when present, IT gates the flag — raw drift
-        # against a faster former host is the machine's fault, not the
-        # plans' (the r12 adjudication: raw 1.45x, every query uniformly
-        # up, boot id changed between records).
-        if cpu_ref and anchor.get("best_cpu_ref"):
+        # cpu_ref from the SAME reference workload (cpu_ref_job match —
+        # late-r12 fix: the 200M-row reference was itself 2x-noisy, and
+        # normalizing against it false-fired at 2.6 on a raw-1.14 run).
+        # The flag needs BOTH gates over the bar: raw alone false-fires
+        # on a host change (the r12 adjudication: raw 1.45x, every query
+        # uniformly up, boot id changed between records) and normalized
+        # alone false-fires on reference noise; a real plan regression
+        # moves both. When normalization is unavailable, raw gates by
+        # itself — the conservative pre-cpu_ref behavior.
+        if cpu_ref and anchor.get("best_cpu_ref") and (
+            anchor.get("best_cpu_ref_job") == CPU_REF_JOB
+        ):
             drift_norm = round(
                 (total / cpu_ref) / (anchor["best_total"] / anchor["best_cpu_ref"]), 3
             )
-        drift_flag = (drift_norm if drift_norm is not None else drift_vs_best) > 1.25
+        drift_flag = drift_vs_best > 1.25 and (
+            drift_norm is None or drift_norm > 1.25
+        )
         if drift_flag:
             deltas = {
                 q: round(t - anchor["best_queries"][q], 3)
@@ -377,6 +395,7 @@ def main() -> None:
             "drift_movers": drift_movers,
             "drift_anchor_n": anchor["n_records"] if anchor else 0,
             "cpu_ref": cpu_ref,
+            "cpu_ref_job": CPU_REF_JOB,
             "regime": regime,
             "contention_remeasured": remeasured,
             "noisy_queries": noisy,
@@ -406,6 +425,7 @@ def main() -> None:
             "drift_vs_best_normalized": drift_norm,
             "drift_flag": drift_flag,
             "cpu_ref": cpu_ref,
+            "cpu_ref_job": CPU_REF_JOB,
             "regime": regime,
             "cold_total": round(sum(v for v in cold.values() if v is not None), 3),
             "index_prebuilt": index_prebuilt,
@@ -444,6 +464,7 @@ def main() -> None:
                         # machine-speed reference for cross-host drift
                         # normalization (r12; see _cpu_ref above)
                         "cpu_ref": cpu_ref,
+            "cpu_ref_job": CPU_REF_JOB,
                         "regime": regime,
                     }
                 )

@@ -1657,26 +1657,120 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cross-engine 1M-corpus generator (r12) ---------------------------------
+#
+# Until r12 the two 1M scale demos generated their vectors with
+# ``xxhash64`` — engine-side only, so they were the catalog's last two
+# oracle-less entries. This quadratic mix over the 2^31-1 prime field
+# replaces it: only BIGINT +/*/% with every intermediate < 2^62, hence
+# exact and overflow-free in BOTH Spark (Java long wraps never needed)
+# and DuckDB (which raises on BIGINT overflow) — the corpus, and
+# therefore the demos' top-k results, are now value-checked cross-engine
+# like every other catalog query. Design notes: two SQUARING rounds are
+# the nonlinearity — a Lehmer-style multiplicative chain is linear in
+# the seed, which collapsed the corpus into a lattice (measured:
+# literally identical vectors 279117 ids apart); with the quadratic mix
+# the pairwise-cosine spread over the corpus is a clean zero-centred
+# bell (σ≈0.12, no duplicate top-k).
+#
+# Cost honesty: cross-engine checkability is NOT free on this
+# generation-dominated microbench. HOF lambdas evaluate INTERPRETED
+# (array transforms never enter whole-stage codegen), so every
+# expression node in the component formula is paid 64M times; xxhash64
+# was ONE native call where the mix is ~10 arithmetic nodes. Measured
+# warm at the 1M corpus: xxhash64 ~2.2 s → naive mix 4.3 s → 2.9-3.0 s
+# after two value-preserving rewrites below (the scoring path the demo
+# actually benchmarks is unchanged; the ~0.7 s residual is the price of
+# the oracle). The rewrites, both exact-value-neutral:
+#   1. per-row seed id*65537 HOISTED into a projected column — inline
+#      it in the lambda and it re-evaluates per element;
+#   2. the per-element term salt + j*8191 folded into a 64-int LITERAL
+#      array that transform() iterates directly (no sequence(), no
+#      per-element multiply);
+#   3. plain % instead of pmod — operands provably nonnegative, same
+#      values, no per-element branch.
+_B1M_MIXP = 2147483647  # 2^31 - 1, prime; squares stay < 2^62
+
+
+def _b1m_val(h1):
+    """ONE vector component in [-1, 1) from the first-round mix value
+    ``h1`` (caller computes ``(seed + elem) % P``)."""
+    h2 = (h1 * h1 + h1 + F.lit(41)) % F.lit(_B1M_MIXP)
+    h3 = (h2 * h2 + F.lit(17)) % F.lit(_B1M_MIXP)
+    return ((h3 % F.lit(2000)) - 1000).cast("double") / 1000.0
+
+
+def _b1m_seed(idx):
+    """Per-row stream seed ``id*65537``. MUST be materialized as a
+    projected column before the transform() when idx spans many rows —
+    a column reference inside the lambda costs one bound lookup per
+    element, while the inline multiply would re-evaluate per element
+    (measured: 0.5 s of the 4.3→2.9 s recovery)."""
+    return idx * 65537
+
+
+def _b1m_vec(seed, salt, dim=64):
+    """A whole generated vector (Spark) from a (materialized) stream
+    seed. Distinct ``salt`` = distinct independent stream (12345
+    noise/uniform corpus, 54321 centroids). The j-dependent term is a
+    literal int array, so the lambda body is add, 3 mods, 2 squares."""
+    elems = F.lit([salt + j * 8191 for j in range(dim)])
+    return F.transform(
+        elems, lambda e: _b1m_val((seed + e) % F.lit(_B1M_MIXP))
+    )
+
+
+def _b1m_vec_sql(id_expr: str, salt: int, dim: int = 64) -> str:
+    """DuckDB twin of ``_b1m_vec`` — bitwise-identical doubles (integer
+    mix is exact in both engines; k/1000.0 is one correctly-rounded IEEE
+    division of the same integer in both)."""
+    return (
+        f"list_transform(list_transform(list_transform(range(0, {dim}), "
+        f"j -> (({id_expr})*65537 + j*8191 + {salt}) % {_B1M_MIXP}), "
+        f"h -> (h*h + h + 41) % {_B1M_MIXP}), "
+        f"h -> (((h*h + 17) % {_B1M_MIXP}) % 2000 - 1000) / 1000.0)"
+    )
+
+
+_B1M_COSINE = (
+    "list_dot_product(embedding, qvec) / "
+    "(sqrt(list_dot_product(embedding, embedding)) * "
+    "sqrt(list_dot_product(qvec, qvec)))"
+)
+
+
 @register(
     "bench_knn_1m",
-    oracle=None,  # scale demo: the 1M-row corpus is generated in-query;
-    # the same cosine/top-k path is oracle-checked on the fixtures.
+    oracle=f"""
+    WITH corpus AS (
+      SELECT range AS vec_id, {_b1m_vec_sql('range', 12345)} AS embedding
+      FROM range(1000000)
+    ),
+    q AS (SELECT embedding AS qvec FROM corpus WHERE vec_id = 0)
+    SELECT corpus.vec_id, {_B1M_COSINE} AS similarity
+    FROM corpus, q
+    ORDER BY similarity DESC, vec_id ASC
+    LIMIT 10
+    """,
     doc="Scale-posture demo: exact cosine top-10 over a generated "
-    "1M-row×64-dim corpus (deterministic xxhash64 vectors, zero I/O) — "
-    "shows the scoring path's raw throughput and that TakeOrderedAndProject "
-    "holds at 3 orders of magnitude above the fixtures.",
+    "1M-row×64-dim corpus (deterministic prime-field mix vectors, zero "
+    "I/O) — shows the scoring path's raw throughput and that "
+    "TakeOrderedAndProject holds at 3 orders of magnitude above the "
+    "fixtures. Since r12 the generator is cross-engine exact (see the "
+    "section comment), so even this demo is full-value oracle-checked: "
+    "DuckDB regenerates the same 1M corpus and must produce the same "
+    "top-10 ids AND bitwise-equal similarities.",
     tags=("ann", "bench"),
 )
 def bench_knn_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
-    n, dim = 1_000_000, 64
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(2000)) - 1000).cast("double") / 1000.0,
+    n = 1_000_000
+    corpus = (
+        spark.range(n)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("id").alias("vec_id"), _b1m_seed(F.col("id")).alias("__seed"))
+        .select("vec_id", _b1m_vec(F.col("__seed"), 12345).alias("embedding"))
     )
-    corpus = spark.range(n).repartition(
-        spark.sparkContext.defaultParallelism
-    ).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
     q = corpus.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     from ..functions.vector import dot, l2_norm
 
@@ -2517,7 +2611,8 @@ _B1M_N, _B1M_DIM, _B1M_K = 1_000_000, 64, 64
 _B1M_NOISE = 0.35
 _B1M_NPROBE = 4
 _B1M_TOPK = 10
-_B1M_VERSION = "v3"  # bump to invalidate the on-disk index
+_B1M_VERSION = "v4"  # bump to invalidate the on-disk index (v4: the
+# r12 cross-engine prime-field generator replaced xxhash64)
 
 
 def _b1m_store() -> str:
@@ -2525,34 +2620,40 @@ def _b1m_store() -> str:
 
 
 def _b1m_centroids(spark: SparkSession) -> list[list[float]]:
-    """The 64 planted centroid vectors, computed via ONE 64-row job (the
-    xxhash64 generator only exists engine-side)."""
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(_B1M_DIM - 1)),
-        lambda j: (F.pmod(F.xxhash64(F.lit("cent"), F.col("id"), j), F.lit(2000)) - 1000).cast("double") / 1000.0,
-    )
+    """The 64 planted centroid vectors, computed via ONE 64-row job.
+    Salt 54321 = the centroid stream of the shared cross-engine mix
+    (``_b1m_vec``), so the IVF oracle can regenerate them in DuckDB."""
+    vec = _b1m_vec(_b1m_seed(F.col("id")), 54321, _B1M_DIM)  # 64 rows: no hoist needed
     rows = spark.range(_B1M_K).select(F.col("id"), vec.alias("cvec")).collect()
     rows.sort(key=lambda r: r["id"])
     return [[float(x) for x in r["cvec"]] for r in rows]
 
 
+def _b1m_cluster(idx):
+    """Planted cluster id in [0, 64): scalar stream of the shared mix
+    (salt 99991). Spark side; ``_b1m_cluster_sql`` stages the same
+    arithmetic in the DuckDB oracle."""
+    a = F.pmod(idx * 65537 + F.lit(99991), F.lit(_B1M_MIXP))
+    b = F.pmod(a * a + a + F.lit(41), F.lit(_B1M_MIXP))
+    c = F.pmod(b * b + F.lit(17), F.lit(_B1M_MIXP))
+    return F.pmod(c, F.lit(_B1M_K)).cast("int")
+
+
 def _b1m_corpus(spark: SparkSession, cents: list[list[float]], n: int) -> DataFrame:
     """``(vec_id, embedding)``: n vectors, 64 planted clusters —
-    ``emb(i) = cent[xxhash(i) % 64] + 0.35 * hashnoise(i)``."""
-    cl = F.pmod(F.xxhash64(F.lit("cl"), F.col("id")), F.lit(_B1M_K)).cast("int")
-    noise = F.transform(
-        F.sequence(F.lit(0), F.lit(_B1M_DIM - 1)),
-        lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(2000)) - 1000).cast("double") / 1000.0,
-    )
+    ``emb(i) = cent[cluster(i)] + 0.35 * noise(i)`` over the
+    cross-engine mix streams (noise salt 12345, cluster salt 99991)."""
+    noise = _b1m_vec(F.col("__seed"), 12345, _B1M_DIM)
     emb = F.zip_with(
-        F.element_at(lit_double_matrix(cents), cl + 1),
+        F.element_at(lit_double_matrix(cents), _b1m_cluster(F.col("vec_id")) + 1),
         noise,
         lambda a, b: a + F.lit(float(_B1M_NOISE)) * b,
     )
     return (
         spark.range(n)
         .repartition(spark.sparkContext.defaultParallelism)
-        .select(F.col("id").alias("vec_id"), emb.alias("embedding"))
+        .select(F.col("id").alias("vec_id"), _b1m_seed(F.col("id")).alias("__seed"))
+        .select("vec_id", emb.alias("embedding"))
     )
 
 
@@ -2632,9 +2733,33 @@ def _b1m_serve(spark: SparkSession, store: str, qvec: list[float] | None = None)
 
 @register(
     "bench_knn_1m_ivf",
-    oracle=None,  # scale demo over a generated corpus (like bench_knn_1m);
-    # the IVF probe machinery itself is oracle-checked at fixture scale
-    # and on the clustered 512-corpus.
+    oracle=f"""
+    WITH cents AS (
+      SELECT range AS k, {_b1m_vec_sql('range', 54321)} AS cvec
+      FROM range(64)
+    ),
+    base0 AS (
+      SELECT range AS vec_id, (range*65537 + 99991) % {_B1M_MIXP} AS a,
+             {_b1m_vec_sql('range', 12345)} AS nvec
+      FROM range(1000000)
+    ),
+    base1 AS (SELECT vec_id, (a*a + a + 41) % {_B1M_MIXP} AS b, nvec FROM base0),
+    base AS (SELECT vec_id, ((b*b + 17) % {_B1M_MIXP}) % 64 AS cl, nvec FROM base1),
+    corpus AS (
+      SELECT vec_id,
+             list_transform(range(1, 65), i -> cvec[i] + 0.35e0 * nvec[i]) AS embedding
+      FROM base JOIN cents ON base.cl = cents.k
+    ),
+    q AS (SELECT embedding AS qvec FROM corpus WHERE vec_id = 0)
+    SELECT corpus.vec_id, {_B1M_COSINE} AS similarity
+    FROM corpus, q
+    ORDER BY similarity DESC, vec_id ASC
+    LIMIT 10
+    """,
+    # The oracle is the EXACT scan over the regenerated clustered corpus:
+    # a hash-green row therefore asserts probed-recall@10 == 1.0 with
+    # bitwise-equal similarities — strictly stronger than the pytest
+    # recall pin, and only possible since the r12 cross-engine generator.
     doc="Scale demo: top-10 over a 1M x 64 generated clustered corpus "
     "through a persisted IVF index — probe 4 of 64 partition-pruned "
     "lists, exact cosine over the ~6% of rows that survive. First call "
