@@ -328,3 +328,81 @@ def test_bench1m_store_append_serves_without_rebuild(spark):
         assert abs(got[0]["similarity"] - 1.0) < 1e-12
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+def _b1m_mix_ref(i: int, j: int, salt: int) -> float:
+    """Pure-Python reference of the r12 cross-engine corpus mix
+    (arbitrary-precision ints, so any silent overflow or reassociation
+    in either engine shows up as a bitwise mismatch)."""
+    p = 2147483647
+    h1 = (i * 65537 + salt + j * 8191) % p
+    h2 = (h1 * h1 + h1 + 41) % p
+    h3 = (h2 * h2 + 17) % p
+    return ((h3 % 2000) - 1000) / 1000.0
+
+
+def test_bench1m_generator_cross_engine_bitwise(spark):
+    """The 1M demos' oracles rest on ONE claim: Spark, DuckDB, and exact
+    integer arithmetic all produce the SAME doubles for the generated
+    corpus. Pin it for both streams (noise 12345, centroids 54321) and
+    the cluster assignment, on ids spanning the corpus range — == on
+    floats, no tolerance."""
+    import duckdb
+
+    from rag_application_with_vectordb_spark.plans import ann_queries as aq
+
+    ids = [0, 1, 63, 999_983, 999_999]
+    for salt in (12345, 54321):
+        expect = {i: [_b1m_mix_ref(i, j, salt) for j in range(64)] for i in ids}
+        got_spark = {
+            r["id"]: [float(x) for x in r["v"]]
+            for r in spark.range(1_000_000)
+            .filter(F.col("id").isin(ids))
+            .select("id", aq._b1m_vec(aq._b1m_seed(F.col("id")), salt).alias("v"))
+            .collect()
+        }
+        assert got_spark == expect, f"spark mismatch salt={salt}"
+        sql = (
+            f"SELECT range AS id, {aq._b1m_vec_sql('range', salt)} AS v "
+            f"FROM range(1000000) WHERE id IN ({','.join(map(str, ids))})"
+        )
+        got_duck = {i: list(v) for i, v in duckdb.sql(sql).fetchall()}
+        assert got_duck == expect, f"duckdb mismatch salt={salt}"
+    # cluster-assignment stream (salt 99991, scalar)
+    p = 2147483647
+    def cl_ref(i):
+        a = (i * 65537 + 99991) % p
+        b = (a * a + a + 41) % p
+        return ((b * b + 17) % p) % 64
+    got_cl = {
+        r["id"]: r["cl"]
+        for r in spark.range(1_000_000)
+        .filter(F.col("id").isin(ids))
+        .select("id", aq._b1m_cluster(F.col("id")).alias("cl"))
+        .collect()
+    }
+    assert got_cl == {i: cl_ref(i) for i in ids}
+
+
+def test_bench1m_clustered_embedding_matches_python_fold(spark):
+    """_b1m_corpus's embedding must equal cent[cl] + 0.35*noise computed
+    in Python over the same streams — the exact formula the IVF oracle
+    re-expresses in SQL."""
+    from rag_application_with_vectordb_spark.plans import ann_queries as aq
+
+    cents = aq._b1m_centroids(spark)
+    got = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in aq._b1m_corpus(spark, cents, 1000)
+        .filter(F.col("vec_id").isin([0, 7, 999]))
+        .collect()
+    }
+    p = 2147483647
+    for i, emb in got.items():
+        a = (i * 65537 + 99991) % p
+        b = (a * a + a + 41) % p
+        cl = ((b * b + 17) % p) % 64
+        expect = [
+            cents[cl][j] + 0.35 * _b1m_mix_ref(i, j, 12345) for j in range(64)
+        ]
+        assert emb == expect, i
