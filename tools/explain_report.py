@@ -27,8 +27,12 @@ ANNOTATED = {
     "per-partition partial top-k so no single reducer sees a full query "
     "scan (auto; plan-asserted in tests/test_knn.py).",
     "bench_knn_1m": "Zero-I/O generated corpus spread across "
-    "defaultParallelism partitions; cosine entirely in whole-stage "
-    "codegen; TakeOrderedAndProject caps movement at 10 rows/partition.",
+    "defaultParallelism partitions; the two stacked Projects on the "
+    "probe side are deliberate — the per-row generator seed is "
+    "materialized BEFORE the array transform so the (interpreted) HOF "
+    "lambda pays one bound lookup per element instead of re-evaluating "
+    "the row term 64x; TakeOrderedAndProject caps movement at 10 "
+    "rows/partition.",
     "ann_lsh_topk": "Per-row bucket expression (no shuffle to bucket), "
     "broadcast query side, bucket equi-join replaces the cross join — "
     "candidates shrink ~2^n_planes.",
