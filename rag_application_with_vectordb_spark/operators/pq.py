@@ -49,6 +49,8 @@ __all__ = [
     "pq_residuals",
     "ann_ivfadc_topk",
     "pq_reconstruct",
+    "pq_encode_col",
+    "pq_reconstruct_col",
 ]
 
 
@@ -140,9 +142,20 @@ def pq_encode(
 
     One corpus scan, per-row expressions only — the index-build pass.
     """
+    return emb.select(
+        F.col(id_col), pq_encode_col(codebook, F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_encode_col(codebook: list[list[list[float]]], vec: Column) -> Column:
+    """The codes expression (``array<int>[m]``) for one vector column —
+    the per-row body of :func:`pq_encode`, exposed so monitors can fuse
+    encode with downstream per-row math in a single projection instead
+    of paying a corpus self-join (``pq_reconstruction_error`` at sf10:
+    the joined form shuffled two 64-double arrays per vector)."""
     m = len(codebook)
     sub = len(codebook[0][0])
-    v = as_double(F.col(vec_col))
+    v = as_double(vec)
     codes = []
     for s in range(m):
         sv = F.slice(v, s * sub + 1, sub)
@@ -156,7 +169,7 @@ def pq_encode(
         # 1-based position of the max → 0-based code; array_position takes
         # the FIRST max, giving the deterministic smallest-code tiebreak
         codes.append((F.array_position(dots, F.array_max(dots)) - 1).cast("int"))
-    return emb.select(F.col(id_col), F.array(*codes).alias("codes"))
+    return F.array(*codes)
 
 
 def pq_adc_topk(
@@ -371,14 +384,22 @@ def pq_reconstruct(
 ) -> DataFrame:
     """Decode codes back to the quantized vector (codeword concat) —
     the reconstruction whose error measures codebook quality."""
+    return codes.select(
+        F.col(id_col), pq_reconstruct_col(codebook, F.col("codes")).alias("recon")
+    )
+
+
+def pq_reconstruct_col(codebook: list[list[list[float]]], codes: Column) -> Column:
+    """The reconstructed-vector expression for one codes column — the
+    per-row body of :func:`pq_reconstruct` (see :func:`pq_encode_col`
+    for why the column form exists)."""
     cb = _codebook_lit(codebook)
     m = len(codebook)
-    recon = F.flatten(
+    return F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.lit(m - 1)),
             lambda s: F.element_at(
-                F.element_at(cb, s + 1), F.element_at(F.col("codes"), s + 1) + 1
+                F.element_at(cb, s + 1), F.element_at(codes, s + 1) + 1
             ),
         )
     )
-    return codes.select(F.col(id_col), recon.alias("recon"))

@@ -1635,22 +1635,25 @@ def ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codeword reconstruction; returns the 20 WORST reconstructions "
     "(deterministic order — no fp-order-dependent global mean). On the "
     "near-uniform fixtures first-C codebooks reconstruct poorly by "
-    "design; the monitor is what a trained-codebook upgrade would move.",
+    "design; the monitor is what a trained-codebook upgrade would move. "
+    "Plan: encode→reconstruct→cosine FUSED into one projection over the "
+    "corpus (pq_encode_col/pq_reconstruct_col) + TakeOrderedAndProject — "
+    "the r12 sweep caught the previous pq_encode→pq_reconstruct→join "
+    "form shuffle-joining two 64-double arrays per vector on vec_id "
+    "(173.9 s for 20 rows at sf10); same expressions, zero shuffles now.",
     tags=("ann", "approx"),
 )
 def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.pq import pq_encode, pq_reconstruct
+    from ..operators.pq import pq_encode_col, pq_reconstruct_col
     from ..functions.vector import cosine_sim
 
     tune(spark)
     emb, cb = _pq_codebook(spark, sf_dir)
-    codes = pq_encode(emb, cb)
-    recon = pq_reconstruct(codes, cb)
-    joined = emb.select("vec_id", "embedding").join(recon, "vec_id")
+    recon = pq_reconstruct_col(cb, pq_encode_col(cb, F.col("embedding")))
     return (
-        joined.select(
+        emb.select(
             "vec_id",
-            cosine_sim(F.col("embedding"), F.col("recon")).alias("recon_cosine"),
+            cosine_sim(F.col("embedding"), recon).alias("recon_cosine"),
         )
         .orderBy(F.asc("recon_cosine"), F.asc("vec_id"))
         .limit(20)

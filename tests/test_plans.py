@@ -625,3 +625,52 @@ def test_geo_radius_blocking_survives_join_reorder(spark, sf_dir, specs):
     # require the attribute-reference forms ncell#N and a bare cell#N
     assert re.search(r"\bncell#\d+", plan)  # probe-side neighbor key
     assert re.search(r"(?<![a-z_])cell#\d+", plan)  # build-side cell key
+
+
+def test_pq_reconstruction_error_is_single_scan_no_join(spark, sf_dir, specs):
+    # r12 sweep find: the pq_encode→pq_reconstruct→join form shuffle-joined
+    # two 64-double arrays per corpus vector on vec_id (173.9 s for 20 rows
+    # at sf10). The fused pq_encode_col/pq_reconstruct_col projection is the
+    # pinned shape: one embeddings scan, per-row expressions, top-20 via
+    # TakeOrderedAndProject — zero joins, zero exchanges.
+    plan = plan_of(specs["pq_reconstruction_error"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pq_fused_columns_equal_operator_composition(spark, sf_dir):
+    # pq_encode_col/pq_reconstruct_col must be bit-identical to the
+    # DataFrame operators they were extracted from — the fused monitor's
+    # values may not drift from the oracle-proven composition.
+    import pyspark.sql.functions as F
+
+    from rag_application_with_vectordb_spark.operators.pq import (
+        pq_codebook_firstc,
+        pq_encode,
+        pq_encode_col,
+        pq_reconstruct,
+        pq_reconstruct_col,
+    )
+    from rag_application_with_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    cb = pq_codebook_firstc(emb, m=8, k=16, dim=64)
+    joined = {
+        r["vec_id"]: (r["codes"], r["recon"])
+        for r in pq_encode(emb, cb)
+        .join(pq_reconstruct(pq_encode(emb, cb), cb), "vec_id")
+        .collect()
+    }
+    fused = {
+        r["vec_id"]: (r["codes"], r["recon"])
+        for r in emb.select(
+            "vec_id",
+            pq_encode_col(cb, F.col("embedding")).alias("codes"),
+            pq_reconstruct_col(
+                cb, pq_encode_col(cb, F.col("embedding"))
+            ).alias("recon"),
+        ).collect()
+    }
+    assert fused == joined
