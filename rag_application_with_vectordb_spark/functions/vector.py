@@ -43,6 +43,8 @@ __all__ = [
     "lit_doubles",
     "lit_double_matrix",
     "lit_longs",
+    "dot_fold_sql",
+    "norm_fold_sql",
 ]
 
 
@@ -138,6 +140,38 @@ def cosine_sim(a: Column, b: Column) -> Column:
         .when((na == 0.0) | (nb == 0.0), F.lit(0.0))
         .otherwise(dot(ad, bd) / (na * nb))
     )
+
+
+def dot_fold_sql(a: str, b: str, dim: int) -> str:
+    """SQL text of the UNROLLED sequential-fold dot product over two
+    ``dim``-wide array expressions — bitwise identical to :func:`dot`
+    (same ``0.0 + a[0]*b[0] + a[1]*b[1] + ...`` left-fold order; IEEE
+    addition chain unchanged), but as plain codegen-able arithmetic
+    instead of a ``zip_with``+``aggregate`` higher-order function.
+
+    WHY (r12 optimization round, guide §4.1): HOF lambdas never enter
+    whole-stage codegen — every element costs an interpreted expression
+    eval, measured ~10× the cost of the multiply-add itself on the 1M
+    generated-corpus demos. The unrolled form needs a statically known
+    ``dim`` and arrays that really have ``dim`` elements (ANSI mode
+    errors on out-of-range ``[]``); callers guarantee both.
+
+    NOTE for the caller's plan, not this expression: a fused
+    WholeStageCodegen stage containing hundreds of unrolled terms
+    exceeds HotSpot's huge-method JIT limit (the fused ``processNext``
+    cannot be split when inputs are codegen locals) and silently runs
+    in the bytecode interpreter — SLOWER than the HOF it replaced.
+    Plans built around these kernels disable whole-stage codegen for
+    their own execution (see ``bench_knn_1m``); the per-operator
+    UnsafeProjection path splits methods normally and JIT-compiles.
+    """
+    terms = "".join(f" + ({a})[{i}] * ({b})[{i}]" for i in range(int(dim)))
+    return f"(0.0D{terms})"
+
+
+def norm_fold_sql(a: str, dim: int) -> str:
+    """``SQRT(dot_fold_sql(a, a))`` — the unrolled :func:`l2_norm`."""
+    return f"SQRT({dot_fold_sql(a, a, dim)})"
 
 
 def cosine_sim_prenormed(a: Column, a_norm: Column, b: Column, b_norm: Column) -> Column:

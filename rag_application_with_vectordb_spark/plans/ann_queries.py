@@ -1716,11 +1716,81 @@ def _b1m_vec(seed, salt, dim=64):
     """A whole generated vector (Spark) from a (materialized) stream
     seed. Distinct ``salt`` = distinct independent stream (12345
     noise/uniform corpus, 54321 centroids). The j-dependent term is a
-    literal int array, so the lambda body is add, 3 mods, 2 squares."""
+    literal int array, so the lambda body is add, 3 mods, 2 squares.
+
+    This HOF Column form is kept for SMALL row counts (the 64-row
+    centroid job, parity tests): HOF lambdas evaluate interpreted, so
+    at corpus scale use :func:`_b1m_vectors` (bit-identical values,
+    pinned by ``test_b1m_leveled_matches_hof_bitwise``)."""
     elems = F.lit([salt + j * 8191 for j in range(dim)])
     return F.transform(
         elems, lambda e: _b1m_val((seed + e) % F.lit(_B1M_MIXP))
     )
+
+
+def _b1m_vectors(
+    df: DataFrame,
+    seed_sql: str,
+    salt: int,
+    dim: int = 64,
+    out: str = "embedding",
+    keep: tuple[str, ...] = ("vec_id",),
+) -> DataFrame:
+    """Corpus-scale twin of :func:`_b1m_vec`: the SAME prime-field mix
+    (identical integer ops, identical doubles) built as THREE stacked
+    64-column projections + one array() assembly instead of a
+    ``transform()`` lambda (r12 optimization round, guide §4.1).
+
+    WHY: HOF lambdas evaluate interpreted — at 1M×64 every expression
+    node in the component formula was paid 64M times in the expression
+    interpreter (measured 3.5 s warm for bench_knn_1m). Plain unrolled
+    arithmetic is codegen-able, and the LEVELED layout (h1 → h2 → v as
+    named columns) lets each round's result be computed once instead of
+    textually duplicating subtrees (CollapseProject keeps multi-use
+    aliases in their own Project). Each level's expressions are tiny,
+    so the per-operator UnsafeProjections JIT-compile; the plans built
+    on this builder disable whole-stage codegen for their own execution
+    (see ``bench_knn_1m``) because the FUSED stage would exceed
+    HotSpot's huge-method JIT limit and fall back to the bytecode
+    interpreter. Measured: generation 3.9 s → 0.44 s warm at 1M×64.
+
+    ``keep`` columns are carried through every level unchanged.
+    """
+    p = _B1M_MIXP
+    keep_l = list(keep)
+    h1 = [
+        f"(({seed_sql}) + {salt + j * 8191}) % {p} AS __h1_{j}" for j in range(dim)
+    ]
+    l1 = df.selectExpr(*keep_l, *h1)
+    h2 = [
+        f"(__h1_{j} * __h1_{j} + __h1_{j} + 41) % {p} AS __h2_{j}"
+        for j in range(dim)
+    ]
+    l2 = l1.selectExpr(*keep_l, *h2)
+    v = [
+        f"CAST(((__h2_{j} * __h2_{j} + 17) % {p}) % 2000 - 1000 AS DOUBLE)"
+        f" / 1000.0D AS __v_{j}"
+        for j in range(dim)
+    ]
+    l3 = l2.selectExpr(*keep_l, *v)
+    arr = "array(" + ",".join(f"__v_{j}" for j in range(dim)) + ")"
+    return l3.selectExpr(*keep_l, f"{arr} AS {out}")
+
+
+def _no_wscg(spark: SparkSession) -> None:
+    """Scope-disable whole-stage codegen for the CURRENT query's
+    execution (the wide unrolled-kernel plans above). Every other
+    query's ``tune()`` resets it to true (session.RUNTIME_CONF), so the
+    setting only covers the plan built right after this call. This is
+    NOT a local-mode tweak: on any JVM, one fused WholeStageCodegen
+    method holding ~200+ unrolled terms exceeds the 8 KB bytecode
+    huge-method JIT limit (and cannot be split while inputs are codegen
+    locals), so it executes in the interpreter — measured 3.9 s vs
+    0.8 s for the identical plan with per-operator codegen at 1M×64."""
+    try:
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    except Exception:  # noqa: BLE001 — locked conf: values unaffected
+        pass
 
 
 def _b1m_vec_sql(id_expr: str, salt: int, dim: int = 64) -> str:
@@ -1766,22 +1836,31 @@ _B1M_COSINE = (
     tags=("ann", "bench"),
 )
 def bench_knn_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 optimization round (guide §4.1/§2.4): the HOF generator +
+    # HOF cosine paid ~400 interpreted lambda evals per row (3.5 s
+    # warm); now generation is the leveled codegen-able mix
+    # (_b1m_vectors) and scoring the unrolled sequential fold
+    # (dot_fold_sql) — bit-identical values (oracle + pinned tests),
+    # 0.8 s warm. The round-robin repartition Exchange is gone too:
+    # spark.range already emits defaultParallelism balanced splits.
+    # Whole-stage codegen is scope-disabled for this plan (_no_wscg —
+    # the fused stage would run in the JVM bytecode interpreter).
     tune(spark)
-    n = 1_000_000
-    corpus = (
-        spark.range(n)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(F.col("id").alias("vec_id"), _b1m_seed(F.col("id")).alias("__seed"))
-        .select("vec_id", _b1m_vec(F.col("__seed"), 12345).alias("embedding"))
-    )
-    q = corpus.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
-    from ..functions.vector import dot, l2_norm
+    _no_wscg(spark)
+    from ..functions.vector import dot_fold_sql
 
-    scored = corpus.crossJoin(F.broadcast(q)).select(
-        "vec_id",
-        (dot(F.col("embedding"), F.col("qvec"))
-         / (l2_norm(F.col("embedding")) * l2_norm(F.col("qvec")))).alias("similarity"),
+    n = 1_000_000
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"), _b1m_seed(F.col("id")).alias("__seed")
     )
+    corpus = _b1m_vectors(base, "__seed", 12345)
+    q = corpus.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    sim = F.expr(
+        f"{dot_fold_sql('embedding', 'qvec', 64)}"
+        f" / (SQRT({dot_fold_sql('embedding', 'embedding', 64)})"
+        f" * SQRT({dot_fold_sql('qvec', 'qvec', 64)}))"
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select("vec_id", sim.alias("similarity"))
     return scored.orderBy(F.desc("similarity"), F.asc("vec_id")).limit(10)
 
 
@@ -2645,19 +2724,33 @@ def _b1m_cluster(idx):
 def _b1m_corpus(spark: SparkSession, cents: list[list[float]], n: int) -> DataFrame:
     """``(vec_id, embedding)``: n vectors, 64 planted clusters —
     ``emb(i) = cent[cluster(i)] + 0.35 * noise(i)`` over the
-    cross-engine mix streams (noise salt 12345, cluster salt 99991)."""
-    noise = _b1m_vec(F.col("__seed"), 12345, _B1M_DIM)
-    emb = F.zip_with(
-        F.element_at(lit_double_matrix(cents), _b1m_cluster(F.col("vec_id")) + 1),
-        noise,
-        lambda a, b: a + F.lit(float(_B1M_NOISE)) * b,
+    cross-engine mix streams (noise salt 12345, cluster salt 99991).
+
+    r12: noise generation and the centroid add are the leveled/unrolled
+    codegen-able forms (see :func:`_b1m_vectors`); the zip_with lambda
+    ``a + 0.35*b`` becomes per-element ``__cent[j] + 0.35D * __v_j`` —
+    identical IEEE ops per element, pinned bit-equal by
+    ``test_bench1m_clustered_embedding_matches_python_fold``. The
+    one-time index build drops from ~4 s to ~1 s of the cold path."""
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"), _b1m_seed(F.col("id")).alias("__seed")
     )
-    return (
-        spark.range(n)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .select(F.col("id").alias("vec_id"), _b1m_seed(F.col("id")).alias("__seed"))
-        .select("vec_id", emb.alias("embedding"))
+    noise = _b1m_vectors(base, "__seed", 12345, _B1M_DIM, out="__noise")
+    # keep=... carried __noise's element columns away; re-derive from the
+    # array: one Project holding the broadcast-size centroid lookup, one
+    # assembling the final array.
+    with_cent = noise.select(
+        "vec_id",
+        "__noise",
+        F.element_at(
+            lit_double_matrix(cents), _b1m_cluster(F.col("vec_id")) + 1
+        ).alias("__cent"),
     )
+    emb = "array(" + ",".join(
+        f"__cent[{j}] + {float(_B1M_NOISE)!r}D * __noise[{j}]"
+        for j in range(_B1M_DIM)
+    ) + ")"
+    return with_cent.selectExpr("vec_id", f"{emb} AS embedding")
 
 
 def _b1m_build_index(spark: SparkSession, store: str, n: int) -> None:
@@ -2719,16 +2812,27 @@ def _b1m_serve(spark: SparkSession, store: str, qvec: list[float] | None = None)
     ]
     probes = sorted(range(len(cents)), key=lambda i: (-sims[i], i))[:_B1M_NPROBE]
     idx = spark.read.parquet(os.path.join(store, "index.parquet"))
-    qlit = lit_doubles([float(x) for x in qvec])
+    # r12: unrolled scoring (guide §4.1) — the query vector's doubles
+    # are inlined as literals (repr round-trips every finite double
+    # exactly, the lit_doubles contract), the corpus-side dot/norm are
+    # the sequential fold unrolled, qn stays the driver-computed
+    # scalar. Identical IEEE op order to the previous
+    # dot(as_double(e), as_double(qlit)) / (l2_norm(e) * lit(qn)) form;
+    # _no_wscg because ~130 fused terms would fall out of JIT.
+    from ..functions.vector import _dlit, dot_fold_sql
+
+    _no_wscg(spark)
+    qd = [float(x) for x in qvec]
+    dot_q = "(0.0D" + "".join(
+        f" + (embedding)[{i}] * {_dlit(v)}" for i, v in enumerate(qd)
+    ) + ")"
+    sim = F.expr(
+        f"{dot_q} / (SQRT({dot_fold_sql('embedding', 'embedding', len(qd))})"
+        f" * {_dlit(float(qn))})"
+    )
     return (
         idx.filter(F.col("centroid_id").isin(probes))
-        .select(
-            "vec_id",
-            (
-                dot(as_double(F.col("embedding")), as_double(qlit))
-                / (l2_norm(F.col("embedding")) * F.lit(qn))
-            ).alias("similarity"),
-        )
+        .select("vec_id", sim.alias("similarity"))
         .orderBy(F.desc("similarity"), F.asc("vec_id"))
         .limit(_B1M_TOPK)
     )

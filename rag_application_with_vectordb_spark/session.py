@@ -35,6 +35,14 @@ RUNTIME_CONF = {
     # turn out small at runtime are still broadcast by AQE's
     # shuffle-join -> broadcast conversion, which sees actual sizes.
     "spark.sql.autoBroadcastJoinThreshold": str(2 * 1024 * 1024),
+    # Whole-stage codegen ON is the baseline for every query; the wide
+    # unrolled-kernel plans (bench_knn_1m family) scope-disable it for
+    # their own execution via plans/ann_queries._no_wscg because their
+    # fused stage exceeds HotSpot's huge-method JIT limit and would run
+    # in the bytecode interpreter. tune() runs at the head of every
+    # query builder, so the disable never outlives the one plan it was
+    # set for (r12 optimization round).
+    "spark.sql.codegen.wholeStage": "true",
 }
 
 

@@ -384,6 +384,32 @@ def test_bench1m_generator_cross_engine_bitwise(spark):
     assert got_cl == {i: cl_ref(i) for i in ids}
 
 
+def test_b1m_leveled_matches_hof_bitwise(spark):
+    """r12 optimization: _b1m_vectors (leveled codegen-able projections)
+    must be bit-identical to the HOF _b1m_vec form it replaced in the
+    corpus-scale paths — == on floats, no tolerance, both salts."""
+    from rag_application_with_vectordb_spark.plans import ann_queries as aq
+
+    ids = [0, 1, 63, 999_983, 999_999]
+    for salt in (12345, 54321):
+        base = (
+            spark.range(1_000_000)
+            .filter(F.col("id").isin(ids))
+            .select(F.col("id").alias("vec_id"), aq._b1m_seed(F.col("id")).alias("__seed"))
+        )
+        leveled = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in aq._b1m_vectors(base, "__seed", salt).collect()
+        }
+        hof = {
+            r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in base.select(
+                "vec_id", aq._b1m_vec(F.col("__seed"), salt).alias("embedding")
+            ).collect()
+        }
+        assert leveled == hof, f"salt={salt}"
+
+
 def test_bench1m_clustered_embedding_matches_python_fold(spark):
     """_b1m_corpus's embedding must equal cent[cl] + 0.35*noise computed
     in Python over the same streams — the exact formula the IVF oracle
