@@ -62,6 +62,31 @@ def hash_embedding_expr(text: Column, dim: int = DEFAULT_DIM, seed: str = "s42")
     return F.transform(F.sequence(F.lit(0), F.lit(int(dim) - 1)), component)
 
 
+def hash_embedding_sql(text_sql: str, dim: int = DEFAULT_DIM, seed: str = "s42") -> str:
+    """Spark-SQL text of :func:`hash_embedding_expr` with the per-dim
+    loop UNROLLED — identical md5 inputs, identical fold arithmetic,
+    identical doubles (the ``j`` literal renders exactly like
+    ``j.cast('string')`` for 0..dim-1).
+
+    WHY (r12 optimization round, guide §4.1): the HOF ``transform``
+    form evaluates interpreted AND drops its whole projection out of
+    whole-stage codegen; worse, a NON-literal reference inside the
+    lambda (e.g. the chunk substring) is re-evaluated per element. The
+    unrolled array is plain codegen-able expressions. Built as ONE SQL
+    string = one parse (a per-element Column-builder loop costs ~3 ms
+    of py4j per call on this host — the lit_doubles lesson). Use for
+    SMALL dims (the fused codegen method must stay under HotSpot's
+    huge-method JIT limit; dim 8 measured fine, dim 64 callers keep the
+    HOF or scope-disable whole-stage codegen)."""
+    two52 = "4503599627370496.0D"
+    comps = ",".join(
+        f"(CAST(CONV(SUBSTRING(MD5(CONCAT('{seed}|', '{j}', '|', {text_sql})), 1, 13),"
+        f" 16, 10) AS DOUBLE) / {two52} * 2.0D - 1.0D)"
+        for j in range(int(dim))
+    )
+    return f"array({comps})"
+
+
 def hash_embedding_oracle_sql(text_expr: str, dim: int = DEFAULT_DIM, seed: str = "s42") -> str:
     """DuckDB twin of :func:`hash_embedding_expr` (same bits, same fold)."""
     return f"""

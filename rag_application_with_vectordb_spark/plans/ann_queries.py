@@ -2113,20 +2113,41 @@ _STRIDE = _CHUNK - _OVERLAP
     tags=("rag", "flagship"),
 )
 def rag_e2e_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 optimization round (guide §4.1/§4.4-analog): the r11 form's
+    # comment claimed the literal-question embedding constant-folds —
+    # it did NOT (HOFs are never foldable): the before-plan showed the
+    # 8-dim question transform INLINED FIVE TIMES into the per-row
+    # similarity CASE, i.e. 40 extra interpreted md5 calls per chunk,
+    # plus the chunk embedding + 3 dot folds all interpreted (1.33 s
+    # warm at sf0.1). Now: the question embedding is computed ONCE on
+    # the driver (HashEmbedder.embed_one — bit-equal to the Catalyst
+    # path, pinned by test_hash_embedding_unrolled_bitwise) and inlined
+    # as double literals; the chunk embedder and the cosine folds are
+    # the unrolled codegen-able forms. Values identical (oracle
+    # hash-green at sf0.001/0.01/0.1).
     tune(spark)
+    from ..embedder import HashEmbedder, hash_embedding_sql
+    from ..functions.vector import _dlit, dot_fold_sql
+
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(docs, chunk_size=_CHUNK, overlap=_OVERLAP)
     emb = chunks.select(
-        "doc_id", "chunk_id", hash_embedding_expr(F.col("chunk_text"), _EDIM).alias("embedding")
+        "doc_id",
+        "chunk_id",
+        F.expr(hash_embedding_sql("chunk_text", _EDIM)).alias("embedding"),
     )
-    qvec = hash_embedding_expr(F.lit(_QUESTION), _EDIM)
-    # Literal question → the query embedding constant-folds; per-row work
-    # is one 8-dim dot product.
-    na = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
-    nb = F.sqrt(dot(qvec, qvec))
-    sim = (
-        F.when((na == 0.0) | (nb == 0.0), F.lit(0.0))
-        .otherwise(dot(F.col("embedding"), qvec) / (na * nb))
+    q = HashEmbedder(_EDIM).embed_one(_QUESTION)
+    qq = 0.0
+    for x in q:  # same left fold as functions.vector.dot — bit-exact
+        qq = qq + x * x
+    nb = math.sqrt(qq)
+    na_sql = f"SQRT({dot_fold_sql('embedding', 'embedding', _EDIM)})"
+    dot_q = "(0.0D" + "".join(
+        f" + (embedding)[{i}] * {_dlit(v)}" for i, v in enumerate(q)
+    ) + ")"
+    sim = F.expr(
+        f"CASE WHEN {na_sql} = 0.0D OR {_dlit(nb)} = 0.0D THEN 0.0D"
+        f" ELSE {dot_q} / ({na_sql} * {_dlit(nb)}) END"
     )
     scored = emb.select("doc_id", "chunk_id", sim.alias("similarity"))
     return scored.orderBy(F.desc("similarity"), F.asc("doc_id"), F.asc("chunk_id")).limit(5)

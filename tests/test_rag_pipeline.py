@@ -118,6 +118,32 @@ def test_hash_embedder_expr_matches_python(spark):
         assert r["embedding"] == pytest.approx(emb.embed_one(r["text"]), abs=1e-12)
 
 
+def test_hash_embedding_unrolled_bitwise(spark):
+    """r12 optimization: the unrolled one-parse SQL embedder
+    (hash_embedding_sql) and the driver-side embed_one must be
+    BIT-IDENTICAL (== on floats, no tolerance) to the HOF Catalyst form
+    they replace in hot paths — rag_e2e_retrieval inlines embed_one's
+    doubles as literals, so 1-ulp drift would flip its oracle hash."""
+    from pyspark.sql import functions as F
+
+    from rag_application_with_vectordb_spark.embedder import (
+        hash_embedding_expr,
+        hash_embedding_sql,
+    )
+
+    emb = HashEmbedder(dim=8)
+    texts = ["how does a spark table scan work", "some text", "", "x" * 200]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    rows = df.select(
+        "text",
+        hash_embedding_expr(F.col("text"), 8).alias("hof"),
+        F.expr(hash_embedding_sql("text", 8)).alias("unrolled"),
+    ).collect()
+    for r in rows:
+        assert [float(x) for x in r["unrolled"]] == [float(x) for x in r["hof"]]
+        assert emb.embed_one(r["text"]) == [float(x) for x in r["hof"]]
+
+
 def test_api_embedder_batching_and_validation(spark):
     # The transport runs inside executor workers, so record the observed
     # API-call batch size in the returned vector itself.
