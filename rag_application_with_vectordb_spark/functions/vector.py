@@ -45,6 +45,7 @@ __all__ = [
     "lit_longs",
     "dot_fold_sql",
     "norm_fold_sql",
+    "cosine_sim_sql",
 ]
 
 
@@ -172,6 +173,56 @@ def dot_fold_sql(a: str, b: str, dim: int) -> str:
 def norm_fold_sql(a: str, dim: int) -> str:
     """``SQRT(dot_fold_sql(a, a))`` — the unrolled :func:`l2_norm`."""
     return f"SQRT({dot_fold_sql(a, a, dim)})"
+
+
+def _hof_dot_sql(a: str, b: str) -> str:
+    """SQL text of the original HOF dot over as_double'd arrays — the
+    per-row FALLBACK branch of :func:`cosine_sim_sql` (sizes ≠ dim)."""
+    return (
+        f"aggregate(zip_with(transform({a}, x -> CAST(x AS DOUBLE)),"
+        f" transform({b}, x -> CAST(x AS DOUBLE)), (x, y) -> x * y),"
+        f" 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def cosine_sim_sql(a: str, b: str, dim: int) -> str:
+    """SQL text of :func:`cosine_sim` with a fixed-``dim`` UNROLLED fast
+    path — value-identical for EVERY input, including the reference's
+    edge semantics:
+
+    - both arrays exactly ``dim`` long → unrolled fold (same IEEE op
+      order as the HOF form, so bitwise-equal doubles);
+    - anything else → the original HOF expression per row (lazy CASE
+      branch: mismatched sizes still yield -1.0, equal-but-other-dim
+      pairs still get the HOF cosine, and the unrolled ``[]`` accesses
+      never execute, which ANSI mode requires).
+
+    Pinned bitwise against :func:`cosine_sim` (incl. mismatch and
+    zero-vector edges) by ``test_cosine_sim_sql_bitwise``. Callers at
+    dim ≳ 32 must scope-disable whole-stage codegen for their plan
+    (session.scoped_no_wholestage_codegen) — see :func:`dot_fold_sql`.
+    """
+    ad = lambda i: f"CAST(({a})[{i}] AS DOUBLE)"  # noqa: E731
+    bd = lambda i: f"CAST(({b})[{i}] AS DOUBLE)"  # noqa: E731
+    dim = int(dim)
+    dot_ab = "(0.0D" + "".join(f" + {ad(i)} * {bd(i)}" for i in range(dim)) + ")"
+    na = "SQRT((0.0D" + "".join(f" + {ad(i)} * {ad(i)}" for i in range(dim)) + "))"
+    nb = "SQRT((0.0D" + "".join(f" + {bd(i)} * {bd(i)}" for i in range(dim)) + "))"
+    fast = (
+        f"CASE WHEN {na} = 0.0D OR {nb} = 0.0D THEN 0.0D"
+        f" ELSE {dot_ab} / ({na} * {nb}) END"
+    )
+    hof_na = f"SQRT({_hof_dot_sql(a, a)})"
+    hof_nb = f"SQRT({_hof_dot_sql(b, b)})"
+    slow = (
+        f"CASE WHEN size({a}) != size({b}) THEN -1.0D"
+        f" WHEN {hof_na} = 0.0D OR {hof_nb} = 0.0D THEN 0.0D"
+        f" ELSE {_hof_dot_sql(a, b)} / ({hof_na} * {hof_nb}) END"
+    )
+    return (
+        f"(CASE WHEN size({a}) = {dim} AND size({b}) = {dim}"
+        f" THEN ({fast}) ELSE ({slow}) END)"
+    )
 
 
 def cosine_sim_prenormed(a: Column, a_norm: Column, b: Column, b_norm: Column) -> Column:

@@ -47,6 +47,7 @@ def knn(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     keep_cols: Iterable[str] = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k rows of ``corpus`` by cosine similarity to one query vector.
 
@@ -54,10 +55,26 @@ def knn(
     (``vectorDb.ts:11-24``); k defaults to the reference call-site value 5
     (``App.tsx:191``). Empty corpus → empty result (``vectorDb.ts:12-14``
     falls out naturally).
+
+    ``dim`` (r12 optimization round, guide §4.1): when the caller knows
+    the corpus dimensionality, scoring uses the unrolled fixed-dim
+    cosine (functions.vector.cosine_sim_sql) — value-identical for
+    every input incl. the -1.0/0.0 edges (rows whose arrays are not
+    ``dim`` long take the original HOF branch per row), but
+    codegen-able instead of interpreted. The caller's plan should
+    scope-disable whole-stage codegen at dim ≳ 32
+    (session.scoped_no_wholestage_codegen).
     """
-    q = query_vec if isinstance(query_vec, Column) else vec_lit(query_vec)
+    if dim is not None and not isinstance(query_vec, Column):
+        from ..functions.vector import _dlit, cosine_sim_sql
+
+        q_sql = "array(" + ",".join(_dlit(float(v)) for v in query_vec) + ")"
+        sim = F.expr(cosine_sim_sql(vec_col, q_sql, dim))
+    else:
+        q = query_vec if isinstance(query_vec, Column) else vec_lit(query_vec)
+        sim = cosine_sim(F.col(vec_col), q)
     cols = [F.col(id_col), *[F.col(c) for c in keep_cols]]
-    scored = corpus.select(*cols, cosine_sim(F.col(vec_col), q).alias("similarity"))
+    scored = corpus.select(*cols, sim.alias("similarity"))
     # Catalyst → TakeOrderedAndProject (verified via explain): per-partition
     # top-k heap + single merge. Never a full sort of the corpus.
     return scored.orderBy(F.desc("similarity"), F.asc(id_col)).limit(int(k))
@@ -72,6 +89,7 @@ def knn_join(
     query_id: str = "query_id",
     query_vec: str = "qvec",
     two_stage: bool | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Batch KNN: top-k corpus neighbors for every row of ``queries``.
 
@@ -98,12 +116,20 @@ def knn_join(
         except Exception:  # pragma: no cover - defensive (plan not RDD-convertible)
             n_parts = corpus.sparkSession.sparkContext.defaultParallelism
         two_stage = n_parts > TWO_STAGE_MIN_PARTITIONS
+    if dim is not None:
+        # r12: unrolled fixed-dim cosine (see knn() docstring); both
+        # sides are plain column names here, so the SQL form applies.
+        from ..functions.vector import cosine_sim_sql
+
+        sim = F.expr(cosine_sim_sql(corpus_vec, query_vec, dim))
+    else:
+        sim = cosine_sim(F.col(corpus_vec), F.col(query_vec))
     scored = (
         corpus.crossJoin(F.broadcast(queries))
         .select(
             F.col(query_id),
             F.col(corpus_id),
-            cosine_sim(F.col(corpus_vec), F.col(query_vec)).alias("similarity"),
+            sim.alias("similarity"),
         )
     )
     order = (F.desc("similarity"), F.asc(corpus_id))

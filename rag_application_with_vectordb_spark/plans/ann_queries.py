@@ -18,6 +18,7 @@ from ..embedder import hash_embedding_expr
 from ..functions.vector import as_double, cosine_sim, cosine_sim_prenormed, dot, l2_norm, lit_double_matrix, lit_doubles
 from ..operators.ann import ann_ivf_topk, ann_lsh_multiprobe_topk, ann_lsh_topk
 from ..operators.chunker import chunk_documents
+from ..session import scoped_no_wholestage_codegen as _no_wscg
 from ..session import tune
 from ..sources.catalog import load_table
 from .oracle_dialect import duck_cosine, duck_fold_unit, duck_hash_embedding, duck_hex13_to_long
@@ -642,13 +643,14 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tune(spark)
+    _no_wscg(spark)  # r12: unrolled exact side, see _recall_vs_exact
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     from ..operators.knn import knn_join
 
-    exact = knn_join(emb, queries, k=5).select("query_id", "vec_id")
+    exact = knn_join(emb, queries, k=5, dim=_DIM).select("query_id", "vec_id")
     approx = ann_lsh_topk(emb, queries, k=5, dim=_DIM, n_planes=4).select(
         "query_id", F.col("vec_id").alias("vec_id_a")
     )
@@ -661,14 +663,20 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_vs_exact(spark, sf_dir: str, approx_fn) -> DataFrame:
-    """Recall@5 of an approximate path against the exact scan, per query."""
+    """Recall@5 of an approximate path against the exact scan, per query.
+
+    r12 optimization: the exact side's full-corpus scoring uses the
+    unrolled fixed-dim cosine (knn_join(dim=64), guide §4.1); callers
+    scope-disable whole-stage codegen — the wide fold would otherwise
+    run interpreted. Values identical (cosine_sim_sql contract)."""
+    _no_wscg(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     from ..operators.knn import knn_join
 
-    exact = knn_join(emb, queries, k=5).select("query_id", "vec_id")
+    exact = knn_join(emb, queries, k=5, dim=_DIM).select("query_id", "vec_id")
     approx = approx_fn(emb, queries).select(
         "query_id", F.col("vec_id").alias("vec_id_a")
     )
@@ -1777,20 +1785,6 @@ def _b1m_vectors(
     return l3.selectExpr(*keep_l, f"{arr} AS {out}")
 
 
-def _no_wscg(spark: SparkSession) -> None:
-    """Scope-disable whole-stage codegen for the CURRENT query's
-    execution (the wide unrolled-kernel plans above). Every other
-    query's ``tune()`` resets it to true (session.RUNTIME_CONF), so the
-    setting only covers the plan built right after this call. This is
-    NOT a local-mode tweak: on any JVM, one fused WholeStageCodegen
-    method holding ~200+ unrolled terms exceeds the 8 KB bytecode
-    huge-method JIT limit (and cannot be split while inputs are codegen
-    locals), so it executes in the interpreter — measured 3.9 s vs
-    0.8 s for the identical plan with per-operator codegen at 1M×64."""
-    try:
-        spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    except Exception:  # noqa: BLE001 — locked conf: values unaffected
-        pass
 
 
 def _b1m_vec_sql(id_expr: str, salt: int, dim: int = 64) -> str:
@@ -2970,6 +2964,14 @@ def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tune(spark)
+    # r12 optimization (guide §4.1): the 100-query × full-corpus exact
+    # scoring was interpreted HOF cosine (46 s at sf10); unrolled
+    # fixed-dim cosine is value-identical (edge rows take the HOF
+    # branch per row) and codegen-able. WSCG scope-disabled: ~200
+    # fused terms exceed the huge-method JIT limit.
+    from ..functions.vector import cosine_sim_sql
+
+    _no_wscg(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 100).select(
         F.col("vec_id").alias("query_id"),
@@ -2985,7 +2987,7 @@ def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "actual",
             "vec_id",
             "label",
-            cosine_sim(F.col("embedding"), F.col("qvec")).alias("sim"),
+            F.expr(cosine_sim_sql("embedding", "qvec", _DIM)).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))

