@@ -51,6 +51,7 @@ __all__ = [
     "pq_reconstruct",
     "pq_encode_col",
     "pq_reconstruct_col",
+    "pq_encode_unrolled",
 ]
 
 
@@ -141,9 +142,15 @@ def pq_encode(
     array_position-of-max which returns the first occurrence).
 
     One corpus scan, per-row expressions only — the index-build pass.
+
+    r12 optimization round: delegates to :func:`pq_encode_unrolled`
+    (bit-identical codes, pinned) — the HOF form paid ~m·k interpreted
+    dot lambdas per row. The HOF Column body survives as
+    :func:`pq_encode_col` for expression-level composition and parity
+    tests.
     """
-    return emb.select(
-        F.col(id_col), pq_encode_col(codebook, F.col(vec_col)).alias("codes")
+    return pq_encode_unrolled(emb, codebook, id_col, vec_col).select(
+        F.col(id_col), "codes"
     )
 
 
@@ -170,6 +177,56 @@ def pq_encode_col(codebook: list[list[list[float]]], vec: Column) -> Column:
         # the FIRST max, giving the deterministic smallest-code tiebreak
         codes.append((F.array_position(dots, F.array_max(dots)) - 1).cast("int"))
     return F.array(*codes)
+
+
+def pq_encode_unrolled(
+    emb: DataFrame,
+    codebook: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep: tuple[str, ...] = (),
+    out: str = "codes",
+) -> DataFrame:
+    """:func:`pq_encode` with the per-subspace codeword scoring UNROLLED
+    into leveled codegen-able projections (r12 optimization round, guide
+    §4.1) — bit-identical codes (pinned by
+    ``test_pq_encode_unrolled_matches_operator``).
+
+    The HOF form pays m·k interpreted ``dot`` lambdas per row (m=8,
+    k=16, sub=8 → ~1000 interpreted multiply-add evals per vector —
+    pq_reconstruction_error's dominant cost at sf10). Here every
+    ``dot(sub_s, codeword_c)`` is the unrolled sequential fold
+    ``0.0 + CAST(vec[s·sub+j] AS DOUBLE) * cwD + ...`` (same IEEE op
+    order as ``zip_with``+``aggregate`` over the sliced cast array),
+    one projection level computes the m dot arrays, the next reduces
+    each to its argmax code (``array_position`` of ``array_max`` —
+    identical first-max tiebreak). Whole-stage codegen is
+    scope-disabled here (the ~1000 fused terms exceed the huge-method
+    JIT limit; per-operator projections JIT fine) — the next query's
+    ``tune()`` resets it, see session.scoped_no_wholestage_codegen.
+    """
+    from ..session import scoped_no_wholestage_codegen
+
+    scoped_no_wholestage_codegen(emb.sparkSession)
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    keep_l = [id_col, *keep]
+    dots_cols = []
+    for s, cws in enumerate(codebook):
+        terms = []
+        for cw in cws:
+            t = "0.0D" + "".join(
+                f" + CAST(({vec_col})[{s * sub + j}] AS DOUBLE) * {float(x)!r}D"
+                for j, x in enumerate(cw)
+            )
+            terms.append(f"({t})")
+        dots_cols.append(f"array({','.join(terms)}) AS __dots_{s}")
+    l1 = emb.selectExpr(*keep_l, vec_col, *dots_cols)
+    codes = ",".join(
+        f"CAST(array_position(__dots_{s}, array_max(__dots_{s})) - 1 AS INT)"
+        for s in range(m)
+    )
+    return l1.selectExpr(*keep_l, vec_col, f"array({codes}) AS {out}")
 
 
 def pq_adc_topk(

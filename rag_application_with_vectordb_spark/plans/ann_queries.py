@@ -1652,16 +1652,26 @@ def ann_pq_trained_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("ann", "approx"),
 )
 def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.pq import pq_encode_col, pq_reconstruct_col
-    from ..functions.vector import cosine_sim
+    # r12 optimization (guide §4.1): the fused HOF form still paid
+    # m·k interpreted dot lambdas per row (~1000 multiply-add evals per
+    # vector) in pq_encode_col plus 3 interpreted cosine folds. Encode
+    # is now the unrolled leveled form (pq_encode_unrolled — codes
+    # bit-identical, pinned), reconstruction stays the cheap m-element
+    # HOF lookup, and the cosine is the unrolled fixed-dim kernel.
+    # Still one corpus scan, zero joins/exchanges (plan-pinned).
+    from ..functions.vector import cosine_sim_sql
+    from ..operators.pq import pq_encode_unrolled, pq_reconstruct_col
 
     tune(spark)
+    _no_wscg(spark)
     emb, cb = _pq_codebook(spark, sf_dir)
-    recon = pq_reconstruct_col(cb, pq_encode_col(cb, F.col("embedding")))
+    coded = pq_encode_unrolled(emb.select("vec_id", "embedding"), cb)
+    recon = pq_reconstruct_col(cb, F.col("codes"))
+    l3 = coded.select("vec_id", "embedding", recon.alias("__recon"))
     return (
-        emb.select(
+        l3.select(
             "vec_id",
-            cosine_sim(F.col("embedding"), recon).alias("recon_cosine"),
+            F.expr(cosine_sim_sql("embedding", "__recon", 64)).alias("recon_cosine"),
         )
         .orderBy(F.asc("recon_cosine"), F.asc("vec_id"))
         .limit(20)

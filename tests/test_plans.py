@@ -674,3 +674,26 @@ def test_pq_fused_columns_equal_operator_composition(spark, sf_dir):
         ).collect()
     }
     assert fused == joined
+
+
+def test_pq_encode_unrolled_matches_operator(spark, sf_dir):
+    # r12 optimization: the unrolled leveled encode must produce
+    # BIT-IDENTICAL codes to the HOF pq_encode operator (same fold
+    # order per codeword dot, same first-max tiebreak).
+    from pyspark.sql import functions as F
+
+    from rag_application_with_vectordb_spark.operators.pq import (
+        pq_codebook_firstc,
+        pq_encode,
+        pq_encode_unrolled,
+    )
+    from rag_application_with_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    cb = pq_codebook_firstc(emb, m=8, k=16, dim=64)
+    hof = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, cb).collect()}
+    unrolled = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode_unrolled(emb, cb).select("vec_id", "codes").collect()
+    }
+    assert unrolled == hof
