@@ -349,6 +349,7 @@ def ivf_assign(
     corpus_vec: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "cvec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Invert the corpus by nearest centroid (max cosine, centroid-id-asc
     tiebreak). Output adds ``centroid_id`` — write partitioned/bucketed
@@ -374,6 +375,8 @@ def ivf_assign(
         # k*dim nodes and falls out of whole-stage codegen (measured
         # 100 s for 200k rows at k=195, d=64 — interpreted eval), so
         # rebuild a broadcastable DataFrame and take the join path.
+        if dim is None:
+            dim = len(cents[0][1])
         centroids = corpus.sparkSession.createDataFrame(
             [(int(c), [float(x) for x in v]) for c, v in cents],
             f"{centroid_id} bigint, {centroid_vec} array<double>",
@@ -387,20 +390,42 @@ def ivf_assign(
     # exact arithmetic). Tie order matches the window form and the
     # oracle: csim DESC, centroid_id ASC == max over
     # struct(csim, -centroid_id).
+    if dim is not None:
+        # r12 optimization (guide §4.1): the per-(vector, centroid) HOF
+        # cosine paid ~250 interpreted lambda evals per pair — at sf10
+        # the 200k×447 graph-build assignment alone was ~250 s. The
+        # unrolled sequential fold has the identical IEEE op order
+        # (inputs are already array<double>, so the as_double pass was
+        # a value no-op); whole-stage codegen is scope-disabled (the
+        # wide fold exceeds the huge-method JIT limit when fused).
+        from ..functions.vector import dot_fold_sql
+        from ..session import scoped_no_wholestage_codegen
+
+        scoped_no_wholestage_codegen(corpus.sparkSession)
+        nv = F.expr(f"SQRT({dot_fold_sql('__vd', '__vd', dim)})")
+        cn = F.expr(f"SQRT({dot_fold_sql('__cd', '__cd', dim)})")
+        csim = F.expr(
+            f"CASE WHEN __nv = 0.0D OR __cn = 0.0D THEN 0.0D"
+            f" ELSE {dot_fold_sql('__vd', '__cd', dim)} / (__nv * __cn) END"
+        )
+    else:
+        nv = F.sqrt(dot(F.col("__vd"), F.col("__vd")))
+        cn = F.sqrt(dot(F.col("__cd"), F.col("__cd")))
+        csim = cosine_sim_prenormed(
+            F.col("__vd"), F.col("__nv"), F.col("__cd"), F.col("__cn")
+        )
     pre = corpus.select(
         corpus_id, corpus_vec, as_double(F.col(corpus_vec)).alias("__vd")
-    ).withColumn("__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd"))))
+    ).withColumn("__nv", nv)
     cpre = centroids.select(
         F.col(centroid_id).alias("__cid"),
         as_double(F.col(centroid_vec)).alias("__cd"),
-    ).withColumn("__cn", F.sqrt(dot(F.col("__cd"), F.col("__cd"))))
+    ).withColumn("__cn", cn)
     scored = pre.crossJoin(F.broadcast(cpre)).select(
         corpus_id,
         corpus_vec,
         "__cid",
-        cosine_sim_prenormed(
-            F.col("__vd"), F.col("__nv"), F.col("__cd"), F.col("__cn")
-        ).alias("__csim"),
+        csim.alias("__csim"),
     )
     return scored.groupBy(corpus_id).agg(
         F.first(corpus_vec).alias(corpus_vec),  # constant within the group

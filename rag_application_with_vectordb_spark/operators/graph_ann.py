@@ -48,6 +48,7 @@ def knn_graph_edges(
     m: int = 6,
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Symmetrized cluster-bounded exact kNN graph: per node, its ``m``
     nearest same-cell neighbors (cosine DESC, id ASC), then both edge
@@ -58,7 +59,7 @@ def knn_graph_edges(
     per-pair expression is just the dot product, which keeps the
     codegen'd pair stage narrow (the full cosine tree per pair measured
     ~4× slower to JIT and run on the |cell|² stage)."""
-    assigned = ivf_assign(corpus, centroids, corpus_id, corpus_vec)
+    assigned = ivf_assign(corpus, centroids, corpus_id, corpus_vec, dim=dim)
     # both pair sides reference this relation — persist so the
     # nearest-centroid assignment computes once, not once per side
     prep = (
@@ -86,13 +87,26 @@ def knn_graph_edges(
     # triple (at sf10: ~1e8 pairs — the difference between a few-GB
     # shuffle and a few-hundred-GB one; the wedge the r9 sweep caught).
     pairs = a.join(b, "centroid_id").filter(F.col("src") < F.col("dst"))
-    half = pairs.select(
-        "src",
-        "dst",
-        cosine_sim_prenormed(
+    if dim is not None:
+        # r12 optimization (guide §4.1): the per-pair HOF dot paid ~250
+        # interpreted lambda evals per pair (the |cell|² stage is the
+        # whole build cost — 257 s at sf10). Unrolled sequential fold =
+        # identical IEEE op order (inputs are already array<double>, so
+        # the as_double pass was a value no-op); whole-stage codegen is
+        # scope-disabled for the caller's plan (huge-method JIT limit).
+        from ..functions.vector import dot_fold_sql
+        from ..session import scoped_no_wholestage_codegen
+
+        scoped_no_wholestage_codegen(corpus.sparkSession)
+        sim = F.expr(
+            f"CASE WHEN __sn = 0.0D OR __dn = 0.0D THEN 0.0D"
+            f" ELSE {dot_fold_sql('__sv', '__dv', dim)} / (__sn * __dn) END"
+        )
+    else:
+        sim = cosine_sim_prenormed(
             F.col("__sv"), F.col("__sn"), F.col("__dv"), F.col("__dn")
-        ).alias("__sim"),
-    )
+        )
+    half = pairs.select("src", "dst", sim.alias("__sim"))
     # mirror via an inline explode (a Generate in the same stage), NOT a
     # self-union — a union would reference the scoring subtree twice and
     # recompute every dot product, undoing the halving
@@ -125,15 +139,22 @@ def cell_medoids(
     corpus_vec: str = "embedding",
     centroid_id: str = "centroid_id",
     centroid_vec: str = "cvec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Per IVF cell, the member closest to the centroid (cosine DESC,
     id ASC) — the deterministic entry node for searches landing in that
-    cell. Output ``(centroid_id, vec_id)``."""
-    assigned = ivf_assign(corpus, centroids, corpus_id, corpus_vec)
+    cell. Output ``(centroid_id, vec_id)``. ``dim`` engages the
+    unrolled fixed-dim cosine (r12, value-identical — see
+    functions.vector.cosine_sim_sql)."""
+    assigned = ivf_assign(corpus, centroids, corpus_id, corpus_vec, dim=dim)
+    if dim is not None:
+        from ..functions.vector import cosine_sim_sql
+
+        sim = F.expr(cosine_sim_sql(corpus_vec, centroid_vec, dim))
+    else:
+        sim = cosine_sim(F.col(corpus_vec), F.col(centroid_vec))
     joined = assigned.join(F.broadcast(centroids), centroid_id)
-    w = Window.partitionBy(centroid_id).orderBy(
-        F.desc(cosine_sim(F.col(corpus_vec), F.col(centroid_vec))), F.asc(corpus_id)
-    )
+    w = Window.partitionBy(centroid_id).orderBy(F.desc(sim), F.asc(corpus_id))
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -3257,7 +3257,9 @@ def ann_graph_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 103)).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    edges, medoids = _graph_index(spark, sf_dir, emb, cents)
+    # r12: dim=_DIM engages the unrolled per-pair dot in the graph build
+    # (the |cell|² stage was the whole 257 s sf10 cost — guide §4.1).
+    edges, medoids = _graph_index(spark, sf_dir, emb, cents, dim=_DIM)
     entries = graph_entry_points(queries, cents, medoids)
     return graph_beam_topk(
         emb, edges, entries, queries, k=_GR_K, beam=_GR_BEAM, hops=_GR_HOPS
@@ -3292,7 +3294,13 @@ def _graph_disk_dir(sf_dir: str) -> str | None:
     return os.path.join(_IVF_STORE, hashlib.md5(tag.encode()).hexdigest()[:16])
 
 
-def _graph_index(spark: SparkSession, sf_dir: str, corpus: DataFrame, cents: DataFrame):
+def _graph_index(
+    spark: SparkSession,
+    sf_dir: str,
+    corpus: DataFrame,
+    cents: DataFrame,
+    dim: int | None = None,
+):
     from ..operators.graph_ann import cell_medoids, knn_graph_edges
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -3305,8 +3313,8 @@ def _graph_index(spark: SparkSession, sf_dir: str, corpus: DataFrame, cents: Dat
             edges = spark.read.parquet(epath).persist()
             medoids = spark.read.parquet(mpath).persist()
         else:
-            edges = knn_graph_edges(corpus, cents, m=_GR_M).persist()
-            medoids = cell_medoids(corpus, cents).persist()
+            edges = knn_graph_edges(corpus, cents, m=_GR_M, dim=dim).persist()
+            medoids = cell_medoids(corpus, cents, dim=dim).persist()
             if epath:
                 try:
                     etmp, mtmp = (
@@ -3380,7 +3388,7 @@ def ann_graph_clustered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     exact = knn_join(corpus, queries, k=5).select("query_id", "vec_id")
-    edges, medoids = _graph_index(spark, "<clustered>", corpus, t_df)
+    edges, medoids = _graph_index(spark, "<clustered>", corpus, t_df, dim=_CL_DIM)
     entries = graph_entry_points(queries, t_df, medoids, n_entries=_GRC_E)
     ap_g = graph_beam_topk(
         corpus, edges, entries, queries, k=5, beam=_GRC_BEAM, hops=_GRC_HOPS
