@@ -106,6 +106,7 @@ def _bpe_oracle_sql() -> str:
     tags=("text", "classify", "ml"),
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     rules, _ = _bpe_train(spark, sf_dir)
     return spark.createDataFrame(
         rules, "merge_rank bigint, left_sym string, right_sym string, pair_count bigint"
@@ -651,6 +652,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("classify", "eval", "ml"),
 )
 def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     cm = text_nb_confusion(spark, sf_dir).localCheckpoint()
     agg = cm.agg(
         F.sum("n").cast("bigint").alias("nt"),

@@ -21,6 +21,7 @@ from ..embedder import hash_embedding_expr, hash_embedding_oracle_sql
 from ..functions.vector import cosine_sim, vec_lit
 from ..operators.chunker import chunk_documents, global_chunk_index
 from ..operators.knn import knn, knn_join
+from ..session import tune
 from ..sources.catalog import load_table
 from .oracle_dialect import duck_cosine
 from .registry import register
@@ -41,6 +42,7 @@ K = 5  # reference call-site top-k, App.tsx:191
     tags=("rag", "flagship"),
 )
 def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     # r12 optimization round: examined and deliberately LEFT on the HOF
     # cosine. The unrolled fixed-dim form (cosine_sim_sql) was measured
     # here and reverted: at the embeddings-fixture scale (2k rows at
@@ -75,6 +77,7 @@ def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rag",),
 )
 def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     # r12: left on the HOF cosine for the same reason as knn_topk.
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
@@ -97,6 +100,7 @@ def knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rag", "edge"),
 )
 def knn_zero_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     return knn(emb, vec_lit([0.0] * 64), k=K)
 
@@ -115,6 +119,7 @@ def knn_zero_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rag", "edge"),
 )
 def knn_dim_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(
         F.slice(F.col("embedding").cast("array<double>"), 1, 32).alias("qvec")
@@ -152,6 +157,7 @@ _CHUNK_ORACLE_BODY = f"""
     tags=("rag", "chunker"),
 )
 def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     return chunk_documents(docs, chunk_size=_CHUNK, overlap=_OVERLAP)
 
@@ -168,6 +174,7 @@ def chunk_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rag", "chunker"),
 )
 def chunk_global_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     chunks = chunk_documents(docs, chunk_size=_CHUNK, overlap=_OVERLAP)
     return global_chunk_index(chunks).select("doc_id", "chunk_id", "global_id")
@@ -192,6 +199,7 @@ _EMB_DIM = 8
     tags=("rag", "embed"),
 )
 def embed_hash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     docs = load_table(spark, sf_dir, "documents")
     emb = docs.select(
         "doc_id", hash_embedding_expr(F.col("text"), dim=_EMB_DIM).alias("embedding")
@@ -220,6 +228,7 @@ def embed_hash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rag",),
 )
 def context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
@@ -266,6 +275,7 @@ def context_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rag", "ann"),
 )
 def knn_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     survivors = emb.filter(F.col("label").isin(2, 3) & (F.col("vec_id") % 2 == 0))
@@ -302,6 +312,7 @@ _RADIUS_TAU = 0.15
     tags=("rag",),
 )
 def knn_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     scored = emb.crossJoin(F.broadcast(q)).select(
@@ -350,6 +361,7 @@ _HN_K = 3
     tags=("rag", "ann", "pipeline"),
 )
 def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < _HN_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -402,6 +414,7 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("rag", "ann"),
 )
 def knn_analogy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     emb = load_table(spark, sf_dir, "embeddings")
 
     def vec(vid):

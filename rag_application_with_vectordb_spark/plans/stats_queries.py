@@ -1233,6 +1233,7 @@ def _lpa_oracle() -> str:
     tags=("graph", "analytics"),
 )
 def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     edges, labels = _lpa_run(spark, sf_dir)
     sizes = labels.groupBy("label").agg(F.count("*").cast("bigint").alias("csize"))
     return labels.join(sizes, "label").select(
@@ -1340,6 +1341,7 @@ def _modularity_oracle() -> str:
     tags=("graph", "analytics"),
 )
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     edges, labels = _lpa_run(spark, sf_dir)
     la = labels.select(F.col("node").alias("na"), F.col("label").alias("ca"))
     lb = labels.select(F.col("node").alias("nb"), F.col("label").alias("cb"))

@@ -775,6 +775,7 @@ _VOCAB_SIZE = 256
     tags=("text", "pipeline"),
 )
 def text_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tune(spark)
     arr = tokenize_ids_array(spark, sf_dir)
     return arr.select(
         "doc_id",

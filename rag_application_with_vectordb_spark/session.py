@@ -39,10 +39,26 @@ RUNTIME_CONF = {
     # unrolled-kernel plans (bench_knn_1m family) scope-disable it for
     # their own execution via plans/ann_queries._no_wscg because their
     # fused stage exceeds HotSpot's huge-method JIT limit and would run
-    # in the bytecode interpreter. tune() runs at the head of every
-    # query builder, so the disable never outlives the one plan it was
-    # set for (r12 optimization round).
+    # in the bytecode interpreter. tune() runs at the head of EVERY
+    # registered query builder (pinned by
+    # tests/test_registry_contract.py::test_every_query_calls_tune,
+    # r13), so the disable never outlives the one plan it was set for.
     "spark.sql.codegen.wholeStage": "true",
+    # Per-stage safety net (r13): Spark's own fallback threshold for a
+    # generated method, aligned to HotSpot's -XX:HugeMethodLimit (8000
+    # bytecode bytes — a method past it is NEVER JIT-compiled, on any
+    # JVM). A fused stage whose largest generated method cannot be
+    # split below 8 KB would silently run in the bytecode interpreter
+    # (the r12 finding, ~5x); with this limit Spark deactivates
+    # whole-stage codegen for THAT subtree only and per-operator
+    # projections (which split fine) take over. The explicit _no_wscg
+    # disables stay on the kernel-dominated plans because they measured
+    # faster still (the fallback path re-generates the fused source
+    # each execution — pq_reconstruction_error 2.1 vs 2.75 s measured);
+    # this conf protects any OTHER caller that builds a huge stage with
+    # codegen on. Stages that split into <8 KB methods are unaffected
+    # (the check is on the largest compiled method, not the stage).
+    "spark.sql.codegen.hugeMethodLimit": "8000",
 }
 
 

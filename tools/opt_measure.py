@@ -1,12 +1,13 @@
-"""Round-12 optimization measurement harness (guide §1).
+"""Optimization-round measurement harness (guide §1).
 
 For each named query (default: the bench HEADLINE set), time the noop
 sink end-to-end — one cold pass, then N warm passes (median + spread) —
-and write ``.explain('formatted')`` to ``plans/r12/<name>_<tag>.txt``.
+and write ``.explain('formatted')`` to ``plans/<round>/<name>_<tag>.txt``
+(round defaults to r13; pass --round).
 Jobs are labeled via setJobDescription so UI traces attribute cleanly.
 
 Usage:
-  python tools/opt_measure.py <tag> [--sf-dir DIR] [--warm N] [--no-plans] [names...]
+  python tools/opt_measure.py <tag> [--sf-dir DIR] [--warm N] [--no-plans] [--round rNN] [names...]
 
 Prints one JSON line per query and a total, and appends to
 ``/tmp/opt_measure_<tag>.jsonl`` so interrupted runs lose nothing.
@@ -36,6 +37,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_n = 3
     write_plans = True
+    round_dir = "r13"
     names: list[str] = []
     i = 0
     while i < len(args):
@@ -44,6 +46,9 @@ def main() -> None:
             i += 2
         elif args[i] == "--warm":
             warm_n = int(args[i + 1])
+            i += 2
+        elif args[i] == "--round":
+            round_dir = args[i + 1]
             i += 2
         elif args[i] == "--no-plans":
             write_plans = False
@@ -56,7 +61,7 @@ def main() -> None:
         import bench
 
         names = list(bench.HEADLINE)
-    out_dir = os.path.join("/root/repo", "plans", "r12")
+    out_dir = os.path.join("/root/repo", "plans", round_dir)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("opt_measure")
     log = open(f"/tmp/opt_measure_{tag}.jsonl", "a")
