@@ -208,6 +208,18 @@ def main() -> None:
     spark = get_spark("bench")
     errors: dict[str, str] = {}
 
+    # Scaling observability (VERDICT r12 item 2): record what the session
+    # ACTUALLY runs with, so the driver's two-point CPU scaling check can
+    # distinguish "the $SPARK_GRAFT_CPUS knob was ignored" from "the host
+    # is overcommitted / fixed-overhead-bound". Captured before any query
+    # (the context is gone once spark.stop() runs).
+    try:
+        env_master = spark.sparkContext.master
+        parallelism = spark.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 — observability only
+        env_master = None
+        parallelism = None
+
     # CPU reference (r12): a FIXED JVM-side workload whose runtime
     # tracks machine speed only — plans never touch it. r12 found a
     # uniform ~1.5x suite-wide shift across two instance boots (every
@@ -401,22 +413,33 @@ def main() -> None:
             "noisy_queries": noisy,
             "n_ok": len(times),
             "n_total": len(HEADLINE),
+            "master": env_master,
+            "parallelism": parallelism,
+            "cpu_count": os.cpu_count(),
             "sf": sf_val,
         }
     )
     # The driver's stdout capture is tail-limited: rounds 4 and 5 both
-    # recorded ``parsed: null`` because the full per-query payload grew
-    # past the capture window and the driver saw a line starting
-    # mid-JSON. Print a SHORT headline line (always <500 chars) with the
-    # per-query maps only in the top-10 slowest summary; the full detail
-    # lives in bench_out.json for humans and the judge.
-    top = dict(sorted(times.items(), key=lambda kv: -kv[1])[:5])
+    # recorded ``parsed: null`` because the full detail payload (per-query
+    # medians + spreads + colds + errors + regression maps) grew past the
+    # capture window and the driver saw a line starting mid-JSON. r12's
+    # top-5-only fix overshot: PERF_r12 could compare only 3 queries
+    # round-over-round and mislabeled two IMPROVED queries as
+    # "dropped_from_bench" (VERDICT r12 items — the driver reads ONLY this
+    # line, never bench_out.json). r13: print the FULL per-query map,
+    # rounded to 2 dp, and keep everything else on the line minimal —
+    # measured ~1.3 KB for 27 queries, well inside the observed >2 KB
+    # capture window, and an order of magnitude under the r04 payload.
+    # Also print the effective master / parallelism / host core count:
+    # PERF_r12's scaling block was unadjudicable (suspect_cpus_ignored)
+    # because nothing in the artifact showed whether $SPARK_GRAFT_CPUS
+    # reached the executor (VERDICT r12 item 2).
     headline = json.dumps(
         {
             "metric": "headline_suite_runtime",
             "value": total,
             "unit": "sec",
-            "queries": top,
+            "queries": {k: round(v, 2) for k, v in times.items()},
             "n_ok": len(times),
             "n_total": len(HEADLINE),
             "n_err": len(errors),
@@ -429,6 +452,9 @@ def main() -> None:
             "regime": regime,
             "cold_total": round(sum(v for v in cold.values() if v is not None), 3),
             "index_prebuilt": index_prebuilt,
+            "master": env_master,
+            "parallelism": parallelism,
+            "cpu_count": os.cpu_count(),
             "sf": sf_val,
         }
     )
@@ -464,8 +490,11 @@ def main() -> None:
                         # machine-speed reference for cross-host drift
                         # normalization (r12; see _cpu_ref above)
                         "cpu_ref": cpu_ref,
-            "cpu_ref_job": CPU_REF_JOB,
+                        "cpu_ref_job": CPU_REF_JOB,
                         "regime": regime,
+                        "master": env_master,
+                        "parallelism": parallelism,
+                        "cpu_count": os.cpu_count(),
                     }
                 )
                 + "\n"
