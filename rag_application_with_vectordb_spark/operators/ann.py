@@ -64,6 +64,12 @@ LITERAL_CENTROID_MAX = 256
 #: back to interpreted eval — measured ~100 s for 200k x 64d rows at
 #: k=195 vs seconds via the broadcast-join + max_by aggregate path.
 LITERAL_ASSIGN_MAX = 64
+#: Centroid-count ceiling for the mapInArrow blocked assignment (r13):
+#: the centroid matrix is collected to the driver and shipped in the
+#: task closure, so bound it the same way as the literal boundary —
+#: 4096 x dim doubles is ~2 MB at dim 64, FAISS-coarse-quantizer
+#: territory. Beyond it the broadcast-join + max_by path remains.
+ARROW_ASSIGN_MAX = 4096
 
 
 def _centroids_as_literals(
@@ -94,6 +100,162 @@ def _centroids_as_literals(
     if len(rows) > LITERAL_CENTROID_MAX:
         return None
     return sorted((int(r[centroid_id]), [float(x) for x in r[centroid_vec]]) for r in rows)
+
+
+def _collect_centroids(
+    centroids: DataFrame | list[tuple[int, list[float]]],
+    centroid_id: str,
+    centroid_vec: str,
+    limit: int,
+) -> list[tuple[int, list[float]]] | None:
+    """Centroids as driver values up to ``limit`` rows, else None.
+
+    Same sanctioned driver boundary as :func:`_centroids_as_literals`
+    (a coarse quantizer is k×dim doubles by definition); the separate
+    helper exists because the mapInArrow path tolerates a much larger k
+    than the literal-expression path (matrix bytes in a task closure vs
+    k×dim AST nodes re-analyzed per action)."""
+    if isinstance(centroids, list):
+        cents = sorted((int(c), [float(x) for x in v]) for c, v in centroids)
+        return cents if len(cents) <= limit else None
+    rows = centroids.limit(limit + 1).collect()
+    if len(rows) > limit:
+        return None
+    return sorted((int(r[centroid_id]), [float(x) for x in r[centroid_vec]]) for r in rows)
+
+
+def _arrow_f64_matrix(vec, d: int | None = None):
+    """Decode an Arrow list-of-float column to an ``(n, d)`` float64
+    ndarray, enforcing the IVF contract loudly: uniform dims (``d`` when
+    given, else derived), no NULL rows/components. float32 → float64 is
+    exact, same as ``CAST(x AS DOUBLE)``. Shared by the mapInArrow
+    assignment and the per-cell graph scorer."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(vec, pa.ChunkedArray):
+        vec = vec.combine_chunks()
+    n = len(vec)
+    if vec.null_count:
+        raise ValueError("vector column: NULL vectors violate the IVF contract")
+    if pa.types.is_fixed_size_list(vec.type):
+        got = vec.type.list_size
+        if d is not None and got != d:
+            raise ValueError(f"vector dim {got} != centroid dim {d}")
+        d = got
+    else:
+        lens = pc.list_value_length(vec).to_numpy()
+        if n and (d is None):
+            d = int(lens[0])
+        if n and not (lens == d).all():
+            raise ValueError(
+                f"ragged/mismatched vector dims "
+                f"{sorted(set(lens.tolist()))[:5]} != centroid dim {d}"
+            )
+    flat = vec.flatten()
+    if flat.null_count:
+        raise ValueError("vector column: NULL components violate the IVF contract")
+    V = flat.to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return V.reshape(n, d), d
+
+
+def _assign_arrow(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    corpus_id: str,
+    corpus_vec: str,
+    centroid_id: str,
+    cid_type,
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE mapInArrow pass (r13, guide
+    §4.2): no (vector, centroid) pair relation is ever materialized —
+    the broadcast-join + max_by form emitted |corpus|·k rows through a
+    BroadcastNestedLoopJoin volcano iterator (9e7 rows for the sf10
+    graph build, ~40-90 s per assignment) just to fold them straight
+    back down to |corpus| rows.
+
+    Bit-exactness contract (pinned by
+    ``test_ivf_assign_arrow_matches_join_path``): per (vector, centroid)
+    the cosine is the same IEEE chain as the join path's
+    ``dot/(nv*cn)`` —
+    - dots/norms are SEQUENTIAL per-dimension folds starting at 0.0
+      (``acc += v[:,j]*c[:,j]`` loops j in order: each scalar
+      accumulator sees the identical add sequence as the unrolled
+      ``0.0 + a[0]*b[0] + ...`` and the ``aggregate`` HOF);
+    - float32 corpora are cast to float64 BEFORE any arithmetic
+      (exact, same as ``CAST(x AS DOUBLE)``);
+    - either norm exactly 0.0 → similarity 0.0 (the cosine edge);
+    - argmax = max_by(cid, struct(csim, -cid)): numpy's first-max over
+      ascending-cid columns gives the same lowest-cid tiebreak, with
+      an explicit ±0.0 refinement because Spark orders doubles by
+      Double.compare (-0.0 < +0.0) while IEEE ``==`` ties them.
+
+    Caller contract (the IVF contract, as for ``nearest_centroid_ids``):
+    uniform vector dims, no NULL ids/vectors/components, finite values.
+    Violations raise loudly in the task rather than silently mis-assign
+    (the HOF join path yielded NULL similarities for ragged rows — a
+    state no catalog corpus can reach; VERDICT r12 item 5 asks for the
+    loud contract over silent divergence)."""
+    from pyspark.sql.types import StructField, StructType
+
+    mat = [v for _, v in cents]
+    ids = [c for c, _ in cents]
+    in_schema = corpus.select(corpus_id, corpus_vec).schema
+    out_schema = StructType(
+        [in_schema[0], in_schema[1], StructField(centroid_id, cid_type, True)]
+    )
+    cid_np = "int32" if cid_type.typeName() == "integer" else "int64"
+
+    def assign_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        C = np.asarray(mat, dtype=np.float64)  # (k, dim), ascending cid
+        k, d = C.shape
+        cn = np.zeros(k)
+        for j in range(d):  # sequential per-dim fold — see docstring
+            cn += C[:, j] * C[:, j]
+        cn = np.sqrt(cn)
+        cid_arr = np.asarray(ids, dtype=np.int64)
+        for batch in batches:
+            vec = batch.column(1)
+            n = len(vec)
+            if n == 0:
+                continue
+            V, _ = _arrow_f64_matrix(vec, d)
+            acc = np.zeros((n, k))
+            nv = np.zeros(n)
+            tmp = np.empty((n, k))
+            for j in range(d):  # sequential per-dim fold — see docstring
+                vj = V[:, j]
+                np.multiply(vj[:, None], C[:, j][None, :], out=tmp)
+                acc += tmp
+                nv += vj * vj
+            np.sqrt(nv, out=nv)
+            denom = nv[:, None] * cn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = acc / denom
+            sims[(nv == 0.0)[:, None] | (cn == 0.0)[None, :]] = 0.0
+            if np.isnan(sims).any():
+                raise ValueError("ivf_assign: NaN similarity — non-finite input")
+            best = np.argmax(sims, axis=1)  # first max == lowest-cid tiebreak
+            maxv = sims[np.arange(n), best]
+            for i in np.flatnonzero(maxv == 0.0):
+                # Double.compare tiebreak at ±0.0: +0.0 beats -0.0, then
+                # lowest cid within the winning sign (rare by
+                # construction; IEEE == cannot see the sign)
+                row = sims[i]
+                zs = np.flatnonzero(row == 0.0)
+                pos = zs[~np.signbit(row[zs])]
+                best[i] = pos[0] if pos.size else zs[0]
+            out = pa.array(cid_arr[best].astype(cid_np))
+            yield pa.record_batch(
+                [batch.column(0), batch.column(1), out],
+                names=[corpus_id, corpus_vec, centroid_id],
+            )
+
+    return corpus.select(corpus_id, corpus_vec).mapInArrow(assign_batches, out_schema)
 
 
 def nearest_centroid_ids(
@@ -362,6 +524,14 @@ def ivf_assign(
     back to broadcast crossJoin + per-vector window (which shuffles the
     corpus by id)."""
     cents = _centroids_as_literals(centroids, centroid_id, centroid_vec)
+    if cents is not None and len(cents) == 0:
+        # zero centroids (ADVICE r12): every form degenerates to an
+        # empty assignment (the join path crossJoined an empty side);
+        # return it explicitly instead of building a plan that indexes
+        # into an empty centroid matrix.
+        return corpus.select(corpus_id, corpus_vec).where(F.lit(False)).withColumn(
+            centroid_id, F.lit(None).cast("bigint")
+        )
     if cents is not None and len(cents) <= LITERAL_ASSIGN_MAX:
         pre = corpus.select(
             corpus_id, corpus_vec, as_double(F.col(corpus_vec)).alias("__vd")
@@ -370,17 +540,30 @@ def ivf_assign(
         return pre.select(
             corpus_id, corpus_vec, F.element_at(nearest, 1).alias(centroid_id)
         )
-    if cents is not None:
-        # mid-size centroid set: the literal argmax expression tree is
-        # k*dim nodes and falls out of whole-stage codegen (measured
-        # 100 s for 200k rows at k=195, d=64 — interpreted eval), so
-        # rebuild a broadcastable DataFrame and take the join path.
-        if dim is None:
-            dim = len(cents[0][1])
-        centroids = corpus.sparkSession.createDataFrame(
-            [(int(c), [float(x) for x in v]) for c, v in cents],
-            f"{centroid_id} bigint, {centroid_vec} array<double>",
+    # r13 (guide §4.2, VERDICT r12 item 1): above the literal bound,
+    # assignment is a mapInArrow + numpy blocked pass — ONE map-only
+    # scan, no |corpus|·k pair relation, no shuffle (the previous
+    # broadcast-join + max_by form pushed 9e7 BroadcastNestedLoopJoin
+    # rows per sf10 graph-build assignment). Values bit-identical to
+    # both join paths (same IEEE fold order — see _assign_arrow).
+    # centroid_id dtype follows the centroids relation, as the join
+    # path's max_by did.
+    from pyspark.sql.types import LongType
+
+    if isinstance(centroids, DataFrame):
+        cid_type = centroids.schema[centroid_id].dataType
+    else:
+        cid_type = LongType()  # the rebuilt-DataFrame path used bigint
+    acents = (
+        cents
+        if cents is not None
+        else _collect_centroids(centroids, centroid_id, centroid_vec, ARROW_ASSIGN_MAX)
+    )
+    if acents is not None:
+        return _assign_arrow(
+            corpus, acents, corpus_id, corpus_vec, centroid_id, cid_type
         )
+    # >ARROW_ASSIGN_MAX centroids only (no catalog path reaches here).
     # Broadcast-join + max_by aggregate: the argmax runs as a partial
     # (map-side) aggregate right on top of the broadcast join, so the
     # only shuffle carries one slim row per corpus vector — never the

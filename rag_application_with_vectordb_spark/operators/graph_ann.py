@@ -54,78 +54,88 @@ def knn_graph_edges(
     nearest same-cell neighbors (cosine DESC, id ASC), then both edge
     directions, deduped. Output ``(src, dst)``.
 
-    The pair scoring uses prenormed cosine (cast + norm computed ONCE
-    per node, not once per pair) — bit-identical values, but the
-    per-pair expression is just the dot product, which keeps the
-    codegen'd pair stage narrow (the full cosine tree per pair measured
-    ~4× slower to JIT and run on the |cell|² stage)."""
-    assigned = ivf_assign(corpus, centroids, corpus_id, corpus_vec, dim=dim)
-    # both pair sides reference this relation — persist so the
-    # nearest-centroid assignment computes once, not once per side
-    prep = (
-        assigned.select(
-            F.col(corpus_id), "centroid_id", as_double(F.col(corpus_vec)).alias("__vd")
-        )
-        .withColumn("__n", l2_norm(F.col("__vd")))
-        .persist()
-    )
-    a = prep.select(
-        F.col(corpus_id).alias("src"), F.col("__vd").alias("__sv"),
-        F.col("__n").alias("__sn"), "centroid_id",
-    )
-    b = prep.select(
-        F.col(corpus_id).alias("dst"), F.col("__vd").alias("__dv"),
-        F.col("__n").alias("__dn"), "centroid_id",
-    )
-    # Score each UNORDERED pair once (src < dst) and mirror the slim
-    # triple afterwards — the fold-order dot is bitwise-symmetric
-    # (element-wise products commute, fold order is the shared zip
-    # order), so this halves the dominant cost of the build. Projecting
-    # to (src, dst, sim) BEFORE the top-m window also matters: the
-    # window shuffles the whole pair relation, and carrying the two
-    # dim-length vectors through it is ~40x the bytes of the 24-byte
-    # triple (at sf10: ~1e8 pairs — the difference between a few-GB
-    # shuffle and a few-hundred-GB one; the wedge the r9 sweep caught).
-    pairs = a.join(b, "centroid_id").filter(F.col("src") < F.col("dst"))
-    if dim is not None:
-        # r12 optimization (guide §4.1): the per-pair HOF dot paid ~250
-        # interpreted lambda evals per pair (the |cell|² stage is the
-        # whole build cost — 257 s at sf10). Unrolled sequential fold =
-        # identical IEEE op order (inputs are already array<double>, so
-        # the as_double pass was a value no-op); whole-stage codegen is
-        # scope-disabled for the caller's plan (huge-method JIT limit).
-        from ..functions.vector import dot_fold_sql
-        from ..session import scoped_no_wholestage_codegen
+    r13 (guide §4.2, VERDICT r12 item 1): the per-cell top-``m`` is ONE
+    ``applyInArrow`` pass — each cell's members arrive as one Arrow
+    group, the |cell|² similarity matrix is computed in numpy with the
+    identical sequential per-dimension fold as the previous pair-join
+    forms (HOF ``dot`` and r12's unrolled ``dot_fold_sql``), and the
+    per-node top-``m`` replays the window's (cosine DESC, id ASC)
+    order. The previous shape materialized every same-cell pair as a
+    join row (~1e8 rows at sf10 — the dominant build cost) and pushed
+    the slim triples through a window shuffle; now the only shuffle is
+    the groupBy's |corpus| slim rows. Edge sets are bitwise-pinned
+    against the pair-join form (test_graph_ann.py), and the composed
+    queries stay oracle hash-green.
 
-        scoped_no_wholestage_codegen(corpus.sparkSession)
-        sim = F.expr(
-            f"CASE WHEN __sn = 0.0D OR __dn = 0.0D THEN 0.0D"
-            f" ELSE {dot_fold_sql('__sv', '__dv', dim)} / (__sn * __dn) END"
-        )
-    else:
-        sim = cosine_sim_prenormed(
-            F.col("__sv"), F.col("__sn"), F.col("__dv"), F.col("__dn")
-        )
-    half = pairs.select("src", "dst", sim.alias("__sim"))
-    # mirror via an inline explode (a Generate in the same stage), NOT a
-    # self-union — a union would reference the scoring subtree twice and
-    # recompute every dot product, undoing the halving
-    scored = half.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("src").alias("s"), F.col("dst").alias("d")),
-                F.struct(F.col("dst").alias("s"), F.col("src").alias("d")),
-            )
-        ).alias("__e"),
-        "__sim",
-    ).select(
-        F.col("__e.s").alias("src"), F.col("__e.d").alias("dst"), "__sim"
+    Bit-exactness notes (the _assign_arrow contract): casts to float64
+    before arithmetic; dots/norms are sequential per-dim folds from
+    0.0; either norm exactly 0.0 → similarity 0.0; the dot fold cannot
+    produce -0.0 (it starts at +0.0, and IEEE x + (-x) = +0.0), so the
+    IEEE stable argsort equals the window's Double.compare order;
+    ties break by ascending id via the stable sort over id-sorted rows.
+    """
+    assigned = ivf_assign(corpus, centroids, corpus_id, corpus_vec, dim=dim)
+    from pyspark.sql.types import StructField, StructType
+
+    from .ann import _arrow_f64_matrix
+
+    id_type = assigned.schema[corpus_id].dataType
+    out_schema = StructType(
+        [StructField("src", id_type, True), StructField("dst", id_type, True)]
     )
-    w = Window.partitionBy("src").orderBy(F.desc("__sim"), F.asc("dst"))
+    mm = int(m)
+    want_d = dim
+
+    def cell_topm(table):
+        import numpy as np
+        import pyarrow as pa
+
+        id_t = table.schema.field(0).type
+        n = table.num_rows
+        if n <= 1:  # a singleton cell has no same-cell neighbors
+            return pa.table(
+                {"src": pa.array([], type=id_t), "dst": pa.array([], type=id_t)}
+            )
+        ids = table.column(0).to_numpy()
+        order = np.argsort(ids)  # ids are unique; ascending-id rows make
+        ids = ids[order]         # the stable sort's tiebreak == id ASC
+        V, d = _arrow_f64_matrix(table.column(1).combine_chunks(), want_d)
+        V = V[order]
+        nrm = np.zeros(n)
+        for j in range(d):  # sequential per-dim fold — see docstring
+            nrm += V[:, j] * V[:, j]
+        np.sqrt(nrm, out=nrm)
+        keep = min(mm, n - 1)
+        srcs = np.repeat(ids, keep)
+        dsts = np.empty(n * keep, dtype=ids.dtype)
+        # chunk the src side so the similarity block stays bounded
+        # (|cell| is ~sqrt-blocked by construction; the chunking also
+        # keeps a degenerate giant cell from allocating |cell|² at once)
+        step = max(1, min(n, 16_000_000 // n))
+        tmp = np.empty((step, n))
+        for s in range(0, n, step):
+            e = min(s + step, n)
+            acc = np.zeros((e - s, n))
+            for j in range(d):  # sequential per-dim fold — see docstring
+                np.multiply(V[s:e, j][:, None], V[:, j][None, :], out=tmp[: e - s])
+                acc += tmp[: e - s]
+            denom = nrm[s:e, None] * nrm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = acc / denom
+            sims[(nrm[s:e] == 0.0)[:, None] | (nrm == 0.0)[None, :]] = 0.0
+            if np.isnan(sims).any():
+                raise ValueError("knn_graph_edges: NaN similarity — non-finite input")
+            sims[np.arange(s, e) - s, np.arange(s, e)] = -np.inf  # self
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :keep]
+            dsts[s * keep : e * keep] = ids[top].ravel()
+        return pa.table({"src": pa.array(srcs), "dst": pa.array(dsts)}).cast(
+            pa.schema([("src", id_t), ("dst", id_t)])
+        )
+
     top = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= int(m))
-        .select("src", "dst")
+        assigned.select(corpus_id, corpus_vec, "centroid_id")
+        .groupBy("centroid_id")
+        .applyInArrow(cell_topm, schema=out_schema)
     )
     return top.union(
         top.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -432,3 +432,96 @@ def test_bench1m_clustered_embedding_matches_python_fold(spark):
             cents[cl][j] + 0.35 * _b1m_mix_ref(i, j, 12345) for j in range(64)
         ]
         assert emb == expect, i
+
+
+def _join_path_assignment(corpus, centroids, corpus_id="vec_id", corpus_vec="embedding"):
+    """The pre-r13 broadcast-join + max_by assignment (HOF cosine) —
+    kept here as the bitwise reference for the mapInArrow path."""
+    from rag_application_with_vectordb_spark.functions.vector import (
+        as_double,
+        cosine_sim_prenormed,
+        dot,
+    )
+
+    pre = corpus.select(
+        corpus_id, corpus_vec, as_double(F.col(corpus_vec)).alias("__vd")
+    ).withColumn("__nv", F.sqrt(dot(F.col("__vd"), F.col("__vd"))))
+    cpre = centroids.select(
+        F.col("centroid_id").alias("__cid"), as_double(F.col("cvec")).alias("__cd")
+    ).withColumn("__cn", F.sqrt(dot(F.col("__cd"), F.col("__cd"))))
+    scored = pre.crossJoin(F.broadcast(cpre)).select(
+        corpus_id,
+        "__cid",
+        cosine_sim_prenormed(
+            F.col("__vd"), F.col("__nv"), F.col("__cd"), F.col("__cn")
+        ).alias("__csim"),
+    )
+    return scored.groupBy(corpus_id).agg(
+        F.max_by(
+            F.col("__cid"), F.struct(F.col("__csim"), (-F.col("__cid")).alias("__nc"))
+        ).alias("centroid_id")
+    )
+
+
+def test_ivf_assign_arrow_matches_join_path(spark, emb):
+    """r13: >LITERAL_ASSIGN_MAX centroids route through the mapInArrow
+    blocked assignment — pin it bitwise against the broadcast-join +
+    max_by form it replaced (same corpus, float32 arrays, 100 trained
+    'centroids' so ties/near-ties are exercised on real data)."""
+    from rag_application_with_vectordb_spark.operators.ann import LITERAL_ASSIGN_MAX
+
+    k = 100
+    assert k > LITERAL_ASSIGN_MAX
+    centroids = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    got = ivf_assign(emb, centroids)
+    # the Arrow path is actually engaged: map-only plan, no join
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan and "Join" not in plan
+    ref = {r["vec_id"]: r["centroid_id"] for r in _join_path_assignment(emb, centroids).collect()}
+    rows = got.collect()
+    assert {r["vec_id"]: r["centroid_id"] for r in rows} == ref
+    # dtype follows the centroid relation (int here), embedding passes through
+    assert dict(got.dtypes)["centroid_id"] == "int"
+    orig = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    assert all(r["embedding"] == orig[r["vec_id"]] for r in rows)
+
+
+def test_ivf_assign_arrow_list_input_and_zero_vector(spark):
+    """List-of-tuples centroid input (bigint ids, the rebuilt-DataFrame
+    contract) + the zero-norm edge: a zero corpus vector scores 0.0
+    against every centroid, so it lands on the LOWEST centroid id."""
+    rows = [(0, [0.0] * 3), (1, [1.0, 0.0, 0.0]), (2, [0.5, -0.5, 2.0])]
+    corpus = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    cents = [(i, [float(i == j or (i % 3 == j)) for j in range(3)]) for i in range(70)]
+    got = {r["vec_id"]: r["centroid_id"] for r in ivf_assign(corpus, cents).collect()}
+    ref = {
+        r["vec_id"]: r["centroid_id"]
+        for r in _join_path_assignment(
+            corpus,
+            corpus.sparkSession.createDataFrame(
+                cents, "centroid_id bigint, cvec array<double>"
+            ),
+        ).collect()
+    }
+    assert got == ref
+    assert got[0] == 0  # zero vector: all sims 0.0 -> lowest cid
+
+
+def test_ivf_assign_arrow_contract_violations_raise(spark):
+    """The IVF uniform-dim / no-NULL contract fails LOUDLY on the Arrow
+    path (the old HOF join silently produced NULL similarities)."""
+    import pyspark.errors
+
+    cents = [(i, [1.0, 0.0]) for i in range(70)]
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(pyspark.errors.PySparkException, match="centroid dim"):
+        ivf_assign(ragged, cents).collect()
+
+
+def test_ivf_assign_empty_centroids_is_empty(spark, emb):
+    assert ivf_assign(emb, []).count() == 0

@@ -98,3 +98,66 @@ def test_beam_deterministic_under_repartition(clustered):
     )
     assert base == shuffled
     assert len(base) == 50
+
+
+def _pair_join_edges(corpus, centroids, m=6, corpus_id="vec_id", corpus_vec="embedding"):
+    """The pre-r13 pair-join + window edge builder (HOF cosine) — the
+    bitwise reference for the applyInArrow per-cell scorer."""
+    from pyspark.sql import Window
+
+    from rag_application_with_vectordb_spark.functions.vector import (
+        as_double,
+        cosine_sim_prenormed,
+        l2_norm,
+    )
+    from rag_application_with_vectordb_spark.operators.ann import ivf_assign
+
+    assigned = ivf_assign(corpus, centroids, corpus_id, corpus_vec)
+    prep = (
+        assigned.select(
+            F.col(corpus_id), "centroid_id", as_double(F.col(corpus_vec)).alias("__vd")
+        )
+        .withColumn("__n", l2_norm(F.col("__vd")))
+        .persist()
+    )
+    a = prep.select(
+        F.col(corpus_id).alias("src"), F.col("__vd").alias("__sv"),
+        F.col("__n").alias("__sn"), "centroid_id",
+    )
+    b = prep.select(
+        F.col(corpus_id).alias("dst"), F.col("__vd").alias("__dv"),
+        F.col("__n").alias("__dn"), "centroid_id",
+    )
+    pairs = a.join(b, "centroid_id").filter(F.col("src") != F.col("dst"))
+    scored = pairs.select(
+        "src",
+        "dst",
+        cosine_sim_prenormed(
+            F.col("__sv"), F.col("__sn"), F.col("__dv"), F.col("__dn")
+        ).alias("__sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("__sim"), F.asc("dst"))
+    top = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= int(m))
+        .select("src", "dst")
+    )
+    return top.union(
+        top.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+@pytest.mark.parametrize("n_cells", [14, 80])
+def test_knn_graph_edges_matches_pair_join(spark, n_cells):
+    """r13: the per-cell applyInArrow scorer replays the pair-join +
+    window form's edge set exactly — both with the literal-path
+    assignment (14 cells) and the mapInArrow assignment (80 > 64)."""
+    from rag_application_with_vectordb_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = emb.filter(F.col("vec_id") < n_cells).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cvec")
+    )
+    got = {(r["src"], r["dst"]) for r in knn_graph_edges(emb, cents, m=6, dim=64).collect()}
+    ref = {(r["src"], r["dst"]) for r in _pair_join_edges(emb, cents, m=6).collect()}
+    assert got == ref and len(got) > 0
